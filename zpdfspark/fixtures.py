@@ -1,0 +1,675 @@
+"""Deterministic synthetic PDF generators + corpus builder.
+
+Python port of the byte layouts produced by the reference's test-PDF
+generators (/root/reference/src/testpdf.zig:9-1339) plus extra
+generators for filter/encoding/xref-stream coverage (FIXTURES.md §2).
+Each generator returns ``(pdf_bytes, expected_text)`` where
+``expected_text`` is the analytically-known accuracy-mode extraction —
+the golden oracle carried by the corpus table itself.
+
+The corpus builder emits rows matching BASELINE.json input_hint:
+``(url, warc_ts, html:binary, text, lang)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from datetime import datetime, timedelta, timezone
+from typing import Callable, Dict, List, Optional, Tuple
+
+
+class _PdfBuilder:
+    """Tiny helper for hand-assembled PDFs with a classic xref table."""
+
+    def __init__(self, header: bytes = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"):
+        self.buf = bytearray(header)
+        self.offsets: Dict[int, int] = {}
+
+    def obj(self, num: int, body: bytes) -> None:
+        self.offsets[num] = len(self.buf)
+        self.buf += b"%d 0 obj\n" % num
+        self.buf += body
+        if not body.endswith(b"\n"):
+            self.buf += b"\n"
+        self.buf += b"endobj\n"
+
+    def stream_obj(self, num: int, dict_extra: bytes, data: bytes) -> None:
+        self.offsets[num] = len(self.buf)
+        d = b"<< /Length %d %s>>" % (len(data), dict_extra)
+        self.buf += b"%d 0 obj\n%s\nstream\n" % (num, d)
+        self.buf += data
+        self.buf += b"\nendstream\nendobj\n"
+
+    def finish(self, size: int, root: int = 1, extra_trailer: bytes = b"") -> bytes:
+        xref_offset = len(self.buf)
+        self.buf += b"xref\n0 %d\n" % size
+        self.buf += b"0000000000 65535 f \n"
+        for num in range(1, size):
+            off = self.offsets.get(num, 0)
+            self.buf += b"%010d 00000 n \n" % off
+        self.buf += b"trailer\n<< /Size %d /Root %d 0 R %s>>\n" % (size, root, extra_trailer)
+        self.buf += b"startxref\n%d\n%%%%EOF\n" % xref_offset
+        return bytes(self.buf)
+
+
+def _simple_page_pdf(content: bytes, font_body: bytes, page_extra: bytes = b"",
+                     omit_page_type: bool = False) -> bytes:
+    """1 catalog, 2 pages, 3 page, 4 content, 5 font (testpdf.zig:9-81)."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    type_part = b"" if omit_page_type else b"/Type /Page "
+    b.obj(3, b"<< " + type_part + b"/Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> " + page_extra + b">>")
+    b.stream_obj(4, b"", content)
+    b.obj(5, font_body)
+    return b.finish(6)
+
+
+_HELVETICA = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+              b"/Encoding /WinAnsiEncoding >>")
+_HELVETICA_NOENC = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+
+def _escape_pdf_string(text: bytes) -> bytes:
+    return text.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def minimal(text: str = "Hello World") -> Tuple[bytes, str]:
+    """testpdf.zig:9-81."""
+    tb = text.encode("latin-1")
+    content = b"BT\n/F1 12 Tf\n100 700 Td\n(%s) Tj\nET\n" % _escape_pdf_string(tb)
+    return _simple_page_pdf(content, _HELVETICA), text
+
+
+def multi_page(pages_text: List[str]) -> Tuple[bytes, str]:
+    """testpdf.zig:84-162: shared font at 3, page/content pairs at 4,5 6,7..."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = b" ".join(b"%d 0 R" % (4 + i * 2) for i in range(len(pages_text)))
+    b.obj(2, b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(pages_text)))
+    b.obj(3, _HELVETICA)
+    for i, text in enumerate(pages_text):
+        page_obj = 4 + i * 2
+        content = b"BT\n/F1 12 Tf\n100 700 Td\n(%s) Tj\nET\n" % _escape_pdf_string(
+            text.encode("latin-1"))
+        b.obj(page_obj, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                        b"/Contents %d 0 R /Resources << /Font << /F1 3 0 R >> >> >>" % (page_obj + 1))
+        b.stream_obj(page_obj + 1, b"", content)
+    return b.finish(4 + len(pages_text) * 2), "\x0c".join(pages_text)
+
+
+def tj_array() -> Tuple[bytes, str]:
+    """testpdf.zig:165-200: kerning -200 < -100 => space."""
+    content = b"BT\n/F1 12 Tf\n100 700 Td\n[(Hello) -200 (World)] TJ\nET\n"
+    return _simple_page_pdf(content, _HELVETICA_NOENC), "Hello World"
+
+
+def no_page_type(text: str = "NoType") -> Tuple[bytes, str]:
+    """testpdf.zig:298-342: leaf page dict without /Type."""
+    tb = text.encode("latin-1")
+    content = b"BT\n/F1 12 Tf\n100 700 Td\n(%s) Tj\nET\n" % _escape_pdf_string(tb)
+    return _simple_page_pdf(content, _HELVETICA, omit_page_type=True), text
+
+
+def inline_image() -> Tuple[bytes, str]:
+    """testpdf.zig:346-387: BI/ID/EI binary block between two text runs.
+    Expected: 'Before\\nAfter' (Td y-shift 50 > 0.7*12 => newline)."""
+    content = (b"BT\n/F1 12 Tf\n100 700 Td\n(Before) Tj\nET\n"
+               b"BI\n/W 2 /H 2 /CS /G /BPC 8\nID\n\xaa\xbb\xcc\xdd\nEI\n"
+               b"BT\n/F1 12 Tf\n100 650 Td\n(After) Tj\nET\n")
+    return _simple_page_pdf(content, _HELVETICA), "Before\nAfter"
+
+
+def superscript() -> Tuple[bytes, str]:
+    """testpdf.zig:393-442: 7pt Tm y-shift 7 < 0.7*12 => no newline."""
+    content = (b"BT\n"
+               b"/F1 12 Tf\n1 0 0 1 100 700 Tm\n(Hello) Tj\n"
+               b"/F1 7 Tf\n1 0 0 1 110 707 Tm\n(2) Tj\n"
+               b"/F1 12 Tf\n1 0 0 1 120 700 Tm\n( World) Tj\n"
+               b"ET\n")
+    return _simple_page_pdf(content, _HELVETICA), "Hello2 World"
+
+
+def incremental() -> Tuple[bytes, str]:
+    """testpdf.zig:486-548: /Prev chain; updated object 4 must win."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(4, b"", b"BT\n/F1 12 Tf\n100 700 Td\n(Original Text) Tj\nET\n")
+    b.obj(5, _HELVETICA_NOENC)
+    base = b.finish(6)
+    sx = base.rfind(b"startxref\n")
+    xref1_offset = int(base[sx + 10 : base.find(b"\n", sx + 10)])
+    out = bytearray(base)
+    new_obj4_offset = len(out)
+    content2 = b"BT\n/F1 12 Tf\n100 700 Td\n(Updated Text) Tj\nET\n"
+    out += b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (len(content2), content2)
+    xref2_offset = len(out)
+    out += b"xref\n4 1\n%010d 00000 n \n" % new_obj4_offset
+    out += b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n" % xref1_offset
+    out += b"startxref\n%d\n%%%%EOF\n" % xref2_offset
+    return bytes(out), "Updated Text"
+
+
+def encrypted() -> Tuple[bytes, str]:
+    """testpdf.zig:553+: trailer /Encrypt present; detection only.
+    Expected text is whatever stream order yields (still 'Secret')."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(4, b"", b"BT\n/F1 12 Tf\n100 700 Td\n(Secret) Tj\nET\n")
+    b.obj(5, _HELVETICA)
+    b.obj(6, b"<< /Filter /Standard /V 1 /R 2 >>")
+    return b.finish(7, extra_trailer=b"/Encrypt 6 0 R "), "Secret"
+
+
+def cid_font() -> Tuple[bytes, str]:
+    """testpdf.zig:204-294: Type0 + Identity-H + ToUnicode bfchar incl.
+    U+4E2D, hex-string show. Expected 'Hello 中'."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    content = b"BT\n/F1 12 Tf\n100 700 Td\n<00480065006C006C006F20004E2D> Tj\nET\n"
+    b.stream_obj(4, b"", content)
+    b.obj(5, b"<< /Type /Font /Subtype /Type0 /BaseFont /TestCIDFont\n"
+             b"   /Encoding /Identity-H\n"
+             b"   /DescendantFonts [6 0 R]\n"
+             b"   /ToUnicode 7 0 R >>")
+    b.obj(6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /TestCIDFont\n"
+             b"   /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >>\n"
+             b"   /W [0 [500]] >>")
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"12 dict begin\nbegincmap\n/CMapType 2 def\n/CMapName /TestCMap def\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"7 beginbfchar\n"
+            b"<0048> <0048>\n<0065> <0065>\n<006C> <006C>\n<006F> <006F>\n"
+            b"<0020> <0020>\n<0000> <0000>\n<4E2D> <4E2D>\n"
+            b"endbfchar\nendcmap\n"
+            b"CMapName currentdict /CMap defineresource pop\nend\nend")
+    b.stream_obj(7, b"", cmap)
+    # The show string parses as 2-byte codes 0048 0065 006C 006C 006F
+    # 2000 4E2D; code 0x2000 has no bfchar entry and falls through to the
+    # Identity/UTF-16BE interpretation (encoding.zig:311-335) -> U+2000.
+    return b.finish(8), "Hello\u2000\u4e2d"
+
+
+def flate(text: str = "Compressed Hello") -> Tuple[bytes, str]:
+    """FlateDecode content stream (FIXTURES.md extra)."""
+    tb = text.encode("latin-1")
+    raw = b"BT\n/F1 12 Tf\n100 700 Td\n(%s) Tj\nET\n" % _escape_pdf_string(tb)
+    comp = zlib.compress(raw)
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(4, b"/Filter /FlateDecode ", comp)
+    b.obj(5, _HELVETICA)
+    return b.finish(6), text
+
+
+def _a85_encode(data: bytes) -> bytes:
+    import base64
+    return base64.a85encode(data, adobe=False) + b"~>"
+
+
+def filters_chain(text: str = "Filtered", chain: str = "a85") -> Tuple[bytes, str]:
+    """ASCIIHex / ASCII85 / RunLength / LZW-free chains (FIXTURES.md extra)."""
+    tb = text.encode("latin-1")
+    raw = b"BT\n/F1 12 Tf\n100 700 Td\n(%s) Tj\nET\n" % _escape_pdf_string(tb)
+    if chain == "ahx":
+        enc = raw.hex().upper().encode("ascii") + b">"
+        filt = b"/Filter /ASCIIHexDecode "
+    elif chain == "a85":
+        enc = _a85_encode(raw)
+        filt = b"/Filter /ASCII85Decode "
+    elif chain == "rl":
+        # trivial RunLength: all literal runs of <= 128 bytes
+        out = bytearray()
+        for i in range(0, len(raw), 128):
+            chunk = raw[i : i + 128]
+            out.append(len(chunk) - 1)
+            out += chunk
+        out.append(128)
+        enc = bytes(out)
+        filt = b"/Filter /RunLengthDecode "
+    elif chain == "a85_fl":
+        enc = _a85_encode(zlib.compress(raw))
+        filt = b"/Filter [/ASCII85Decode /FlateDecode] "
+    else:
+        raise ValueError(chain)
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(4, filt, enc)
+    b.obj(5, _HELVETICA)
+    return b.finish(6), text
+
+
+def xref_stream(text: str = "XrefStream") -> Tuple[bytes, str]:
+    """PDF 1.5 xref stream (/W [1 2 1], PNG Up predictor) + ObjStm-packed
+    catalog/pages/page/font objects (FIXTURES.md extra)."""
+    tb = text.encode("latin-1")
+    content = b"BT\n/F1 12 Tf\n100 700 Td\n(%s) Tj\nET\n" % _escape_pdf_string(tb)
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: Dict[int, int] = {}
+
+    # object stream (obj 6) packing objects 1,2,3,5
+    packed_objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+        (5, _HELVETICA),
+    ]
+    body = bytearray()
+    header = bytearray()
+    rel_offsets = []
+    for num, objbody in packed_objs:
+        rel_offsets.append((num, len(body)))
+        body += objbody + b"\n"
+    for num, off in rel_offsets:
+        header += b"%d %d " % (num, off)
+    first = len(header)
+    objstm_data = bytes(header) + bytes(body)
+    comp = zlib.compress(objstm_data)
+    offsets[6] = len(buf)
+    buf += b"6 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>\nstream\n" % (
+        len(packed_objs), first, len(comp))
+    buf += comp
+    buf += b"\nendstream\nendobj\n"
+
+    # content stream (obj 4), uncompressed classic object
+    offsets[4] = len(buf)
+    buf += b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+    buf += content
+    buf += b"\nendstream\nendobj\n"
+
+    # xref stream (obj 7): W [1 2 1]; entries for objects 0..7
+    xref_offset = len(buf)
+    entries = []
+    entries.append((0, 0, 255))          # obj 0: free
+    for num in (1, 2, 3):
+        idx = [i for i, (n, _) in enumerate(packed_objs) if n == num][0]
+        entries.append((2, 6, idx))      # compressed in objstm 6
+    entries.append((1, offsets[4], 0))   # obj 4 direct
+    idx5 = [i for i, (n, _) in enumerate(packed_objs) if n == 5][0]
+    entries.append((2, 6, idx5))         # obj 5 compressed
+    entries.append((1, offsets[6], 0))   # obj 6 direct
+    entries.append((1, xref_offset, 0))  # obj 7 itself
+    row_bytes = b""
+    rows = []
+    for t, f2, f3 in entries:
+        rows.append(bytes([t]) + f2.to_bytes(2, "big") + bytes([f3]))
+    # PNG Up predictor (type 2) encoding: first row unchanged (prev=0)
+    encoded = bytearray()
+    prev = b"\x00" * 4
+    for row in rows:
+        encoded.append(2)
+        encoded += bytes((row[i] - prev[i]) & 0xFF for i in range(4))
+        prev = row
+    comp_xref = zlib.compress(bytes(encoded))
+    buf += b"7 0 obj\n<< /Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R "
+    buf += b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> /Length %d >>\nstream\n" % len(comp_xref)
+    buf += comp_xref
+    buf += b"\nendstream\nendobj\n"
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_offset
+    return bytes(buf), text
+
+
+def differences() -> Tuple[bytes, str]:
+    """/Encoding dict with /BaseEncoding + /Differences remap
+    (FIXTURES.md extra): code 65 ('A') -> /b, so 'ABC' reads 'bBC'."""
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding /Differences [65 /b] >> >>")
+    content = b"BT\n/F1 12 Tf\n100 700 Td\n(ABC) Tj\nET\n"
+    return _simple_page_pdf(content, font), "bBC"
+
+
+def ligatures() -> Tuple[bytes, str]:
+    """ToUnicode bfchar with multi-byte UTF-16BE dst (ligature expansion)
+    + bfrange with array form (FIXTURES.md extra)."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    # codes: 01 = "fi" ligature (multi), 02 = 'x' via bfrange array, 03 = 'y'
+    content = b"BT\n/F1 12 Tf\n100 700 Td\n<010203> Tj\nET\n"
+    b.stream_obj(4, b"", content)
+    b.obj(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom /ToUnicode 6 0 R >>")
+    cmap = (b"begincmap\n"
+            b"1 beginbfchar\n<01> <00660069>\nendbfchar\n"
+            b"1 beginbfrange\n<02> <03> [<0078> <0079>]\nendbfrange\n"
+            b"endcmap")
+    b.stream_obj(6, b"", cmap)
+    # ToUnicode sets is_cid but bytes_per_char stays 1 => 1-byte codes
+    return b.finish(7), "fixy"
+
+
+def surrogate() -> Tuple[bytes, str]:
+    """Identity-H 4-byte surrogate pair U+1F600 (FIXTURES.md extra)."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    # U+1F600 in UTF-16BE: D83D DE00
+    content = b"BT\n/F1 12 Tf\n100 700 Td\n<D83DDE00> Tj\nET\n"
+    b.stream_obj(4, b"", content)
+    b.obj(5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Emoji /Encoding /Identity-H "
+             b"/DescendantFonts [6 0 R] >>")
+    b.obj(6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Emoji "
+             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>")
+    return b.finish(7), "\U0001F600"
+
+
+def form_xobject(outer: str = "Outer", inner: str = "Inner") -> Tuple[bytes, str]:
+    """/XObject /Form with own Resources invoked via Do (FIXTURES.md extra).
+
+    Parity note: the reference's extract_all (both modes) runs the
+    null-ctx stream path where Do is skipped (root.zig:1949-1962,
+    2190-2192), so whole-document text is just the outer text; only
+    extract_page(n) with the full context descends into the form
+    (root.zig:484-531). The carried oracle is the extract_all result."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> "
+             b"/XObject << /Fm1 6 0 R >> >> >>")
+    content = (b"BT\n/F1 12 Tf\n100 700 Td\n(%s) Tj\nET\n/Fm1 Do\n"
+               % _escape_pdf_string(outer.encode("latin-1")))
+    b.stream_obj(4, b"", content)
+    b.obj(5, _HELVETICA)
+    form = (b"BT\n/F1 12 Tf\n100 600 Td\n(%s) Tj\nET\n"
+            % _escape_pdf_string(inner.encode("latin-1")))
+    b.stream_obj(6, b"/Type /XObject /Subtype /Form "
+                    b"/BBox [0 0 612 792] /Resources << /Font << /F1 5 0 R >> >> ", form)
+    return b.finish(7), outer
+
+
+def tagged() -> Tuple[bytes, str]:
+    """StructTreeRoot + BDC/MCID marked content where tree order differs
+    from stream order (FIXTURES.md extra).
+
+    Stream shows 'World' (MCID 1) before 'Hello' (MCID 0); tree order is
+    MCID 0 then 1 => accuracy extraction yields 'Hello World'.
+    Coverage: structured=11 bytes, stream='World\\nHello'=11 bytes => 60%
+    rule satisfied.
+    """
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R /StructTreeRoot 6 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    content = (b"/P << /MCID 1 >> BDC\n"
+               b"BT\n/F1 12 Tf\n100 600 Td\n(World) Tj\nET\nEMC\n"
+               b"/P << /MCID 0 >> BDC\n"
+               b"BT\n/F1 12 Tf\n100 700 Td\n(Hello) Tj\nET\nEMC\n")
+    b.stream_obj(4, b"", content)
+    b.obj(5, _HELVETICA)
+    b.obj(6, b"<< /Type /StructTreeRoot /K 7 0 R >>")
+    b.obj(7, b"<< /Type /StructElem /S /Document /K [8 0 R 9 0 R] >>")
+    b.obj(8, b"<< /Type /StructElem /S /P /Pg 3 0 R /K 0 >>")
+    b.obj(9, b"<< /Type /StructElem /S /P /Pg 3 0 R /K 1 >>")
+    return b.finish(10), "Hello World"
+
+
+def big(n_pages: int, seed: int = 0) -> Tuple[bytes, str]:
+    """n_pages of deterministic lorem-ish text (skew/throughput fixture)."""
+    words = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur",
+             "adipiscing", "elit", "sed", "do", "eiusmod", "tempor"]
+    pages = []
+    for p in range(n_pages):
+        h = int.from_bytes(hashlib.blake2b(
+            b"%d:%d" % (seed, p), digest_size=8).digest(), "big")
+        line = " ".join(words[(h >> (4 * i)) % len(words)] for i in range(8))
+        pages.append(f"Page {p} {line}")
+    return multi_page(pages)
+
+
+# -- malformed variants (FIXTURES.md §3) ----------------------------------
+
+
+def truncated(frac: float = 0.5) -> Tuple[bytes, Optional[str]]:
+    pdf, _ = minimal("Truncated")
+    return pdf[: int(len(pdf) * frac)], None
+
+
+def garbage_header() -> Tuple[bytes, Optional[str]]:
+    pdf, text = minimal("GarbageHeader")
+    return b"GARBAGE!" + pdf[8:], None
+
+
+def dangling_startxref() -> Tuple[bytes, Optional[str]]:
+    pdf, _ = minimal("Dangling")
+    pos = pdf.rfind(b"startxref\n")
+    return pdf[: pos + 10] + b"99999999\n%%EOF\n", None
+
+
+def missing_length() -> Tuple[bytes, str]:
+    """Stream without /Length: endstream-search fallback (parser.zig:407-419)."""
+    content = b"BT\n/F1 12 Tf\n100 700 Td\n(NoLength) Tj\nET\n"
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.offsets[4] = len(b.buf)
+    b.buf += b"4 0 obj\n<< >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    b.obj(5, _HELVETICA)
+    return b.finish(6), "NoLength"
+
+
+def truncated_flate() -> Tuple[bytes, Optional[str]]:
+    """Truncated Flate stream: partial output kept (decompress.zig:141-148)."""
+    raw = b"BT\n/F1 12 Tf\n100 700 Td\n(PartialFlateContent) Tj\nET\n"
+    comp = zlib.compress(raw)[: -8]
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(4, b"/Filter /FlateDecode ", comp)
+    b.obj(5, _HELVETICA)
+    return b.finish(6), None
+
+
+def cyclic_pages() -> Tuple[bytes, Optional[str]]:
+    """Page tree cycle: /Kids pointing back at the root (pagetree.zig:220-224)."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [2 0 R] /Count 1 >>")
+    return b.finish(3), None
+
+
+def deep_nesting() -> Tuple[bytes, Optional[str]]:
+    """>100-deep nested arrays: nesting cap (parser.zig:125)."""
+    b = _PdfBuilder()
+    deep = b"[" * 150 + b"]" * 150
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R /Junk " + deep + b" >>")
+    b.obj(2, b"<< /Type /Pages /Kids [] /Count 0 >>")
+    return b.finish(3), None
+
+
+# -- corpus builder --------------------------------------------------------
+
+GENERATORS: Dict[str, Callable[[int], Tuple[bytes, Optional[str]]]] = {}
+
+
+def _register():
+    def var(name):
+        def deco(fn):
+            GENERATORS[name] = fn
+            return fn
+        return deco
+
+    @var("minimal")
+    def g_min(i):
+        return minimal(f"Hello World {i}")
+
+    @var("multipage")
+    def g_multi(i):
+        n = 2 + (i % 4)
+        return multi_page([f"Doc {i} page {p}" for p in range(n)])
+
+    @var("tj")
+    def g_tj(i):
+        return tj_array()
+
+    @var("cid")
+    def g_cid(i):
+        return cid_font()
+
+    @var("notype")
+    def g_notype(i):
+        return no_page_type(f"NoType {i}")
+
+    @var("inline_image")
+    def g_ii(i):
+        return inline_image()
+
+    @var("superscript")
+    def g_sup(i):
+        return superscript()
+
+    @var("incremental")
+    def g_inc(i):
+        return incremental()
+
+    @var("flate")
+    def g_fl(i):
+        return flate(f"Compressed {i}")
+
+    @var("a85")
+    def g_a85(i):
+        return filters_chain(f"EightyFive {i}", "a85")
+
+    @var("ahx")
+    def g_ahx(i):
+        return filters_chain(f"HexMode {i}", "ahx")
+
+    @var("rl")
+    def g_rl(i):
+        return filters_chain(f"RunLength {i}", "rl")
+
+    @var("a85_fl")
+    def g_chain(i):
+        return filters_chain(f"Chained {i}", "a85_fl")
+
+    @var("xref_stream")
+    def g_xs(i):
+        return xref_stream(f"XrefStream {i}")
+
+    @var("differences")
+    def g_diff(i):
+        return differences()
+
+    @var("ligatures")
+    def g_lig(i):
+        return ligatures()
+
+    @var("surrogate")
+    def g_sur(i):
+        return surrogate()
+
+    @var("form_xobject")
+    def g_fx(i):
+        return form_xobject(f"Outer{i}", f"Inner{i}")
+
+    @var("tagged")
+    def g_tag(i):
+        return tagged()
+
+    @var("missing_length")
+    def g_ml(i):
+        return missing_length()
+
+    @var("big")
+    def g_big(i):
+        return big(20 + (i % 10), seed=i)
+
+
+_register()
+
+MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
+    "truncated50": lambda: truncated(0.5),
+    "truncated90": lambda: truncated(0.9),
+    "garbage_header": garbage_header,
+    "dangling_startxref": dangling_startxref,
+    "truncated_flate": truncated_flate,
+    "cyclic_pages": cyclic_pages,
+    "deep_nesting": deep_nesting,
+    "encrypted": lambda: (encrypted()[0], None),
+}
+
+_LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
+_EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+
+def _url_hash(url: str) -> int:
+    return int.from_bytes(hashlib.blake2b(url.encode(), digest_size=8).digest(), "big")
+
+
+def corpus_rows(n_docs: int, seed: int = 42, malformed_ratio: float = 0.01,
+                big_ratio: float = 0.002):
+    """Yield (url, warc_ts, html, text, lang) rows (FIXTURES.md §1).
+
+    Deterministic per url; ~1% malformed variants; a long tail of
+    multi-hundred-page docs exercises skew handling.
+    """
+    gen_names = [n for n in GENERATORS if n != "big"]
+    mal_names = sorted(MALFORMED)
+    for i in range(n_docs):
+        h = int.from_bytes(hashlib.blake2b(
+            b"corpus:%d:%d" % (seed, i), digest_size=8).digest(), "big")
+        r = (h % 10_000) / 10_000.0
+        if r < malformed_ratio:
+            name = mal_names[h % len(mal_names)]
+            pdf, text = MALFORMED[name]()
+            gen = "malformed_" + name
+        elif r < malformed_ratio + big_ratio:
+            pdf, text = big(200 + h % 300, seed=i)
+            gen = "big"
+        else:
+            gen = gen_names[h % len(gen_names)]
+            pdf, text = GENERATORS[gen](i)
+        url = f"https://fixtures.example/{gen}/{i:08d}.pdf"
+        ts = _EPOCH + timedelta(seconds=_url_hash(url) % (365 * 24 * 3600))
+        lang = "zh" if gen == "cid" else _LANGS[h % len(_LANGS)]
+        yield (url, ts, pdf, text, lang)
+
+
+def write_corpus_parquet(path: str, n_docs: int, seed: int = 42) -> str:
+    """Write the corpus as a parquet file (pyarrow; no Spark needed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for url, ts, html, text, lang in corpus_rows(n_docs, seed=seed):
+        urls.append(url)
+        tss.append(ts)
+        htmls.append(html)
+        texts.append(text)
+        langs.append(lang)
+    table = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+    pq.write_table(table, path)
+    return path
