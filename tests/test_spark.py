@@ -1,0 +1,125 @@
+"""Spark-layer integration tests: extraction UDFs, SQL registration,
+pipeline lineage + checkpoint/resume."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from zpdfspark.spark.session import get_spark
+
+    s = get_spark(4, "zpdfspark-tests", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    from zpdfspark.fixtures import write_corpus_parquet
+
+    p = tmp_path_factory.mktemp("corpus") / "corpus.parquet"
+    write_corpus_parquet(str(p), 150, seed=42)
+    return str(p)
+
+
+def test_extract_dataframe_parity(spark, corpus_path):
+    from zpdfspark.spark.udfs import extract_dataframe
+
+    corpus = spark.read.parquet(corpus_path)
+    res = extract_dataframe(corpus, "accuracy")
+    joined = res.join(corpus.select("url", "text"), "url")
+    total = joined.where(F.col("text").isNotNull()).count()
+    match = joined.where(
+        F.col("text").isNotNull() & (F.col("extracted_text") == F.col("text"))
+    ).count()
+    assert match == total > 0
+
+
+def test_sql_udfs(spark, corpus_path):
+    from zpdfspark.spark.udfs import register_sql_udfs
+
+    register_sql_udfs(spark)
+    spark.read.parquet(corpus_path).createOrReplaceTempView("pages")
+    row = spark.sql(
+        "SELECT count(*) AS n, sum(zpdf_page_count(html)) AS pages, "
+        "sum(CASE WHEN zpdf_is_encrypted(html) THEN 1 ELSE 0 END) AS enc "
+        "FROM pages"
+    ).collect()[0]
+    assert row["n"] == 150
+    assert row["pages"] > 0
+
+
+def test_pipeline_resume(spark, corpus_path, tmp_path):
+    from zpdfspark.spark.pipeline import completed_buckets, run_extraction_job
+
+    out = str(tmp_path / "out")
+    s1 = run_extraction_job(spark, corpus_path, out, n_buckets=4, partitions=4)
+    assert s1["buckets_run"] == 4
+    assert s1["docs"] == 150
+    done = completed_buckets(spark, os.path.join(out, "_lineage"))
+    assert done == [0, 1, 2, 3]
+
+    # simulate a crash: wipe one bucket's lineage and rerun — only the
+    # missing bucket should re-execute (anti-join on completed lineage)
+    lineage_dir = os.path.join(out, "_lineage")
+    lineage = spark.read.json(lineage_dir).where(F.col("bucket") != 2)
+    rows = [r.asDict() for r in lineage.collect()]
+    shutil.rmtree(lineage_dir)
+    os.makedirs(lineage_dir)
+    with open(os.path.join(lineage_dir, "part-manual.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    s2 = run_extraction_job(spark, corpus_path, out, n_buckets=4, partitions=4)
+    assert s2["buckets_skipped"] == 3
+    assert s2["buckets_run"] == 1
+
+    # all docs present exactly once in the output
+    result = spark.read.parquet(os.path.join(out, "data"))
+    assert result.select("url").distinct().count() == 150
+    assert result.count() == 150
+
+
+def test_lineage_metrics_populated(spark, corpus_path, tmp_path):
+    from zpdfspark.spark.pipeline import run_extraction_job
+
+    out = str(tmp_path / "out2")
+    run_extraction_job(spark, corpus_path, out, n_buckets=2, partitions=4)
+    lineage = spark.read.json(os.path.join(out, "_lineage"))
+    row = lineage.agg(
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_pages").alias("pages"),
+        F.sum("n_errors").alias("errors"),
+        F.sum("stream_pages").alias("stream_pages"),
+    ).collect()[0]
+    assert row["docs"] == 150
+    assert row["pages"] > 0
+    assert row["stream_pages"] > 0
+    # lineage error total equals the per-doc error_count ground truth
+    truth = (
+        spark.read.parquet(os.path.join(out, "data"))
+        .agg(F.sum("error_count")).collect()[0][0]
+    )
+    assert row["errors"] == truth
+
+
+def test_salted_partitioning_spreads_rows(spark, corpus_path):
+    from zpdfspark.spark.pipeline import salted
+
+    df = salted(spark.read.parquet(corpus_path).select("url", "html"), 8)
+    counts = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    )
+    assert len(counts) == 8
+    sizes = [r["count"] for r in counts]
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) <= 3 * mean  # no partition dominates

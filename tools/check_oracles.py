@@ -1,0 +1,100 @@
+"""Local stand-in for the driver's correctness gate: run each
+queries()[name] on Spark and oracle_sql()[name] on DuckDB at the given
+sf, compare row count + schema-insensitive sorted values.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from zpdfspark.spark.session import get_spark  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(str(v))
+        out.append("|".join(vals))
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(8, "oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"[FAIL] {name}: spark error: {e}")
+            continue
+        if sql is None:
+            print(f"[rows-only] {name}: {len(rows)} rows, cols={cols}")
+            if not rows:
+                print(f"  WARNING: {name} returned 0 rows")
+            continue
+        try:
+            o = con.execute(sql)
+            ocols = [d[0] for d in o.description]
+            orows = o.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"[FAIL] {name}: duckdb error: {e}")
+            continue
+        if sorted(cols) != sorted(ocols):
+            failures.append(name)
+            print(f"[FAIL] {name}: column mismatch {sorted(cols)} vs {sorted(ocols)}")
+            continue
+        a = normalize(rows, cols)
+        b = normalize(orows, ocols)
+        if len(a) != len(b):
+            failures.append(name)
+            print(f"[FAIL] {name}: row count {len(a)} vs {len(b)}")
+        elif a != b:
+            failures.append(name)
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"[FAIL] {name}: value mismatch, first diffs: {diff}")
+        else:
+            print(f"[OK]   {name}: {len(a)} rows match")
+    spark.stop()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("ALL ORACLES MATCH")
+
+
+if __name__ == "__main__":
+    main()

@@ -624,11 +624,16 @@ def _url_hash(url: str) -> int:
 
 
 def corpus_rows(n_docs: int, seed: int = 42, malformed_ratio: float = 0.01,
-                big_ratio: float = 0.002):
+                big_ratio: float = 0.002, profile: str = "mixed"):
     """Yield (url, warc_ts, html, text, lang) rows (FIXTURES.md §1).
 
     Deterministic per url; ~1% malformed variants; a long tail of
     multi-hundred-page docs exercises skew handling.
+
+    profile="mixed" (default): one doc per feature generator — the
+    correctness corpus. profile="heavy": every doc is a 10-40 page
+    document with a 0.5% tail of 200-400-page giants — the throughput /
+    scaling corpus (compute-bound rather than overhead-bound).
     """
     gen_names = [n for n in GENERATORS if n != "big"]
     mal_names = sorted(MALFORMED)
@@ -640,6 +645,13 @@ def corpus_rows(n_docs: int, seed: int = 42, malformed_ratio: float = 0.01,
             name = mal_names[h % len(mal_names)]
             pdf, text = MALFORMED[name]()
             gen = "malformed_" + name
+        elif profile == "heavy":
+            if r < malformed_ratio + 0.005:
+                pdf, text = big(200 + h % 200, seed=i)
+                gen = "giant"
+            else:
+                pdf, text = big(10 + h % 31, seed=i)
+                gen = "heavy"
         elif r < malformed_ratio + big_ratio:
             pdf, text = big(200 + h % 300, seed=i)
             gen = "big"
@@ -652,13 +664,14 @@ def corpus_rows(n_docs: int, seed: int = 42, malformed_ratio: float = 0.01,
         yield (url, ts, pdf, text, lang)
 
 
-def write_corpus_parquet(path: str, n_docs: int, seed: int = 42) -> str:
+def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
+                         profile: str = "mixed") -> str:
     """Write the corpus as a parquet file (pyarrow; no Spark needed)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
-    for url, ts, html, text, lang in corpus_rows(n_docs, seed=seed):
+    for url, ts, html, text, lang in corpus_rows(n_docs, seed=seed, profile=profile):
         urls.append(url)
         tss.append(ts)
         htmls.append(html)
@@ -671,5 +684,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42) -> str:
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(langs, pa.string()),
     })
-    pq.write_table(table, path)
+    # Small row groups so a Spark scan can split the file across tasks —
+    # one giant row group serializes the whole read into a single task
+    # (measured: 40k docs read+extracted on 1 core instead of 32).
+    pq.write_table(table, path, row_group_size=512)
     return path

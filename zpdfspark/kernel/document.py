@@ -84,6 +84,7 @@ class Document:
     __slots__ = (
         "data", "xref", "pages", "object_cache", "errors",
         "font_cache", "font_obj_cache", "_reading_order", "_reading_order_parsed",
+        "metrics",
     )
 
     def __init__(self, data: bytes):
@@ -97,6 +98,15 @@ class Document:
         self.font_obj_cache: Dict[int, FontEncoding] = {}
         self._reading_order: Optional[Dict[int, List[int]]] = None
         self._reading_order_parsed = False
+        # extraction metrics (north_rule: objects parsed, streams decoded,
+        # fallback counts surfaced per partition)
+        self.metrics: Dict[str, int] = {
+            "streams_decoded": 0,
+            "structured_pages": 0,
+            "stream_pages": 0,
+            "geometric_pages": 0,
+            "coverage_fallbacks": 0,
+        }
         self._parse_document()
 
     # -- open / parse ----------------------------------------------------
@@ -120,6 +130,10 @@ class Document:
         except Exception:
             self.errors.append((ERR_SYNTAX, 0, "Failed to build page tree"))
             return
+
+    @property
+    def objects_resolved(self) -> int:
+        return len(self.object_cache)
 
     @property
     def is_encrypted(self) -> bool:
@@ -168,6 +182,7 @@ class Document:
 
     def _page_contents(self, page_idx: int) -> bytes:
         try:
+            self.metrics["streams_decoded"] += 1
             return pagetree.get_page_contents(
                 self.data, self.xref, self.pages[page_idx], self.object_cache
             )
@@ -299,10 +314,13 @@ class Document:
                     try:
                         stream_text = self.extract_text_stream_order_bytes(page_idx)
                     except Exception:
+                        self.metrics["structured_pages"] += 1
                         return structured
                     # 60% coverage rule (root.zig:717-721)
                     if len(structured) >= (len(stream_text) * 6) // 10:
+                        self.metrics["structured_pages"] += 1
                         return structured
+                    self.metrics["coverage_fallbacks"] += 1
                     return stream_text
         # untagged page: stream order first, geometric fallback
         try:
@@ -312,7 +330,9 @@ class Document:
         except Exception:
             return self._extract_geometric_bytes(page_idx)
         if stream_text:
+            self.metrics["stream_pages"] += 1
             return stream_text
+        self.metrics["geometric_pages"] += 1
         return self._extract_geometric_bytes(page_idx)
 
     def extract_all_fast_bytes(self) -> bytes:
@@ -329,6 +349,7 @@ class Document:
             self._ensure_page_fonts(i)
             out = bytearray()
             extract_content_stream(contents, "stream", self.font_cache, i, out=out)
+            self.metrics["stream_pages"] += 1
             parts.append(bytes(out))
         return b"".join(parts)
 

@@ -1,0 +1,188 @@
+"""The scale pipeline: partitioning, skew salting, per-partition lineage,
+checkpoint/resume. This is the ``main.zig`` of the engine — the job
+driver deployed via ``spark-submit --py-files zpdfspark.zip
+zpdfspark/spark/pipeline.py`` (north_rule).
+
+Design for 10^12 documents (SURVEY.md §4):
+
+- **Partition pruning**: input is an Iceberg/parquet table partitioned
+  on warc_ts buckets; a ``--since/--until`` predicate prunes partitions
+  at the scan (Catalyst built-in — nothing custom).
+- **Skew**: one 2 GB PDF in a batch of 64 starves a task. Two levers:
+  (a) salted repartition on ``xxhash64(url, salt)`` spreads documents
+  uniformly regardless of input file layout; (b) size buckets — docs
+  above ``big_doc_bytes`` are routed to their own partitions sized
+  one-document-per-task so a straggler blob never hides behind small
+  docs. Arrow batch size is kept small (session.py) for the same reason.
+- **Lineage + resume**: work is divided into ``n_buckets`` deterministic
+  url-hash buckets. Each bucket's output is written under
+  ``out/bucket=K/`` and a lineage row (bucket, counts, error totals,
+  wall time, status) is appended to the sidecar. On restart, completed
+  buckets are skipped via an anti-join of the bucket domain against the
+  lineage sidecar — the driver-contract "resume from checkpoint".
+- All shuffles are explicit; the extraction stage is map-only after the
+  single salting exchange.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import List, Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+# absolute import so this file also works as a spark-submit primary
+# script (run as __main__ with zpdfspark shipped via --py-files)
+from zpdfspark.spark.udfs import EXTRACT_SCHEMA, extract_batches
+
+LINEAGE_SCHEMA = (
+    "bucket int, n_docs long, n_pages long, n_chars long, n_errors long, "
+    "n_encrypted long, structured_pages long, stream_pages long, "
+    "geometric_pages long, coverage_fallbacks long, "
+    "wall_secs double, status string, finished_at string"
+)
+
+
+def salted(df: DataFrame, partitions: int, salt: int = 0,
+           big_doc_bytes: int = 8 * 1024 * 1024) -> DataFrame:
+    """Salted, size-aware repartition of the input.
+
+    Small docs hash uniformly over ``partitions``; big docs get a
+    partition id derived from their url alone so each lands in a
+    sparsely-populated partition (practically one giant doc per task).
+    """
+    # Repartition on a full-width hash so Spark's hash-partitioner sees a
+    # uniform key domain. (Hashing a pre-computed pmod value re-hashes a
+    # tiny domain and leaves partitions empty/skewed — measured in tests.)
+    size = F.length("html")
+    small_key = F.xxhash64(F.col("url"), F.lit(salt))
+    # big docs use an independent salt so their placement decorrelates
+    # from the small-doc layout — a giant blob lands alone in expectation
+    big_key = F.xxhash64(F.col("url"), F.lit(salt + 0x9E3779B9))
+    key = F.when(size > big_doc_bytes, big_key).otherwise(small_key)
+    return df.repartition(partitions, key)
+
+
+def bucket_of(url_col, n_buckets: int):
+    """Deterministic resume bucket: stable across runs and cluster sizes."""
+    return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
+
+
+def completed_buckets(spark: SparkSession, lineage_path: str) -> List[int]:
+    try:
+        lineage = spark.read.json(lineage_path)
+    except Exception:
+        return []
+    if "bucket" not in lineage.columns:
+        return []
+    rows = lineage.where(F.col("status") == "ok").select("bucket").distinct().collect()
+    return sorted(r["bucket"] for r in rows)
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    mode: str = "accuracy",
+    partitions: Optional[int] = None,
+    n_buckets: int = 8,
+    salt: int = 0,
+    resume: bool = True,
+    since: Optional[str] = None,
+    until: Optional[str] = None,
+) -> dict:
+    """Checkpoint-resumable extraction. Returns a summary dict."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    lineage_path = os.path.join(output_path, "_lineage")
+    data_path = os.path.join(output_path, "data")
+
+    df = spark.read.parquet(input_path)
+    # partition-prunable time predicate (Iceberg warc_ts buckets at scale)
+    if since:
+        df = df.where(F.col("warc_ts") >= F.lit(since))
+    if until:
+        df = df.where(F.col("warc_ts") < F.lit(until))
+    df = df.select("url", "html").withColumn("bucket", bucket_of(F.col("url"), n_buckets))
+
+    done = set(completed_buckets(spark, lineage_path)) if resume else set()
+    todo = [b for b in range(n_buckets) if b not in done]
+    summary = {"buckets_total": n_buckets, "buckets_skipped": len(done),
+               "buckets_run": 0, "docs": 0, "errors": 0}
+
+    for bucket in todo:
+        t0 = time.time()
+        part = salted(df.where(F.col("bucket") == bucket).drop("bucket"),
+                      partitions, salt=salt)
+        result = part.mapInPandas(extract_batches(mode), EXTRACT_SCHEMA)
+        out_dir = os.path.join(data_path, f"bucket={bucket}")
+        result.write.mode("overwrite").parquet(out_dir)
+
+        # per-bucket metrics rollup from what we just wrote (one cheap
+        # scan of the bucket's own output; no extra shuffle of the blobs)
+        written = spark.read.parquet(out_dir)
+        agg = written.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_pages").alias("n_pages"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("error_count").alias("n_errors"),
+            F.sum(F.col("is_encrypted").cast("long")).alias("n_encrypted"),
+            F.sum("structured_pages").alias("structured_pages"),
+            F.sum("stream_pages").alias("stream_pages"),
+            F.sum("geometric_pages").alias("geometric_pages"),
+            F.sum("coverage_fallbacks").alias("coverage_fallbacks"),
+        ).collect()[0]
+        lineage_row = {
+            "bucket": bucket,
+            "n_docs": agg["n_docs"] or 0,
+            "n_pages": int(agg["n_pages"] or 0),
+            "n_chars": int(agg["n_chars"] or 0),
+            "n_errors": int(agg["n_errors"] or 0),
+            "n_encrypted": int(agg["n_encrypted"] or 0),
+            "structured_pages": int(agg["structured_pages"] or 0),
+            "stream_pages": int(agg["stream_pages"] or 0),
+            "geometric_pages": int(agg["geometric_pages"] or 0),
+            "coverage_fallbacks": int(agg["coverage_fallbacks"] or 0),
+            "wall_secs": time.time() - t0,
+            "status": "ok",
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        spark.createDataFrame([lineage_row], schema=LINEAGE_SCHEMA) \
+            .coalesce(1).write.mode("append").json(lineage_path)
+        summary["buckets_run"] += 1
+        summary["docs"] += lineage_row["n_docs"]
+        summary["errors"] += lineage_row["n_errors"]
+    return summary
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    """spark-submit entry: the CLI analog of the reference's
+    ``zpdf extract`` (/root/reference/src/main.zig:12-96)."""
+    ap = argparse.ArgumentParser(description="zpdfspark extraction pipeline")
+    ap.add_argument("--input", required=True, help="input parquet path/table")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--mode", choices=("accuracy", "fast"), default="accuracy")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--since", default=None, help="warc_ts lower bound")
+    ap.add_argument("--until", default=None, help="warc_ts upper bound")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("zpdfspark-extract").getOrCreate()
+    summary = run_extraction_job(
+        spark, args.input, args.output, mode=args.mode,
+        partitions=args.partitions, n_buckets=args.buckets, salt=args.salt,
+        resume=not args.no_resume, since=args.since, until=args.until,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,272 @@
+"""Arrow-batch extraction kernels for Spark.
+
+The engine's API surface (SURVEY.md §2.11): every capability of the
+reference C ABI / Python binding (/root/reference/src/capi.zig,
+/root/reference/python/zpdf/__init__.py) re-expressed as
+
+(a) ``mapInPandas`` batch kernels — whole-row output incl. metrics;
+(b) registered ``pandas_udf``s — callable from Spark SQL
+    (``SELECT zpdf_extract(html) FROM pages``);
+
+No per-row Python UDFs anywhere (input_hint): documents are iterated
+inside the Arrow batch, exactly as the reference iterates pages inside
+one process. All parallelism comes from Spark partitions
+(capi.zig:85-88: the reference's "parallel" exports are sequential
+aliases — partition-level parallelism is the graft).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Output schema of the main extraction kernel. `errors` mirrors
+# ParseErrorRecord (root.zig:83-97); metric columns mirror the
+# north_rule lineage requirements.
+EXTRACT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("extracted_text", StringType()),
+    StructField("n_pages", IntegerType()),
+    StructField("n_chars", LongType()),
+    StructField("is_encrypted", BooleanType()),
+    StructField("error_count", IntegerType()),
+    StructField("errors", ArrayType(StructType([
+        StructField("kind", StringType()),
+        StructField("offset", LongType()),
+        StructField("message", StringType()),
+    ]))),
+    StructField("objects_resolved", IntegerType()),
+    StructField("streams_decoded", IntegerType()),
+    StructField("structured_pages", IntegerType()),
+    StructField("stream_pages", IntegerType()),
+    StructField("geometric_pages", IntegerType()),
+    StructField("coverage_fallbacks", IntegerType()),
+    StructField("elapsed_ms", DoubleType()),
+])
+
+EXTRACT_SCHEMA_DDL = (
+    "url string, extracted_text string, n_pages int, n_chars long, "
+    "is_encrypted boolean, error_count int, "
+    "errors array<struct<kind:string,offset:long,message:string>>, "
+    "objects_resolved int, streams_decoded int, structured_pages int, "
+    "stream_pages int, geometric_pages int, coverage_fallbacks int, "
+    "elapsed_ms double"
+)
+
+
+def extract_batches(mode: str = "accuracy", html_col: str = "html", url_col: str = "url"):
+    """Build a mapInPandas generator extracting text + metrics per doc."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zpdfspark.kernel import Document
+
+        for batch in batches:
+            rows = {k: [] for k in (
+                "url", "extracted_text", "n_pages", "n_chars", "is_encrypted",
+                "error_count", "errors", "objects_resolved", "streams_decoded",
+                "structured_pages", "stream_pages", "geometric_pages",
+                "coverage_fallbacks", "elapsed_ms",
+            )}
+            urls = batch[url_col]
+            blobs = batch[html_col]
+            for url, blob in zip(urls, blobs):
+                t0 = time.perf_counter()
+                doc = Document(bytes(blob) if blob is not None else b"")
+                text = doc.extract_all(mode)
+                elapsed = (time.perf_counter() - t0) * 1000.0
+                m = doc.metrics
+                rows["url"].append(url)
+                rows["extracted_text"].append(text)
+                rows["n_pages"].append(doc.page_count)
+                rows["n_chars"].append(len(text))
+                rows["is_encrypted"].append(doc.is_encrypted)
+                rows["error_count"].append(len(doc.errors))
+                rows["errors"].append([
+                    {"kind": k, "offset": o, "message": msg}
+                    for k, o, msg in doc.errors
+                ])
+                rows["objects_resolved"].append(doc.objects_resolved)
+                rows["streams_decoded"].append(m["streams_decoded"])
+                rows["structured_pages"].append(m["structured_pages"])
+                rows["stream_pages"].append(m["stream_pages"])
+                rows["geometric_pages"].append(m["geometric_pages"])
+                rows["coverage_fallbacks"].append(m["coverage_fallbacks"])
+                rows["elapsed_ms"].append(elapsed)
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def extract_dataframe(df: DataFrame, mode: str = "accuracy") -> DataFrame:
+    """df(url, ..., html) -> extraction result DataFrame.
+
+    Projects to the two needed columns first so Catalyst prunes the
+    parquet scan to url+html (SURVEY.md Z1: column pruning is the
+    engine's "lazy parsing" analog).
+    """
+    return df.select("url", "html").mapInPandas(
+        extract_batches(mode), EXTRACT_SCHEMA
+    )
+
+
+# -- span extraction (bounds mode, EP3) -----------------------------------
+
+SPANS_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("page", IntegerType()),
+    StructField("x0", DoubleType()),
+    StructField("y0", DoubleType()),
+    StructField("x1", DoubleType()),
+    StructField("y1", DoubleType()),
+    StructField("text", StringType()),
+    StructField("font_size", DoubleType()),
+])
+
+
+def spans_batches(html_col: str = "html", url_col: str = "url"):
+    """mapInPandas kernel -> exploded span rows (root.zig:542-577)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zpdfspark.kernel import Document
+
+        for batch in batches:
+            out = {k: [] for k in ("url", "page", "x0", "y0", "x1", "y1", "text", "font_size")}
+            for url, blob in zip(batch[url_col], batch[html_col]):
+                doc = Document(bytes(blob) if blob is not None else b"")
+                for page_idx in range(doc.page_count):
+                    for s in doc.extract_bounds(page_idx):
+                        out["url"].append(url)
+                        out["page"].append(page_idx)
+                        out["x0"].append(s.x0)
+                        out["y0"].append(s.y0)
+                        out["x1"].append(s.x1)
+                        out["y1"].append(s.y1)
+                        out["text"].append(s.text.decode("utf-8", "replace"))
+                        out["font_size"].append(s.font_size)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def spans_dataframe(df: DataFrame) -> DataFrame:
+    return df.select("url", "html").mapInPandas(spans_batches(), SPANS_SCHEMA)
+
+
+# -- metadata / document features -----------------------------------------
+
+METADATA_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("title", StringType()),
+    StructField("author", StringType()),
+    StructField("subject", StringType()),
+    StructField("keywords", StringType()),
+    StructField("creator", StringType()),
+    StructField("producer", StringType()),
+    StructField("creation_date", StringType()),
+    StructField("mod_date", StringType()),
+    StructField("n_pages", IntegerType()),
+    StructField("is_encrypted", BooleanType()),
+])
+
+
+def metadata_batches(html_col: str = "html", url_col: str = "url"):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zpdfspark.kernel import Document
+
+        for batch in batches:
+            out = {f.name: [] for f in METADATA_SCHEMA.fields}
+            for url, blob in zip(batch[url_col], batch[html_col]):
+                doc = Document(bytes(blob) if blob is not None else b"")
+                md = doc.metadata()
+                out["url"].append(url)
+                for k in ("title", "author", "subject", "keywords", "creator",
+                          "producer", "creation_date", "mod_date"):
+                    out[k].append(md[k])
+                out["n_pages"].append(doc.page_count)
+                out["is_encrypted"].append(doc.is_encrypted)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def metadata_dataframe(df: DataFrame) -> DataFrame:
+    return df.select("url", "html").mapInPandas(metadata_batches(), METADATA_SCHEMA)
+
+
+# -- search (X4: extract once, then filter — a genuine DataFrame op) ------
+
+
+def search_dataframe(extracted: DataFrame, query: str, text_col: str = "extracted_text") -> DataFrame:
+    """Full-text search over ALREADY-extracted text: a relational filter,
+    not re-extraction per query (SURVEY.md X4)."""
+    import pyspark.sql.functions as F
+
+    q = query.lower()
+    return (
+        extracted
+        .where(F.instr(F.lower(F.col(text_col)), q) > 0)
+        .select(
+            "url",
+            (F.instr(F.lower(F.col(text_col)), q) - 1).alias("offset"),
+        )
+    )
+
+
+# -- SQL registration (pandas_udf; Arrow-vectorized) ----------------------
+
+
+def register_sql_udfs(spark) -> None:
+    """Register scalar extraction functions for Spark SQL use:
+
+        SELECT url, zpdf_extract(html) FROM pages
+        SELECT zpdf_page_count(html), zpdf_is_encrypted(html) ...
+        SELECT zpdf_metadata_json(html) ...
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def zpdf_extract(html: pd.Series) -> pd.Series:
+        from zpdfspark.kernel import Document
+        return html.map(lambda b: Document(bytes(b) if b is not None else b"").extract_all("accuracy"))
+
+    @pandas_udf(StringType())
+    def zpdf_extract_fast(html: pd.Series) -> pd.Series:
+        from zpdfspark.kernel import Document
+        return html.map(lambda b: Document(bytes(b) if b is not None else b"").extract_all("fast"))
+
+    @pandas_udf(IntegerType())
+    def zpdf_page_count(html: pd.Series) -> pd.Series:
+        from zpdfspark.kernel import Document
+        return html.map(lambda b: Document(bytes(b) if b is not None else b"").page_count)
+
+    @pandas_udf(BooleanType())
+    def zpdf_is_encrypted(html: pd.Series) -> pd.Series:
+        from zpdfspark.kernel import Document
+        return html.map(lambda b: Document(bytes(b) if b is not None else b"").is_encrypted)
+
+    @pandas_udf(StringType())
+    def zpdf_metadata_json(html: pd.Series) -> pd.Series:
+        from zpdfspark.kernel import Document
+        return html.map(lambda b: json.dumps(
+            Document(bytes(b) if b is not None else b"").metadata(), ensure_ascii=False))
+
+    spark.udf.register("zpdf_extract", zpdf_extract)
+    spark.udf.register("zpdf_extract_fast", zpdf_extract_fast)
+    spark.udf.register("zpdf_page_count", zpdf_page_count)
+    spark.udf.register("zpdf_is_encrypted", zpdf_is_encrypted)
+    spark.udf.register("zpdf_metadata_json", zpdf_metadata_json)
