@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-_CORPUS_VERSION = "v1"
+_CORPUS_VERSION = "v2"
 _SF_DOCS = {"sf0.001": 200, "sf0.01": 800, "sf0.1": 3000}
 
 
@@ -130,6 +130,34 @@ def _q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zpdf_is_encrypted(html) AS is_encrypted, "
         "length(zpdf_extract(html)) AS n_chars "
         "FROM zpdf_pages ORDER BY url"
+    )
+
+
+def _q_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zpdfspark.spark.udfs import features_dataframe
+
+    return (
+        features_dataframe(_corpus(spark, sf_dir))
+        .select(
+            "url",
+            F.size("outline").alias("n_outline"),
+            F.size("links").alias("n_links"),
+            F.size("form_fields").alias("n_form_fields"),
+            F.size("images").alias("n_images"),
+            F.array_join(F.transform("page_labels", lambda x: F.coalesce(x, F.lit(""))), "|").alias("labels"),
+        )
+        .orderBy("url")
+    )
+
+
+def _q_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zpdfspark.spark.udfs import markdown_dataframe
+
+    return (
+        markdown_dataframe(_corpus(spark, sf_dir))
+        .select("url", F.length("markdown").alias("md_chars"),
+                F.md5(F.col("markdown")).alias("md_hash"))
+        .orderBy("url")
     )
 
 
@@ -368,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_search": _q_search,
         "extract_sql_udf": _q_sql_udf,
         "media_stats": _q_media_stats,
+        "extract_features": _q_features,
+        "extract_markdown": _q_markdown,
         "ann_lsh_buckets": _q_ann_lsh,
         # SQL-expressible (DuckDB oracles below)
         "doc_stats_by_lang": _q_doc_stats_by_lang,

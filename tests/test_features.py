@@ -1,0 +1,181 @@
+"""Feature extractor tests (SURVEY.md §2.9) mirroring the reference's
+integration tests (/root/reference/src/integration_test.zig:305-1000)."""
+
+import pytest
+
+from zpdfspark import fixtures
+from zpdfspark.kernel import Document
+
+
+def test_metadata():
+    pdf, _ = fixtures.metadata_pdf()
+    doc = Document(pdf)
+    md = doc.metadata()
+    assert md["title"] == "Test Document"
+    assert md["author"] == "Test Author"
+    assert md["subject"] == "Test Subject"
+    assert md["keywords"] == "test, pdf, zpdf"
+    assert md["creator"] == "TestGenerator"
+    assert md["producer"] == "zpdfspark"
+    assert md["creation_date"] is None
+
+
+def test_outline():
+    pdf, _ = fixtures.outline_pdf()
+    doc = Document(pdf)
+    items = doc.outline()
+    assert items == [{"title": "Chapter 1", "page": 0, "level": 0}]
+
+
+def test_nested_outline():
+    pdf, _ = fixtures.nested_outline_pdf()
+    doc = Document(pdf)
+    items = doc.outline()
+    assert [i["title"] for i in items] == ["Part I", "Section 1.1", "Part II"]
+    assert [i["level"] for i in items] == [0, 1, 0]
+    assert items[0]["page"] == 0
+    assert items[1]["page"] == 0
+    assert items[2]["page"] == 1  # via /A GoTo action
+
+
+def test_links():
+    pdf, _ = fixtures.link_pdf()
+    doc = Document(pdf)
+    links = doc.get_links(0)
+    assert len(links) == 1
+    assert links[0]["uri"] == "https://example.com"
+    assert links[0]["rect"] == (100.0, 690.0, 200.0, 710.0)
+    assert links[0]["dest_page"] is None
+
+
+def test_form_fields():
+    pdf, _ = fixtures.form_fields_pdf()
+    doc = Document(pdf)
+    fields = doc.form_fields()
+    assert len(fields) == 2
+    assert fields[0] == {
+        "name": "name", "value": "John Doe", "field_type": "text",
+        "rect": (100.0, 600.0, 300.0, 620.0),
+    }
+    assert fields[1]["name"] == "submit"
+    assert fields[1]["field_type"] == "button"
+    assert fields[1]["value"] is None
+
+
+def test_page_labels():
+    """integration_test.zig:523-539: i, ii, 1."""
+    pdf, _ = fixtures.page_labels_pdf()
+    doc = Document(pdf)
+    assert doc.get_page_label(0) == "i"
+    assert doc.get_page_label(1) == "ii"
+    assert doc.get_page_label(2) == "1"
+
+
+def test_extended_page_labels():
+    """integration_test.zig:784-832: I, II, a, App-1, App-2."""
+    pdf, _ = fixtures.extended_page_labels_pdf()
+    doc = Document(pdf)
+    assert doc.get_page_label(0) == "I"
+    assert doc.get_page_label(1) == "II"
+    assert doc.get_page_label(2) == "a"
+    assert doc.get_page_label(3) == "App-1"
+    assert doc.get_page_label(4) == "App-2"
+
+
+def test_page_label_no_pagelabels():
+    pdf, _ = fixtures.minimal()
+    assert Document(pdf).get_page_label(0) is None
+
+
+def test_page_label_out_of_range_no_crash():
+    """integration_test.zig:834-845: may compute from last range, must
+    not crash."""
+    pdf, _ = fixtures.page_labels_pdf()
+    label = Document(pdf).get_page_label(999)
+    assert label is None or isinstance(label, str)
+
+
+def test_images():
+    pdf, _ = fixtures.image_pdf()
+    doc = Document(pdf)
+    images = doc.get_images(0)
+    assert len(images) == 1
+    img = images[0]
+    assert img["width"] == 64
+    assert img["height"] == 32
+    # rect from CTM: translation (50,400), scale (200,100)
+    assert img["rect"] == (50.0, 400.0, 250.0, 500.0)
+
+
+def test_utf16be_strings():
+    pdf, _ = fixtures.utf16be_pdf()
+    doc = Document(pdf)
+    assert doc.metadata()["title"] == "Unicode Título 中"
+    items = doc.outline()
+    assert items[0]["title"] == "Capítulo 中"
+
+
+def test_markdown_heading():
+    """markdown.zig:648-661: 24pt over 12pt body -> '# Title'."""
+    # build a page with one large heading and body text via Tm/Tf
+    # the Td after (Title) Tj flushes the span while 24pt is still
+    # current (spans carry flush-time font size, interpreter.zig:442-460)
+    content = (b"BT\n"
+               b"/F1 24 Tf\n1 0 0 1 72 700 Tm\n(Title) Tj\n0 -20 Td\n"
+               b"/F1 12 Tf\n1 0 0 1 72 650 Tm\n(Body text here that is long enough to dominate) Tj\n"
+               b"1 0 0 1 72 630 Tm\n(More body text to weight the histogram properly) Tj\n"
+               b"ET\n")
+    pdf = fixtures._simple_page_pdf(content, fixtures._HELVETICA)
+    doc = Document(pdf)
+    md = doc.extract_page_markdown(0)
+    assert "# Title" in md
+    assert "Body text here" in md
+
+
+def test_markdown_list_detection():
+    content = (b"BT\n/F1 12 Tf\n"
+               b"1 0 0 1 72 700 Tm\n(- First item) Tj\n"
+               b"1 0 0 1 72 680 Tm\n(- Second item) Tj\n"
+               b"1 0 0 1 72 660 Tm\n(1. Numbered) Tj\n"
+               b"ET\n")
+    pdf = fixtures._simple_page_pdf(content, fixtures._HELVETICA)
+    doc = Document(pdf)
+    md = doc.extract_page_markdown(0)
+    assert "- First item" in md
+    assert "- Second item" in md
+    assert "1. Numbered" in md
+
+
+def test_markdown_page_break():
+    pdf, _ = fixtures.multi_page(["One", "Two"])
+    doc = Document(pdf)
+    md = doc.extract_all_markdown()
+    assert "\n---\n\n" in md
+    assert "One" in md and "Two" in md
+
+
+def test_two_column_stream_order():
+    pdf, expected = fixtures.two_column()
+    doc = Document(pdf)
+    assert doc.extract_all() == expected
+
+
+def test_two_column_layout_analysis():
+    from zpdfspark.kernel.layout import analyze_layout
+
+    pdf, _ = fixtures.two_column()
+    doc = Document(pdf)
+    spans = doc.extract_bounds(0)
+    result = analyze_layout(spans, 612.0)
+    assert result.is_two_column
+    # left column fully before right column in emission order
+    texts = [s.text.decode() for s in result.spans]
+    left = [t for t in texts if t.startswith("L")]
+    assert texts[: len(left)] == left
+
+
+def test_feature_generators_in_corpus():
+    gens = set(fixtures.GENERATORS)
+    for expected in ("metadata", "outline", "link", "form_fields",
+                     "page_labels", "image", "utf16be", "two_column"):
+        assert expected in gens

@@ -427,6 +427,188 @@ def tagged() -> Tuple[bytes, str]:
     return b.finish(10), "Hello World"
 
 
+def metadata_pdf() -> Tuple[bytes, str]:
+    """testpdf.zig:638-683: /Info dict with 6 fields."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(4, b"", b"BT\n/F1 12 Tf\n100 700 Td\n(Metadata Test) Tj\nET\n")
+    b.obj(5, _HELVETICA)
+    b.obj(6, b"<< /Title (Test Document) /Author (Test Author) "
+             b"/Subject (Test Subject) /Keywords (test, pdf, zpdf) "
+             b"/Creator (TestGenerator) /Producer (zpdfspark) >>")
+    return b.finish(7, extra_trailer=b"/Info 6 0 R "), "Metadata Test"
+
+
+def outline_pdf() -> Tuple[bytes, str]:
+    """testpdf.zig:686-753: 2 pages, one outline item 'Chapter 1'."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R /Outlines 7 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R 9 0 R] /Count 2 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(4, b"", b"BT\n/F1 12 Tf\n100 700 Td\n(Chapter 1 Content) Tj\nET\n")
+    b.obj(5, _HELVETICA)
+    b.obj(6, b"<< /Title (Outline Test) >>")
+    b.obj(7, b"<< /Type /Outlines /First 8 0 R /Last 8 0 R /Count 1 >>")
+    b.obj(8, b"<< /Title (Chapter 1) /Parent 7 0 R /Dest [3 0 R /Fit] >>")
+    b.obj(9, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 10 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(10, b"", b"BT\n/F1 12 Tf\n100 700 Td\n(Chapter 2 Content) Tj\nET\n")
+    return b.finish(11, extra_trailer=b"/Info 6 0 R "), "Chapter 1 Content\x0cChapter 2 Content"
+
+
+def nested_outline_pdf() -> Tuple[bytes, str]:
+    """testpdf.zig:961-1035: Part I (child Section 1.1) then Part II
+    via /A GoTo."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R /Outlines 6 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R 10 0 R] /Count 2 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(4, b"", b"BT\n/F1 12 Tf\n100 700 Td\n(Page One) Tj\nET\n")
+    b.obj(5, _HELVETICA)
+    b.obj(6, b"<< /Type /Outlines /First 7 0 R /Last 8 0 R /Count 2 >>")
+    b.obj(7, b"<< /Title (Part I) /Parent 6 0 R /Next 8 0 R "
+             b"/First 9 0 R /Last 9 0 R /Count 1 /Dest [3 0 R /Fit] >>")
+    b.obj(8, b"<< /Title (Part II) /Parent 6 0 R "
+             b"/A << /S /GoTo /D [10 0 R /Fit] >> >>")
+    b.obj(9, b"<< /Title (Section 1.1) /Parent 7 0 R /Dest [3 0 R /Fit] >>")
+    b.obj(10, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+              b"/Contents 11 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(11, b"", b"BT\n/F1 12 Tf\n100 700 Td\n(Page Two) Tj\nET\n")
+    return b.finish(12), "Page One\x0cPage Two"
+
+
+def link_pdf() -> Tuple[bytes, str]:
+    """testpdf.zig:756-802: one URI link annotation."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> "
+             b"/Annots [6 0 R] >>")
+    b.stream_obj(4, b"", b"BT\n/F1 12 Tf\n100 700 Td\n(Click here) Tj\nET\n")
+    b.obj(5, _HELVETICA)
+    b.obj(6, b"<< /Type /Annot /Subtype /Link /Rect [100 690 200 710] "
+             b"/A << /S /URI /URI (https://example.com) >> >>")
+    return b.finish(7), "Click here"
+
+
+def form_fields_pdf() -> Tuple[bytes, str]:
+    """testpdf.zig:805-857: Tx field with value + Btn field."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R "
+             b"/AcroForm << /Fields [6 0 R 7 0 R] >> >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(4, b"", b"BT\n/F1 12 Tf\n100 700 Td\n(Form Test) Tj\nET\n")
+    b.obj(5, _HELVETICA)
+    b.obj(6, b"<< /FT /Tx /T (name) /V (John Doe) /Rect [100 600 300 620] >>")
+    b.obj(7, b"<< /FT /Btn /T (submit) /Rect [100 550 200 570] >>")
+    return b.finish(8), "Form Test"
+
+
+def page_labels_pdf() -> Tuple[bytes, str]:
+    """testpdf.zig:860-924: pages 0-1 roman lowercase, page 2+ decimal."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R "
+             b"/PageLabels << /Nums [0 << /S /r >> 2 << /S /D >>] >> >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R 6 0 R 8 0 R] /Count 3 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(4, b"", b"BT\n/F1 12 Tf\n100 700 Td\n(Page i) Tj\nET\n")
+    b.obj(5, _HELVETICA)
+    b.obj(6, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 7 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(7, b"", b"BT\n/F1 12 Tf\n100 700 Td\n(Page ii) Tj\nET\n")
+    b.obj(8, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 9 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(9, b"", b"BT\n/F1 12 Tf\n100 700 Td\n(Page 1) Tj\nET\n")
+    return b.finish(10), "Page i\x0cPage ii\x0cPage 1"
+
+
+def extended_page_labels_pdf() -> Tuple[bytes, str]:
+    """testpdf.zig:1162+: uppercase roman, alpha, prefix + /St styles."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R /PageLabels << /Nums ["
+             b"0 << /S /R >> "
+             b"2 << /S /a >> "
+             b"3 << /S /D /P (App-) /St 1 >>] >> >>")
+    kids = b" ".join(b"%d 0 R" % (4 + i * 2) for i in range(5))
+    b.obj(2, b"<< /Type /Pages /Kids [%s] /Count 5 >>" % kids)
+    b.obj(3, _HELVETICA)
+    texts = []
+    for i in range(5):
+        page_obj = 4 + i * 2
+        t = f"P{i}"
+        texts.append(t)
+        b.obj(page_obj, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                        b"/Contents %d 0 R /Resources << /Font << /F1 3 0 R >> >> >>" % (page_obj + 1))
+        b.stream_obj(page_obj + 1, b"",
+                     b"BT\n/F1 12 Tf\n100 700 Td\n(%s) Tj\nET\n" % t.encode())
+    return b.finish(14), "\x0c".join(texts)
+
+
+def image_pdf() -> Tuple[bytes, str]:
+    """testpdf.zig:1236+: XObject /Image placed via cm + Do."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> "
+             b"/XObject << /Im1 6 0 R >> >> >>")
+    content = (b"BT\n/F1 12 Tf\n100 700 Td\n(With image) Tj\nET\n"
+               b"q\n200 0 0 100 50 400 cm\n/Im1 Do\nQ\n")
+    b.stream_obj(4, b"", content)
+    b.obj(5, _HELVETICA)
+    b.stream_obj(6, b"/Type /XObject /Subtype /Image /Width 64 /Height 32 "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                    b"/Filter /DCTDecode ", b"\xff\xd8fakejpegdata")
+    return b.finish(7), "With image"
+
+
+def utf16be_pdf() -> Tuple[bytes, str]:
+    """testpdf.zig:1290+: UTF-16BE (BOM) doc strings in /Info + outline."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R /Outlines 7 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(4, b"", b"BT\n/F1 12 Tf\n100 700 Td\n(UTF16 Test) Tj\nET\n")
+    b.obj(5, _HELVETICA)
+    b.obj(6, b"<< /Title <" + (b"\xfe\xff" + "Unicode Título 中".encode("utf-16-be")).hex().encode() + b"> >>")
+    b.obj(7, b"<< /Type /Outlines /First 8 0 R /Last 8 0 R /Count 1 >>")
+    b.obj(8, b"<< /Title <" + (b"\xfe\xff" + "Capítulo 中".encode("utf-16-be")).hex().encode() + b"> /Parent 7 0 R /Dest [3 0 R /Fit] >>")
+    return b.finish(9, extra_trailer=b"/Info 6 0 R "), "UTF16 Test"
+
+
+def two_column() -> Tuple[bytes, str]:
+    """Two-column page layout exercising geometric/column analysis
+    (FIXTURES.md extra). Spans are placed so >33% of lines have both
+    left and right content."""
+    lines = []
+    for row in range(6):
+        y = 700 - row * 20
+        lines.append((50, y, f"L{row}"))
+        lines.append((400, y, f"R{row}"))
+    parts = [b"BT\n/F1 12 Tf\n"]
+    for x, y, t in lines:
+        parts.append(b"1 0 0 1 %d %d Tm\n(%s) Tj\n" % (x, y, t.encode()))
+    parts.append(b"ET\n")
+    content = b"".join(parts)
+    # stream order = interleaved; expected carried text is stream order
+    # (accuracy mode on untagged docs prefers stream order, root.zig:727-736)
+    expected = "\n".join(f"L{r}\nR{r}" if False else f"L{r} R{r}" for r in range(6))
+    # With Tm jumps: same row -> dy=0 no newline; between L and R same y:
+    # no newline, but no space either (stream mode emits nothing on x moves)
+    expected = "".join(f"L{r}R{r}\n" for r in range(6)).rstrip("\n")
+    return _simple_page_pdf(content, _HELVETICA), expected
+
+
 def big(n_pages: int, seed: int = 0) -> Tuple[bytes, str]:
     """n_pages of deterministic lorem-ish text (skew/throughput fixture)."""
     words = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur",
@@ -600,6 +782,46 @@ def _register():
     @var("big")
     def g_big(i):
         return big(20 + (i % 10), seed=i)
+
+    @var("metadata")
+    def g_md(i):
+        return metadata_pdf()
+
+    @var("outline")
+    def g_out(i):
+        return outline_pdf()
+
+    @var("nested_outline")
+    def g_nout(i):
+        return nested_outline_pdf()
+
+    @var("link")
+    def g_link(i):
+        return link_pdf()
+
+    @var("form_fields")
+    def g_ff(i):
+        return form_fields_pdf()
+
+    @var("page_labels")
+    def g_pl(i):
+        return page_labels_pdf()
+
+    @var("ext_page_labels")
+    def g_epl(i):
+        return extended_page_labels_pdf()
+
+    @var("image")
+    def g_img(i):
+        return image_pdf()
+
+    @var("utf16be")
+    def g_u16(i):
+        return utf16be_pdf()
+
+    @var("two_column")
+    def g_2c(i):
+        return two_column()
 
 
 _register()

@@ -419,6 +419,56 @@ class Document:
             "rotation": p.rotation,
         }
 
+    # -- auxiliary feature extractors (X2-X10) ---------------------------
+
+    def outline(self) -> List[Dict[str, object]]:
+        from . import features
+        try:
+            return features.get_outline(self)
+        except Exception:
+            return []
+
+    def get_page_label(self, page_idx: int) -> Optional[str]:
+        from . import features
+        try:
+            return features.get_page_label(self, page_idx)
+        except Exception:
+            return None
+
+    def get_links(self, page_idx: int) -> List[Dict[str, object]]:
+        from . import features
+        try:
+            return features.get_page_links(self, page_idx)
+        except Exception:
+            return []
+
+    def get_images(self, page_idx: int) -> List[Dict[str, object]]:
+        from . import features
+        try:
+            return features.get_page_images(self, page_idx)
+        except Exception:
+            return []
+
+    def form_fields(self) -> List[Dict[str, object]]:
+        from . import features
+        try:
+            return features.get_form_fields(self)
+        except Exception:
+            return []
+
+    def extract_page_markdown(self, page_idx: int) -> str:
+        from . import markdown as md
+        spans = self.extract_bounds(page_idx)
+        if not spans or page_idx >= len(self.pages):
+            return ""
+        page = self.pages[page_idx]
+        width = page.media_box[2] - page.media_box[0]
+        return md.render_page_markdown(spans, width).decode("utf-8", "replace")
+
+    def extract_all_markdown(self) -> str:
+        from . import markdown as md
+        return md.render_document_markdown(self).decode("utf-8", "replace")
+
     # -- search ----------------------------------------------------------
 
     def search(self, query: str) -> List[Dict[str, object]]:

@@ -1,0 +1,199 @@
+"""Markdown rendering from text spans (SURVEY.md X10).
+
+Fresh Python implementation matching /root/reference/src/markdown.zig:
+
+- body font size: histogram over 0.1pt buckets weighted by text length
+  (markdown.zig:176-208)
+- headings at size ratios >= 1.8 / 1.5 / 1.3 (markdown.zig:25-29,
+  279-288)
+- list detection: bullet prefixes and number patterns like "1.", "a)",
+  "(i)" (markdown.zig:123-135, 459-500)
+- indentation levels at 36pt units capped at 6 (markdown.zig:452-457)
+- line assembly at |dy| > 3, paragraph break (blank line) at
+  dy > 1.2 x body size (markdown.zig:241-271)
+- word-gap spaces at 0.15 x font size (markdown.zig:307-315)
+- page breaks rendered as "\\n---\\n\\n" between pages
+  (root.zig:930-933)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from .content import TextSpan
+
+H1_RATIO = 1.8
+H2_RATIO = 1.5
+H3_RATIO = 1.3
+
+# bullet prefixes (markdown.zig:123-135) as UTF-8 bytes
+_BULLETS = [s.encode("utf-8") for s in
+            ["•", "●", "○", "■", "□", "▪", "▫", "-", "*", "–", "—"]]
+
+
+def _body_font_size(spans: List[TextSpan]) -> float:
+    counts = {}
+    for s in spans:
+        key = int(s.font_size * 10)
+        counts[key] = counts.get(key, 0) + len(s.text)
+    best_key, best_count = 120, 0
+    for k, v in counts.items():
+        if v > best_count:
+            best_key, best_count = k, v
+    return best_key / 10.0
+
+
+def _is_bullet(text: bytes) -> bool:
+    return any(text.startswith(p) for p in _BULLETS)
+
+
+def _is_numbered(text: bytes) -> bool:
+    if len(text) < 2:
+        return False
+    i = 1 if text[0:1] == b"(" else 0
+    start = i
+    while i < len(text) and i < 5:
+        c = text[i]
+        if (0x30 <= c <= 0x39) or (0x61 <= c <= 0x7A) or (0x41 <= c <= 0x5A):
+            i += 1
+        else:
+            break
+    if i == start or i >= len(text):
+        return False
+    return text[i] in (0x2E, 0x29, 0x3A)  # . ) :
+
+
+def _strip_bullet(text: bytes) -> bytes:
+    for p in _BULLETS:
+        if text.startswith(p):
+            return text[len(p):].lstrip(b" \t")
+    return text
+
+
+def _strip_number(text: bytes) -> bytes:
+    i = 1 if text[0:1] == b"(" else 0
+    while i < len(text) and i < 5:
+        c = text[i]
+        if (0x30 <= c <= 0x39) or (0x61 <= c <= 0x7A) or (0x41 <= c <= 0x5A):
+            i += 1
+        else:
+            break
+    if i < len(text) and text[i] in (0x2E, 0x29, 0x3A):
+        i += 1
+    if i < len(text) and text[i] == 0x29:
+        i += 1
+    while i < len(text) and text[i] in (0x20, 0x09):
+        i += 1
+    return text[i:]
+
+
+def _indent_level(x: float) -> int:
+    return min(int(max(0.0, x) / 36.0), 6)
+
+
+def render_page_markdown(spans: List[TextSpan], page_width: float) -> bytes:
+    """Render one page's spans to markdown bytes (markdown.zig:145-449).
+
+    The reference routes spans through analyzeLayout first, which at
+    most reorders columns; element assembly then re-sorts by row/x
+    (markdown.zig:217-230), so we sort directly."""
+    if not spans:
+        return b""
+    body_size = _body_font_size(spans)
+    line_threshold = 3.0
+
+    def key(s: TextSpan):
+        return (-int(s.y0 / line_threshold), s.x0)
+
+    ordered = sorted(spans, key=key)
+
+    # assemble (kind, text, indent) elements
+    elements: List[tuple] = []
+    para_gap = body_size * 1.2
+    prev_y = ordered[0].y0
+    current: List[bytes] = []
+    current_kind = "p"
+    current_indent = 0.0
+    first_in_line = True
+
+    def flush(last_span):
+        nonlocal current
+        if current:
+            elements.append((current_kind, b"".join(current), _indent_level(current_indent)))
+            current = []
+
+    for i, span in enumerate(ordered):
+        y_diff = abs(span.y0 - prev_y)
+        if i > 0 and y_diff > line_threshold:
+            flush(ordered[i - 1])
+            if y_diff > para_gap and elements:
+                elements.append(("br", b"", 0))
+            first_in_line = True
+            current_kind = "p"
+        if first_in_line:
+            current_indent = span.x0
+            ratio = span.font_size / body_size if body_size else 1.0
+            if ratio >= H1_RATIO:
+                current_kind = "h1"
+            elif ratio >= H2_RATIO:
+                current_kind = "h2"
+            elif ratio >= H3_RATIO:
+                current_kind = "h3"
+            if current_kind == "p":
+                if _is_bullet(span.text):
+                    current_kind = "ul"
+                elif _is_numbered(span.text):
+                    current_kind = "ol"
+            first_in_line = False
+        elif current:
+            prev_span = ordered[i - 1]
+            gap = span.x0 - prev_span.x1
+            if gap > prev_span.font_size * 0.15:
+                current.append(b" ")
+        current.append(span.text)
+        prev_y = span.y0
+    flush(ordered[-1] if ordered else None)
+
+    # render
+    out = bytearray()
+    prev_kind: Optional[str] = None
+    for kind, text, indent in elements:
+        if prev_kind is not None:
+            needs_blank = (
+                kind in ("h1", "h2", "h3")
+                or (kind == "p" and prev_kind not in ("p", "br"))
+                or (kind in ("ul", "ol") and prev_kind not in ("ul", "ol"))
+            )
+            if needs_blank and out:
+                out.append(0x0A)
+        if kind == "h1":
+            out += b"# " + text + b"\n"
+        elif kind == "h2":
+            out += b"## " + text + b"\n"
+        elif kind == "h3":
+            out += b"### " + text + b"\n"
+        elif kind == "ul":
+            out += b"  " * indent + b"- " + _strip_bullet(text) + b"\n"
+        elif kind == "ol":
+            out += b"  " * indent + b"1. " + _strip_number(text) + b"\n"
+        elif kind == "br":
+            out.append(0x0A)
+        else:
+            out += text + b"\n"
+        prev_kind = kind
+    return bytes(out)
+
+
+def render_document_markdown(doc) -> bytes:
+    """All pages with '\\n---\\n\\n' page breaks (root.zig:916-942)."""
+    parts = []
+    for page_idx in range(doc.page_count):
+        if page_idx > 0:
+            parts.append(b"\n---\n\n")
+        spans = doc.extract_bounds(page_idx)
+        if not spans:
+            continue
+        page = doc.pages[page_idx]
+        width = page.media_box[2] - page.media_box[0]
+        parts.append(render_page_markdown(spans, width))
+    return b"".join(parts)

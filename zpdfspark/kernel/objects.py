@@ -156,9 +156,19 @@ class Parser:
     # -- whitespace / keywords -------------------------------------------
 
     def skip_ws(self) -> None:
-        m = _WS_COMMENT_RE.match(self.data, self.pos)
-        if m:
-            self.pos = m.end()
+        data = self.data
+        pos = self.pos
+        n = len(data)
+        while pos < n:
+            c = data[pos]
+            if c in _WS_SET:
+                pos += 1
+            elif c == 0x25:  # '%' comment: regex handles comment+ws runs
+                m = _WS_COMMENT_RE.match(data, pos)
+                pos = m.end()
+            else:
+                break
+        self.pos = pos
 
     def match_keyword(self, kw: bytes) -> bool:
         data, pos = self.data, self.pos
@@ -306,29 +316,12 @@ class Parser:
 
     def _parse_number(self):
         """Number literal: int vs real by presence of '.' (parser.zig:543-578)."""
-        data = self.data
-        start = self.pos
-        pos = start
-        n = len(data)
-        if pos < n and data[pos] in (0x2D, 0x2B):
-            pos += 1
-        has_digits = False
-        has_dot = False
-        while pos < n:
-            c = data[pos]
-            if 0x30 <= c <= 0x39:
-                has_digits = True
-                pos += 1
-            elif c == 0x2E and not has_dot:
-                has_dot = True
-                pos += 1
-            else:
-                break
-        if not has_digits:
+        m = _NUMBER_RE.match(self.data, self.pos)
+        if not m:
             raise ParseError("invalid number")
-        self.pos = pos
-        text = data[start:pos]
-        if has_dot:
+        self.pos = m.end()
+        text = m.group(0)
+        if b"." in text:
             return float(text)
         return int(text)
 
@@ -404,11 +397,15 @@ class Parser:
                 if data[self.pos : self.pos + 2] == b">>":
                     self.pos += 2
                     break
-                key_obj = self.parse_object()
-                if not isinstance(key_obj, Name):
+                if data[self.pos] != 0x2F:  # keys must be names
                     raise ParseError("dict key must be a name")
+                m = _NAME_BODY_RE.match(data, self.pos + 1)
+                raw = m.group(0)
+                self.pos = m.end()
+                if b"#" in raw:
+                    raw = decode_name_escapes(raw)
                 value = self.parse_object()
-                key = key_obj.decode("latin-1")
+                key = raw.decode("latin-1")
                 if key not in out:  # first occurrence wins (parser.zig:37-42)
                     out[key] = value
         finally:

@@ -208,6 +208,109 @@ def metadata_dataframe(df: DataFrame) -> DataFrame:
     return df.select("url", "html").mapInPandas(metadata_batches(), METADATA_SCHEMA)
 
 
+# -- document features (X2-X10) -------------------------------------------
+
+FEATURES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("outline", ArrayType(StructType([
+        StructField("title", StringType()),
+        StructField("page", IntegerType()),
+        StructField("level", IntegerType()),
+    ]))),
+    StructField("links", ArrayType(StructType([
+        StructField("x0", DoubleType()),
+        StructField("y0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+        StructField("uri", StringType()),
+        StructField("dest_page", IntegerType()),
+    ]))),
+    StructField("form_fields", ArrayType(StructType([
+        StructField("name", StringType()),
+        StructField("value", StringType()),
+        StructField("field_type", StringType()),
+    ]))),
+    StructField("images", ArrayType(StructType([
+        StructField("page", IntegerType()),
+        StructField("x0", DoubleType()),
+        StructField("y0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]))),
+    StructField("page_labels", ArrayType(StringType())),
+])
+
+
+def features_batches(html_col: str = "html", url_col: str = "url"):
+    """mapInPandas kernel for the auxiliary extractors (outline, links,
+    form fields, images, page labels)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zpdfspark.kernel import Document
+
+        for batch in batches:
+            out = {f.name: [] for f in FEATURES_SCHEMA.fields}
+            for url, blob in zip(batch[url_col], batch[html_col]):
+                doc = Document(bytes(blob) if blob is not None else b"")
+                out["url"].append(url)
+                out["outline"].append([
+                    {"title": o["title"], "page": o["page"], "level": o["level"]}
+                    for o in doc.outline()
+                ])
+                links = []
+                images = []
+                for p in range(doc.page_count):
+                    for l in doc.get_links(p):
+                        r = l["rect"]
+                        links.append({"x0": r[0], "y0": r[1], "x1": r[2],
+                                      "y1": r[3], "uri": l["uri"],
+                                      "dest_page": l["dest_page"]})
+                    for im in doc.get_images(p):
+                        r = im["rect"]
+                        images.append({"page": p, "x0": r[0], "y0": r[1],
+                                       "x1": r[2], "y1": r[3],
+                                       "width": im["width"], "height": im["height"]})
+                out["links"].append(links)
+                out["images"].append(images)
+                out["form_fields"].append([
+                    {"name": f["name"], "value": f["value"],
+                     "field_type": f["field_type"]}
+                    for f in doc.form_fields()
+                ])
+                out["page_labels"].append([
+                    doc.get_page_label(p) for p in range(doc.page_count)
+                ])
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def features_dataframe(df: DataFrame) -> DataFrame:
+    return df.select("url", "html").mapInPandas(features_batches(), FEATURES_SCHEMA)
+
+
+def markdown_batches(html_col: str = "html", url_col: str = "url"):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zpdfspark.kernel import Document
+
+        for batch in batches:
+            out = {"url": [], "markdown": []}
+            for url, blob in zip(batch[url_col], batch[html_col]):
+                doc = Document(bytes(blob) if blob is not None else b"")
+                out["url"].append(url)
+                out["markdown"].append(doc.extract_all_markdown())
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def markdown_dataframe(df: DataFrame) -> DataFrame:
+    return df.select("url", "html").mapInPandas(
+        markdown_batches(), "url string, markdown string")
+
+
 # -- search (X4: extract once, then filter — a genuine DataFrame op) ------
 
 
