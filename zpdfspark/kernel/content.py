@@ -563,7 +563,7 @@ def extract_content_stream(
                 if stream_mode and operands and operands[0][0] == T_NAME:
                     _handle_do(operands[0][1], resources, ctx, out)
         finally:
-            operands = []
+            operands.clear()
 
 
 def _show(operand, font, stream_mode, out, collector, extractor) -> None:

@@ -185,9 +185,21 @@ class Parser:
     # -- entry points ----------------------------------------------------
 
     def parse_object(self):
-        self.skip_ws()
-        data, pos = self.data, self.pos
-        if pos >= len(data):
+        data = self.data
+        pos = self.pos
+        n = len(data)
+        # inline whitespace/comment skip (hot path)
+        while pos < n:
+            c = data[pos]
+            if c in _WS_SET:
+                pos += 1
+            elif c == 0x25:
+                m = _WS_COMMENT_RE.match(data, pos)
+                pos = m.end()
+            else:
+                break
+        self.pos = pos
+        if pos >= n:
             raise ParseError("unexpected EOF")
         c = data[pos]
         if c == 0x2F:  # '/'
