@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-_CORPUS_VERSION = "v2"
+_CORPUS_VERSION = "v3"
 _SF_DOCS = {"sf0.001": 200, "sf0.01": 800, "sf0.1": 3000}
 
 
@@ -386,6 +386,116 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over word md5s — the vectorized (numpy) kernel of
+    the near-dup family; rows-only check (bit-vote arithmetic is not
+    portably SQL-expressible)."""
+    import numpy as np
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def simhash_batches(batches):
+        import hashlib
+
+        for batch in batches:
+            out = {"doc_id": [], "simhash": [], "band16": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                words = (text or "").split(" ")
+                votes = np.zeros(64, dtype=np.int64)
+                for w in set(words):
+                    h = int.from_bytes(
+                        hashlib.md5(w.encode()).digest()[:8], "big")
+                    bits = np.unpackbits(
+                        np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+                    votes += bits.astype(np.int64) * 2 - 1
+                sh = 0
+                for b in (votes > 0).astype(int):
+                    sh = (sh << 1) | int(b)
+                out["doc_id"].append(doc_id)
+                out["simhash"].append(f"{sh:016x}")
+                out["band16"].append(f"{sh >> 48:04x}")
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        simhash_batches, "doc_id long, simhash string, band16 string"
+    ).orderBy("doc_id")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing a minhash band, scored by
+    word-set Jaccard (array_intersect/union both in Spark and DuckDB)."""
+    # bounded to the first 200 docs: band joins on a small shared
+    # vocabulary are quadratic, and the oracle comparison collects rows
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    words = d.select(
+        "doc_id",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("ws"),
+    )
+    sig = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.concat(F.col("w"), F.lit("|0")))).alias("h0"))
+        .select("doc_id", F.substring("h0", 1, 8).alias("band"))
+    )
+    a = words.join(sig, "doc_id").select(
+        F.col("doc_id").alias("a_id"), F.col("ws").alias("a_ws"), "band")
+    b = words.join(sig, "doc_id").select(
+        F.col("doc_id").alias("b_id"), F.col("ws").alias("b_ws"), "band")
+    pairs = a.join(b, "band").where(F.col("a_id") < F.col("b_id"))
+    jac = F.round(
+        F.size(F.array_intersect("a_ws", "b_ws"))
+        / F.size(F.array_union("a_ws", "b_ws")), 3)
+    return (
+        pairs.select("a_id", "b_id", jac.alias("jaccard_r3"))
+        .where(F.col("jaccard_r3") >= 0.6)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: same-label (cluster-bucketed) pairs
+    among the first 300 vectors with cosine >= 0.5."""
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 300).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("label"), F.col("v").alias("av"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("label"), F.col("v").alias("bv"))
+    pairs = a.join(b, "label").where(F.col("a_id") < F.col("b_id"))
+    dot = F.aggregate(F.zip_with("av", "bv", lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    cos = F.round(dot / (nrm(F.col("av")) * nrm(F.col("bv"))), 3)
+    return (
+        pairs.select("label", "a_id", "b_id", cos.alias("cos_r3"))
+        .where(F.col("cos_r3") >= 0.35)
+        .orderBy("label", "a_id", "b_id")
+    )
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: labels act as coarse cells; the query (vec_id 0)
+    probes only its own cell — the shuffle-free scale path vs the
+    brute-force baseline (ann_topk)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("label").alias("qlabel"), F.col("v").alias("qv"))
+    cell = e.join(q, F.col("label") == F.col("qlabel")).where(F.col("vec_id") != 0)
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    cos = F.round(dot / (nrm(F.col("v")) * nrm(F.col("qv"))), 3)
+    return (
+        cell.select("vec_id", cos.alias("cos_r3"))
+        .orderBy(F.desc("cos_r3"), "vec_id")
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction family (rows-only; parity carried in matches_oracle)
@@ -411,6 +521,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "embedding_norms": _q_embedding_norms,
         "ann_topk": _q_ann_topk,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_ivf": _q_ann_ivf,
+        # rows-only (vectorized numpy kernel)
+        "simhash": _q_simhash,
     }
 
 
@@ -478,6 +593,40 @@ def oracle_sql() -> dict[str, str]:
             "round(sqrt(list_sum(list_transform(embedding, "
             "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS norm_r3 "
             "FROM embeddings ORDER BY vec_id"
+        ),
+        "ngram_jaccard": (
+            "WITH docs AS (SELECT * FROM documents WHERE doc_id < 200), "
+            "words AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM docs), "
+            "sig AS (SELECT doc_id, substr(min(md5(w || '|0')), 1, 8) AS band "
+            "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs) GROUP BY doc_id), "
+            "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, wa.ws AS a_ws, wb.ws AS b_ws "
+            "FROM sig a JOIN sig b ON a.band = b.band AND a.doc_id < b.doc_id "
+            "JOIN words wa ON wa.doc_id = a.doc_id JOIN words wb ON wb.doc_id = b.doc_id) "
+            "SELECT a_id, b_id, round(CAST(len(list_intersect(a_ws, b_ws)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(a_ws, b_ws))), 3) AS jaccard_r3 FROM pairs "
+            "WHERE round(CAST(len(list_intersect(a_ws, b_ws)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(a_ws, b_ws))), 3) >= 0.6 ORDER BY a_id, b_id"
+        ),
+        "embedding_neardup": (
+            "WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 300), "
+            "pairs AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id, "
+            "round(list_sum(list_transform(range(len(a.embedding)), "
+            "i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) / "
+            "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * "
+            " sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 3) AS cos_r3 "
+            "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) "
+            "SELECT label, a_id, b_id, cos_r3 FROM pairs WHERE cos_r3 >= 0.35 "
+            "ORDER BY label, a_id, b_id"
+        ),
+        "ann_ivf": (
+            "WITH q AS (SELECT label AS qlabel, embedding AS qv FROM embeddings WHERE vec_id = 0), "
+            "cell AS (SELECT e.vec_id, "
+            "round(list_sum(list_transform(range(len(e.embedding)), "
+            "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))) / "
+            "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * "
+            " sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 3) AS cos_r3 "
+            "FROM embeddings e, q WHERE e.label = q.qlabel AND e.vec_id != 0) "
+            "SELECT vec_id, cos_r3 FROM cell ORDER BY cos_r3 DESC, vec_id LIMIT 10"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "

@@ -880,7 +880,7 @@ def corpus_rows(n_docs: int, seed: int = 42, malformed_ratio: float = 0.01,
         else:
             gen = gen_names[h % len(gen_names)]
             pdf, text = GENERATORS[gen](i)
-        url = f"https://fixtures.example/{gen}/{i:08d}.pdf"
+        url = f"https://fixtures.example/{gen}/{seed:04d}-{i:08d}.pdf"
         ts = _EPOCH + timedelta(seconds=_url_hash(url) % (365 * 24 * 3600))
         lang = "zh" if gen == "cid" else _LANGS[h % len(_LANGS)]
         yield (url, ts, pdf, text, lang)
