@@ -179,3 +179,28 @@ def test_feature_generators_in_corpus():
     for expected in ("metadata", "outline", "link", "form_fields",
                      "page_labels", "image", "utf16be", "two_column"):
         assert expected in gens
+
+
+def test_cff_glyph_name_fallback():
+    """CFF charset -> glyph name -> AGL when no ToUnicode exists
+    (encoding.zig:299-309, 570-597)."""
+    from zpdfspark.kernel.cff import CffParser
+
+    cff = fixtures._minimal_cff([41, 74])
+    p = CffParser(cff)
+    assert p.glyph_name(0) == ".notdef"
+    assert p.glyph_name(1) == "H"
+    assert p.glyph_name(2) == "i"
+    pdf, expected = fixtures.cff_font()
+    assert Document(pdf).extract_all() == expected == "Hi"
+
+
+def test_cff_malformed_never_crashes():
+    from zpdfspark.kernel.cff import CffError, CffParser
+    import pytest as _pytest
+
+    for blob in (b"", b"\x02\x00\x04\x04", b"\x01\x00\x04\x04" + b"\xff" * 10):
+        try:
+            CffParser(blob)
+        except CffError:
+            pass  # clean domain error is fine; anything else would raise

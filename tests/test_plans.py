@@ -1,0 +1,58 @@
+"""Catalyst plan-quality regression tests: the extraction pipeline must
+keep column pruning and predicate pushdown at the parquet scan
+(SURVEY.md §4 Z1: pruning is the engine's lazy-parsing analog)."""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from zpdfspark.spark.session import get_spark
+
+    s = get_spark(2, "zpdfspark-plan-tests", shuffle_partitions=2)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    from zpdfspark.fixtures import write_corpus_parquet
+
+    p = tmp_path_factory.mktemp("plans") / "c.parquet"
+    write_corpus_parquet(str(p), 30, seed=5)
+    return spark.read.parquet(str(p))
+
+
+def _formatted(df, spark):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_extraction_scan_prunes_columns(spark, corpus):
+    from zpdfspark.spark.udfs import extract_dataframe
+
+    plan = _formatted(extract_dataframe(corpus, "accuracy"), spark)
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_lines, plan
+    # only the two needed columns reach the scan — text/lang/warc_ts pruned
+    assert "struct<url:string,html:binary>" in read_lines[0]
+
+
+def test_warc_ts_predicate_pushdown(spark, corpus):
+    df = corpus.where(F.col("warc_ts") >= "2025-06-01").select("url", "html")
+    plan = _formatted(df, spark)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    assert "GreaterThanOrEqual(warc_ts" in pushed[0]
+
+
+def test_extraction_is_map_only(spark, corpus):
+    """No exchange (shuffle) between scan and the extraction kernel."""
+    from zpdfspark.spark.udfs import extract_dataframe
+
+    plan = _formatted(extract_dataframe(corpus, "accuracy"), spark)
+    assert "Exchange" not in plan

@@ -427,6 +427,53 @@ def tagged() -> Tuple[bytes, str]:
     return b.finish(10), "Hello World"
 
 
+def _minimal_cff(sids: List[int]) -> bytes:
+    """Hand-assembled CFF 1.0 blob: charset format 0 mapping gid i+1 ->
+    sids[i]; one-byte endchar charstrings. Exercises the reference's
+    CFF glyph-name path (cff.zig:15-199)."""
+    header = bytes([1, 0, 4, 4])
+    name_index = b"\x00\x01" + b"\x01" + bytes([1, 5]) + b"Test"
+    # top dict offsets are absolute into the blob; fixed-width longints
+    # keep the layout computable up front
+    top_dict_len = 12
+    topdict_index_len = 2 + 1 + 2 + top_dict_len
+    charset_offset = 4 + len(name_index) + topdict_index_len + 2 + 2
+    charset = b"\x00" + b"".join(s.to_bytes(2, "big") for s in sids)
+    charstrings_offset = charset_offset + len(charset)
+    top_dict = (b"\x1d" + charset_offset.to_bytes(4, "big") + b"\x0f"
+                + b"\x1d" + charstrings_offset.to_bytes(4, "big") + b"\x11")
+    assert len(top_dict) == top_dict_len
+    topdict_index = b"\x00\x01" + b"\x01" + bytes([1, 1 + top_dict_len]) + top_dict
+    n = len(sids) + 1
+    charstrings = (b"\x00" + bytes([n]) + b"\x01"
+                   + bytes(range(1, n + 2)) + b"\x0e" * n)
+    return (header + name_index + topdict_index + b"\x00\x00" + b"\x00\x00"
+            + charset + charstrings)
+
+
+def cff_font() -> Tuple[bytes, str]:
+    """Type0/CIDFontType0 with FontFile3 Type1C and NO ToUnicode: glyph
+    codes resolve via CFF charset -> glyph name -> AGL
+    (encoding.zig:299-309, 570-597). GIDs 1,2 -> SIDs 41 ('H'), 74 ('i')."""
+    cff = _minimal_cff([41, 74])
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(4, b"", b"BT\n/F1 12 Tf\n100 700 Td\n<00010002> Tj\nET\n")
+    b.obj(5, b"<< /Type /Font /Subtype /Type0 /BaseFont /TestCFF "
+             b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>")
+    b.obj(6, b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /TestCFF "
+             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> "
+             b"/FontDescriptor 7 0 R >>")
+    b.obj(7, b"<< /Type /FontDescriptor /FontName /TestCFF /Flags 4 "
+             b"/FontBBox [0 -200 1000 800] /ItalicAngle 0 /Ascent 800 "
+             b"/Descent -200 /CapHeight 700 /StemV 80 /FontFile3 8 0 R >>")
+    b.stream_obj(8, b"/Subtype /Type1C ", cff)
+    return b.finish(9), "Hi"
+
+
 def metadata_pdf() -> Tuple[bytes, str]:
     """testpdf.zig:638-683: /Info dict with 6 fields."""
     b = _PdfBuilder()
@@ -822,6 +869,10 @@ def _register():
     @var("two_column")
     def g_2c(i):
         return two_column()
+
+    @var("cff")
+    def g_cff(i):
+        return cff_font()
 
 
 _register()

@@ -21,8 +21,9 @@ Fresh Python implementation matching /root/reference/src/encoding.zig:
 - FontDescriptor metrics (encoding.zig:543-567)
 - CIDToGIDMap /Identity or big-endian u16 stream (encoding.zig:725-757)
 
-CFF (FontFile3) glyph-name fallback (encoding.zig:570-597) is not yet
-implemented; it only fires for embedded Type1C fonts without ToUnicode.
+CFF (FontFile3) glyph-name fallback (encoding.zig:570-597): embedded
+Type1C/CIDFontType0C charsets are parsed so glyph names resolve through
+AGL when no ToUnicode CMap exists.
 
 Output is UTF-8 *bytes* throughout so the pipeline matches the
 reference's byte stream exactly (surrogate-half codepoints from broken
@@ -104,7 +105,7 @@ class FontEncoding:
     __slots__ = (
         "codepoint_map", "cmap_ranges", "cmap_range_starts", "cmap_hash",
         "cmap_multi", "is_cid", "bytes_per_char", "wmode", "metrics",
-        "widths", "cid_system_info", "cid_to_gid_map", "_simple_cache",
+        "widths", "cid_system_info", "cid_to_gid_map", "cff", "_simple_cache",
     )
 
     def __init__(self):
@@ -121,6 +122,7 @@ class FontEncoding:
         self.widths = GlyphWidths()
         self.cid_system_info = ("Adobe", "Identity", 0)
         self.cid_to_gid_map: Optional[List[int]] = None  # None = identity
+        self.cff = None  # CffParser when FontFile3 carries Type1C/CIDFontType0C
         self._simple_cache: Optional[List[bytes]] = None
 
     # -- decode ----------------------------------------------------------
@@ -182,6 +184,14 @@ class FontEncoding:
                 out.append(m)
                 continue
             cp = self._lookup_cmap(code)
+            if cp is None and self.cff is not None:
+                # CFF glyph-name fallback (encoding.zig:299-309)
+                name = self.cff.glyph_name(code & 0xFFFF)
+                if name is not None:
+                    from .encodings_data import glyph_name_to_unicode
+                    u = glyph_name_to_unicode(name)
+                    if u is not None:
+                        cp = u
             if cp is None and consumed == 2:
                 # Identity interpretation: code might be UTF-16BE
                 # (encoding.zig:311-335)
@@ -556,7 +566,23 @@ def _parse_font_descriptor(font_dict: dict, resolver, enc: FontEncoding) -> None
         for i in range(4):
             if type(bbox[i]) in (int, float):
                 m.bbox[i] = float(bbox[i])
-    # FontFile3 / CFF glyph-name fallback not implemented (see module doc)
+    # FontFile3: CFF charset for the glyph-name fallback (encoding.zig:570-597)
+    ff3 = fd.get("FontFile3")
+    if ff3 is not None:
+        resolved_ff3 = resolver(ff3)
+        if isinstance(resolved_ff3, Stream):
+            st = dict_get_name(resolved_ff3.dict, "Subtype")
+            if st in (b"Type1C", b"CIDFontType0C"):
+                try:
+                    data = filters.decompress_stream(
+                        resolved_ff3.raw,
+                        resolved_ff3.dict.get("Filter"),
+                        resolved_ff3.dict.get("DecodeParms"),
+                    )
+                    from .cff import CffParser
+                    enc.cff = CffParser(data)
+                except Exception:
+                    pass
 
 
 def _parse_widths(font_dict: dict, enc: FontEncoding) -> None:
