@@ -257,3 +257,29 @@ def test_corpus_golden_self_check():
         got = doc.extract_all("accuracy")
         if expected is not None:
             assert got == expected, url
+
+
+def test_tiff_predictor():
+    # predictor 2: horizontal differencing add-back per row
+    raw = bytes([10, 5, 5, 20, 1, 2])  # 2 rows of 3 cols, colors=1
+    out = filters._tiff_predictor(raw, 3, 1)
+    assert out == bytes([10, 15, 20, 20, 21, 23])
+
+
+def test_oversized_doc_guard():
+    from zpdfspark.spark.udfs import extract_batches
+    import pandas as pd
+    pdf, _ = fixtures.minimal("Big")
+    fn = extract_batches("accuracy", max_doc_bytes=10)
+    batches = iter([pd.DataFrame({"url": ["u1"], "html": [pdf]})])
+    out = next(fn(batches))
+    assert out["extracted_text"][0] == ""
+    assert out["error_count"][0] == 1
+    assert out["errors"][0][0]["kind"] == "oversized"
+
+
+def test_document_dunder_api():
+    pdf, _ = fixtures.multi_page(["A", "B"])
+    with Document(pdf) as doc:
+        assert len(doc) == 2
+        assert list(doc) == ["A", "B"]

@@ -419,6 +419,25 @@ class Document:
             "rotation": p.rotation,
         }
 
+    # -- Python-API-parity conveniences (python/zpdf/__init__.py:51-481) --
+
+    def __enter__(self) -> "Document":
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb) -> None:
+        pass  # nothing to free: buffers are plain Python objects
+
+    def __iter__(self):
+        """Iterate page texts (python/zpdf/__init__.py:476-478)."""
+        for i in range(len(self.pages)):
+            yield self.extract_page(i)
+
+    def __len__(self) -> int:
+        return len(self.pages)
+
+    def close(self) -> None:
+        pass
+
     # -- auxiliary feature extractors (X2-X10) ---------------------------
 
     def outline(self) -> List[Dict[str, object]]:

@@ -94,14 +94,24 @@ def run_extraction_job(
     resume: bool = True,
     since: Optional[str] = None,
     until: Optional[str] = None,
+    input_format: str = "parquet",
+    max_doc_bytes: int = 0,
 ) -> dict:
-    """Checkpoint-resumable extraction. Returns a summary dict."""
+    """Checkpoint-resumable extraction. Returns a summary dict.
+
+    input_format="iceberg" loads an Iceberg table name instead of a
+    parquet path (same code path at scale: the warc_ts predicate then
+    prunes bucket(warc_ts) partitions at the snapshot level).
+    """
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     lineage_path = os.path.join(output_path, "_lineage")
     data_path = os.path.join(output_path, "data")
 
-    df = spark.read.parquet(input_path)
+    if input_format == "iceberg":
+        df = spark.read.format("iceberg").load(input_path)
+    else:
+        df = spark.read.parquet(input_path)
     # partition-prunable time predicate (Iceberg warc_ts buckets at scale)
     if since:
         df = df.where(F.col("warc_ts") >= F.lit(since))
@@ -118,7 +128,8 @@ def run_extraction_job(
         t0 = time.time()
         part = salted(df.where(F.col("bucket") == bucket).drop("bucket"),
                       partitions, salt=salt)
-        result = part.mapInPandas(extract_batches(mode), EXTRACT_SCHEMA)
+        result = part.mapInPandas(
+            extract_batches(mode, max_doc_bytes=max_doc_bytes), EXTRACT_SCHEMA)
         out_dir = os.path.join(data_path, f"bucket={bucket}")
         result.write.mode("overwrite").parquet(out_dir)
 
@@ -172,6 +183,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--since", default=None, help="warc_ts lower bound")
     ap.add_argument("--until", default=None, help="warc_ts upper bound")
+    ap.add_argument("--input-format", choices=("parquet", "iceberg"),
+                    default="parquet")
+    ap.add_argument("--max-doc-bytes", type=int, default=0,
+                    help="skip blobs larger than this (0 = no cap)")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("zpdfspark-extract").getOrCreate()
@@ -179,6 +194,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         spark, args.input, args.output, mode=args.mode,
         partitions=args.partitions, n_buckets=args.buckets, salt=args.salt,
         resume=not args.no_resume, since=args.since, until=args.until,
+        input_format=args.input_format, max_doc_bytes=args.max_doc_bytes,
     )
     print(json.dumps(summary))
     spark.stop()

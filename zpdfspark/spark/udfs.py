@@ -69,8 +69,14 @@ EXTRACT_SCHEMA_DDL = (
 )
 
 
-def extract_batches(mode: str = "accuracy", html_col: str = "html", url_col: str = "url"):
-    """Build a mapInPandas generator extracting text + metrics per doc."""
+def extract_batches(mode: str = "accuracy", html_col: str = "html", url_col: str = "url",
+                    max_doc_bytes: int = 0):
+    """Build a mapInPandas generator extracting text + metrics per doc.
+
+    max_doc_bytes > 0 skips oversized blobs with an error record instead
+    of parsing them — the per-document resource guard for hostile inputs
+    at scale (SURVEY.md §7.3 #4; complements the kernel's own 256 MiB
+    decode cap)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from zpdfspark.kernel import Document
@@ -86,8 +92,15 @@ def extract_batches(mode: str = "accuracy", html_col: str = "html", url_col: str
             blobs = batch[html_col]
             for url, blob in zip(urls, blobs):
                 t0 = time.perf_counter()
-                doc = Document(bytes(blob) if blob is not None else b"")
-                text = doc.extract_all(mode)
+                raw = bytes(blob) if blob is not None else b""
+                if max_doc_bytes and len(raw) > max_doc_bytes:
+                    doc = Document(b"%PDF-")  # valid header, no body
+                    doc.errors = [
+                        ("oversized", 0, f"document {len(raw)} bytes exceeds cap")]
+                    text = ""
+                else:
+                    doc = Document(raw)
+                    text = doc.extract_all(mode)
                 elapsed = (time.perf_counter() - t0) * 1000.0
                 m = doc.metrics
                 rows["url"].append(url)
