@@ -141,7 +141,8 @@ GOLDEN_CASES = [
     "minimal", "multipage", "tj", "cid", "notype", "inline_image",
     "superscript", "incremental", "flate", "a85", "ahx", "rl",
     "a85_fl", "xref_stream", "differences", "ligatures", "surrogate",
-    "form_xobject", "tagged", "missing_length", "big",
+    "form_xobject", "tagged", "missing_length", "big", "cff",
+    "quote_ops", "vertical",
 ]
 
 

@@ -656,6 +656,40 @@ def two_column() -> Tuple[bytes, str]:
     return _simple_page_pdf(content, _HELVETICA), expected
 
 
+def quote_ops() -> Tuple[bytes, str]:
+    """' and \" show operators: newline then show (root.zig:2141-2176);
+    T* emits a bare newline (root.zig:2106-2110)."""
+    content = (b"BT\n/F1 12 Tf\n100 700 Td\n"
+               b"(Alpha) Tj\n"
+               b"(Beta) '\n"
+               b"2 1 (Gamma) \"\n"
+               b"T*\n(Delta) Tj\n"
+               b"ET\n")
+    return _simple_page_pdf(content, _HELVETICA), "Alpha\nBeta\nGamma\nDelta"
+
+
+def vertical_text() -> Tuple[bytes, str]:
+    """Vertical writing mode (wmode=1 via a -V predefined CMap): the
+    Tm newline heuristic switches to the x axis (root.zig:2084-2096).
+    Identity decode of UTF-16BE codes."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    # two columns: x=500 then x=470 (|dx| = 30 > 0.7*12, prev_x != 0)
+    content = (b"BT\n/F1 12 Tf\n"
+               b"1 0 0 1 500 700 Tm\n<00410042> Tj\n"
+               b"1 0 0 1 470 700 Tm\n<00430044> Tj\n"
+               b"ET\n")
+    b.stream_obj(4, b"", content)
+    b.obj(5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Vert "
+             b"/Encoding /UniJIS-UCS2-V /DescendantFonts [6 0 R] >>")
+    b.obj(6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Vert "
+             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) /Supplement 0 >> >>")
+    return b.finish(7), "AB\nCD"
+
+
 def big(n_pages: int, seed: int = 0) -> Tuple[bytes, str]:
     """n_pages of deterministic lorem-ish text (skew/throughput fixture)."""
     words = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur",
@@ -873,6 +907,14 @@ def _register():
     @var("cff")
     def g_cff(i):
         return cff_font()
+
+    @var("quote_ops")
+    def g_q(i):
+        return quote_ops()
+
+    @var("vertical")
+    def g_v(i):
+        return vertical_text()
 
 
 _register()
