@@ -115,6 +115,12 @@ def dict_get_dict(d: dict, key: str) -> Optional[dict]:
 
 
 _NUMBER_RE = re.compile(rb"[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)")
+# "N G R" fast hit: plain-whitespace-separated second int then R
+_REF_RE = re.compile(rb"[\x00\t\n\x0c\r ]+([0-9]+)[\x00\t\n\x0c\r ]+R")
+# provable fast miss: second number, plain whitespace, then a follower
+# byte that is neither 'R' nor a comment start
+_NONREF_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]+[0-9]+(?:\.[0-9]*)?[\x00\t\n\x0c\r ]*([^\x00\t\n\x0c\r ]?)")
 _NUM_CHARS_RE = re.compile(rb"[0-9.+-]+")
 _WS_COMMENT_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
 _NAME_BODY_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
@@ -338,8 +344,31 @@ class Parser:
         return int(text)
 
     def parse_number_or_ref(self):
-        """N G R lookahead with backtracking (parser.zig:484-541)."""
+        """N G R lookahead with backtracking (parser.zig:484-541).
+
+        Fast path: a single regex answers the common hit ("N G R") and
+        miss (number arrays) cases without re-parsing the next token;
+        regex failure falls through to the fully general path (which
+        also handles comments between the tokens and a missing space
+        before 'R'), so observable behavior is unchanged.
+        """
         first = self._parse_number()
+        if type(first) is int and first >= 0:
+            m = _REF_RE.match(self.data, self.pos)
+            if m:
+                gen = int(m.group(1))
+                if gen <= 65535:
+                    self.pos = m.end()
+                    return Ref(first, gen)
+                return first  # same outcome as the general backtrack
+            m = _NONREF_RE.match(self.data, self.pos)
+            if m:
+                follower = m.group(1)
+                if follower not in (b"R", b"%"):
+                    # provable miss: the general path would parse the
+                    # second number, skip plain whitespace, fail the 'R'
+                    # check and backtrack to exactly this position
+                    return first
         after_first = self.pos
         self.skip_ws()
         data = self.data
