@@ -227,7 +227,7 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
         .select("doc_id", F.md5(F.col("text")).alias("h"))
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .withColumn("is_dup", (F.col("rnk") > 1).cast("int"))
         .select("doc_id", "h", "rnk", "is_dup")
         .orderBy("doc_id")
@@ -277,8 +277,8 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         (F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1)
-        .alias("n_tokens"),
-        F.length("text").alias("n_chars_measured"),
+        .cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
     ).orderBy("doc_id")
 
 
@@ -294,7 +294,7 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return d.select(
         "doc_id",
-        n_punct.alias("n_punct"),
+        n_punct.cast("long").alias("n_punct"),
         n_the.alias("n_the"),
         F.floor((F.length(F.regexp_replace("text", " ", "")) * 100) / n_tokens)
         .cast("long").alias("mean_word_len_x100"),
@@ -532,7 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_stats_by_lang": (
-            "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+            "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "min(doc_id) AS first_doc FROM documents GROUP BY lang ORDER BY lang"
         ),
         "dedup_exact": (
