@@ -84,7 +84,7 @@ def _run_extraction(cores: int, sf_dir: str, shuffle_partitions: int) -> tuple[f
     Returns (wall_secs, n_docs).
     """
     from zpdfspark.spark.session import get_spark
-    from zpdfspark.spark.udfs import EXTRACT_SCHEMA, extract_batches
+    from zpdfspark.spark.udfs import EXTRACT_SCHEMA, extract_arrow_batches
 
     path = _bench_corpus_path(sf_dir)
     target_split = max(os.path.getsize(path) // (cores * 10), 1 << 19)
@@ -101,7 +101,7 @@ def _run_extraction(cores: int, sf_dir: str, shuffle_partitions: int) -> tuple[f
         n_docs = df.count()
         _warm_workers(spark, cores)
         t0 = time.perf_counter()
-        res = df.mapInPandas(extract_batches("accuracy"), EXTRACT_SCHEMA)
+        res = df.mapInArrow(extract_arrow_batches("accuracy"), EXTRACT_SCHEMA)
         res.select("n_chars").agg({"n_chars": "sum"}).collect()
         wall = time.perf_counter() - t0
     finally:
@@ -154,7 +154,7 @@ def main() -> None:
         # weather. eff = (D/T_4N) / (4 * D/T_N) = T_N / (4 * T_4N).
         low, high = 4, 16
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t_low, _ = _run_extraction(low, sf_dir, shuffle_partitions=8)
             t_high, _ = _run_extraction(high, sf_dir, shuffle_partitions=high)
             eff = t_low / (4 * t_high)

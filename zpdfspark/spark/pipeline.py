@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 # absolute import so this file also works as a spark-submit primary
 # script (run as __main__ with zpdfspark shipped via --py-files)
-from zpdfspark.spark.udfs import EXTRACT_SCHEMA, extract_batches
+from zpdfspark.spark.udfs import EXTRACT_SCHEMA, extract_arrow_batches
 
 LINEAGE_SCHEMA = (
     "bucket int, n_docs long, n_pages long, n_chars long, n_errors long, "
@@ -128,8 +128,8 @@ def run_extraction_job(
         t0 = time.time()
         part = salted(df.where(F.col("bucket") == bucket).drop("bucket"),
                       partitions, salt=salt)
-        result = part.mapInPandas(
-            extract_batches(mode, max_doc_bytes=max_doc_bytes), EXTRACT_SCHEMA)
+        result = part.mapInArrow(
+            extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes), EXTRACT_SCHEMA)
         out_dir = os.path.join(data_path, f"bucket={bucket}")
         result.write.mode("overwrite").parquet(out_dir)
 

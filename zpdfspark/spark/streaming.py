@@ -24,7 +24,7 @@ from typing import Optional
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from zpdfspark.spark.udfs import EXTRACT_SCHEMA, extract_batches
+from zpdfspark.spark.udfs import EXTRACT_SCHEMA, extract_arrow_batches
 
 INPUT_SCHEMA_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -51,8 +51,8 @@ def start_streaming_extraction(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        extracted = batch_df.select("url", "html").mapInPandas(
-            extract_batches(mode), EXTRACT_SCHEMA
+        extracted = batch_df.select("url", "html").mapInArrow(
+            extract_arrow_batches(mode), EXTRACT_SCHEMA
         )
         extracted.write.mode("append").parquet(os.path.join(output_dir, "data"))
 
