@@ -74,7 +74,10 @@ def _run_extraction(cores: int, sf_dir: str, shuffle_partitions: int) -> tuple[f
     Map-only: extraction runs directly on parquet scan splits — the
     shape a 100 TB job has (no shuffle touches the blobs; salting is
     reserved for size-correlated file layouts, see pipeline.salted).
-    Scan granularity is forced to ~10 splits/core via maxPartitionBytes.
+    Workload-tuned knobs (measured sweep at pinned local[16]): ~4 scan
+    splits per core amortizes wave tails without over-fragmenting; 1024
+    docs per Arrow batch suits the small-doc corpus (a real crawl job
+    sizes batches by bytes — session.py defaults to a blob-safe 256).
 
     The process tree (driver JVM + Python workers) is pinned to exactly
     `cores` CPUs via sched_setaffinity so "local[N]" really means N
@@ -87,13 +90,13 @@ def _run_extraction(cores: int, sf_dir: str, shuffle_partitions: int) -> tuple[f
     from zpdfspark.spark.udfs import EXTRACT_SCHEMA, extract_arrow_batches
 
     path = _bench_corpus_path(sf_dir)
-    target_split = max(os.path.getsize(path) // (cores * 10), 1 << 19)
+    target_split = max(os.path.getsize(path) // (cores * 4), 1 << 19)
     prev_affinity = os.sched_getaffinity(0)
     os.sched_setaffinity(0, set(range(cores)))
     spark = get_spark(
         cores, f"bench-extract-{cores}",
         shuffle_partitions=shuffle_partitions,
-        arrow_batch_records=256,
+        arrow_batch_records=1024,
         extra_conf={"spark.sql.files.maxPartitionBytes": str(target_split)},
     )
     try:
