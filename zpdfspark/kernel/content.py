@@ -147,6 +147,13 @@ class ContentLexer:
     def _scan_string(self) -> bytes:
         data = self.data
         pos = self.pos + 1  # '('
+        # fast path: no escapes or nested parens before the closing ')'
+        end = data.find(b")", pos)
+        if end != -1:
+            seg = data[pos:end]
+            if b"\\" not in seg and b"(" not in seg:
+                self.pos = end + 1
+                return seg
         out = bytearray()
         depth = 1
         n = len(data)

@@ -258,6 +258,13 @@ class Parser:
     def parse_string(self) -> bytes:
         data = self.data
         self.pos += 1  # '('
+        # fast path: no escapes or nested parens before the closing ')'
+        end = data.find(b")", self.pos)
+        if end != -1:
+            seg = data[self.pos:end]
+            if b"\\" not in seg and b"(" not in seg:
+                self.pos = end + 1
+                return seg
         out = bytearray()
         depth = 1
         pos = self.pos
@@ -430,13 +437,27 @@ class Parser:
             self.nesting -= 1
             raise ParseError("nesting too deep")
         out: dict = {}
+        n = len(data)
         try:
             while True:
-                self.skip_ws()
-                if self.pos >= len(data):
+                # inline whitespace/comment skip
+                pos = self.pos
+                while pos < n:
+                    c = data[pos]
+                    if c in _WS_SET:
+                        pos += 1
+                    elif c == 0x25:
+                        m = _WS_COMMENT_RE.match(data, pos)
+                        pos = m.end()
+                    else:
+                        break
+                self.pos = pos
+                if pos >= n:
                     raise ParseError("unexpected EOF in dict")
-                if data[self.pos : self.pos + 2] == b">>":
-                    self.pos += 2
+                if data[pos] == 0x3E:  # '>'
+                    if data[pos + 1 : pos + 2] != b">":
+                        raise ParseError("stray '>' in dict")
+                    self.pos = pos + 2
                     break
                 if data[self.pos] != 0x2F:  # keys must be names
                     raise ParseError("dict key must be a name")
