@@ -72,3 +72,29 @@ def test_crawl_rate_watermark_aggregation(spark, tmp_path):
     assert 0 < len(rows) <= 13
     assert sum(r["n_docs"] for r in rows) <= 120
     assert all(r["n_bytes"] > 0 for r in rows)
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState: urls seen in earlier micro-batches are
+    suppressed in later drops (re-crawl dedup)."""
+    from zpdfspark.spark.streaming import start_streaming_dedup
+
+    input_dir = str(tmp_path / "in3")
+    output_dir = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ckpt3")
+    _write_drop(input_dir, 50, seed=7)
+    q = start_streaming_dedup(spark, input_dir, output_dir, ckpt)
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(os.path.join(output_dir, "data"))
+    assert out1.count() == 50
+
+    # identical drop re-arrives (same seed => same urls): all suppressed
+    _write_drop(str(tmp_path / "in3"), 50, seed=7)
+    import shutil
+    shutil.copy(os.path.join(input_dir, "drop_7.parquet"),
+                os.path.join(input_dir, "drop_7b.parquet"))
+    q2 = start_streaming_dedup(spark, input_dir, output_dir, ckpt)
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(os.path.join(output_dir, "data"))
+    assert out2.count() == 50  # no duplicates added
+    assert out2.select("url").distinct().count() == 50

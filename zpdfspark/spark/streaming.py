@@ -96,3 +96,63 @@ def start_crawl_rate_aggregation(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Custom stateful operator: exactly-once url dedup across
+    micro-batches via applyInPandasWithState.
+
+    Keyed by url-hash shard; each shard's state holds the set of url
+    fingerprints seen so far, so re-crawled pages arriving in later
+    drops are suppressed before extraction. This is the streaming twin
+    of the batch exact-dedup query (STATUS.md web-scale ops table).
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    N_SHARDS = 32
+
+    def dedup_shard(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        out_urls, out_htmls = [], []
+        for batch in pdfs:
+            for url, html in zip(batch["url"], batch["html"]):
+                fp = hashlib.blake2b(url.encode(), digest_size=8).hexdigest()
+                if fp in seen:
+                    continue
+                seen.add(fp)
+                out_urls.append(url)
+                out_htmls.append(html)
+        state.update((list(seen),))
+        yield pd.DataFrame({"url": out_urls, "html": out_htmls})
+
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA_DDL)
+        .parquet(input_dir)
+        .withColumn("shard", F.pmod(F.xxhash64("url"), F.lit(N_SHARDS)))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            dedup_shard,
+            outputStructType="url string, html binary",
+            stateStructType="seen array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(os.path.join(output_dir, "data"))
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
