@@ -284,3 +284,33 @@ def test_document_dunder_api():
     with Document(pdf) as doc:
         assert len(doc) == 2
         assert list(doc) == ["A", "B"]
+
+
+def test_page_not_found_parity():
+    """Out-of-range extract_page raises like the reference binding
+    (python/zpdf/__init__.py:133-134) and leaves no stray error record."""
+    from zpdfspark.kernel import PageNotFoundError
+    pdf, _ = fixtures.minimal("One page")
+    doc = Document(pdf)
+    with pytest.raises(PageNotFoundError):
+        doc.extract_page(1)
+    with pytest.raises(PageNotFoundError):
+        doc.extract_page(-1)
+    assert doc.errors == []
+
+
+def test_objstm_memo_single_decode(monkeypatch):
+    """The ObjStm container is decoded once per document (O(N^2) guard)."""
+    from zpdfspark.kernel import filters as fmod
+    pdf, expected = fixtures.xref_stream("MemoCheck")
+    calls = {"n": 0}
+    orig = fmod.decompress_stream
+    def counting(raw, filt, parms):
+        calls["n"] += 1
+        return orig(raw, filt, parms)
+    monkeypatch.setattr(fmod, "decompress_stream", counting)
+    doc = Document(pdf)
+    assert doc.extract_all() == expected
+    # xref stream + objstm container (once) + any content streams;
+    # the 4 packed objects must not re-decode the container
+    assert calls["n"] <= 4

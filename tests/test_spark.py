@@ -123,3 +123,25 @@ def test_salted_partitioning_spreads_rows(spark, corpus_path):
     sizes = [r["count"] for r in counts]
     mean = sum(sizes) / len(sizes)
     assert max(sizes) <= 3 * mean  # no partition dominates
+
+
+def test_salted_big_doc_isolation(spark, corpus_path):
+    """With big_doc_bytes set, oversized blobs land in partitions that
+    contain no small documents."""
+    from zpdfspark.spark.pipeline import salted
+
+    df = spark.read.parquet(corpus_path).select("url", "html")
+    threshold = 1_000  # the 150-doc sample has both classes at 1 KB
+    out = salted(df, 8, big_doc_bytes=threshold)
+    per_part = (
+        out.withColumn("pid", F.spark_partition_id())
+        .withColumn("is_big", (F.length("html") > threshold).cast("int"))
+        .groupBy("pid")
+        .agg(F.sum("is_big").alias("big"), F.count("*").alias("total"))
+        .collect()
+    )
+    big_rows = sum(r["big"] for r in per_part)
+    assert big_rows > 0, "fixture corpus should contain oversized docs"
+    for r in per_part:
+        if r["big"] > 0:
+            assert r["big"] == r["total"], "big-doc partition contains small docs"

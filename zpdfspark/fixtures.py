@@ -647,11 +647,9 @@ def two_column() -> Tuple[bytes, str]:
         parts.append(b"1 0 0 1 %d %d Tm\n(%s) Tj\n" % (x, y, t.encode()))
     parts.append(b"ET\n")
     content = b"".join(parts)
-    # stream order = interleaved; expected carried text is stream order
-    # (accuracy mode on untagged docs prefers stream order, root.zig:727-736)
-    expected = "\n".join(f"L{r}\nR{r}" if False else f"L{r} R{r}" for r in range(6))
-    # With Tm jumps: same row -> dy=0 no newline; between L and R same y:
-    # no newline, but no space either (stream mode emits nothing on x moves)
+    # stream order is interleaved (accuracy mode on untagged docs prefers
+    # stream order, root.zig:727-736): same-row Tm moves emit nothing,
+    # row changes emit a newline
     expected = "".join(f"L{r}R{r}\n" for r in range(6)).rstrip("\n")
     return _simple_page_pdf(content, _HELVETICA), expected
 

@@ -5,5 +5,5 @@ objects -> filters -> xref -> pagetree -> encoding -> content ->
 layout/structtree -> document.
 """
 
-from .document import Document, decode_pdf_string  # noqa: F401
+from .document import Document, PageNotFoundError, decode_pdf_string  # noqa: F401
 from .objects import Name, Ref, Stream, Parser, ParseError  # noqa: F401

@@ -40,7 +40,8 @@ import re
 from typing import Callable, Dict, List, Optional, Tuple
 
 from . import filters, pagetree
-from .objects import Name, Ref, Stream, dict_get_dict, dict_get_name
+from .objects import (Name, Ref, Stream, dict_get_dict, dict_get_name,
+                      scan_hex_string, scan_literal_string)
 from .encoding import FontEncoding
 from .encodings_data import WIN_ANSI_ENCODING
 
@@ -145,99 +146,12 @@ class ContentLexer:
             search = s + 1
 
     def _scan_string(self) -> bytes:
-        data = self.data
-        pos = self.pos + 1  # '('
-        # fast path: no escapes or nested parens before the closing ')'
-        end = data.find(b")", pos)
-        if end != -1:
-            seg = data[pos:end]
-            if b"\\" not in seg and b"(" not in seg:
-                self.pos = end + 1
-                return seg
-        out = bytearray()
-        depth = 1
-        n = len(data)
-        while pos < n and depth > 0:
-            c = data[pos]
-            if c == 0x5C and pos + 1 < n:
-                pos += 1
-                e = data[pos]
-                pos += 1
-                if e == 0x6E:
-                    out.append(0x0A)
-                elif e == 0x72:
-                    out.append(0x0D)
-                elif e == 0x74:
-                    out.append(0x09)
-                elif e == 0x62:
-                    out.append(0x08)
-                elif e == 0x66:
-                    out.append(0x0C)
-                elif e in (0x28, 0x29, 0x5C):
-                    out.append(e)
-                elif e == 0x0D:
-                    if pos < n and data[pos] == 0x0A:
-                        pos += 1
-                elif e == 0x0A:
-                    pass
-                elif 0x30 <= e <= 0x37:
-                    octal = e - 0x30
-                    cnt = 1
-                    while cnt < 3 and pos < n:
-                        oc = data[pos]
-                        if 0x30 <= oc <= 0x37:
-                            octal = (octal * 8 + (oc - 0x30)) & 0xFF
-                            pos += 1
-                            cnt += 1
-                        else:
-                            break
-                    out.append(octal)
-                else:
-                    out.append(e)
-            elif c == 0x28:
-                depth += 1
-                out.append(c)
-                pos += 1
-            elif c == 0x29:
-                depth -= 1
-                if depth > 0:
-                    out.append(c)
-                pos += 1
-            else:
-                out.append(c)
-                pos += 1
-        self.pos = pos
-        return bytes(out)
+        s, self.pos = scan_literal_string(self.data, self.pos)
+        return s
 
     def _scan_hex_string(self) -> bytes:
-        data = self.data
-        pos = self.pos + 1  # '<'
-        end = data.find(b">", pos)
-        if end == -1:
-            chunk = data[pos:]
-            self.pos = len(data)
-        else:
-            chunk = data[pos:end]
-            self.pos = end + 1
-        out = bytearray()
-        high = None
-        for c in chunk:
-            if 0x30 <= c <= 0x39:
-                nib = c - 0x30
-            elif 0x41 <= c <= 0x46:
-                nib = c - 0x41 + 10
-            elif 0x61 <= c <= 0x66:
-                nib = c - 0x61 + 10
-            else:
-                continue
-            if high is None:
-                high = nib
-            else:
-                out.append((high << 4) | nib)
-                high = None
-        if high is not None:
-            out.append(high << 4)
-        return bytes(out)
+        s, self.pos = scan_hex_string(self.data, self.pos)
+        return s
 
     def _scan_array(self) -> list:
         """Array literal for TJ operands, max 512 elements

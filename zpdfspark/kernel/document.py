@@ -47,6 +47,11 @@ ERR_SYNTAX = "syntax_error"
 ERR_ENCRYPTED = "encrypted"
 
 
+class PageNotFoundError(Exception):
+    """Raised for out-of-range page indexes on the public page API,
+    matching the reference binding (python/zpdf/__init__.py:133-134)."""
+
+
 def decode_pdf_string(raw: bytes) -> str:
     """UTF-16BE with BOM (incl. surrogates) else PDFDocEncoding/Latin-1
     (root.zig:1780-1870)."""
@@ -181,6 +186,8 @@ class Document:
     # -- contents --------------------------------------------------------
 
     def _page_contents(self, page_idx: int) -> bytes:
+        if not 0 <= page_idx < len(self.pages):
+            return b""
         try:
             self.metrics["streams_decoded"] += 1
             return pagetree.get_page_contents(
@@ -381,6 +388,8 @@ class Document:
         return self.extract_all_bytes(mode).decode("utf-8", "replace")
 
     def extract_page(self, page_idx: int, reading_order: bool = False) -> str:
+        if not 0 <= page_idx < len(self.pages):
+            raise PageNotFoundError(f"page {page_idx} of {len(self.pages)}")
         if reading_order:
             return self.extract_text_structured_bytes(page_idx).decode("utf-8", "replace")
         return self._extract_page_full_bytes(page_idx).decode("utf-8", "replace")

@@ -406,7 +406,15 @@ def parse_tounicode_cmap(stream: Stream, enc: FontEncoding) -> None:
 
 def _parse_bfchar(data: bytes, pos: int, enc: FontEncoding) -> int:
     n = len(data)
+    last_pos = -1
     while pos < n:
+        if pos == last_pos:
+            # zero progress (e.g. an unclosed section hitting 'endcmap'):
+            # hardening divergence — the reference loops forever here
+            # (encoding.zig:927-973 + skipToNextEntry stopping at 'end')
+            pos += 1
+            continue
+        last_pos = pos
         pos = _skip_ws(data, pos)
         if _match_at(data, pos, b"endbfchar"):
             return pos + 9
@@ -432,7 +440,12 @@ def _parse_bfchar(data: bytes, pos: int, enc: FontEncoding) -> int:
 
 def _parse_bfrange(data: bytes, pos: int, enc: FontEncoding) -> int:
     n = len(data)
+    last_pos = -1
     while pos < n:
+        if pos == last_pos:
+            pos += 1  # zero-progress guard (see _parse_bfchar)
+            continue
+        last_pos = pos
         pos = _skip_ws(data, pos)
         if _match_at(data, pos, b"endbfrange"):
             return pos + 10

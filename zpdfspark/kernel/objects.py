@@ -149,6 +149,95 @@ def decode_name_escapes(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def scan_literal_string(data: bytes, pos: int):
+    """Scan a literal string starting at '(' — shared by the object
+    parser (parser.zig:257-323) and the content lexer
+    (interpreter.zig:588-683), which implement identical semantics.
+    Returns (bytes, new_pos)."""
+    pos += 1  # '('
+    # fast path: no escapes or nested parens before the closing ')'
+    end = data.find(b")", pos)
+    if end != -1:
+        seg = data[pos:end]
+        if b"\\" not in seg and b"(" not in seg:
+            return seg, end + 1
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while pos < n and depth > 0:
+        c = data[pos]
+        if c == 0x5C and pos + 1 < n:  # backslash
+            pos += 1
+            e = data[pos]
+            pos += 1
+            if e == 0x6E:
+                out.append(0x0A)
+            elif e == 0x72:
+                out.append(0x0D)
+            elif e == 0x74:
+                out.append(0x09)
+            elif e == 0x62:
+                out.append(0x08)
+            elif e == 0x66:
+                out.append(0x0C)
+            elif e in (0x28, 0x29, 0x5C):
+                out.append(e)
+            elif e == 0x0D:
+                if pos < n and data[pos] == 0x0A:
+                    pos += 1
+            elif e == 0x0A:
+                pass
+            elif 0x30 <= e <= 0x37:
+                octal = e - 0x30
+                cnt = 1
+                while cnt < 3 and pos < n:
+                    oc = data[pos]
+                    if 0x30 <= oc <= 0x37:
+                        octal = (octal * 8 + (oc - 0x30)) & 0xFF
+                        pos += 1
+                        cnt += 1
+                    else:
+                        break
+                out.append(octal)
+            else:
+                out.append(e)
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth > 0:
+                out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    return bytes(out), pos
+
+
+def scan_hex_string(data: bytes, pos: int):
+    """Scan a hex string starting at '<': whitespace- and junk-tolerant
+    nibbles, odd tail padded low (parser.zig:325-366 and
+    interpreter.zig:684-725 — both skip any non-hex byte). Returns
+    (bytes, new_pos)."""
+    pos += 1  # '<'
+    end = data.find(b">", pos)
+    if end == -1:
+        chunk = data[pos:]
+        new_pos = len(data)
+    else:
+        chunk = data[pos:end]
+        new_pos = end + 1
+    hexdigits = re.sub(rb"[^0-9A-Fa-f]", b"", chunk)
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    try:
+        return bytes.fromhex(hexdigits.decode("ascii")), new_pos
+    except ValueError:
+        return b"", new_pos
+
+
 class Parser:
     """Recursive-descent parser over a bytes buffer (parser.zig:128-626)."""
 
@@ -256,88 +345,12 @@ class Parser:
         return Name(raw)
 
     def parse_string(self) -> bytes:
-        data = self.data
-        self.pos += 1  # '('
-        # fast path: no escapes or nested parens before the closing ')'
-        end = data.find(b")", self.pos)
-        if end != -1:
-            seg = data[self.pos:end]
-            if b"\\" not in seg and b"(" not in seg:
-                self.pos = end + 1
-                return seg
-        out = bytearray()
-        depth = 1
-        pos = self.pos
-        n = len(data)
-        while pos < n and depth > 0:
-            c = data[pos]
-            if c == 0x5C and pos + 1 < n:  # backslash
-                pos += 1
-                e = data[pos]
-                pos += 1
-                if e == 0x6E:
-                    out.append(0x0A)
-                elif e == 0x72:
-                    out.append(0x0D)
-                elif e == 0x74:
-                    out.append(0x09)
-                elif e == 0x62:
-                    out.append(0x08)
-                elif e == 0x66:
-                    out.append(0x0C)
-                elif e in (0x28, 0x29, 0x5C):
-                    out.append(e)
-                elif e == 0x0D:
-                    if pos < n and data[pos] == 0x0A:
-                        pos += 1
-                elif e == 0x0A:
-                    pass
-                elif 0x30 <= e <= 0x37:
-                    octal = e - 0x30
-                    cnt = 1
-                    while cnt < 3 and pos < n:
-                        oc = data[pos]
-                        if 0x30 <= oc <= 0x37:
-                            octal = (octal * 8 + (oc - 0x30)) & 0xFF
-                            pos += 1
-                            cnt += 1
-                        else:
-                            break
-                    out.append(octal)
-                else:
-                    out.append(e)
-            elif c == 0x28:
-                depth += 1
-                out.append(c)
-                pos += 1
-            elif c == 0x29:
-                depth -= 1
-                if depth > 0:
-                    out.append(c)
-                pos += 1
-            else:
-                out.append(c)
-                pos += 1
-        self.pos = pos
-        return bytes(out)
+        s, self.pos = scan_literal_string(self.data, self.pos)
+        return s
 
     def parse_hex_string(self) -> bytes:
-        data = self.data
-        self.pos += 1  # '<'
-        end = data.find(b">", self.pos)
-        if end == -1:
-            chunk = data[self.pos :]
-            self.pos = len(data)
-        else:
-            chunk = data[self.pos : end]
-            self.pos = end + 1
-        hexdigits = re.sub(rb"[^0-9A-Fa-f]", b"", chunk)
-        if len(hexdigits) % 2:
-            hexdigits += b"0"
-        try:
-            return bytes.fromhex(hexdigits.decode("ascii"))
-        except ValueError:
-            return b""
+        s, self.pos = scan_hex_string(self.data, self.pos)
+        return s
 
     def _parse_number(self):
         """Number literal: int vs real by presence of '.' (parser.zig:543-578)."""

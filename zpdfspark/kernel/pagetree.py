@@ -78,36 +78,47 @@ _MISS = object()
 
 
 def _resolve_compressed(data: bytes, xref: XRefTable, objstm_num: int, index: int, cache: Dict[int, object]):
-    """ObjStm fetch (pagetree.zig:73-146)."""
-    entry = xref.get(objstm_num)
-    if entry is None or entry[2] != IN_USE or entry[0] >= len(data):
-        return None
-    p = Parser(data, entry[0])
-    try:
-        _num, _gen, obj = p.parse_indirect_object()
-    except ParseError:
-        return None
-    if not isinstance(obj, Stream):
-        return None
-    try:
-        decoded = filters.decompress_stream(obj.raw, obj.dict.get("Filter"), obj.dict.get("DecodeParms"))
-    except filters.DecompressError:
-        return None
-    n = dict_get_int(obj.dict, "N")
-    first = dict_get_int(obj.dict, "First")
-    if n is None or first is None or n <= 0 or first < 0:
-        return None
-    hp = Parser(decoded, 0)
-    offsets = []
-    for _ in range(n):
+    """ObjStm fetch (pagetree.zig:73-146).
+
+    The decoded container + its offset header are memoized per document
+    under a tuple key in the resolution cache (int object numbers never
+    collide with tuples) — without this, a document whose N objects
+    live in one ObjStm re-inflates the stream N times (O(N^2))."""
+    memo_key = ("objstm", objstm_num)
+    memo = cache.get(memo_key)
+    if memo is None:
+        entry = xref.get(objstm_num)
+        if entry is None or entry[2] != IN_USE or entry[0] >= len(data):
+            return None
+        p = Parser(data, entry[0])
         try:
-            num = hp.parse_object()
-            off = hp.parse_object()
+            _num, _gen, obj = p.parse_indirect_object()
         except ParseError:
-            break
-        if type(num) is not int or type(off) is not int:
-            break
-        offsets.append((num, off))
+            return None
+        if not isinstance(obj, Stream):
+            return None
+        try:
+            decoded = filters.decompress_stream(obj.raw, obj.dict.get("Filter"), obj.dict.get("DecodeParms"))
+        except filters.DecompressError:
+            return None
+        n = dict_get_int(obj.dict, "N")
+        first = dict_get_int(obj.dict, "First")
+        if n is None or first is None or n <= 0 or first < 0:
+            return None
+        hp = Parser(decoded, 0)
+        offsets = []
+        for _ in range(n):
+            try:
+                num = hp.parse_object()
+                off = hp.parse_object()
+            except ParseError:
+                break
+            if type(num) is not int or type(off) is not int:
+                break
+            offsets.append((num, off))
+        memo = (decoded, first, offsets)
+        cache[memo_key] = memo
+    decoded, first, offsets = memo
     if index >= len(offsets):
         return None
     rel = offsets[index][1]

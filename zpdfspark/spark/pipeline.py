@@ -8,12 +8,14 @@ Design for 10^12 documents (SURVEY.md §4):
 - **Partition pruning**: input is an Iceberg/parquet table partitioned
   on warc_ts buckets; a ``--since/--until`` predicate prunes partitions
   at the scan (Catalyst built-in — nothing custom).
-- **Skew**: one 2 GB PDF in a batch of 64 starves a task. Two levers:
-  (a) salted repartition on ``xxhash64(url, salt)`` spreads documents
-  uniformly regardless of input file layout; (b) size buckets — docs
-  above ``big_doc_bytes`` are routed to their own partitions sized
-  one-document-per-task so a straggler blob never hides behind small
-  docs. Arrow batch size is kept small (session.py) for the same reason.
+- **Skew**: one 2 GB PDF in a batch starves a task. Levers: (a) salted
+  repartition on ``xxhash64(url, salt)`` spreads documents uniformly
+  regardless of input file layout; (b) optional big-document isolation
+  (``--big-doc-bytes``): blobs above the threshold are unioned in from
+  their own partition space so a giant never co-resides with a share of
+  small docs (costs a second source pass — see ``salted``); (c) small
+  Arrow batches (session.py) bound per-batch latency; (d)
+  ``--max-doc-bytes`` skips pathological blobs with an error record.
 - **Lineage + resume**: work is divided into ``n_buckets`` deterministic
   url-hash buckets. Each bucket's output is written under
   ``out/bucket=K/`` and a lineage row (bucket, counts, error totals,
@@ -48,23 +50,33 @@ LINEAGE_SCHEMA = (
 
 
 def salted(df: DataFrame, partitions: int, salt: int = 0,
-           big_doc_bytes: int = 8 * 1024 * 1024) -> DataFrame:
-    """Salted, size-aware repartition of the input.
+           big_doc_bytes: int = 0) -> DataFrame:
+    """Salted repartition of the input, with optional big-document
+    isolation.
 
-    Small docs hash uniformly over ``partitions``; big docs get a
-    partition id derived from their url alone so each lands in a
-    sparsely-populated partition (practically one giant doc per task).
+    Base behavior: repartition on a full-width ``xxhash64(url, salt)``
+    so Spark's hash-partitioner sees a uniform key domain. (Hashing a
+    pre-computed pmod value re-hashes a tiny domain and leaves
+    partitions empty/skewed — measured in tests.)
+
+    With ``big_doc_bytes > 0``, documents above the threshold are split
+    into their OWN partition space (a union of two repartitions), so a
+    giant blob's task carries no share of small documents. Hash
+    partitioning alone cannot provide that isolation — a big doc's
+    partition always co-hosts ~1/partitions of the small docs. The
+    split costs a second pass over the source (the size predicate needs
+    the blob), so it is opt-in; at scale, prefer persisting the bucket
+    or carrying a size column in the table schema.
     """
-    # Repartition on a full-width hash so Spark's hash-partitioner sees a
-    # uniform key domain. (Hashing a pre-computed pmod value re-hashes a
-    # tiny domain and leaves partitions empty/skewed — measured in tests.)
-    size = F.length("html")
     small_key = F.xxhash64(F.col("url"), F.lit(salt))
-    # big docs use an independent salt so their placement decorrelates
-    # from the small-doc layout — a giant blob lands alone in expectation
+    if not big_doc_bytes:
+        return df.repartition(partitions, small_key)
+    size = F.length("html")
     big_key = F.xxhash64(F.col("url"), F.lit(salt + 0x9E3779B9))
-    key = F.when(size > big_doc_bytes, big_key).otherwise(small_key)
-    return df.repartition(partitions, key)
+    small = df.where(size <= big_doc_bytes).repartition(partitions, small_key)
+    big = df.where(size > big_doc_bytes).repartition(
+        max(partitions // 4, 1), big_key)
+    return small.unionByName(big)
 
 
 def bucket_of(url_col, n_buckets: int):
@@ -96,6 +108,7 @@ def run_extraction_job(
     until: Optional[str] = None,
     input_format: str = "parquet",
     max_doc_bytes: int = 0,
+    big_doc_bytes: int = 0,
 ) -> dict:
     """Checkpoint-resumable extraction. Returns a summary dict.
 
@@ -127,7 +140,7 @@ def run_extraction_job(
     for bucket in todo:
         t0 = time.time()
         part = salted(df.where(F.col("bucket") == bucket).drop("bucket"),
-                      partitions, salt=salt)
+                      partitions, salt=salt, big_doc_bytes=big_doc_bytes)
         result = part.mapInArrow(
             extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes), EXTRACT_SCHEMA)
         out_dir = os.path.join(data_path, f"bucket={bucket}")
@@ -187,6 +200,9 @@ def main(argv: Optional[List[str]] = None) -> None:
                     default="parquet")
     ap.add_argument("--max-doc-bytes", type=int, default=0,
                     help="skip blobs larger than this (0 = no cap)")
+    ap.add_argument("--big-doc-bytes", type=int, default=0,
+                    help="isolate blobs larger than this into their own "
+                         "partitions (0 = off; costs a second source pass)")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("zpdfspark-extract").getOrCreate()
@@ -195,6 +211,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         partitions=args.partitions, n_buckets=args.buckets, salt=args.salt,
         resume=not args.no_resume, since=args.since, until=args.until,
         input_format=args.input_format, max_doc_bytes=args.max_doc_bytes,
+        big_doc_bytes=args.big_doc_bytes,
     )
     print(json.dumps(summary))
     spark.stop()
