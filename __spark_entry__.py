@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-_CORPUS_VERSION = "v5"
+_CORPUS_VERSION = "v6"
 _SF_DOCS = {"sf0.001": 200, "sf0.01": 800, "sf0.1": 3000}
 
 
@@ -174,9 +174,11 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"url": [], "n_bytes": [], "media_kind": [], "decode_ok": []}
             for url, blob in zip(batch["url"], batch["html"]):
                 raw = bytes(blob) if blob is not None else b""
+                from zpdfspark.kernel.htmltext import looks_like_html
                 kind = "pdf" if raw.startswith(b"%PDF-") else (
                     "png" if raw.startswith(b"\x89PNG") else (
-                        "jpeg" if raw.startswith(b"\xff\xd8") else "unknown"))
+                        "jpeg" if raw.startswith(b"\xff\xd8") else (
+                            "html" if looks_like_html(raw) else "unknown")))
                 try:
                     _decode_media_stub(raw, kind)
                     ok = True

@@ -204,3 +204,22 @@ def test_cff_malformed_never_crashes():
             CffParser(blob)
         except CffError:
             pass  # clean domain error is fine; anything else would raise
+
+
+def test_html_main_content_extraction():
+    """HTML boilerplate strip + main-content DOM heuristic (north_rule)."""
+    from zpdfspark.kernel import htmltext
+
+    raw, expected = fixtures.html_page(5)
+    assert htmltext.extract_main_text(raw) == expected
+    text, kind, doc = htmltext.extract_any(raw)
+    assert kind == "html" and text == expected and doc is None
+    # no <main>: falls back to stripped <body>
+    nomain = b"<html><head><script>x</script></head><body><p>Just body</p></body></html>"
+    assert htmltext.extract_main_text(nomain) == "Just body"
+    # hostile html never crashes
+    assert isinstance(htmltext.extract_main_text(b"<" * 10000), str)
+    # PDF bytes still dispatch to the PDF kernel
+    pdf, exp = fixtures.minimal("Dispatch")
+    text, kind, doc = htmltext.extract_any(pdf)
+    assert kind == "pdf" and text == exp and doc is not None

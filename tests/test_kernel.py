@@ -252,10 +252,11 @@ def test_corpus_rows_deterministic():
 
 
 def test_corpus_golden_self_check():
-    """Every well-formed corpus row's carried text matches extraction."""
-    for url, ts, pdf, expected, lang in fixtures.corpus_rows(120, seed=1):
-        doc = Document(pdf)
-        got = doc.extract_all("accuracy")
+    """Every well-formed corpus row's carried text matches extraction
+    through the payload dispatch (PDF kernel / HTML boilerplate strip)."""
+    from zpdfspark.kernel.htmltext import extract_any
+    for url, ts, raw, expected, lang in fixtures.corpus_rows(120, seed=1):
+        got, _kind, _doc = extract_any(raw, "accuracy")
         if expected is not None:
             assert got == expected, url
 

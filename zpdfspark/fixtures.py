@@ -654,6 +654,25 @@ def two_column() -> Tuple[bytes, str]:
     return _simple_page_pdf(content, _HELVETICA), expected
 
 
+def html_page(i: int = 0) -> Tuple[bytes, str]:
+    """A Common-Crawl-style HTML page with boilerplate (script/style/
+    nav/header/footer/aside) around a <main> block. The oracle is the
+    kernel/htmltext.py spec: main-content selection, block tags break
+    lines, entities unescaped."""
+    paras = [f"Paragraph {i}-{p} of the main content &amp; more." for p in range(3)]
+    body = "".join(f"<p>{p}</p>" for p in paras)
+    doc = (
+        "<!DOCTYPE html><html><head><title>T</title>"
+        "<style>body{color:red}</style><script>var x=1;</script></head>"
+        "<body><header>Site Header</header><nav><ul><li>Home</li></ul></nav>"
+        f"<main><h1>Title {i}</h1>{body}</main>"
+        "<aside>Related links</aside><footer>(c) example</footer>"
+        "</body></html>"
+    )
+    expected = "\n".join([f"Title {i}"] + [p.replace("&amp;", "&") for p in paras])
+    return doc.encode("utf-8"), expected
+
+
 def quote_ops() -> Tuple[bytes, str]:
     """' and \" show operators: newline then show (root.zig:2141-2176);
     T* emits a bare newline (root.zig:2106-2110)."""
@@ -913,6 +932,10 @@ def _register():
     @var("vertical")
     def g_v(i):
         return vertical_text()
+
+    @var("html")
+    def g_html(i):
+        return html_page(i)
 
 
 _register()

@@ -1,0 +1,93 @@
+"""HTML main-content extraction: boilerplate strip + DOM heuristics.
+
+The input table is Common-Crawl-style; rows whose payload is HTML (not
+PDF) go through this kernel (north_rule: "HTML boilerplate strip,
+PDF/layout parse, DOM heuristics"). Deterministic, dependency-free
+semantics (the spec for the fixture oracles):
+
+1. drop <script>/<style>/<template>/<noscript> elements, comments,
+   and the boilerplate containers <head>, <nav>, <header>, <footer>,
+   <aside> (non-nested; hostile nesting degrades to tag-strip, never
+   crashes)
+2. block-level tags (p, div, br, li, tr, h1-h6, section, article,
+   blockquote, pre, table) break lines; other tags are removed inline
+3. entities unescaped (html.unescape); whitespace collapsed per line;
+   empty lines dropped; lines joined with "\\n"
+4. DOM heuristic: if a <main> or <article> element exists, extraction
+   is restricted to the first such element (main-content selection);
+   otherwise the whole stripped <body> (or document) is used
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import re
+
+_DROP_ELEMENTS = ("script", "style", "template", "noscript",
+                  "head", "nav", "header", "footer", "aside")
+_DROP_RES = [
+    re.compile(
+        rb"<" + name.encode() + rb"\b[^>]*>.*?</" + name.encode() + rb"\s*>",
+        re.DOTALL | re.IGNORECASE,
+    )
+    for name in _DROP_ELEMENTS
+]
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.DOTALL)
+_MAIN_RE = re.compile(rb"<(main|article)\b[^>]*>(.*?)</\1\s*>",
+                      re.DOTALL | re.IGNORECASE)
+_BODY_RE = re.compile(rb"<body\b[^>]*>(.*?)</body\s*>",
+                      re.DOTALL | re.IGNORECASE)
+_BLOCK_TAG_RE = re.compile(
+    rb"</?(?:p|div|br|li|ul|ol|tr|td|th|table|h[1-6]|section|article|"
+    rb"blockquote|pre|main|body|html|form|figure)\b[^>]*/?>",
+    re.IGNORECASE,
+)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+
+
+def looks_like_html(raw: bytes) -> bool:
+    head = raw[:256].lstrip()
+    return head[:1] == b"<" or b"<html" in head.lower() or b"<!doctype" in head.lower()
+
+
+def extract_main_text(raw: bytes) -> str:
+    """Boilerplate-stripped main content; never raises."""
+    try:
+        data = _COMMENT_RE.sub(b"", raw)
+        for rx in _DROP_RES:
+            data = rx.sub(b"", data)
+        m = _MAIN_RE.search(data)
+        if m:
+            data = m.group(2)
+        else:
+            b = _BODY_RE.search(data)
+            if b:
+                data = b.group(1)
+        data = _BLOCK_TAG_RE.sub(b"\n", data)
+        data = _TAG_RE.sub(b"", data)
+        text = html_mod.unescape(data.decode("utf-8", "replace"))
+        lines = []
+        for line in text.split("\n"):
+            line = _WS_RE.sub(" ", line).strip()
+            if line:
+                lines.append(line)
+        return "\n".join(lines)
+    except Exception:
+        return ""
+
+
+def extract_any(raw: bytes, mode: str = "accuracy"):
+    """Dispatch on the payload: PDF bytes -> the PDF kernel, HTML ->
+    boilerplate strip. Returns (text, kind, doc_or_None)."""
+    if raw.startswith(b"%PDF-"):
+        from .document import Document
+
+        doc = Document(raw)
+        return doc.extract_all(mode), "pdf", doc
+    if looks_like_html(raw):
+        return extract_main_text(raw), "html", None
+    from .document import Document
+
+    doc = Document(raw)
+    return doc.extract_all(mode), "unknown", doc

@@ -80,6 +80,10 @@ def extract_batches(mode: str = "accuracy", html_col: str = "html", url_col: str
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from zpdfspark.kernel import Document
+        from zpdfspark.kernel.htmltext import extract_any
+
+        empty_doc = Document(b"%PDF-")
+        empty_doc.errors = []
 
         for batch in batches:
             rows = {k: [] for k in (
@@ -99,8 +103,9 @@ def extract_batches(mode: str = "accuracy", html_col: str = "html", url_col: str
                         ("oversized", 0, f"document {len(raw)} bytes exceeds cap")]
                     text = ""
                 else:
-                    doc = Document(raw)
-                    text = doc.extract_all(mode)
+                    text, _kind, doc = extract_any(raw, mode)
+                    if doc is None:
+                        doc = empty_doc
                 elapsed = (time.perf_counter() - t0) * 1000.0
                 m = doc.metrics
                 rows["url"].append(url)
@@ -146,6 +151,10 @@ def extract_arrow_batches(mode: str = "accuracy", max_doc_bytes: int = 0):
     def fn(batches):
         import pyarrow as pa
         from zpdfspark.kernel import Document
+        from zpdfspark.kernel.htmltext import extract_any
+
+        empty_doc = Document(b"%PDF-")
+        empty_doc.errors = []
 
         for rb in batches:
             urls = rb.column("url").to_pylist()
@@ -165,8 +174,11 @@ def extract_arrow_batches(mode: str = "accuracy", max_doc_bytes: int = 0):
                         ("oversized", 0, f"document {len(raw)} bytes exceeds cap")]
                     text = ""
                 else:
-                    doc = Document(raw)
-                    text = doc.extract_all(mode)
+                    # dispatch: PDF bytes -> kernel; HTML -> boilerplate
+                    # strip (north_rule main-content extraction)
+                    text, _kind, doc = extract_any(raw, mode)
+                    if doc is None:
+                        doc = empty_doc
                 m = doc.metrics
                 cols["extracted_text"].append(text)
                 cols["n_pages"].append(doc.page_count)
