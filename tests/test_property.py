@@ -78,3 +78,69 @@ def test_content_lexer_never_crashes(blob):
 
     for _ in ContentLexer(blob).tokens():
         pass
+
+
+def test_structured_fuzz_content_cmap_cff():
+    """Bounded replica of the 21k-doc adversarial sweep (op-soup content
+    streams, mutated ToUnicode CMaps, mutated CFF blobs) through every
+    extraction surface: never crash. (Hang protection is exercised by
+    the CMap zero-progress guard tests; CI keeps this bounded.)"""
+    import random
+
+    random.seed(99)
+    base_cmap = (b"begincmap\n2 beginbfchar\n<0041> <0042>\n<0043> <00660069>\n"
+                 b"endbfchar\n1 beginbfrange\n<0050> <0060> [<0041> <0042>]\n"
+                 b"endbfrange\nendcmap")
+    base_cff = fixtures._minimal_cff([41, 74])
+    ops = (b"BT ET Tf Td TD Tm T* Tj TJ ' \" BDC BMC EMC Do cm q Q BI ID EI").split()
+
+    def build_cmap_pdf(cmap):
+        b = fixtures._PdfBuilder()
+        b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                 b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+        b.stream_obj(4, b"", b"BT\n/F1 12 Tf\n<0041> Tj\nET\n")
+        b.obj(5, b"<< /Type /Font /Subtype /Type0 /BaseFont /F /Encoding /Identity-H "
+                 b"/DescendantFonts [6 0 R] /ToUnicode 7 0 R >>")
+        b.obj(6, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /F >>")
+        b.stream_obj(7, b"", cmap)
+        return b.finish(8)
+
+    for trial in range(400):
+        mode = trial % 3
+        if mode == 0:
+            parts = []
+            for _ in range(random.randint(5, 40)):
+                r = random.random()
+                if r < 0.4:
+                    parts.append(b"%g" % random.uniform(-1e6, 1e6))
+                elif r < 0.55:
+                    parts.append(b"<" + bytes(random.getrandbits(8) for _ in range(8)).hex().encode() + b">")
+                else:
+                    parts.append(random.choice(ops))
+            pdf = fixtures._simple_page_pdf(b" ".join(parts), fixtures._HELVETICA)
+        elif mode == 1:
+            cm = bytearray(base_cmap)
+            for _ in range(random.randint(1, 10)):
+                cm[random.randrange(len(cm))] = random.getrandbits(8)
+            pdf = build_cmap_pdf(bytes(cm))
+        else:
+            cf = bytearray(base_cff)
+            for _ in range(random.randint(1, 8)):
+                cf[random.randrange(len(cf))] = random.getrandbits(8)
+            b = fixtures._PdfBuilder()
+            b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+            b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+            b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                     b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+            b.stream_obj(4, b"", b"BT\n/F1 12 Tf\n<00010002> Tj\nET\n")
+            b.obj(5, b"<< /Type /Font /Subtype /Type0 /BaseFont /F /Encoding /Identity-H "
+                     b"/DescendantFonts [6 0 R] >>")
+            b.obj(6, b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /F /FontDescriptor 7 0 R >>")
+            b.obj(7, b"<< /Type /FontDescriptor /FontName /F /Flags 4 /FontFile3 8 0 R >>")
+            b.stream_obj(8, b"/Subtype /Type1C ", bytes(cf))
+            pdf = b.finish(9)
+        doc = Document(pdf)
+        doc.extract_all("accuracy")
+        doc.extract_bounds(0)
