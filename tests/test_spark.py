@@ -145,3 +145,22 @@ def test_salted_big_doc_isolation(spark, corpus_path):
     for r in per_part:
         if r["big"] > 0:
             assert r["big"] == r["total"], "big-doc partition contains small docs"
+
+
+def test_pipeline_single_pass(spark, corpus_path, tmp_path):
+    """--single-pass: one scan over all pending buckets, identical
+    output + lineage semantics, still resumable afterwards."""
+    from zpdfspark.spark.pipeline import completed_buckets, run_extraction_job
+
+    out = str(tmp_path / "outsp")
+    s1 = run_extraction_job(spark, corpus_path, out, n_buckets=4,
+                            partitions=4, single_pass=True)
+    assert s1["buckets_run"] == 4
+    assert s1["docs"] == 150
+    assert completed_buckets(spark, os.path.join(out, "_lineage")) == [0, 1, 2, 3]
+    result = spark.read.parquet(os.path.join(out, "data"))
+    assert result.count() == 150
+    assert result.select("url").distinct().count() == 150
+    # a rerun (either mode) skips everything
+    s2 = run_extraction_job(spark, corpus_path, out, n_buckets=4, partitions=4)
+    assert s2["buckets_skipped"] == 4 and s2["buckets_run"] == 0

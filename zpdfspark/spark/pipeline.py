@@ -22,6 +22,15 @@ Design for 10^12 documents (SURVEY.md §4):
   wall time, status) is appended to the sidecar. On restart, completed
   buckets are skipped via an anti-join of the bucket domain against the
   lineage sidecar — the driver-contract "resume from checkpoint".
+- **Read amplification**: the per-bucket loop filters the source per
+  bucket. On a raw parquet dump that re-scans the input n_buckets times;
+  at scale the input table must be bucketed on the SAME
+  ``xxhash64(url) % n_buckets`` expression (Iceberg ``bucket(n, url)``
+  partition transform) so each per-bucket scan prunes to its own
+  partition — zero amplification AND bucket-granular resume. For
+  unbucketed inputs, ``--single-pass`` processes all pending buckets in
+  one job (one scan, output partitioned by bucket) at the cost of
+  run-granular rather than bucket-granular checkpointing.
 - All shuffles are explicit; the extraction stage is map-only after the
   single salting exchange.
 """
@@ -109,6 +118,7 @@ def run_extraction_job(
     input_format: str = "parquet",
     max_doc_bytes: int = 0,
     big_doc_bytes: int = 0,
+    single_pass: bool = False,
 ) -> dict:
     """Checkpoint-resumable extraction. Returns a summary dict.
 
@@ -136,6 +146,11 @@ def run_extraction_job(
     todo = [b for b in range(n_buckets) if b not in done]
     summary = {"buckets_total": n_buckets, "buckets_skipped": len(done),
                "buckets_run": 0, "docs": 0, "errors": 0}
+
+    if single_pass and todo:
+        return _run_single_pass(spark, df, todo, n_buckets, partitions, salt,
+                                mode, max_doc_bytes, big_doc_bytes, data_path,
+                                lineage_path, summary)
 
     for bucket in todo:
         t0 = time.time()
@@ -183,6 +198,62 @@ def run_extraction_job(
     return summary
 
 
+def _run_single_pass(spark, df, todo, n_buckets, partitions, salt, mode,
+                     max_doc_bytes, big_doc_bytes, data_path, lineage_path,
+                     summary) -> dict:
+    """One job over all pending buckets: a single source scan, output
+    partitioned by bucket, lineage appended per bucket afterwards."""
+    t0 = time.time()
+    part = salted(df.where(F.col("bucket").isin(todo)), partitions,
+                  salt=salt, big_doc_bytes=big_doc_bytes)
+    # carry the bucket through the kernel via re-derivation (cheaper than
+    # widening the kernel schema): the bucket expression is a pure
+    # function of url, so recomputing it after extraction is exact
+    result = part.drop("bucket").mapInArrow(
+        extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes), EXTRACT_SCHEMA
+    ).withColumn("bucket", bucket_of(F.col("url"), n_buckets))
+    result.write.mode("append").partitionBy("bucket").parquet(data_path)
+
+    written = spark.read.parquet(data_path).where(F.col("bucket").isin(todo))
+    aggs = written.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_pages").alias("n_pages"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("error_count").alias("n_errors"),
+        F.sum(F.col("is_encrypted").cast("long")).alias("n_encrypted"),
+        F.sum("structured_pages").alias("structured_pages"),
+        F.sum("stream_pages").alias("stream_pages"),
+        F.sum("geometric_pages").alias("geometric_pages"),
+        F.sum("coverage_fallbacks").alias("coverage_fallbacks"),
+    ).collect()
+    wall = time.time() - t0
+    finished = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    lineage_rows = []
+    for r in aggs:
+        lineage_rows.append({
+            "bucket": int(r["bucket"]),
+            "n_docs": r["n_docs"] or 0,
+            "n_pages": int(r["n_pages"] or 0),
+            "n_chars": int(r["n_chars"] or 0),
+            "n_errors": int(r["n_errors"] or 0),
+            "n_encrypted": int(r["n_encrypted"] or 0),
+            "structured_pages": int(r["structured_pages"] or 0),
+            "stream_pages": int(r["stream_pages"] or 0),
+            "geometric_pages": int(r["geometric_pages"] or 0),
+            "coverage_fallbacks": int(r["coverage_fallbacks"] or 0),
+            "wall_secs": wall,
+            "status": "ok",
+            "finished_at": finished,
+        })
+        summary["buckets_run"] += 1
+        summary["docs"] += lineage_rows[-1]["n_docs"]
+        summary["errors"] += lineage_rows[-1]["n_errors"]
+    if lineage_rows:
+        spark.createDataFrame(lineage_rows, schema=LINEAGE_SCHEMA) \
+            .coalesce(1).write.mode("append").json(lineage_path)
+    return summary
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     """spark-submit entry: the CLI analog of the reference's
     ``zpdf extract`` (/root/reference/src/main.zig:12-96)."""
@@ -200,6 +271,9 @@ def main(argv: Optional[List[str]] = None) -> None:
                     default="parquet")
     ap.add_argument("--max-doc-bytes", type=int, default=0,
                     help="skip blobs larger than this (0 = no cap)")
+    ap.add_argument("--single-pass", action="store_true",
+                    help="process all pending buckets in one job (one "
+                         "source scan; run-granular checkpointing)")
     ap.add_argument("--big-doc-bytes", type=int, default=0,
                     help="isolate blobs larger than this into their own "
                          "partitions (0 = off; costs a second source pass)")
@@ -211,7 +285,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         partitions=args.partitions, n_buckets=args.buckets, salt=args.salt,
         resume=not args.no_resume, since=args.since, until=args.until,
         input_format=args.input_format, max_doc_bytes=args.max_doc_bytes,
-        big_doc_bytes=args.big_doc_bytes,
+        big_doc_bytes=args.big_doc_bytes, single_pass=args.single_pass,
     )
     print(json.dumps(summary))
     spark.stop()
