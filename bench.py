@@ -33,7 +33,7 @@ def _bench_corpus_path(sf_dir: str) -> str:
     so the measurement is compute-bound, not overhead-bound."""
     sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.1"
     n = _BENCH_DOCS.get(sf, 5000)
-    path = f"/tmp/zpdfspark_bench_corpus_v2_{sf}_{n}.parquet"
+    path = f"/tmp/zpdfspark_bench_corpus_v3_{sf}_{n}.parquet"
     if not os.path.exists(path):
         from zpdfspark.fixtures import write_corpus_parquet
 
@@ -151,19 +151,20 @@ def main() -> None:
     # not the engine (local[16] measurably outruns local[32] here). The
     # full-capacity local[cpus] number is reported separately above.
     if do_scaling and cpus >= 16:
-        # The sandbox host shows +/-30% run-to-run noise that hits both
-        # configs proportionally; measuring each pair back-to-back and
-        # taking the best pair isolates the engine's scaling from host
-        # weather. eff = (D/T_4N) / (4 * D/T_N) = T_N / (4 * T_4N).
+        # The sandbox host shows +/-30% run-to-run noise; min wall time
+        # over interleaved trials is the least-biased estimator of each
+        # configuration's true capability, and computing the efficiency
+        # from the two mins avoids the pairwise-max overshoot (which can
+        # exceed 1.0 when a low-parallelism trial lands in a noise
+        # episode). eff = (D/T_4N) / (4 * D/T_N) = T_N / (4 * T_4N).
         low, high = 4, 16
-        best = None
+        t_low = t_high = None
         for _ in range(3):
-            t_low, _ = _run_extraction(low, sf_dir, shuffle_partitions=8)
-            t_high, _ = _run_extraction(high, sf_dir, shuffle_partitions=high)
-            eff = t_low / (4 * t_high)
-            if best is None or eff > best[0]:
-                best = (eff, t_low, t_high)
-        eff, t_low, t_high = best
+            tl, _ = _run_extraction(low, sf_dir, shuffle_partitions=8)
+            th, _ = _run_extraction(high, sf_dir, shuffle_partitions=high)
+            t_low = tl if t_low is None or tl < t_low else t_low
+            t_high = th if t_high is None or th < t_high else t_high
+        eff = t_low / (4 * t_high)
         queries[f"extract_docs_per_sec_local{low}"] = round(n_docs / t_low, 1)
         queries[f"extract_docs_per_sec_local{high}"] = round(n_docs / t_high, 1)
         queries[f"extract_secs_local{low}"] = round(t_low, 3)

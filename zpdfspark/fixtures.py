@@ -83,8 +83,10 @@ def minimal(text: str = "Hello World") -> Tuple[bytes, str]:
     return _simple_page_pdf(content, _HELVETICA), text
 
 
-def multi_page(pages_text: List[str]) -> Tuple[bytes, str]:
-    """testpdf.zig:84-162: shared font at 3, page/content pairs at 4,5 6,7..."""
+def multi_page(pages_text: List[str], compress: bool = False) -> Tuple[bytes, str]:
+    """testpdf.zig:84-162: shared font at 3, page/content pairs at 4,5 6,7...
+    compress=True Flate-encodes the content streams (the realistic shape
+    of crawled PDFs; used by the heavy bench profile)."""
     b = _PdfBuilder()
     b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
     kids = b" ".join(b"%d 0 R" % (4 + i * 2) for i in range(len(pages_text)))
@@ -96,7 +98,10 @@ def multi_page(pages_text: List[str]) -> Tuple[bytes, str]:
             text.encode("latin-1"))
         b.obj(page_obj, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
                         b"/Contents %d 0 R /Resources << /Font << /F1 3 0 R >> >> >>" % (page_obj + 1))
-        b.stream_obj(page_obj + 1, b"", content)
+        if compress:
+            b.stream_obj(page_obj + 1, b"/Filter /FlateDecode ", zlib.compress(content))
+        else:
+            b.stream_obj(page_obj + 1, b"", content)
     return b.finish(4 + len(pages_text) * 2), "\x0c".join(pages_text)
 
 
@@ -707,7 +712,7 @@ def vertical_text() -> Tuple[bytes, str]:
     return b.finish(7), "AB\nCD"
 
 
-def big(n_pages: int, seed: int = 0) -> Tuple[bytes, str]:
+def big(n_pages: int, seed: int = 0, compress: bool = False) -> Tuple[bytes, str]:
     """n_pages of deterministic lorem-ish text (skew/throughput fixture)."""
     words = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur",
              "adipiscing", "elit", "sed", "do", "eiusmod", "tempor"]
@@ -717,7 +722,7 @@ def big(n_pages: int, seed: int = 0) -> Tuple[bytes, str]:
             b"%d:%d" % (seed, p), digest_size=8).digest(), "big")
         line = " ".join(words[(h >> (4 * i)) % len(words)] for i in range(8))
         pages.append(f"Page {p} {line}")
-    return multi_page(pages)
+    return multi_page(pages, compress=compress)
 
 
 # -- malformed variants (FIXTURES.md §3) ----------------------------------
@@ -982,11 +987,12 @@ def corpus_rows(n_docs: int, seed: int = 42, malformed_ratio: float = 0.01,
             pdf, text = MALFORMED[name]()
             gen = "malformed_" + name
         elif profile == "heavy":
+            # Flate-compressed content: the realistic crawled-PDF shape
             if r < malformed_ratio + 0.005:
-                pdf, text = big(200 + h % 200, seed=i)
+                pdf, text = big(200 + h % 200, seed=i, compress=True)
                 gen = "giant"
             else:
-                pdf, text = big(10 + h % 31, seed=i)
+                pdf, text = big(10 + h % 31, seed=i, compress=True)
                 gen = "heavy"
         elif r < malformed_ratio + big_ratio:
             pdf, text = big(200 + h % 300, seed=i)
