@@ -223,3 +223,18 @@ def test_html_main_content_extraction():
     pdf, exp = fixtures.minimal("Dispatch")
     text, kind, doc = htmltext.extract_any(pdf)
     assert kind == "pdf" and text == exp and doc is not None
+
+
+def test_contents_array_concatenation():
+    """/Contents array streams joined with newline separators (S10)."""
+    pdf, expected = fixtures.contents_array()
+    assert Document(pdf).extract_all() == expected
+
+
+def test_attribute_inheritance():
+    """MediaBox/Rotate/Resources inherited from the Pages node (T2)."""
+    pdf, expected = fixtures.inherited_attrs()
+    doc = Document(pdf)
+    assert doc.extract_all() == expected
+    info = doc.get_page_info(0)
+    assert info == {"width": 400.0, "height": 500.0, "rotation": 90}

@@ -678,6 +678,35 @@ def html_page(i: int = 0) -> Tuple[bytes, str]:
     return doc.encode("utf-8"), expected
 
 
+def contents_array() -> Tuple[bytes, str]:
+    """/Contents as an ARRAY of two streams, concatenated with a newline
+    separator after each (pagetree.zig:344-356)."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents [4 0 R 6 0 R] /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(4, b"", b"BT\n/F1 12 Tf\n100 700 Td\n(First) Tj\nET")
+    b.obj(5, _HELVETICA)
+    b.stream_obj(6, b"", b"BT\n/F1 12 Tf\n100 650 Td\n(Second) Tj\nET")
+    # second stream's Td displacement 650 > 0.7*12 with prev_y=700 -> newline
+    return b.finish(7), "First\nSecond"
+
+
+def inherited_attrs() -> Tuple[bytes, str]:
+    """MediaBox/Rotate/Resources inherited from the Pages node; the leaf
+    page dict carries only /Contents (pagetree.zig:206-291)."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+             b"/MediaBox [0 0 400 500] /Rotate 90 "
+             b"/Resources << /Font << /F1 5 0 R >> >> >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    b.stream_obj(4, b"", b"BT\n/F1 12 Tf\n100 400 Td\n(Inherited) Tj\nET\n")
+    b.obj(5, _HELVETICA)
+    return b.finish(6), "Inherited"
+
+
 def quote_ops() -> Tuple[bytes, str]:
     """' and \" show operators: newline then show (root.zig:2141-2176);
     T* emits a bare newline (root.zig:2106-2110)."""
@@ -941,6 +970,14 @@ def _register():
     @var("html")
     def g_html(i):
         return html_page(i)
+
+    @var("contents_array")
+    def g_ca(i):
+        return contents_array()
+
+    @var("inherited")
+    def g_inh(i):
+        return inherited_attrs()
 
 
 _register()
