@@ -164,3 +164,15 @@ def test_pipeline_single_pass(spark, corpus_path, tmp_path):
     # a rerun (either mode) skips everything
     s2 = run_extraction_job(spark, corpus_path, out, n_buckets=4, partitions=4)
     assert s2["buckets_skipped"] == 4 and s2["buckets_run"] == 0
+
+
+def test_driver_contract_shape():
+    """Every oracle key has a query; entry is callable; queries are
+    uniquely named (the driver treats these as the correctness gate)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 25
+    assert callable(entry_mod.entry)
