@@ -314,11 +314,17 @@ def _build_fallback_table() -> List[bytes]:
 
 
 _FALLBACK = _build_fallback_table()
+# bytes OUTSIDE printable ASCII: if data.translate(None, delete=these)
+# is unchanged in length, every byte is printable and maps to itself
+_NON_PRINTABLE = bytes(b for b in range(256) if not (32 <= b < 127))
 
 
 def decode_text(data: bytes, font: Optional[FontEncoding]) -> bytes:
     if font is not None:
         return font.decode(data)
+    # printable-ASCII fast path (identity under writeTextFallback)
+    if len(data.translate(None, _NON_PRINTABLE)) == len(data):
+        return data
     tbl = _FALLBACK
     return b"".join([tbl[b] for b in data])
 

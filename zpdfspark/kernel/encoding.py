@@ -105,7 +105,8 @@ class FontEncoding:
     __slots__ = (
         "codepoint_map", "cmap_ranges", "cmap_range_starts", "cmap_hash",
         "cmap_multi", "is_cid", "bytes_per_char", "wmode", "metrics",
-        "widths", "cid_system_info", "cid_to_gid_map", "cff", "_simple_cache",
+        "widths", "cid_system_info", "cid_to_gid_map", "cff",
+        "_simple_cache", "_ascii_identity",
     )
 
     def __init__(self):
@@ -124,6 +125,7 @@ class FontEncoding:
         self.cid_to_gid_map: Optional[List[int]] = None  # None = identity
         self.cff = None  # CffParser when FontFile3 carries Type1C/CIDFontType0C
         self._simple_cache: Optional[List[bytes]] = None
+        self._ascii_identity = False
 
     # -- decode ----------------------------------------------------------
 
@@ -146,10 +148,17 @@ class FontEncoding:
                 else:
                     tbl.append(_encode_cp(cm[b]))
             self._simple_cache = tbl
+            # ASCII identity fast path: true for WinAnsi/MacRoman/PDFDoc
+            # (codepoints 0-127 map to themselves) unless Differences or
+            # bfchar entries remapped a low byte
+            self._ascii_identity = all(
+                tbl[b] == bytes((b,)) for b in range(128))
         return tbl
 
     def _decode_simple(self, data: bytes) -> bytes:
         tbl = self._simple_table()
+        if self._ascii_identity and data.isascii():
+            return data
         return b"".join([tbl[b] for b in data])
 
     def _lookup_cmap(self, code: int) -> Optional[int]:
