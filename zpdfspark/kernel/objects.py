@@ -121,7 +121,20 @@ _REF_RE = re.compile(rb"[\x00\t\n\x0c\r ]+([0-9]+)[\x00\t\n\x0c\r ]+R")
 # byte that is neither 'R' nor a comment start
 _NONREF_RE = re.compile(
     rb"[\x00\t\n\x0c\r ]+[0-9]+(?:\.[0-9]*)?[\x00\t\n\x0c\r ]*([^\x00\t\n\x0c\r ]?)")
+# single-scan union of _REF_RE and _NONREF_RE: branch 1 (group 2) is the
+# "G R" ref tail, branch 2 (group 3) the provable-miss follower byte —
+# one regex call answers both the hit and the miss lookahead
+_REF_OR_MISS_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]+([0-9]+)"
+    rb"(?:([\x00\t\n\x0c\r ]+R)"
+    rb"|(?:\.[0-9]*)?[\x00\t\n\x0c\r ]*([^\x00\t\n\x0c\r ]?))")
 _NUM_CHARS_RE = re.compile(rb"[0-9.+-]+")
+# bounded intern caches for names / dict keys: PDF name vocabulary is
+# tiny and extremely repetitive (/Type /Page /Font ...); the cap keeps
+# hostile inputs with millions of distinct names from growing the cache
+_NAME_INTERN: dict = {}
+_KEY_INTERN: dict = {}
+_INTERN_CAP = 4096
 _WS_COMMENT_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
 _NAME_BODY_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 _UINT_RE = re.compile(rb"[0-9]+")
@@ -340,9 +353,12 @@ class Parser:
         m = _NAME_BODY_RE.match(self.data, self.pos)
         raw = m.group(0)
         self.pos = m.end()
-        if b"#" in raw:
-            raw = decode_name_escapes(raw)
-        return Name(raw)
+        name = _NAME_INTERN.get(raw)
+        if name is None:
+            name = Name(decode_name_escapes(raw) if b"#" in raw else raw)
+            if len(_NAME_INTERN) < _INTERN_CAP:
+                _NAME_INTERN[raw] = name
+        return name
 
     def parse_string(self) -> bytes:
         s, self.pos = scan_literal_string(self.data, self.pos)
@@ -374,17 +390,15 @@ class Parser:
         """
         first = self._parse_number()
         if type(first) is int and first >= 0:
-            m = _REF_RE.match(self.data, self.pos)
+            m = _REF_OR_MISS_RE.match(self.data, self.pos)
             if m:
-                gen = int(m.group(1))
-                if gen <= 65535:
-                    self.pos = m.end()
-                    return Ref(first, gen)
-                return first  # same outcome as the general backtrack
-            m = _NONREF_RE.match(self.data, self.pos)
-            if m:
-                follower = m.group(1)
-                if follower not in (b"R", b"%"):
+                if m.group(2) is not None:  # "G R" hit
+                    gen = int(m.group(1))
+                    if gen <= 65535:
+                        self.pos = m.end()
+                        return Ref(first, gen)
+                    return first  # same outcome as the general backtrack
+                if m.group(3) not in (b"R", b"%"):
                     # provable miss: the general path would parse the
                     # second number, skip plain whitespace, fail the 'R'
                     # check and backtrack to exactly this position
@@ -477,10 +491,13 @@ class Parser:
                 m = _NAME_BODY_RE.match(data, self.pos + 1)
                 raw = m.group(0)
                 self.pos = m.end()
-                if b"#" in raw:
-                    raw = decode_name_escapes(raw)
+                key = _KEY_INTERN.get(raw)
+                if key is None:
+                    key = (decode_name_escapes(raw) if b"#" in raw
+                           else raw).decode("latin-1")
+                    if len(_KEY_INTERN) < _INTERN_CAP:
+                        _KEY_INTERN[raw] = key
                 value = self.parse_object()
-                key = raw.decode("latin-1")
                 if key not in out:  # first occurrence wins (parser.zig:37-42)
                     out[key] = value
         finally:
