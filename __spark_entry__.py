@@ -363,7 +363,8 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH bucketing (sign bits of
     projections onto 4 deterministic pseudo-random directions derived
     from index parity — shuffle-free bucketing, then per-bucket search).
-    Rows-only check (not SQL-expressible portably)."""
+    The alternating-sign projections replay exactly in DuckDB list
+    lambdas (verified per-vector), so this has a full value oracle."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     # deterministic "hyperplanes": alternating-sign projections by index stride
@@ -390,8 +391,9 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over word md5s — the vectorized (numpy) kernel of
-    the near-dup family; rows-only check (bit-vote arithmetic is not
-    portably SQL-expressible)."""
+    the near-dup family. The word hash is the first 8 md5 digest bytes
+    interpreted little-endian, exactly DuckDB's md5_number_upper(), so
+    the oracle replays the full bit-vote in SQL."""
     import numpy as np
     import pandas as pd
 
@@ -407,7 +409,7 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 votes = np.zeros(64, dtype=np.int64)
                 for w in set(words):
                     h = int.from_bytes(
-                        hashlib.md5(w.encode()).digest()[:8], "big")
+                        hashlib.md5(w.encode()).digest()[:8], "little")
                     bits = np.unpackbits(
                         np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
                     votes += bits.astype(np.int64) * 2 - 1
@@ -526,7 +528,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
         "ann_ivf": _q_ann_ivf,
-        # rows-only (vectorized numpy kernel)
         "simhash": _q_simhash,
     }
 
@@ -639,5 +640,41 @@ def oracle_sql() -> dict[str, str]:
             " sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 3) AS cos_r3 "
             "FROM embeddings e, q WHERE e.vec_id != 0) "
             "SELECT vec_id, cos_r3 FROM scored ORDER BY cos_r3 DESC, vec_id LIMIT 10"
+        ),
+        "ann_lsh_buckets": (
+            # sign-bit bucketing over the 4 alternating-sign projections;
+            # i // stride in DuckDB == (i / stride)::int in Spark for i >= 0
+            "WITH b AS (SELECT vec_id, "
+            + " + ".join(
+                "CASE WHEN list_sum(list_transform(range(len(embedding)), "
+                f"i -> CAST(embedding[i+1] AS DOUBLE) * "
+                f"(CASE WHEN (i // {stride}) % 2 = 0 THEN 1.0 ELSE -1.0 END))) > 0 "
+                f"THEN {weight} ELSE 0 END"
+                for stride, weight in ((1, 8), (2, 4), (4, 2), (8, 1))
+            )
+            + " AS bucket FROM embeddings) "
+            "SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket ORDER BY bucket"
+        ),
+        "simhash": (
+            # exact replay of the 64-bit SimHash bit-vote: DuckDB's
+            # md5_number_upper == first 8 md5 bytes little-endian, the
+            # same word hash the Spark kernel uses
+            "WITH words AS ("
+            "  SELECT doc_id, unnest(list_distinct(string_split(coalesce(text, ''), ' '))) AS w"
+            "  FROM documents"
+            "), votes AS ("
+            "  SELECT doc_id, pos,"
+            "         sum(CASE WHEN (md5_number_upper(w) >> (63 - pos)) & 1 = 1"
+            "                  THEN 1 ELSE -1 END) AS v"
+            "  FROM words CROSS JOIN (SELECT unnest(range(64)) AS pos) bits"
+            "  GROUP BY doc_id, pos"
+            "), sh AS ("
+            "  SELECT doc_id,"
+            "         CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << (63 - pos)) ELSE 0 END) AS UBIGINT) AS s"
+            "  FROM votes GROUP BY doc_id"
+            ") SELECT doc_id,"
+            "       lpad(lower(to_hex(s)), 16, '0') AS simhash,"
+            "       lpad(lower(to_hex(s >> 48)), 4, '0') AS band16 "
+            "FROM sh ORDER BY doc_id"
         ),
     }

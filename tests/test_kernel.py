@@ -83,6 +83,41 @@ class TestParser:
     def test_comment_skipped(self):
         assert self.p(b"% comment\n42").parse_object() == 42
 
+    def test_name_interning_escape_aliases(self):
+        # /A#42 and /AB decode to the same name via DIFFERENT raw
+        # spellings; the intern cache is keyed on raw bytes, so both
+        # must still decode correctly and compare equal
+        a = self.p(b"/A#42").parse_object()
+        b = self.p(b"/AB").parse_object()
+        assert a == b == Name(b"AB")
+        # first-occurrence-wins must hold across alias spellings too
+        d = self.p(b"<< /A#42 1 /AB 2 >>").parse_object()
+        assert d == {"AB": 1}
+
+    def test_intern_cache_cap(self):
+        from zpdfspark.kernel import objects as obj_mod
+        # hostile input with many distinct names must not grow the
+        # caches past the cap (and parsing must stay correct)
+        before = len(obj_mod._NAME_INTERN)
+        payload = b" ".join(b"/N%d" % i for i in range(obj_mod._INTERN_CAP + 500))
+        p = self.p(b"[" + payload + b"]")
+        arr = p.parse_object()
+        assert arr[0] == Name(b"N0")
+        assert arr[-1] == Name(b"N%d" % (obj_mod._INTERN_CAP + 499))
+        assert len(obj_mod._NAME_INTERN) <= obj_mod._INTERN_CAP
+
+    def test_ref_lookahead_edge_cases(self):
+        # missing space before R: general path still yields a ref
+        assert self.p(b"1 2R").parse_object() == Ref(1, 2)
+        # gen > 65535 is not a ref
+        assert self.p(b"1 70000 R").parse_object() == 1
+        # float second number is not a ref
+        assert self.p(b"1 2.5 R").parse_object() == 1
+        # comment between tokens: still a ref via the general path
+        assert self.p(b"1 % c\n0 R").parse_object() == Ref(1, 0)
+        # number at EOF backtracks cleanly
+        assert self.p(b"7 8").parse_object() == 7
+
 
 class TestFilters:
     def test_asciihex(self):
