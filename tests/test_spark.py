@@ -111,6 +111,23 @@ def test_lineage_metrics_populated(spark, corpus_path, tmp_path):
     assert row["errors"] == truth
 
 
+def test_maybe_salted_map_only_default(spark, corpus_path):
+    """The 100 TB shape: by default no exchange touches the raw blobs —
+    extraction runs on scan splits. Salt / big-doc isolation /
+    --repartition-blobs opt back into the exchange."""
+    from zpdfspark.spark.pipeline import maybe_salted
+
+    df = spark.read.parquet(corpus_path).select("url", "html")
+    plain = maybe_salted(df, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plain
+    forced = maybe_salted(df, 8, repartition_blobs=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in forced
+    salted_plan = maybe_salted(df, 8, salt=7) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in salted_plan
+
+
 def test_salted_partitioning_spreads_rows(spark, corpus_path):
     from zpdfspark.spark.pipeline import salted
 
