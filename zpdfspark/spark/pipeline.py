@@ -59,7 +59,8 @@ from zpdfspark.spark.udfs import EXTRACT_SCHEMA, extract_arrow_batches
 
 LINEAGE_SCHEMA = (
     "bucket int, n_docs long, n_pages long, n_chars long, n_errors long, "
-    "n_encrypted long, structured_pages long, stream_pages long, "
+    "n_encrypted long, objects_resolved long, streams_decoded long, "
+    "structured_pages long, stream_pages long, "
     "geometric_pages long, coverage_fallbacks long, "
     "wall_secs double, status string, finished_at string"
 )
@@ -108,6 +109,7 @@ def salted(df: DataFrame, partitions: int, salt: int = 0,
 
 
 _METRIC_COLS = ("n_pages", "n_chars", "error_count", "is_encrypted",
+                "objects_resolved", "streams_decoded",
                 "structured_pages", "stream_pages", "geometric_pages",
                 "coverage_fallbacks")
 
@@ -145,6 +147,8 @@ def _lineage_rows_from_observation(obs: Observation, buckets: List[int],
             "n_chars": g("n_chars"),
             "n_errors": g("error_count"),
             "n_encrypted": g("is_encrypted"),
+            "objects_resolved": g("objects_resolved"),
+            "streams_decoded": g("streams_decoded"),
             "structured_pages": g("structured_pages"),
             "stream_pages": g("stream_pages"),
             "geometric_pages": g("geometric_pages"),
@@ -279,7 +283,8 @@ def run_extraction_job(
             time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
         lineage_row = rows[0] if rows else {
             "bucket": bucket, "n_docs": 0, "n_pages": 0, "n_chars": 0,
-            "n_errors": 0, "n_encrypted": 0, "structured_pages": 0,
+            "n_errors": 0, "n_encrypted": 0, "objects_resolved": 0,
+            "streams_decoded": 0, "structured_pages": 0,
             "stream_pages": 0, "geometric_pages": 0,
             "coverage_fallbacks": 0, "wall_secs": time.time() - t0,
             "status": "ok",
