@@ -129,8 +129,10 @@ def _hw_scaling_ceiling(sf_dir: str, low: int, high: int,
 
     def run(cores: int) -> float:
         chunks = [(i, blobs[i::cores]) for i in range(cores)]
-        with Pool(cores) as p:
-            p.map(_mp_extract, [(i, []) for i in range(cores)])  # warm
+        # initializer guarantees EVERY worker pays the kernel import
+        # before the timed region (a warm-up map does not: fast tasks
+        # can all drain through a subset of workers)
+        with Pool(cores, initializer=_mp_warm) as p:
             t0 = time.perf_counter()
             p.map(_mp_extract, chunks)
             return time.perf_counter() - t0
@@ -140,7 +142,11 @@ def _hw_scaling_ceiling(sf_dir: str, low: int, high: int,
         tl, th = run(low), run(high)
         t_low = tl if t_low is None or tl < t_low else t_low
         t_high = th if t_high is None or th < t_high else t_high
-    return t_low / (4 * t_high)
+    return t_low / ((high / low) * t_high)
+
+
+def _mp_warm():
+    import zpdfspark.kernel  # noqa: F401
 
 
 def _mp_extract(args):

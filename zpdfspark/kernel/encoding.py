@@ -149,15 +149,17 @@ class FontEncoding:
                     tbl.append(_encode_cp(cm[b]))
             self._simple_cache = tbl
             # ASCII identity fast path: true for WinAnsi/MacRoman/PDFDoc
-            # (codepoints 0-127 map to themselves) unless Differences or
-            # bfchar entries remapped a low byte
+            # (codepoints 1-127 map to themselves) unless Differences or
+            # bfchar entries remapped a low byte. Byte 0 is excluded —
+            # it maps to space per the 0->space rule — so the fast path
+            # additionally requires NUL-free input.
             self._ascii_identity = all(
-                tbl[b] == bytes((b,)) for b in range(128))
+                tbl[b] == bytes((b,)) for b in range(1, 128))
         return tbl
 
     def _decode_simple(self, data: bytes) -> bytes:
         tbl = self._simple_table()
-        if self._ascii_identity and data.isascii():
+        if self._ascii_identity and data.isascii() and 0 not in data:
             return data
         return b"".join([tbl[b] for b in data])
 

@@ -66,14 +66,22 @@ LINEAGE_SCHEMA = (
 )
 
 
+def wants_blob_shuffle(repartition_blobs: bool, salt: int,
+                       big_doc_bytes: int) -> bool:
+    """Single source of truth for whether the raw blobs get the salting
+    exchange: explicit opt-in, a non-zero salt, or big-doc isolation
+    (the latter two can't work without it)."""
+    return repartition_blobs or salt != 0 or big_doc_bytes > 0
+
+
 def maybe_salted(df: DataFrame, partitions: int, salt: int = 0,
                  big_doc_bytes: int = 0, repartition_blobs: bool = False
                  ) -> DataFrame:
-    """Apply the salting exchange only when asked for: a non-zero salt
-    or big-doc isolation implies it; otherwise extraction runs map-only
-    on the scan splits (the default — no shuffle ever touches the raw
-    blobs, the shape a 100 TB job needs)."""
-    if repartition_blobs or salt != 0 or big_doc_bytes > 0:
+    """Apply the salting exchange only when asked for (see
+    wants_blob_shuffle); otherwise extraction runs map-only on the scan
+    splits (the default — no shuffle ever touches the raw blobs, the
+    shape a 100 TB job needs)."""
+    if wants_blob_shuffle(repartition_blobs, salt, big_doc_bytes):
         return salted(df, partitions, salt=salt, big_doc_bytes=big_doc_bytes)
     return df
 
@@ -161,18 +169,23 @@ def _lineage_rows_from_observation(obs: Observation, buckets: List[int],
 
 
 def _tune_scan_splits(spark: SparkSession, df: DataFrame,
-                      partitions: int) -> None:
+                      partitions: int):
     """Size parquet scan splits so the source yields ≈``partitions``
     map tasks. The map-only design hinges on this: with no repartition
     exchange, scan splits ARE the work units, and the default 128 MB
     ``maxPartitionBytes`` gives a blob table too few, too-coarse splits
-    (one straggler split = one idle-cores tail). Measured sweep on the
-    heavy corpus: ~4 splits per core amortizes the wave tail without
-    over-fragmenting (bench.py uses the same rule)."""
+    (one straggler split = one idle-cores tail). Callers pass
+    ``partitions`` ≈ 4× the core count (the run_extraction_job default
+    and bench.py's measured sweep optimum) so every core gets ~4 waves.
+
+    Returns the previous ``maxPartitionBytes`` value (or None if
+    untouched) so the caller can restore the session-global conf after
+    the job — the blob-sized splits must not leak into other scans on
+    the same session."""
     try:
         files = df.inputFiles()
         if not files or not partitions:
-            return
+            return None
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         jvm = spark.sparkContext._jvm
         total = 0
@@ -180,10 +193,13 @@ def _tune_scan_splits(spark: SparkSession, df: DataFrame,
             p = jvm.org.apache.hadoop.fs.Path(f)
             total += p.getFileSystem(conf).getFileStatus(p).getLen()
         if total:
+            prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
             target = max(total // partitions + 1, 1 << 20)
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+            return prev
     except Exception:
         pass  # stats unavailable (e.g. some catalogs) — keep defaults
+    return None
 
 
 def bucket_of(url_col, n_buckets: int):
@@ -227,7 +243,10 @@ def run_extraction_job(
     prunes bucket(warc_ts) partitions at the snapshot level).
     """
     if partitions is None:
-        partitions = spark.sparkContext.defaultParallelism
+        # ~4 map work-units per core: amortizes the wave tail whether
+        # the units are scan splits (map-only) or shuffle partitions
+        # (salted) — the measured sweep optimum (BASELINE.md)
+        partitions = 4 * spark.sparkContext.defaultParallelism
     if writer_tasks is None:
         writer_tasks = 2 * spark.sparkContext.defaultParallelism
     lineage_path = os.path.join(output_path, "_lineage")
@@ -243,10 +262,26 @@ def run_extraction_job(
     if until:
         df = df.where(F.col("warc_ts") < F.lit(until))
     df = df.select("url", "html").withColumn("bucket", bucket_of(F.col("url"), n_buckets))
-    if not (repartition_blobs or salt != 0 or big_doc_bytes > 0):
+    prev_split_conf = None
+    if not wants_blob_shuffle(repartition_blobs, salt, big_doc_bytes):
         # map-only path: scan splits are the work units — size them
-        _tune_scan_splits(spark, df, partitions)
+        prev_split_conf = _tune_scan_splits(spark, df, partitions)
 
+    try:
+        return _run_buckets(spark, df, n_buckets, partitions, salt, resume,
+                            mode, max_doc_bytes, big_doc_bytes, single_pass,
+                            repartition_blobs, writer_tasks, data_path,
+                            lineage_path)
+    finally:
+        if prev_split_conf is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes",
+                           prev_split_conf)
+
+
+def _run_buckets(spark, df, n_buckets, partitions, salt, resume, mode,
+                 max_doc_bytes, big_doc_bytes, single_pass,
+                 repartition_blobs, writer_tasks, data_path,
+                 lineage_path) -> dict:
     done = set(completed_buckets(spark, lineage_path)) if resume else set()
     todo = [b for b in range(n_buckets) if b not in done]
     summary = {"buckets_total": n_buckets, "buckets_skipped": len(done),
@@ -267,17 +302,23 @@ def run_extraction_job(
             extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes), EXTRACT_SCHEMA
         ).withColumn("bucket", F.lit(bucket))
         out_dir = os.path.join(data_path, f"bucket={bucket}")
-        # per-bucket metrics rollup rides along with the write via
-        # observe() — no re-read of the bucket's output
-        obs, exprs = _lineage_observation([bucket])
-        result = result.observe(obs, *exprs).drop("bucket")
+        result = result.drop("bucket")
         if writer_tasks:
             # coalesce the (small) extracted output to a bounded number
             # of writer tasks — output file count stays O(writer_tasks)
             # instead of O(map tasks), shrinking the serial commit
             result = result.repartition(
                 writer_tasks, F.xxhash64("url", F.lit(1)))
-        result.write.mode("overwrite").parquet(out_dir)
+        # per-bucket metrics rollup rides along with the write via
+        # observe() — no re-read of the bucket's output. The observe is
+        # attached ABOVE the writer exchange so CollectMetrics runs in
+        # the final (result) stage, where Spark applies accumulator
+        # updates exactly once per partition; below the exchange it
+        # would sit in a shuffle-map stage, where speculative or
+        # retried attempts can double-count.
+        obs, exprs = _lineage_observation([bucket])
+        result.withColumn("bucket", F.lit(bucket)).observe(obs, *exprs) \
+            .drop("bucket").write.mode("overwrite").parquet(out_dir)
         rows = _lineage_rows_from_observation(
             obs, [bucket], time.time() - t0,
             time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
@@ -314,21 +355,26 @@ def _run_single_pass(spark, df, todo, n_buckets, partitions, salt, mode,
     result = part.drop("bucket").mapInArrow(
         extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes), EXTRACT_SCHEMA
     ).withColumn("bucket", bucket_of(F.col("url"), n_buckets))
-    obs, exprs = _lineage_observation(todo)
-    result = result.observe(obs, *exprs)
     if writer_tasks:
         # shuffle the EXTRACTED rows (text — ~10x smaller than the raw
-        # blobs, which stay map-only) into writer_tasks partitions
-        # grouped by bucket: each writer task holds one (bucket,
-        # sub-split), so the dynamic-partition write opens ONE file per
-        # task instead of n_buckets, and total output files are
-        # O(writer_tasks) instead of O(map_tasks * n_buckets).
-        # Measured at pinned local[16] on the 60k heavy corpus:
-        # 17.7 s -> 13.4 s end-to-end, 512 -> 32 files.
+        # blobs, which stay map-only) into writer_tasks hash partitions
+        # keyed by (bucket, sub-split). Grouping by bucket keeps each
+        # writer task touching few buckets (few open files); 4x more
+        # sub-splits than partitions smooths the balls-in-bins skew of
+        # hash placement. Output files are O(writer_tasks) instead of
+        # O(map_tasks * n_buckets) and the serial commit shrinks with
+        # them. Measured at pinned local[16] on the 60k heavy corpus:
+        # 17.7 s -> 13.4 s end-to-end, 512 -> ~32 files.
         sub = F.pmod(F.xxhash64("url", F.lit(1)),
-                     F.lit(max(writer_tasks // n_buckets, 1)))
+                     F.lit(max(writer_tasks // n_buckets, 1) * 4))
         result = result.repartition(writer_tasks, F.col("bucket"), sub)
-    result.write.mode("append").partitionBy("bucket").parquet(data_path)
+    # observe ABOVE the writer exchange: CollectMetrics evaluates in the
+    # final (result) stage where accumulator updates are exactly-once
+    # per partition; below the exchange, speculative execution or a
+    # shuffle-map stage retry could double-count the lineage metrics.
+    obs, exprs = _lineage_observation(todo)
+    result.observe(obs, *exprs) \
+        .write.mode("append").partitionBy("bucket").parquet(data_path)
 
     wall = time.time() - t0
     finished = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
