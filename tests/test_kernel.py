@@ -106,6 +106,26 @@ class TestParser:
         assert arr[-1] == Name(b"N%d" % (obj_mod._INTERN_CAP + 499))
         assert len(obj_mod._NAME_INTERN) <= obj_mod._INTERN_CAP
 
+    def test_simple_font_ascii_fast_path(self):
+        from zpdfspark.kernel.encoding import FontEncoding
+
+        f = FontEncoding()  # stock WinAnsi map
+        f._simple_table()
+        # bytes 1-127 are identity under WinAnsi; byte 0 maps to space,
+        # so the flag must hold (it excludes 0) and NUL input must still
+        # take the table path
+        assert f._ascii_identity is True
+        assert f._decode_simple(b"Hello, World!") == b"Hello, World!"
+        assert f._decode_simple(b"a\x00b") == b"a b"
+        assert f._decode_simple(b"caf\xe9") == "café".encode("utf-8")
+        # a /Differences remap of a low byte must disable the fast path
+        g = FontEncoding()
+        g.codepoint_map = g.codepoint_map[:]
+        g.codepoint_map[0x41] = 0x42  # 'A' -> 'B'
+        g._simple_table()
+        assert g._ascii_identity is False
+        assert g._decode_simple(b"A") == b"B"
+
     def test_ref_lookahead_edge_cases(self):
         # missing space before R: general path still yields a ref
         assert self.p(b"1 2R").parse_object() == Ref(1, 2)
