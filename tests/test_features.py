@@ -225,6 +225,32 @@ def test_html_main_content_extraction():
     assert kind == "pdf" and text == exp and doc is not None
 
 
+def test_html_link_density_pruning():
+    """Link-density boilerplate rule (htmltext spec rule 5): lines that
+    are mostly anchor text are dropped; prose with inline links stays."""
+    from zpdfspark.kernel import htmltext
+
+    raw, expected = fixtures.html_linkfarm(3)
+    assert htmltext.extract_main_text(raw) == expected
+    # a pure-link line is dropped even without list markup
+    page = (b"<html><body><p><a href='/x'>all link text here</a></p>"
+            b"<p>Plain prose line that clearly stays in the output.</p>"
+            b"</body></html>")
+    assert htmltext.extract_main_text(page) == \
+        "Plain prose line that clearly stays in the output."
+    # exactly-2/3 is NOT pruned (threshold is strict >)
+    page = b"<html><body><p><a href='/x'>aabb</a>cc</p></body></html>"
+    assert htmltext.extract_main_text(page) == "aabbcc"
+    # anchors spanning block boundaries don't count as link text
+    page = (b"<html><body><a href='/x'><p>Broken anchor prose one.</p>"
+            b"<p>Broken anchor prose two.</p></a></body></html>")
+    assert htmltext.extract_main_text(page) == \
+        "Broken anchor prose one.\nBroken anchor prose two."
+    # &#10; inside a line still splits lines after unescape
+    page = b"<html><body><p>alpha&#10;beta</p></body></html>"
+    assert htmltext.extract_main_text(page) == "alpha\nbeta"
+
+
 def test_contents_array_concatenation():
     """/Contents array streams joined with newline separators (S10)."""
     pdf, expected = fixtures.contents_array()

@@ -678,6 +678,34 @@ def html_page(i: int = 0) -> Tuple[bytes, str]:
     return doc.encode("utf-8"), expected
 
 
+def html_linkfarm(i: int = 0) -> Tuple[bytes, str]:
+    """A page WITHOUT <main>/<article>: a related-links farm (every
+    line >2/3 anchor text -> dropped by link-density pruning,
+    kernel/htmltext.py spec rule 5) around real paragraphs. A paragraph
+    with an inline citation link stays (density below the threshold)."""
+    farm = "".join(
+        f'<li><a href="/p{k}">Popular article number {k} right here</a></li>'
+        for k in range(4)
+    )
+    paras = [f"Body paragraph {i}-{p} with enough plain prose to keep."
+             for p in range(2)]
+    cite = (f'See <a href="/ref">the reference</a> for details on '
+            f'item {i} and more surrounding prose text.')
+    doc = (
+        "<!DOCTYPE html><html><head><title>T</title></head>"
+        f"<body><div><ul>{farm}</ul></div>"
+        f"<div><h1>Link Title {i}</h1>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + f"<p>{cite}</p></div>"
+        "</body></html>"
+    )
+    expected = "\n".join(
+        [f"Link Title {i}"] + paras
+        + [f"See the reference for details on item {i} and more "
+           "surrounding prose text."])
+    return doc.encode("utf-8"), expected
+
+
 def contents_array() -> Tuple[bytes, str]:
     """/Contents as an ARRAY of two streams, concatenated with a newline
     separator after each (pagetree.zig:344-356)."""
@@ -970,6 +998,10 @@ def _register():
     @var("html")
     def g_html(i):
         return html_page(i)
+
+    @var("html_linkfarm")
+    def g_html_lf(i):
+        return html_linkfarm(i)
 
     @var("contents_array")
     def g_ca(i):

@@ -16,6 +16,10 @@ semantics (the spec for the fixture oracles):
 4. DOM heuristic: if a <main> or <article> element exists, extraction
    is restricted to the first such element (main-content selection);
    otherwise the whole stripped <body> (or document) is used
+5. link-density pruning (the jusText/trafilatura-style boilerplate
+   rule): a line whose anchor text makes up more than 2/3 of its
+   visible characters is navigation/related-links boilerplate and is
+   dropped; anchors that span block boundaries don't count as links
 """
 
 from __future__ import annotations
@@ -43,7 +47,9 @@ _BLOCK_TAG_RE = re.compile(
     re.IGNORECASE,
 )
 _TAG_RE = re.compile(rb"<[^>]*>")
+_A_RE = re.compile(rb"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE)
 _WS_RE = re.compile(r"[ \t\r\f\v]+")
+_LINK_DENSITY_MAX = 2 / 3
 
 
 def looks_like_html(raw: bytes) -> bool:
@@ -65,13 +71,23 @@ def extract_main_text(raw: bytes) -> str:
             if b:
                 data = b.group(1)
         data = _BLOCK_TAG_RE.sub(b"\n", data)
-        data = _TAG_RE.sub(b"", data)
-        text = html_mod.unescape(data.decode("utf-8", "replace"))
         lines = []
-        for line in text.split("\n"):
-            line = _WS_RE.sub(" ", line).strip()
-            if line:
-                lines.append(line)
+        for raw_line in data.split(b"\n"):
+            stripped = _TAG_RE.sub(b"", raw_line)
+            visible = stripped.strip()
+            if not visible:
+                continue
+            # link-density pruning: anchors fully contained in the line
+            link_chars = sum(
+                len(_TAG_RE.sub(b"", m).strip()) for m in _A_RE.findall(raw_line))
+            if link_chars / len(visible) > _LINK_DENSITY_MAX:
+                continue
+            text = html_mod.unescape(stripped.decode("utf-8", "replace"))
+            # &#10; entities decode to newlines: they split lines too
+            for piece in text.split("\n"):
+                piece = _WS_RE.sub(" ", piece).strip()
+                if piece:
+                    lines.append(piece)
         return "\n".join(lines)
     except Exception:
         return ""
