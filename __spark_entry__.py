@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-_CORPUS_VERSION = "v8"  # bump when fixtures change (cached at /tmp)
+from zpdfspark.fixtures import CORPUS_VERSION as _CORPUS_VERSION
 _SF_DOCS = {"sf0.001": 200, "sf0.01": 800, "sf0.1": 3000}
 
 

@@ -33,7 +33,9 @@ def _bench_corpus_path(sf_dir: str) -> str:
     so the measurement is compute-bound, not overhead-bound."""
     sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.1"
     n = _BENCH_DOCS.get(sf, 5000)
-    path = f"/tmp/zpdfspark_bench_corpus_v3_{sf}_{n}.parquet"
+    from zpdfspark.fixtures import CORPUS_VERSION
+
+    path = f"/tmp/zpdfspark_bench_corpus_{CORPUS_VERSION}_{sf}_{n}.parquet"
     if not os.path.exists(path):
         from zpdfspark.fixtures import write_corpus_parquet
 

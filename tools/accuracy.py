@@ -62,12 +62,12 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
 
-    from zpdfspark.fixtures import write_corpus_parquet
+    from zpdfspark.fixtures import CORPUS_VERSION, write_corpus_parquet
     from zpdfspark.spark.session import get_spark
 
     import pyspark.sql.functions as F
 
-    path = f"/tmp/zpdfspark_acc_{n_docs}_{seed}.parquet"
+    path = f"/tmp/zpdfspark_acc_{CORPUS_VERSION}_{n_docs}_{seed}.parquet"
     if not os.path.exists(path):
         write_corpus_parquet(path + ".tmp", n_docs, seed=seed)
         os.replace(path + ".tmp", path)

@@ -1025,6 +1025,10 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
     "encrypted": lambda: (encrypted()[0], None),
 }
 
+# bump whenever any generator's bytes or expected text change — every
+# /tmp corpus cache key must include it or stale oracles leak into runs
+CORPUS_VERSION = "v8"
+
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
