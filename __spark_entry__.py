@@ -19,16 +19,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from zpdfspark.fixtures import CORPUS_VERSION as _CORPUS_VERSION
+# zpdfspark imports stay function-local in this file (it must import
+# standalone before --py-files lands); the corpus version is read
+# lazily in _corpus_path for the same reason.
 _SF_DOCS = {"sf0.001": 200, "sf0.01": 800, "sf0.1": 3000}
 
 
 def _corpus_path(sf_dir: str) -> str:
+    from zpdfspark.fixtures import CORPUS_VERSION, write_corpus_parquet
+
     sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.001"
     n = _SF_DOCS.get(sf, 200)
-    path = f"/tmp/zpdfspark_corpus_{_CORPUS_VERSION}_{sf}_{n}.parquet"
+    path = f"/tmp/zpdfspark_corpus_{CORPUS_VERSION}_{sf}_{n}.parquet"
     if not os.path.exists(path):
-        from zpdfspark.fixtures import write_corpus_parquet
         write_corpus_parquet(path + ".tmp", n, seed=42)
         os.replace(path + ".tmp", path)
     return path

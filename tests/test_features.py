@@ -249,6 +249,23 @@ def test_html_link_density_pruning():
     # &#10; inside a line still splits lines after unescape
     page = b"<html><body><p>alpha&#10;beta</p></body></html>"
     assert htmltext.extract_main_text(page) == "alpha\nbeta"
+    # tags wrapped across source newlines leave no fragments (source
+    # \n is whitespace, spec rule 2)
+    page = (b"<html><body><p>hello</p>\n"
+            b'<a\nhref="/y">nav link text all anchor</a></body></html>')
+    assert htmltext.extract_main_text(page) == "hello"
+    # wrapped anchor text still counts for link density
+    page = (b"<html><body><li><a href='/a'>related article\n"
+            b"number one goes here</a></li>"
+            b"<p>Real prose content that must stay here.</p></body></html>")
+    assert htmltext.extract_main_text(page) == \
+        "Real prose content that must stay here."
+    # density measured after entity unescape: &#187; decoration cannot
+    # dilute the ratio below the threshold
+    page = (b"<html><body><li>&#187;&#187;&#187; "
+            b"<a href='/x'>Article name</a></li>"
+            b"<p>Plain paragraph kept.</p></body></html>")
+    assert htmltext.extract_main_text(page) == "Plain paragraph kept."
 
 
 def test_contents_array_concatenation():

@@ -683,8 +683,13 @@ def html_linkfarm(i: int = 0) -> Tuple[bytes, str]:
     line >2/3 anchor text -> dropped by link-density pruning,
     kernel/htmltext.py spec rule 5) around real paragraphs. A paragraph
     with an inline citation link stays (density below the threshold)."""
+    # anchors wrapped across source newlines + entity-decorated rows:
+    # source \n is whitespace (spec rule 2), entities count unescaped
+    # (rule 5) — all four farm lines must be pruned
     farm = "".join(
-        f'<li><a href="/p{k}">Popular article number {k} right here</a></li>'
+        f'<li><a\nhref="/p{k}">Popular article\nnumber {k} right here</a></li>'
+        if k % 2 else
+        f'<li>&#187; <a href="/p{k}">Popular article number {k} here</a></li>'
         for k in range(4)
     )
     paras = [f"Body paragraph {i}-{p} with enough plain prose to keep."
@@ -1027,7 +1032,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v8"
+CORPUS_VERSION = "v9"
 
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)

@@ -9,8 +9,11 @@ semantics (the spec for the fixture oracles):
    and the boilerplate containers <head>, <nav>, <header>, <footer>,
    <aside> (non-nested; hostile nesting degrades to tag-strip, never
    crashes)
-2. block-level tags (p, div, br, li, tr, h1-h6, section, article,
-   blockquote, pre, table) break lines; other tags are removed inline
+2. source newlines are plain whitespace (HTML semantics) — normalized
+   to spaces first, so tags/anchors wrapped across pretty-printed
+   lines behave identically to single-line markup; block-level tags
+   (p, div, br, li, tr, h1-h6, section, article, blockquote, pre,
+   table) break lines; other tags are removed inline
 3. entities unescaped (html.unescape); whitespace collapsed per line;
    empty lines dropped; lines joined with "\\n"
 4. DOM heuristic: if a <main> or <article> element exists, extraction
@@ -18,8 +21,9 @@ semantics (the spec for the fixture oracles):
    otherwise the whole stripped <body> (or document) is used
 5. link-density pruning (the jusText/trafilatura-style boilerplate
    rule): a line whose anchor text makes up more than 2/3 of its
-   visible characters is navigation/related-links boilerplate and is
-   dropped; anchors that span block boundaries don't count as links
+   visible characters (measured after entity unescape) is
+   navigation/related-links boilerplate and is dropped; anchors that
+   span block boundaries don't count as links
 """
 
 from __future__ import annotations
@@ -70,21 +74,28 @@ def extract_main_text(raw: bytes) -> str:
             b = _BODY_RE.search(data)
             if b:
                 data = b.group(1)
+        # source newlines are whitespace, not breaks: normalizing them
+        # first keeps tags/anchors wrapped across pretty-printed lines
+        # intact for the tag and link-density regexes below
+        data = data.replace(b"\r", b" ").replace(b"\n", b" ")
         data = _BLOCK_TAG_RE.sub(b"\n", data)
         lines = []
         for raw_line in data.split(b"\n"):
             stripped = _TAG_RE.sub(b"", raw_line)
-            visible = stripped.strip()
+            visible = html_mod.unescape(
+                stripped.decode("utf-8", "replace")).strip()
             if not visible:
                 continue
-            # link-density pruning: anchors fully contained in the line
+            # link-density pruning on UNESCAPED characters: anchors
+            # fully contained in the line vs the line's visible text
             link_chars = sum(
-                len(_TAG_RE.sub(b"", m).strip()) for m in _A_RE.findall(raw_line))
+                len(html_mod.unescape(
+                    _TAG_RE.sub(b"", m).decode("utf-8", "replace")).strip())
+                for m in _A_RE.findall(raw_line))
             if link_chars / len(visible) > _LINK_DENSITY_MAX:
                 continue
-            text = html_mod.unescape(stripped.decode("utf-8", "replace"))
             # &#10; entities decode to newlines: they split lines too
-            for piece in text.split("\n"):
+            for piece in visible.split("\n"):
                 piece = _WS_RE.sub(" ", piece).strip()
                 if piece:
                     lines.append(piece)
