@@ -144,3 +144,56 @@ def test_structured_fuzz_content_cmap_cff():
         doc = Document(pdf)
         doc.extract_all("accuracy")
         doc.extract_bounds(0)
+
+
+# --- htmltext differential oracle -----------------------------------------
+
+_WORD = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+# each item is (kind, words): plain text, an inline wrapper (removed),
+# or an anchor (counts toward link density)
+_ITEM = st.tuples(st.sampled_from(["text", "span", "a", "amp"]),
+                  st.lists(_WORD, min_size=1, max_size=4))
+_BLOCK = st.lists(_ITEM, min_size=1, max_size=5)
+_PAGE = st.lists(_BLOCK, min_size=1, max_size=6)
+
+
+@_SETTINGS
+@given(_PAGE, st.randoms(use_true_random=False))
+def test_htmltext_differential_oracle(blocks, rnd):
+    """Random pages through extract_main_text vs an oracle computed
+    directly from the spec (kernel/htmltext.py rules 1-5): boilerplate
+    dropped, source newlines are whitespace, inline tags removed,
+    anchors counted unescaped for link density, >2/3 pruned."""
+    from zpdfspark.kernel.htmltext import extract_main_text
+
+    html_parts = ["<!DOCTYPE html><html><head><title>t</title>"
+                  "<script>var x=1;</script></head><body>"]
+    expected_lines = []
+    for block in blocks:
+        frags, visible_words, link_words = [], [], []
+        for kind, words in block:
+            if kind == "amp":
+                # entity word: visible as '&', not a link
+                frags.append("&amp;")
+                visible_words.append("&")
+                continue
+            text = " ".join(words)
+            if kind == "text":
+                frags.append(text)
+                visible_words.append(text)
+            elif kind == "span":
+                frags.append(f"<span class='x'>{text}</span>")
+                visible_words.append(text)
+            else:  # anchor — sometimes wrapped across a source newline
+                sep = "\n" if rnd.random() < 0.3 else " "
+                frags.append(f"<a{sep}href='/l'>{text}</a>")
+                visible_words.append(text)
+                link_words.append(text)
+        line = " ".join(visible_words)
+        html_parts.append("<p>" + " ".join(frags) + "</p>")
+        link_chars = sum(len(w) for w in link_words)
+        if link_chars / len(line) <= 2 / 3:
+            expected_lines.append(line)
+    html_parts.append("<footer>boiler</footer></body></html>")
+    got = extract_main_text("".join(html_parts).encode())
+    assert got == "\n".join(expected_lines)
