@@ -56,3 +56,35 @@ def test_extraction_is_map_only(spark, corpus):
 
     plan = _formatted(extract_dataframe(corpus, "accuracy"), spark)
     assert "Exchange" not in plan
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+def test_relational_ops_stay_jvm_side(spark, sf_dir):
+    """The web-scale relational queries must compile to pure JVM plans:
+    no row-at-a-time Python (BatchEvalPython) and no Arrow-batched
+    Python (ArrowEvalPython / MapInPandas) in ops expressible with
+    built-in expressions."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in ("dedup_exact", "dedup_summary", "token_counts",
+                 "quality_scores", "lang_guess", "fingerprints",
+                 "minhash_signatures", "lsh_buckets", "ann_topk",
+                 "ann_lsh_buckets", "embedding_norms"):
+        plan = _formatted(qs[name](spark, sf_dir), spark)
+        assert "EvalPython" not in plan, f"{name} fell off the JVM:\n{plan}"
+        assert "MapInPandas" not in plan, f"{name} uses pandas:\n{plan}"
+
+
+def test_ngram_jaccard_joins_on_band(spark, sf_dir):
+    """Near-dup candidate generation must join on the LSH band key (an
+    equi-join the optimizer can hash), never a cartesian product."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["ngram_jaccard"](spark, sf_dir), spark)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
