@@ -392,6 +392,27 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (zpdfspark/spark/media.py): 1-to-N row
+    expansion inside the scan task, each frame md5-fingerprinted.
+    Character-chunked so the DuckDB substr() oracle replays it exactly
+    on non-ASCII text."""
+    from zpdfspark.spark.media import frame_sample_dataframe
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return frame_sample_dataframe(d).orderBy("doc_id", "frame_idx")
+
+
+def _q_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extract plumbing: deterministic 4-dim
+    fingerprint embedding (md5_number_upper-compatible), exact DuckDB
+    oracle."""
+    from zpdfspark.spark.media import embed_dataframe
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return embed_dataframe(d).orderBy("doc_id")
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over word md5s — the vectorized (numpy) kernel of
     the near-dup family. The word hash is the first 8 md5 digest bytes
@@ -532,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "ann_ivf": _q_ann_ivf,
         "simhash": _q_simhash,
+        "media_frames": _q_media_frames,
+        "media_embed": _q_media_embed,
     }
 
 
@@ -657,6 +680,23 @@ def oracle_sql() -> dict[str, str]:
             )
             + " AS bucket FROM embeddings) "
             "SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket ORDER BY bucket"
+        ),
+        "media_frames": (
+            # exact replay of the frame sampler: char-boundary substr
+            # hashes the same UTF-8 bytes md5 sees on the Spark side
+            "SELECT doc_id, CAST(k AS INT) AS frame_idx, "
+            "md5(substr(coalesce(text,''), CAST(k*64+1 AS BIGINT), 64)) AS frame_md5 "
+            "FROM documents, "
+            "unnest(range(CAST(ceil(length(coalesce(text,''))/64.0) AS BIGINT))) AS t(k) "
+            "ORDER BY doc_id, frame_idx"
+        ),
+        "media_embed": (
+            "SELECT doc_id, "
+            "(md5_number_upper(coalesce(text,'') || '|0') % 1000) / 1000.0 AS e0, "
+            "(md5_number_upper(coalesce(text,'') || '|1') % 1000) / 1000.0 AS e1, "
+            "(md5_number_upper(coalesce(text,'') || '|2') % 1000) / 1000.0 AS e2, "
+            "(md5_number_upper(coalesce(text,'') || '|3') % 1000) / 1000.0 AS e3 "
+            "FROM documents ORDER BY doc_id"
         ),
         "simhash": (
             # exact replay of the 64-bit SimHash bit-vote: DuckDB's

@@ -193,3 +193,49 @@ def test_driver_contract_shape():
     assert set(oracles) <= set(qs)
     assert len(qs) >= 25
     assert callable(entry_mod.entry)
+
+
+def test_media_plumbing(spark, corpus_path):
+    """Multimodal kernels (spark/media.py): decode stub produces error
+    records (never raises), the fake path is deterministic, frame
+    sampling expands 1-to-N inside the task, embeddings are stable."""
+    from zpdfspark.spark import media
+
+    df = spark.read.parquet(corpus_path).limit(20)
+
+    # decode: stub -> ok=False everywhere, schema intact
+    dec = media.decode_dataframe(df).collect()
+    assert len(dec) == 20 and all(not r.decode_ok for r in dec)
+    # fake decode: deterministic dims, all ok
+    fake1 = {r.url: (r.width, r.height) for r in
+             media.decode_dataframe(df, fake=True).collect()}
+    fake2 = {r.url: (r.width, r.height) for r in
+             media.decode_dataframe(df, fake=True).collect()}
+    assert fake1 == fake2
+    assert all(1 <= w <= 64 and 1 <= h <= 64 for w, h in fake1.values())
+
+    # resize: stub fails soft; fake sizes w*h*3
+    rs = media.resize_dataframe(df, 32, 16, fake=True).collect()
+    assert all(r.out_bytes == 32 * 16 * 3 and r.resize_ok for r in rs)
+    rs0 = media.resize_dataframe(df, 32, 16).collect()
+    assert all(not r.resize_ok and r.out_bytes == 0 for r in rs0)
+
+    # frame sampling: 1-to-N with exact chunk arithmetic
+    import pandas as pd
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": ["x" * 130, "y" * 64, ""]})
+    sdf = spark.createDataFrame(pdf)
+    frames = media.frame_sample_dataframe(sdf).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert sorted(per_doc[1]) == [0, 1, 2]   # 130 chars -> 3 frames
+    assert per_doc[2] == [0]
+    assert 3 not in per_doc                   # empty payload -> no rows
+
+    # embeddings: 4 dims in [0, 1), deterministic
+    e1 = {r.doc_id: (r.e0, r.e1, r.e2, r.e3)
+          for r in media.embed_dataframe(sdf).collect()}
+    e2 = {r.doc_id: (r.e0, r.e1, r.e2, r.e3)
+          for r in media.embed_dataframe(sdf).collect()}
+    assert e1 == e2 and all(0 <= v < 1 for vs in e1.values() for v in vs)

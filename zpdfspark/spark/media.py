@@ -1,0 +1,167 @@
+"""Multimodal column plumbing: decode / feature-extract / resize /
+frame-sample over opaque binary media, as Arrow-batched pandas kernels.
+
+The image/audio/video codec libraries are not available in this
+environment (round-1 brief), so the DECODE step is stubbed behind a
+clearly-marked NotImplementedError with a deterministic fake used by
+tests — but the Spark-side plumbing (schemas, mapInPandas signatures,
+1-to-N row expansion, batch shapes, partitioning) is real and tested,
+and the two operations whose semantics are pure arithmetic over the
+payload (frame sampling, fingerprint embeddings) are EXACTLY
+replayable in SQL, so they carry full DuckDB value oracles in
+__spark_entry__.py.
+
+At 100 TB scale these kernels run map-only on scan splits like the PDF
+extraction kernel: media blobs are never shuffled; frame explosion
+happens inside the task that read the blob.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+
+DECODE_SCHEMA = ("url string, media_kind string, n_bytes long, "
+                 "width int, height int, decode_ok boolean")
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+EMBED_SCHEMA = "doc_id long, e0 double, e1 double, e2 double, e3 double"
+RESIZE_SCHEMA = ("url string, out_width int, out_height int, "
+                 "out_bytes long, resize_ok boolean")
+
+
+def decode_media(raw: bytes, kind: str):
+    """Decode an opaque media payload -> (width, height, pixels).
+
+    STUB: real decoding needs codec libraries absent from this
+    container. Raises NotImplementedError for every kind; callers must
+    treat a failed decode as data, not as a task failure."""
+    raise NotImplementedError(f"media decode for {kind!r} not available "
+                              "in this environment")
+
+
+def _fake_decode(raw: bytes):
+    """Deterministic decode FAKE for tests: dimensions derived from the
+    payload hash — stable per blob, no codec involved."""
+    h = hashlib.md5(raw).digest()
+    return (h[0] % 64 + 1, h[1] % 64 + 1)
+
+
+def decode_dataframe(df: DataFrame, url_col: str = "url",
+                     blob_col: str = "html", fake: bool = False) -> DataFrame:
+    """Decode kernel plumbing: per-row (width, height, ok) with the
+    stub (ok=False everywhere) or the deterministic fake (tests)."""
+    def batches(it):
+        import pandas as pd
+
+        for b in it:
+            rows = {"url": [], "media_kind": [], "n_bytes": [],
+                    "width": [], "height": [], "decode_ok": []}
+            for url, blob in zip(b[url_col], b[blob_col]):
+                raw = bytes(blob)
+                kind = "pdf" if raw.startswith(b"%PDF-") else "binary"
+                w = h = 0
+                ok = False
+                try:
+                    if fake:
+                        w, h = _fake_decode(raw)
+                        ok = True
+                    else:
+                        decode_media(raw, kind)
+                except NotImplementedError:
+                    ok = False
+                rows["url"].append(url)
+                rows["media_kind"].append(kind)
+                rows["n_bytes"].append(len(raw))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["decode_ok"].append(ok)
+            yield pd.DataFrame(rows)
+
+    return df.select(url_col, blob_col).mapInPandas(batches, DECODE_SCHEMA)
+
+
+def frame_sample_dataframe(df: DataFrame, id_col: str = "doc_id",
+                           payload_col: str = "text",
+                           frame_chars: int = 64) -> DataFrame:
+    """Frame sampling as 1-to-N row expansion inside the scan task:
+    the payload is split into fixed-size frames (characters, so the
+    DuckDB oracle's substr() sees the same boundaries for non-ASCII),
+    each fingerprinted with md5. The video analog — every Nth frame
+    hashed/kept — has exactly this plan shape: map-only explode, no
+    blob shuffle."""
+    def batches(it):
+        import pandas as pd
+
+        for b in it:
+            ids, idxs, hashes = [], [], []
+            for did, payload in zip(b[id_col], b[payload_col]):
+                s = payload or ""
+                for k in range(0, len(s), frame_chars):
+                    ids.append(did)
+                    idxs.append(k // frame_chars)
+                    hashes.append(hashlib.md5(
+                        s[k:k + frame_chars].encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+def embed_dataframe(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "text") -> DataFrame:
+    """Feature extraction plumbing: a deterministic 4-dim fingerprint
+    embedding (md5_number_upper-compatible hash per dimension, scaled
+    to [0,1)) — the stand-in for a real encoder, chosen so DuckDB can
+    replay every value exactly."""
+    def batches(it):
+        import pandas as pd
+
+        for b in it:
+            rows = {"doc_id": [], "e0": [], "e1": [], "e2": [], "e3": []}
+            for did, payload in zip(b[id_col], b[payload_col]):
+                s = payload or ""
+                rows["doc_id"].append(did)
+                for k in range(4):
+                    h = int.from_bytes(
+                        hashlib.md5(f"{s}|{k}".encode()).digest()[:8],
+                        "little")
+                    rows[f"e{k}"].append((h % 1000) / 1000.0)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, EMBED_SCHEMA)
+
+
+def resize_dataframe(df: DataFrame, width: int, height: int,
+                     url_col: str = "url", blob_col: str = "html",
+                     fake: bool = False) -> DataFrame:
+    """Resize kernel plumbing: target dimensions + output size. With
+    the decode stub, resize_ok is False and out_bytes 0; the fake path
+    sizes the output deterministically (w*h*3 RGB bytes)."""
+    def batches(it):
+        import pandas as pd
+
+        for b in it:
+            rows = {"url": [], "out_width": [], "out_height": [],
+                    "out_bytes": [], "resize_ok": []}
+            for url, blob in zip(b[url_col], b[blob_col]):
+                raw = bytes(blob)
+                ok = False
+                out_bytes = 0
+                try:
+                    if fake:
+                        _fake_decode(raw)
+                        out_bytes = width * height * 3
+                        ok = True
+                    else:
+                        decode_media(raw, "image")
+                except NotImplementedError:
+                    ok = False
+                rows["url"].append(url)
+                rows["out_width"].append(width)
+                rows["out_height"].append(height)
+                rows["out_bytes"].append(out_bytes)
+                rows["resize_ok"].append(ok)
+            yield pd.DataFrame(rows)
+
+    return df.select(url_col, blob_col).mapInPandas(batches, RESIZE_SCHEMA)
