@@ -83,6 +83,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # =========================================================================
 
 
+def _q_extract_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule per-row invariant AS A VALUE ORACLE: extracted
+    text per url, hash-compared by the driver against the
+    corpus-carried oracle text served by DuckDB from the same parquet
+    (oracle_sql ensures the corpus file exists before returning)."""
+    from zpdfspark.spark.udfs import extract_dataframe
+
+    corpus = _corpus(spark, sf_dir)
+    extracted = extract_dataframe(corpus.where(F.col("text").isNotNull()),
+                                  mode="accuracy")
+    return extracted.select("url", "extracted_text").orderBy("url")
+
+
 def _q_extract(mode: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from zpdfspark.spark.udfs import extract_dataframe
@@ -528,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction family (rows-only; parity carried in matches_oracle)
         "extract_accuracy": _q_extract("accuracy"),
+        "extract_parity": _q_extract_parity,
         "extract_fast": _q_extract("fast"),
         "extract_metadata": _q_metadata,
         "extract_spans": _q_spans,
@@ -559,7 +573,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the extract_parity oracle reads the SAME fixture-corpus parquet
+    # the Spark query extracts from; the driver compares at sf=0.01 —
+    # materialize that corpus now so DuckDB can read it in any order
+    parity_corpus = _corpus_path("/root/testdata/sf0.01")
     return {
+        "extract_parity": (
+            # byte-parity value oracle: the corpus text column IS the
+            # expected extraction (FIXTURES.md §1); rows with null text
+            # (malformed variants) are excluded on both sides
+            f"SELECT url, text AS extracted_text "
+            f"FROM read_parquet('{parity_corpus}') "
+            f"WHERE text IS NOT NULL ORDER BY url"
+        ),
         "doc_stats_by_lang": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "min(doc_id) AS first_doc FROM documents GROUP BY lang ORDER BY lang"
