@@ -178,6 +178,38 @@ class TestFilters:
         out = filters._png_predictor(bytes(enc), 4, 1, 8)
         assert out == b"".join(rows)
 
+    def test_flate_bomb_capped_incrementally(self):
+        """A small crafted blob inflating past the 256 MiB cap must be
+        rejected WITHOUT materializing the full output (ADVICE round 1:
+        the post-hoc check let flush() inflate a 1 GiB bomb to 2.1 GB
+        peak). We cap-check via a shrunk cap so the test stays fast."""
+        import zlib
+        bomb = zlib.compress(b"\x00" * (8 * 1024 * 1024), 9)  # ~8 KB -> 8 MiB
+        orig = filters.MAX_DECOMPRESSED_SIZE
+        filters.MAX_DECOMPRESSED_SIZE = 1024 * 1024
+        try:
+            with pytest.raises(filters.DecompressError):
+                filters._decode_flate(bomb, None)
+        finally:
+            filters.MAX_DECOMPRESSED_SIZE = orig
+        # and a normal stream still round-trips with flush engaged
+        assert filters._decode_flate(zlib.compress(b"hi" * 100), None) == b"hi" * 100
+
+    def test_filter_chain_junk_raises(self):
+        """A /Filter array longer than 16 entries, or containing
+        non-Name junk, must raise so stream_data falls back to the RAW
+        bytes — not return partially-decoded output as if it succeeded
+        (decompress.zig:40-47 error path)."""
+        from zpdfspark.kernel.objects import Name
+        with pytest.raises(filters.DecompressError):
+            filters.decompress_stream(b"x", [Name(b"ASCIIHexDecode")] * 17, None)
+        with pytest.raises(filters.DecompressError):
+            filters.decompress_stream(b"x", [Name(b"ASCIIHexDecode"), 42], None)
+        # a 16-name chain of no-ops still decodes
+        out = filters.decompress_stream(
+            b"48656C6C6F>", [Name(b"ASCIIHexDecode")], None)
+        assert out == b"Hello"
+
     def test_lzw_roundtrip_simple(self):
         # Hand-built LZW stream: clear(256), 'A'(65), 'B'(66), EOD(257) @9 bits
         bits = ""

@@ -98,3 +98,36 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     out2 = spark.read.parquet(os.path.join(output_dir, "data"))
     assert out2.count() == 50  # no duplicates added
     assert out2.select("url").distinct().count() == 50
+
+    # state stays BOUNDED across re-crawls: exactly one state row per
+    # distinct url ever seen (not per shard-list rewritten per batch,
+    # not growing with re-crawled batches)
+    progress = q2.lastProgress
+    assert progress is not None
+    state_rows = progress["stateOperators"][0]["numRowsTotal"]
+    assert state_rows == 50
+
+
+def test_streaming_extraction_sink_is_idempotent(spark, tmp_path):
+    """Replaying a committed batch_id (restart-after-write crash window)
+    must not duplicate rows: the batch_id=N directory is skipped when it
+    already carries _SUCCESS."""
+    from zpdfspark.spark.streaming import (
+        _idempotent_batch_writer, start_streaming_extraction)
+
+    input_dir = str(tmp_path / "in4")
+    output_dir = str(tmp_path / "out4")
+    ckpt = str(tmp_path / "ckpt4")
+    _write_drop(input_dir, 30, seed=9)
+    q = start_streaming_extraction(spark, input_dir, output_dir, ckpt)
+    q.awaitTermination(120)
+    data = os.path.join(output_dir, "data")
+    n0 = spark.read.parquet(data).count()
+    assert n0 == 30
+
+    # simulate the foreachBatch replay: re-deliver batch 0's input
+    sink = _idempotent_batch_writer(spark, output_dir)
+    replay_df = spark.read.parquet(input_dir).select("url", "html") \
+        .withColumn("extracted_text", F.lit("x"))
+    sink(replay_df, 0)  # skipped: _SUCCESS already present
+    assert spark.read.parquet(data).count() == n0

