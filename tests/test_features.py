@@ -281,3 +281,92 @@ def test_attribute_inheritance():
     assert doc.extract_all() == expected
     info = doc.get_page_info(0)
     assert info == {"width": 400.0, "height": 500.0, "rotation": 90}
+
+
+# -- corpus expected-column pins (v10): the carried oracle values are
+# ground truth — these literals pin the eager kernel (whose outputs the
+# corpus carries) to the spec, so the driver's value oracles prove the
+# DISTRIBUTED pipeline against a pinned reference, not against itself --
+
+
+def test_expected_row_ground_truth_literals():
+    from zpdfspark.fixtures import expected_row
+
+    # metadata: the generator-authored /Info fields (testpdf.zig:638-683)
+    r = expected_row(*fixtures.metadata_pdf())
+    assert r["meta_title"] == "Test Document"
+    assert r["meta_author"] == "Test Author"
+    assert r["meta_subject"] == "Test Subject"
+    assert r["meta_keywords"] == "test, pdf, zpdf"
+    assert r["meta_creator"] == "TestGenerator"
+    assert r["meta_producer"] == "zpdfspark"
+    assert r["meta_creation_date"] is None and r["meta_mod_date"] is None
+    assert r["n_pages"] == 1 and r["err_n"] == 0 and not r["is_enc"]
+    assert r["n_chars_acc"] == len("Metadata Test")
+
+    # feature counts the generators construct explicitly
+    assert expected_row(*fixtures.outline_pdf())["n_outline"] == 1
+    assert expected_row(*fixtures.nested_outline_pdf())["n_outline"] == 3
+    assert expected_row(*fixtures.link_pdf())["n_links"] == 1
+    assert expected_row(*fixtures.form_fields_pdf())["n_form_fields"] == 2
+    assert expected_row(*fixtures.image_pdf())["n_images"] == 1
+    assert expected_row(*fixtures.page_labels_pdf())["labels"] == ["i", "ii", "1"]
+    assert expected_row(*fixtures.extended_page_labels_pdf())["labels"] == [
+        "I", "II", "a", "App-1", "App-2"]
+
+    # reading-order tier metrics: tagged -> structured, untagged -> stream
+    rt = expected_row(*fixtures.tagged())
+    assert (rt["acc_structured"], rt["acc_stream"], rt["acc_geometric"]) == (1, 0, 0)
+    assert rt["fast_stream"] == 1
+    assert rt["text_fast"] == "World\nHello"  # stream order differs by design
+    rm = expected_row(*fixtures.minimal("Hello World"))
+    assert (rm["acc_structured"], rm["acc_stream"], rm["acc_geometric"]) == (0, 1, 0)
+    assert rm["markdown"] == "Hello World\n"
+
+
+def test_expected_row_tagged_md_struct_map():
+    """The struct-type -> markdown element map (markdown.zig:564-606)
+    on the H1/P/L-LI/Code fixture, pinned byte-for-byte."""
+    from zpdfspark.fixtures import expected_row
+
+    pdf, text = fixtures.tagged_md()
+    assert text == "Title Body text item one code line"
+    r = expected_row(pdf, text)
+    assert r["markdown_structured"] == (
+        "# Title\n\nBody text\n\n- item one\n\n```\ncode line\n```\n")
+    assert r["text_fast"] == "Title\nBody text\nitem one\ncode line"
+    assert Document(pdf).extract_all("accuracy") == text
+
+
+def test_search_scanner_is_independent_ground_truth():
+    """fixtures.search_matches_expected re-reads the search spec
+    (root.zig:1221-1275) over the carried text; the kernel must agree
+    with it on a real document."""
+    from zpdfspark.fixtures import search_matches_expected
+
+    m = search_matches_expected("say Hello\x0chello again")
+    assert m == [
+        {"page": 0, "soffset": 4, "context": "say Hello"},
+        {"page": 1, "soffset": 0, "context": "hello again"},
+    ]
+    pdf, text = fixtures.minimal("Hello World")
+    got = Document(pdf).search("Hello")
+    exp = search_matches_expected(text)
+    assert [(g["page"], g["offset"], g["context"]) for g in got] == \
+        [(e["page"], e["soffset"], e["context"]) for e in exp]
+
+
+def test_doc_json_field_semantics():
+    """CLI -f json object (main.zig:252-339): metadata keys only when
+    non-null, 1-based page numbers, label omitted when absent."""
+    import json
+
+    from zpdfspark.fixtures import expected_row
+
+    dj = json.loads(expected_row(*fixtures.metadata_pdf())["doc_json"])
+    assert dj["page_count"] == 1
+    assert dj["metadata"]["title"] == "Test Document"
+    assert "creation_date" not in dj["metadata"]  # null fields omitted
+    assert dj["pages"][0] == {"page": 1, "text": "Metadata Test"}
+    dj2 = json.loads(expected_row(*fixtures.page_labels_pdf())["doc_json"])
+    assert [p["label"] for p in dj2["pages"]] == ["i", "ii", "1"]

@@ -85,6 +85,21 @@ def test_ngram_jaccard_joins_on_band(spark, sf_dir):
     equi-join the optimizer can hash), never a cartesian product."""
     import __spark_entry__ as E
 
-    plan = _formatted(E.queries()["ngram_jaccard"](spark, sf_dir), spark)
+    plan = _formatted(E.queries()["ngram_jaccard_sample"](spark, sf_dir), spark)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_minhash_signatures_map_only(spark, sf_dir):
+    """The minhash signature stage must be MAP-ONLY: min over per-word
+    md5s inside array lambdas, not explode + word-level shuffle +
+    groupBy (round-1 verdict fix). No Exchange, no aggregate at all."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["minhash_signatures"](spark, sf_dir), spark)
+    # the only allowed Exchange is the driver-determinism orderBy's
+    # range exchange; there must be NO hash-partition exchange, no
+    # HashAggregate, and no word explode anywhere
+    assert "HashAggregate" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "Generate explode" not in plan, plan

@@ -239,3 +239,51 @@ def test_media_plumbing(spark, corpus_path):
     e2 = {r.doc_id: (r.e0, r.e1, r.e2, r.e3)
           for r in media.embed_dataframe(sdf).collect()}
     assert e1 == e2 and all(0 <= v < 1 for vs in e1.values() for v in vs)
+
+
+def test_format_job_json_and_pages(spark, tmp_path):
+    """CLI -f json / -p a-b (main.zig:173-177, 252-339): json docs carry
+    {metadata, page_count, outline, pages}; an explicit page range
+    restricts the page array / page rows kernel-side."""
+    from zpdfspark.fixtures import write_corpus_parquet
+    from zpdfspark.spark.pipeline import parse_page_range, run_format_job
+
+    src = str(tmp_path / "src.parquet")
+    write_corpus_parquet(src, 40, seed=11)
+
+    out = str(tmp_path / "json_out")
+    s = run_format_job(spark, src, out, "json")
+    assert s["rows"] == 40
+    rows = spark.read.parquet(os.path.join(out, "data")).collect()
+    multi = [r for r in rows if "/multipage/" in r["url"]]
+    assert multi
+    doc = json.loads(multi[0]["doc_json"])
+    assert doc["page_count"] >= 2
+    assert [p["page"] for p in doc["pages"]] == list(
+        range(1, doc["page_count"] + 1))
+    assert all("text" in p for p in doc["pages"])
+
+    # --pages 1-1: every multipage doc's json carries exactly page 1
+    out2 = str(tmp_path / "json_p1")
+    run_format_job(spark, src, out2, "json", page_range=parse_page_range("1-1"))
+    rows2 = spark.read.parquet(os.path.join(out2, "data")).collect()
+    doc2 = json.loads([r for r in rows2 if r["url"] == multi[0]["url"]][0]["doc_json"])
+    assert [p["page"] for p in doc2["pages"]] == [1]
+    assert doc2["pages"][0]["text"] == doc["pages"][0]["text"]
+    assert doc2["page_count"] == doc["page_count"]  # count is doc-level
+
+    # text format + --pages -> per-page rows within the range
+    out3 = str(tmp_path / "pages_out")
+    s3 = run_format_job(spark, src, out3, "text", page_range=(2, 3))
+    pg = spark.read.parquet(os.path.join(out3, "data"))
+    pages_seen = {r["page"] for r in pg.select("page").distinct().collect()}
+    assert pages_seen <= {1, 2}  # 0-based rows for 1-based range 2-3
+    assert s3["rows"] == pg.count() > 0
+
+    # markdown format renders every doc
+    out4 = str(tmp_path / "md_out")
+    s4 = run_format_job(spark, src, out4, "markdown")
+    assert s4["rows"] == 40
+
+    with pytest.raises(ValueError):
+        parse_page_range("3-1")

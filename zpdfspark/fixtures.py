@@ -432,6 +432,36 @@ def tagged() -> Tuple[bytes, str]:
     return b.finish(10), "Hello World"
 
 
+def tagged_md() -> Tuple[bytes, str]:
+    """Tagged PDF with H1/P/L-LI/Code structure types, exercising the
+    struct-type -> markdown element map (markdown.zig:564-606) via the
+    opt-in structured markdown mode, plus the standard MCID reading
+    order. Accuracy text: MCID texts in tree order, space-joined."""
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R /StructTreeRoot 6 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    content = (b"/H1 << /MCID 0 >> BDC\n"
+               b"BT\n/F1 24 Tf\n100 700 Td\n(Title) Tj\nET\nEMC\n"
+               b"/P << /MCID 1 >> BDC\n"
+               b"BT\n/F1 12 Tf\n100 670 Td\n(Body text) Tj\nET\nEMC\n"
+               b"/LI << /MCID 2 >> BDC\n"
+               b"BT\n/F1 12 Tf\n100 640 Td\n(item one) Tj\nET\nEMC\n"
+               b"/Code << /MCID 3 >> BDC\n"
+               b"BT\n/F1 12 Tf\n100 610 Td\n(code line) Tj\nET\nEMC\n")
+    b.stream_obj(4, b"", content)
+    b.obj(5, _HELVETICA)
+    b.obj(6, b"<< /Type /StructTreeRoot /K 7 0 R >>")
+    b.obj(7, b"<< /Type /StructElem /S /Document /K [8 0 R 9 0 R 10 0 R 12 0 R] >>")
+    b.obj(8, b"<< /Type /StructElem /S /H1 /Pg 3 0 R /K 0 >>")
+    b.obj(9, b"<< /Type /StructElem /S /P /Pg 3 0 R /K 1 >>")
+    b.obj(10, b"<< /Type /StructElem /S /L /Pg 3 0 R /K 11 0 R >>")
+    b.obj(11, b"<< /Type /StructElem /S /LI /Pg 3 0 R /K 2 >>")
+    b.obj(12, b"<< /Type /StructElem /S /Code /Pg 3 0 R /K 3 >>")
+    return b.finish(13), "Title Body text item one code line"
+
+
 def _minimal_cff(sids: List[int]) -> bytes:
     """Hand-assembled CFF 1.0 blob: charset format 0 mapping gid i+1 ->
     sids[i]; one-byte endchar charstrings. Exercises the reference's
@@ -940,6 +970,10 @@ def _register():
     def g_tag(i):
         return tagged()
 
+    @var("tagged_md")
+    def g_tagmd(i):
+        return tagged_md()
+
     @var("missing_length")
     def g_ml(i):
         return missing_length()
@@ -1032,7 +1066,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v9"
+CORPUS_VERSION = "v10"
 
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -1084,26 +1118,190 @@ def corpus_rows(n_docs: int, seed: int = 42, malformed_ratio: float = 0.01,
         yield (url, ts, pdf, text, lang)
 
 
+def search_matches_expected(text: Optional[str], query: str = "Hello") -> List[dict]:
+    """INDEPENDENT ground-truth scanner for the search oracle: finds all
+    case-insensitive (ASCII-lower, byte-wise — root.zig:1221-1275)
+    matches over the carried expected text's \\x0c-separated pages, with
+    the reference's exact byte-offset and ±50-byte context-window rules.
+    Deliberately NOT the kernel's Document.search — a 10-line re-read of
+    the spec, so the oracle catches kernel drift."""
+    if not text:
+        return []
+    qb = query.encode("utf-8")
+    q_lower = bytes(c + 32 if 0x41 <= c <= 0x5A else c for c in qb)
+    out = []
+    for page_idx, page in enumerate(text.split("\x0c")):
+        pb = page.encode("utf-8")
+        lb = bytes(c + 32 if 0x41 <= c <= 0x5A else c for c in pb)
+        pos = 0
+        while pos + len(q_lower) <= len(lb):
+            f = lb.find(q_lower, pos)
+            if f == -1:
+                break
+            ctx_start = f - 50 if f > 50 else 0
+            ctx_end = min(f + len(qb) + 50, len(pb))
+            out.append({
+                "page": page_idx,
+                "soffset": f,
+                "context": pb[ctx_start:ctx_end].decode("utf-8", "replace"),
+            })
+            pos = f + len(q_lower)
+    return out
+
+
+def _sniff_media_kind(raw: bytes) -> str:
+    """Ground-truth media sniff (the generator knows its own bytes):
+    same magic-byte rules as the media_stats query."""
+    from .kernel.htmltext import looks_like_html
+
+    if raw.startswith(b"%PDF-"):
+        return "pdf"
+    if raw.startswith(b"\x89PNG"):
+        return "png"
+    if raw.startswith(b"\xff\xd8"):
+        return "jpeg"
+    if looks_like_html(raw):
+        return "html"
+    return "unknown"
+
+
+# expected-column names carried by the mixed-profile corpus (beyond the
+# input_hint's five columns). Split by provenance:
+#  - GENERATOR-DERIVED ground truth: text (the generators' own expected
+#    extraction), search_hello (independent scanner above, over text),
+#    media_kind (magic bytes the generator wrote)
+#  - EAGER-KERNEL differential: everything else — computed once at
+#    generation time by running the pinned pure-Python kernel on the
+#    generated bytes (SURVEY.md §5.4's "pinned eager reference"), then
+#    value-pinned to handwritten literals per generator family in
+#    tests/test_features.py. The driver oracle then proves the
+#    DISTRIBUTED pipeline byte-equals the eager kernel; the pytest
+#    literals pin the eager kernel to the spec.
+EXPECTED_COLUMNS = (
+    "text_fast", "n_pages", "n_chars_acc", "n_chars_fast", "is_enc",
+    "err_n", "acc_structured", "acc_stream", "acc_geometric", "fast_stream",
+    "meta_title", "meta_author", "meta_subject", "meta_keywords",
+    "meta_creator", "meta_producer", "meta_creation_date", "meta_mod_date",
+    "n_outline", "n_links", "n_form_fields", "n_images", "labels",
+    "markdown", "markdown_structured", "spans", "page_texts", "doc_json",
+    "search_hello", "media_kind",
+)
+
+
+def expected_row(raw: bytes, text: Optional[str]) -> dict:
+    """Compute every EXPECTED_COLUMNS value for one document."""
+    from .kernel import Document
+    from .kernel.htmltext import extract_any
+    from .spark.udfs import document_json
+
+    text_a, _, doc_a = extract_any(raw, "accuracy")
+    text_f, _, doc_f = extract_any(raw, "fast")
+    row = {
+        "text_fast": text_f,
+        "n_chars_acc": len(text_a),
+        "n_chars_fast": len(text_f),
+    }
+    if doc_a is None:  # html row: the extraction kernel's empty-doc path
+        row.update({"n_pages": 0, "is_enc": False, "err_n": 0,
+                    "acc_structured": 0, "acc_stream": 0, "acc_geometric": 0,
+                    "fast_stream": 0})
+    else:
+        row.update({
+            "n_pages": doc_a.page_count,
+            "is_enc": doc_a.is_encrypted,
+            "err_n": len(doc_a.errors),
+            "acc_structured": doc_a.metrics["structured_pages"],
+            "acc_stream": doc_a.metrics["stream_pages"],
+            "acc_geometric": doc_a.metrics["geometric_pages"],
+            "fast_stream": doc_f.metrics["stream_pages"],
+        })
+    # feature extractors run on a fresh Document exactly like each Spark
+    # kernel does (html bytes -> parse errors -> empty outputs)
+    doc = Document(raw)
+    md = doc.metadata()
+    for k in ("title", "author", "subject", "keywords", "creator",
+              "producer", "creation_date", "mod_date"):
+        row[f"meta_{k}"] = md[k]
+    n_links = n_images = 0
+    for p in range(doc.page_count):
+        n_links += len(doc.get_links(p))
+        n_images += len(doc.get_images(p))
+    row["n_outline"] = len(doc.outline())
+    row["n_links"] = n_links
+    row["n_form_fields"] = len(doc.form_fields())
+    row["n_images"] = n_images
+    row["labels"] = [doc.get_page_label(p) for p in range(doc.page_count)]
+    row["markdown"] = doc.extract_all_markdown()
+    row["markdown_structured"] = doc.extract_all_markdown(structured=True)
+    spans = []
+    for p in range(doc.page_count):
+        for s in doc.extract_bounds(p):
+            spans.append({"page": p, "x0": s.x0, "y0": s.y0, "x1": s.x1,
+                          "y1": s.y1, "text": s.text.decode("utf-8", "replace"),
+                          "font_size": s.font_size})
+    row["spans"] = spans
+    row["page_texts"] = [
+        doc.extract_text_structured_bytes(p).decode("utf-8", "replace")
+        for p in range(doc.page_count)]
+    row["doc_json"] = document_json(doc)
+    row["search_hello"] = search_matches_expected(text)
+    row["media_kind"] = _sniff_media_kind(raw)
+    return row
+
+
 def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
                          profile: str = "mixed") -> str:
-    """Write the corpus as a parquet file (pyarrow; no Spark needed)."""
+    """Write the corpus as a parquet file (pyarrow; no Spark needed).
+
+    The mixed profile (the correctness corpus) self-carries the expected
+    output of EVERY driver query family (EXPECTED_COLUMNS) so
+    ``oracle_sql()`` can serve value oracles straight from the same
+    parquet; the heavy profile (throughput corpus) skips them — nulls —
+    because benches only read url/html/text."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    urls, tss, htmls, texts, langs = [], [], [], [], []
+    cols = {k: [] for k in
+            ("url", "warc_ts", "html", "text", "lang", *EXPECTED_COLUMNS)}
+    null_expected = {k: None for k in EXPECTED_COLUMNS}
     for url, ts, html, text, lang in corpus_rows(n_docs, seed=seed, profile=profile):
-        urls.append(url)
-        tss.append(ts)
-        htmls.append(html)
-        texts.append(text)
-        langs.append(lang)
-    table = pa.table({
-        "url": pa.array(urls, pa.string()),
-        "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
-        "html": pa.array(htmls, pa.binary()),
-        "text": pa.array(texts, pa.string()),
-        "lang": pa.array(langs, pa.string()),
-    })
+        cols["url"].append(url)
+        cols["warc_ts"].append(ts)
+        cols["html"].append(html)
+        cols["text"].append(text)
+        cols["lang"].append(lang)
+        exp = expected_row(html, text) if profile == "mixed" else null_expected
+        for k in EXPECTED_COLUMNS:
+            cols[k].append(exp[k])
+    spans_type = pa.list_(pa.struct([
+        ("page", pa.int32()), ("x0", pa.float64()), ("y0", pa.float64()),
+        ("x1", pa.float64()), ("y1", pa.float64()), ("text", pa.string()),
+        ("font_size", pa.float64()),
+    ]))
+    search_type = pa.list_(pa.struct([
+        ("page", pa.int32()), ("soffset", pa.int64()), ("context", pa.string()),
+    ]))
+    types = {
+        "url": pa.string(), "warc_ts": pa.timestamp("us", tz="UTC"),
+        "html": pa.binary(), "text": pa.string(), "lang": pa.string(),
+        "text_fast": pa.string(), "n_pages": pa.int32(),
+        "n_chars_acc": pa.int64(), "n_chars_fast": pa.int64(),
+        "is_enc": pa.bool_(), "err_n": pa.int32(),
+        "acc_structured": pa.int32(), "acc_stream": pa.int32(),
+        "acc_geometric": pa.int32(), "fast_stream": pa.int32(),
+        "meta_title": pa.string(), "meta_author": pa.string(),
+        "meta_subject": pa.string(), "meta_keywords": pa.string(),
+        "meta_creator": pa.string(), "meta_producer": pa.string(),
+        "meta_creation_date": pa.string(), "meta_mod_date": pa.string(),
+        "n_outline": pa.int32(), "n_links": pa.int32(),
+        "n_form_fields": pa.int32(), "n_images": pa.int32(),
+        "labels": pa.list_(pa.string()),
+        "markdown": pa.string(), "markdown_structured": pa.string(),
+        "spans": spans_type, "page_texts": pa.list_(pa.string()),
+        "doc_json": pa.string(), "search_hello": search_type,
+        "media_kind": pa.string(),
+    }
+    table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —
     # one giant row group serializes the whole read into a single task
     # (measured: 40k docs read+extracted on 1 core instead of 32).

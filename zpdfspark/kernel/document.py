@@ -493,8 +493,16 @@ class Document:
         width = page.media_box[2] - page.media_box[0]
         return md.render_page_markdown(spans, width).decode("utf-8", "replace")
 
-    def extract_all_markdown(self) -> str:
+    def extract_all_markdown(self, structured: bool = False) -> str:
+        """Default mode is the span-heuristic renderer for byte parity
+        with the reference (its StructuredMarkdownRenderer is dead code —
+        root.zig:886-908 never routes tagged docs through it).
+        structured=True opts into the ported struct-type map
+        (markdown.zig:564-606)."""
         from . import markdown as md
+        if structured:
+            return md.render_document_markdown_structured(self).decode(
+                "utf-8", "replace")
         return md.render_document_markdown(self).decode("utf-8", "replace")
 
     # -- search ----------------------------------------------------------

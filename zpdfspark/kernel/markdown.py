@@ -197,3 +197,159 @@ def render_document_markdown(doc) -> bytes:
         width = page.media_box[2] - page.media_box[0]
         parts.append(render_page_markdown(spans, width))
     return b"".join(parts)
+
+
+# -- structured (tagged-PDF) markdown: OPT-IN mode -------------------------
+#
+# Port of the reference's StructuredMarkdownRenderer struct-type map
+# (markdown.zig:558-606). NOTE for parity: in the reference this renderer
+# is DEAD CODE — the production extractMarkdown* path (root.zig:886-908)
+# always uses the span-heuristic MarkdownRenderer, even for tagged PDFs —
+# so the default markdown output above deliberately ignores the structure
+# tree to stay byte-identical. The map is exposed here as the documented
+# opt-in `structured=True` mode; element rendering follows the base
+# renderer's renderElements formatting (markdown.zig:337-446) so both
+# modes emit the same markdown dialect.
+
+# markdown.zig:564-592
+STRUCT_TYPE_MAP = {
+    b"Document": "paragraph", b"Part": "paragraph", b"Sect": "paragraph",
+    b"Div": "paragraph", b"P": "paragraph",
+    b"H": "heading1", b"H1": "heading1", b"H2": "heading2",
+    b"H3": "heading3", b"H4": "heading4", b"H5": "heading5",
+    b"H6": "heading6",
+    b"L": "list_item_bullet", b"LI": "list_item_bullet",
+    b"Lbl": "list_item_bullet", b"LBody": "paragraph",
+    b"Table": "table_row", b"TR": "table_row", b"TH": "table_row",
+    b"TD": "table_row",
+    b"Code": "code_block",
+    b"BlockQuote": "blockquote", b"Quote": "blockquote",
+    b"Figure": "paragraph", b"Caption": "paragraph", b"Span": "paragraph",
+    b"Link": "paragraph",
+}
+
+_HEADING_KINDS = {
+    "heading1": b"# ", "heading2": b"## ", "heading3": b"### ",
+    "heading4": b"#### ", "heading5": b"##### ", "heading6": b"###### ",
+}
+
+
+def map_struct_type(struct_type: bytes) -> str:
+    """mapStructType (markdown.zig:603-605): unknown types -> paragraph."""
+    return STRUCT_TYPE_MAP.get(struct_type, "paragraph")
+
+
+def _collect_struct_elements(elem, mcid_texts, page_obj_num, out,
+                             parent_page=None, depth=0):
+    """DFS the structure tree; each element whose direct children include
+    MCIDs on this page becomes one markdown element of its mapped kind,
+    its MCID texts joined with single spaces (the R3 grouping rule).
+    Page membership resolves through /Pg inheritance exactly like the
+    reading-order collector (structtree.zig:92-126) — MCID numbers
+    restart per page, so the number alone is not a key."""
+    if depth >= 256 or elem.struct_type == b"Artifact":
+        return
+    current_page = elem.page_ref if elem.page_ref is not None else parent_page
+    own_parts = []
+    for kind, payload in elem.children:
+        if kind == "elem":
+            if own_parts:
+                out.append((map_struct_type(elem.struct_type), b" ".join(own_parts)))
+                own_parts = []
+            _collect_struct_elements(payload, mcid_texts, page_obj_num, out,
+                                     current_page, depth + 1)
+        else:
+            mcid, page_ref = payload
+            pr = page_ref if page_ref is not None else current_page
+            if pr is not None and pr.num == page_obj_num:
+                text = mcid_texts.get(mcid)
+                if text:
+                    own_parts.append(text)
+    if own_parts:
+        out.append((map_struct_type(elem.struct_type), b" ".join(own_parts)))
+
+
+def render_elements(elements) -> bytes:
+    """renderElements (markdown.zig:337-446): per-kind prefixes plus the
+    blank-line spacing rules, for (kind, text) pairs."""
+    out = bytearray()
+    prev_kind = None
+    for kind, text in elements:
+        if prev_kind is not None:
+            if kind in _HEADING_KINDS or kind == "code_block":
+                needs_blank = True
+            elif kind == "paragraph":
+                needs_blank = prev_kind not in ("paragraph", "line_break")
+            elif kind in ("list_item_bullet", "list_item_number"):
+                needs_blank = prev_kind not in ("list_item_bullet",
+                                                "list_item_number")
+            else:
+                needs_blank = False
+            if needs_blank and out:
+                out.append(0x0A)
+        if kind in _HEADING_KINDS:
+            out += _HEADING_KINDS[kind] + text + b"\n"
+        elif kind == "list_item_bullet":
+            out += b"- " + _strip_bullet(text) + b"\n"
+        elif kind == "list_item_number":
+            out += b"1. " + _strip_number(text) + b"\n"
+        elif kind == "table_row":
+            out += b"| " + text + b" |\n"
+        elif kind == "code_block":
+            out += b"```\n" + text + b"\n```\n"
+        elif kind == "blockquote":
+            out += b"> " + text + b"\n"
+        else:
+            out += text + b"\n"
+        prev_kind = kind
+    return bytes(out)
+
+
+def render_document_markdown_structured(doc) -> bytes:
+    """Opt-in tagged-PDF markdown: pages with a structure tree render via
+    the struct-type map; untagged pages fall back to the span heuristics.
+
+    This is the behavior StructuredMarkdownRenderer declares but the
+    reference never wires up (see module note above) — offered here as
+    `Document.extract_all_markdown(structured=True)` /
+    `markdown_dataframe(..., structured=True)`."""
+    from . import structtree
+    from .content import MarkedContentExtractor, extract_content_stream
+
+    try:
+        root = structtree.parse_struct_tree(doc.data, doc.xref, doc.object_cache)
+    except Exception:
+        root = None
+    doc._ensure_reading_order()
+    ro = doc._reading_order
+    parts = []
+    for page_idx in range(doc.page_count):
+        if page_idx > 0:
+            parts.append(b"\n---\n\n")
+        mcids = ro.get(page_idx) if (ro is not None and root is not None) else None
+        if mcids:
+            contents = doc._page_contents(page_idx)
+            if not contents:
+                continue
+            doc._ensure_page_fonts(page_idx)
+            extractor = MarkedContentExtractor()
+            try:
+                extract_content_stream(
+                    contents, "structured", doc.font_cache, page_idx,
+                    extractor=extractor,
+                )
+            except Exception:
+                continue
+            mcid_texts = {m: extractor.text_for_mcid(m) for m in mcids}
+            elements: list = []
+            _collect_struct_elements(
+                root, mcid_texts, doc.pages[page_idx].ref.num, elements)
+            parts.append(render_elements(elements))
+        else:
+            spans = doc.extract_bounds(page_idx)
+            if not spans:
+                continue
+            page = doc.pages[page_idx]
+            width = page.media_box[2] - page.media_box[0]
+            parts.append(render_page_markdown(spans, width))
+    return b"".join(parts)

@@ -402,6 +402,53 @@ def _run_single_pass(spark, df, todo, n_buckets, partitions, salt, mode,
     return summary
 
 
+def parse_page_range(spec: str):
+    """'a-b' or 'n' -> inclusive 1-based (a, b) (main.zig:173-177)."""
+    if "-" in spec:
+        a, b = spec.split("-", 1)
+        lo, hi = int(a), int(b)
+    else:
+        lo = hi = int(spec)
+    if lo < 1 or hi < lo:
+        raise ValueError(f"invalid page range {spec!r}")
+    return lo, hi
+
+
+def run_format_job(spark: SparkSession, input_path: str, output_path: str,
+                   output_format: str, page_range=None,
+                   input_format: str = "parquet",
+                   since: Optional[str] = None,
+                   until: Optional[str] = None) -> dict:
+    """The CLI's non-default sinks (main.zig `-f json|markdown`, `-p`):
+    a simple map-only write without bucket lineage — these are
+    per-document renderings, re-runnable idempotently (overwrite). The
+    checkpoint-resumable scale path remains the text pipeline
+    (run_extraction_job)."""
+    from zpdfspark.spark.udfs import (document_json_dataframe,
+                                      markdown_dataframe, pages_dataframe)
+
+    if input_format == "iceberg":
+        df = spark.read.format("iceberg").load(input_path)
+    else:
+        df = spark.read.parquet(input_path)
+    if since:
+        df = df.where(F.col("warc_ts") >= F.lit(since))
+    if until:
+        df = df.where(F.col("warc_ts") < F.lit(until))
+    if output_format == "json":
+        out = document_json_dataframe(df, page_range=page_range)
+    elif output_format == "markdown":
+        out = markdown_dataframe(df)
+    else:  # per-page text rows for an explicit --pages range
+        out = pages_dataframe(df, page_range=page_range)
+    data_path = os.path.join(output_path, "data")
+    obs = Observation("fmt")
+    out.observe(obs, F.count(F.lit(1)).alias("rows")) \
+        .write.mode("overwrite").parquet(data_path)
+    return {"format": output_format, "rows": int(obs.get["rows"]),
+            "output": data_path}
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     """spark-submit entry: the CLI analog of the reference's
     ``zpdf extract`` (/root/reference/src/main.zig:12-96)."""
@@ -409,6 +456,17 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--input", required=True, help="input parquet path/table")
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--mode", choices=("accuracy", "fast"), default="accuracy")
+    ap.add_argument("--format", choices=("text", "json", "markdown"),
+                    default="text",
+                    help="text = full extraction rows with lineage/resume "
+                         "(the scale pipeline); json = one {metadata, "
+                         "outline, pages} object per doc; markdown = "
+                         "rendered markdown (main.zig -f)")
+    ap.add_argument("--pages", default=None,
+                    help="inclusive 1-based page range 'a-b' or 'n' "
+                         "(main.zig -p): applies the kernel-side page "
+                         "filter; with --format text this emits per-page "
+                         "rows instead of whole-document rows")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--salt", type=int, default=0)
@@ -437,6 +495,16 @@ def main(argv: Optional[List[str]] = None) -> None:
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("zpdfspark-extract").getOrCreate()
+    if args.format != "text" or args.pages:
+        summary = run_format_job(
+            spark, args.input, args.output, args.format,
+            page_range=parse_page_range(args.pages) if args.pages else None,
+            input_format=args.input_format, since=args.since,
+            until=args.until,
+        )
+        print(json.dumps(summary))
+        spark.stop()
+        return
     summary = run_extraction_job(
         spark, args.input, args.output, mode=args.mode,
         partitions=args.partitions, n_buckets=args.buckets, salt=args.salt,

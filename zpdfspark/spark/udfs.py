@@ -396,7 +396,8 @@ def features_dataframe(df: DataFrame) -> DataFrame:
     return df.select("url", "html").mapInPandas(features_batches(), FEATURES_SCHEMA)
 
 
-def markdown_batches(html_col: str = "html", url_col: str = "url"):
+def markdown_batches(html_col: str = "html", url_col: str = "url",
+                     structured: bool = False):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from zpdfspark.kernel import Document
 
@@ -405,23 +406,153 @@ def markdown_batches(html_col: str = "html", url_col: str = "url"):
             for url, blob in zip(batch[url_col], batch[html_col]):
                 doc = Document(bytes(blob) if blob is not None else b"")
                 out["url"].append(url)
-                out["markdown"].append(doc.extract_all_markdown())
+                out["markdown"].append(
+                    doc.extract_all_markdown(structured=structured))
             yield pd.DataFrame(out)
 
     return fn
 
 
-def markdown_dataframe(df: DataFrame) -> DataFrame:
+def markdown_dataframe(df: DataFrame, structured: bool = False) -> DataFrame:
+    """structured=True opts into the tagged-PDF struct-type map
+    (markdown.zig:564-606; see kernel/markdown.py for why it is NOT the
+    default — the reference's production path never uses it)."""
     return df.select("url", "html").mapInPandas(
-        markdown_batches(), "url string, markdown string")
+        markdown_batches(structured=structured), "url string, markdown string")
 
 
-# -- search (X4: extract once, then filter — a genuine DataFrame op) ------
+# -- per-page output: the CLI JSON sink's row form (S12) -------------------
+
+PAGES_SCHEMA_DDL = "url string, page int, label string, page_text string"
+
+
+def pages_batches(html_col: str = "html", url_col: str = "url",
+                  page_range=None):
+    """Exploded per-page rows {page, label, text} — the relational form
+    of the CLI `-f json` page array (main.zig:252-339). `page` is
+    0-based here (the JSON sink emits 1-based like the reference CLI).
+    Per-page text uses the per-page structured ladder, exactly like the
+    reference's doExtract -> extractTextStructured path. page_range is
+    an inclusive 1-based (a, b) like the CLI's `-p a-b`
+    (main.zig:173-177) — applied in-kernel so unwanted pages are never
+    extracted."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zpdfspark.kernel import Document
+
+        for batch in batches:
+            out = {"url": [], "page": [], "label": [], "page_text": []}
+            for url, blob in zip(batch[url_col], batch[html_col]):
+                doc = Document(bytes(blob) if blob is not None else b"")
+                lo, hi = (page_range or (1, doc.page_count or 0))
+                for page_idx in range(doc.page_count):
+                    if not (lo <= page_idx + 1 <= hi):
+                        continue
+                    out["url"].append(url)
+                    out["page"].append(page_idx)
+                    out["label"].append(doc.get_page_label(page_idx))
+                    out["page_text"].append(
+                        doc.extract_text_structured_bytes(page_idx)
+                        .decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def pages_dataframe(df: DataFrame, page_range=None) -> DataFrame:
+    return df.select("url", "html").mapInPandas(
+        pages_batches(page_range=page_range), PAGES_SCHEMA_DDL)
+
+
+def document_json(doc, page_range=None) -> str:
+    """One document as the CLI `-f json` object (main.zig:252-339 field
+    semantics: metadata keys present only when non-null, page_count,
+    outline[{title,page,level}], pages[{page(1-based), label-if-present,
+    text}]). Formatting is json.dumps — field parity, not byte parity
+    with the Zig writer. page_range is the CLI's inclusive 1-based
+    `-p a-b` (main.zig:173-177): it restricts the pages array only."""
+    meta = {k: v for k, v in doc.metadata().items() if v is not None}
+    pages = []
+    lo, hi = (page_range or (1, doc.page_count or 0))
+    for page_idx in range(doc.page_count):
+        if not (lo <= page_idx + 1 <= hi):
+            continue
+        row = {"page": page_idx + 1}
+        label = doc.get_page_label(page_idx)
+        if label is not None:
+            row["label"] = label
+        row["text"] = doc.extract_text_structured_bytes(page_idx).decode(
+            "utf-8", "replace")
+        pages.append(row)
+    return json.dumps({
+        "metadata": meta,
+        "page_count": doc.page_count,
+        "outline": [{"title": o["title"], "page": o["page"],
+                     "level": o["level"]} for o in doc.outline()],
+        "pages": pages,
+    }, ensure_ascii=False, sort_keys=True)
+
+
+def document_json_batches(html_col: str = "html", url_col: str = "url",
+                          page_range=None):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zpdfspark.kernel import Document
+
+        for batch in batches:
+            out = {"url": [], "doc_json": []}
+            for url, blob in zip(batch[url_col], batch[html_col]):
+                doc = Document(bytes(blob) if blob is not None else b"")
+                out["url"].append(url)
+                out["doc_json"].append(document_json(doc, page_range=page_range))
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def document_json_dataframe(df: DataFrame, page_range=None) -> DataFrame:
+    return df.select("url", "html").mapInPandas(
+        document_json_batches(page_range=page_range),
+        "url string, doc_json string")
+
+
+# -- search (X4) -----------------------------------------------------------
+
+SEARCH_SCHEMA_DDL = "url string, page int, offset long, context string"
+
+
+def search_matches_batches(query: str, html_col: str = "html",
+                           url_col: str = "url"):
+    """Full-fidelity search kernel: ALL matches as exploded rows
+    (url, page, byte offset, ±50-byte context) — the relational form of
+    SearchResult (root.zig:1213-1275), via Document.search."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zpdfspark.kernel import Document
+
+        for batch in batches:
+            out = {"url": [], "page": [], "offset": [], "context": []}
+            for url, blob in zip(batch[url_col], batch[html_col]):
+                doc = Document(bytes(blob) if blob is not None else b"")
+                for m in doc.search(query):
+                    out["url"].append(url)
+                    out["page"].append(m["page"])
+                    out["offset"].append(m["offset"])
+                    out["context"].append(m["context"])
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def search_matches_dataframe(df: DataFrame, query: str) -> DataFrame:
+    return df.select("url", "html").mapInPandas(
+        search_matches_batches(query), SEARCH_SCHEMA_DDL)
 
 
 def search_dataframe(extracted: DataFrame, query: str, text_col: str = "extracted_text") -> DataFrame:
-    """Full-text search over ALREADY-extracted text: a relational filter,
-    not re-extraction per query (SURVEY.md X4)."""
+    """Cheap full-text search over ALREADY-extracted text: a relational
+    filter, not re-extraction per query (SURVEY.md X4). First match per
+    url only — use search_matches_dataframe for the full-fidelity
+    (all matches, page, context) form."""
     import pyspark.sql.functions as F
 
     q = query.lower()
@@ -449,13 +580,17 @@ def register_sql_udfs(spark) -> None:
 
     @pandas_udf(StringType())
     def zpdf_extract(html: pd.Series) -> pd.Series:
-        from zpdfspark.kernel import Document
-        return html.map(lambda b: Document(bytes(b) if b is not None else b"").extract_all("accuracy"))
+        # same dispatch as the mapInArrow kernel: PDF bytes -> kernel,
+        # HTML -> boilerplate strip (north_rule main-content extraction)
+        from zpdfspark.kernel.htmltext import extract_any
+        return html.map(lambda b: extract_any(
+            bytes(b) if b is not None else b"", "accuracy")[0])
 
     @pandas_udf(StringType())
     def zpdf_extract_fast(html: pd.Series) -> pd.Series:
-        from zpdfspark.kernel import Document
-        return html.map(lambda b: Document(bytes(b) if b is not None else b"").extract_all("fast"))
+        from zpdfspark.kernel.htmltext import extract_any
+        return html.map(lambda b: extract_any(
+            bytes(b) if b is not None else b"", "fast")[0])
 
     @pandas_udf(IntegerType())
     def zpdf_page_count(html: pd.Series) -> pd.Series:
