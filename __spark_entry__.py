@@ -61,18 +61,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = "/root/testdata/sf0.001"
     corpus = _corpus(spark, sf_dir)
-    extracted = extract_dataframe(corpus, mode="accuracy")
+    # parity computed in-kernel (map-only); only the tiny lang column is
+    # joined back for the report
+    extracted = extract_dataframe(corpus, mode="accuracy", oracle_text_col="text")
     return (
         extracted.alias("e")
-        .join(corpus.select("url", "text", "lang").alias("c"), "url")
+        .join(corpus.select("url", "lang").alias("c"), "url")
         .select(
             "url",
             F.col("lang").alias("lang"),
             F.col("n_pages").alias("n_pages"),
             F.col("n_chars").alias("n_chars"),
             F.col("error_count").alias("error_count"),
-            (F.col("text").isNotNull() & (F.col("extracted_text") == F.col("text")))
-            .alias("matches_oracle"),
+            F.col("matches_oracle").alias("matches_oracle"),
         )
     )
 
@@ -101,17 +102,15 @@ def _q_extract(mode: str):
         from zpdfspark.spark.udfs import extract_dataframe
 
         corpus = _corpus(spark, sf_dir)
-        extracted = extract_dataframe(corpus, mode=mode)
-        return (
-            extracted.join(corpus.select("url", "text"), "url")
-            .select(
-                "url", "n_pages", "n_chars", "is_encrypted", "error_count",
-                "structured_pages", "stream_pages", "geometric_pages",
-                (F.col("text").isNotNull() & (F.col("extracted_text") == F.col("text")))
-                .alias("matches_oracle"),
-            )
-            .orderBy("url")
-        )
+        # matches_oracle is computed IN-KERNEL (the expected text rides
+        # the same scan row) — the whole parity query is map-only; a
+        # join here would shuffle full text on both sides (round-1 note)
+        extracted = extract_dataframe(corpus, mode=mode, oracle_text_col="text")
+        return extracted.select(
+            "url", "n_pages", "n_chars", "is_encrypted", "error_count",
+            "structured_pages", "stream_pages", "geometric_pages",
+            "matches_oracle",
+        ).orderBy("url")
 
     return q
 
@@ -337,6 +336,28 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1)
         .cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_measured"),
+    ).orderBy("doc_id")
+
+
+def _q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization estimate: alpha runs, digit runs, and single
+    non-alphanumeric marks (the GPT-2 pre-tokenizer's coarse shape,
+    ASCII classes only so the Java and RE2 regex dialects agree), plus
+    the subword-adjusted count: long alpha runs cost ~1 token per 4
+    chars (the classic chars/4 BPE rule-of-thumb)."""
+    d = _docs(spark, sf_dir)
+    pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    toks = F.regexp_extract_all(F.col("text"), F.lit(pattern), 0)
+    n_pieces = F.size(toks).cast("long")
+    # each alpha run longer than 4 chars splits into ceil(len/4) subwords
+    n_subwords = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.when(
+            t.rlike("^[A-Za-z]+$"), F.ceil(F.length(t) / 4.0).cast("long")
+        ).otherwise(F.lit(1).cast("long")),
+    )
+    return d.select(
+        "doc_id", n_pieces.alias("n_pieces"), n_subwords.alias("n_subwords"),
     ).orderBy("doc_id")
 
 
@@ -649,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "lsh_buckets": _q_lsh_buckets,
         "token_counts": _q_token_counts,
+        "token_counts_bpe": _q_token_counts_bpe,
         "quality_scores": _q_quality_scores,
         "lang_guess": _q_lang_guess,
         "fingerprints": _q_fingerprints,
@@ -803,6 +825,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens, "
             "length(text) AS n_chars_measured FROM documents ORDER BY doc_id"
+        ),
+        "token_counts_bpe": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_pieces, "
+            "CAST(list_sum(list_transform("
+            "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'), "
+            "t -> CASE WHEN regexp_matches(t, '^[A-Za-z]+$') "
+            "THEN CAST(ceil(length(t) / 4.0) AS BIGINT) ELSE 1 END)) AS BIGINT) AS n_subwords "
+            "FROM documents ORDER BY doc_id"
         ),
         "quality_scores": (
             "SELECT doc_id, "

@@ -402,3 +402,68 @@ def test_objstm_memo_single_decode(monkeypatch):
     # xref stream + objstm container (once) + any content streams;
     # the 4 packed objects must not re-decode the container
     assert calls["n"] <= 4
+
+
+# -- secondary interpreter (interpreter.zig:62-394 port; NOT the
+# production path — documents the reference's intended fuller semantics)
+
+class TestSecondaryInterpreter:
+    def _run(self, content: bytes) -> str:
+        from zpdfspark.kernel.interpreter2 import ContentInterpreter
+        interp = ContentInterpreter(None, lambda o: o)
+        return interp.process(content).decode("utf-8", "replace")
+
+    def test_leading_based_quote(self):
+        """' moves by (0, -TL) then shows: with leading set the move
+        crosses the 0.3xfs threshold -> newline; with TL=0 it does NOT
+        (unlike the production path's unconditional \\n)."""
+        out = self._run(b"BT /F1 12 Tf 12 TL 100 700 Td (A) Tj (B) ' ET")
+        assert out == "A\nB"
+        out = self._run(b"BT /F1 12 Tf 100 700 Td (A) Tj (B) ' ET")
+        assert out == "AB"  # leading 0: no line move
+
+    def test_dquote_sets_spacing_then_shows(self):
+        out = self._run(b"BT /F1 12 Tf 12 TL 100 700 Td (A) Tj 1 2 (B) \" ET")
+        assert out == "A\nB"
+
+    def test_tj_space_guard(self):
+        """n < -100 emits ONE space even across consecutive kerns
+        (last_was_space guard, interpreter.zig:344-347 — the production
+        path has no guard and emits one per number)."""
+        out = self._run(b"BT /F1 12 Tf [(X) -200 -200 (Y)] TJ ET")
+        assert out == "X Y"
+
+    def test_q_Q_state_stack(self):
+        """Q restores the pre-q text state: the restored 12pt font makes
+        a 5pt y-move a line break (5 > 0.3*12); an unrestored 24pt font
+        would not (5 < 0.3*24)."""
+        out = self._run(
+            b"BT /F1 12 Tf 0 700 Td (A) Tj q /F1 24 Tf Q 0 -5 Td (B) Tj ET")
+        assert out == "A\nB"
+        out = self._run(
+            b"BT /F1 12 Tf 0 700 Td (A) Tj /F1 24 Tf 0 -5 Td (B) Tj ET")
+        assert out == "AB"
+
+    def test_line_break_factor_differs_from_production(self):
+        """0.3xfs rule (interpreter.zig:296) vs production 0.7xmax —
+        the superscript fixture diverges BY DESIGN between the two."""
+        from zpdfspark.kernel.interpreter2 import extract_page_interpreter
+        pdf, text = fixtures.superscript()
+        doc = Document(pdf)
+        assert doc.extract_all() == text == "Hello2 World"
+        assert extract_page_interpreter(doc, 0) == "Hello\n2\n World"
+
+    def test_fallback_drops_high_bytes(self):
+        """No-font fallback: printable ASCII + NUL->space only
+        (interpreter.zig:318-326), narrower than production WinAnsi."""
+        out = self._run(b"BT (A\x00B\xc9C) Tj ET")
+        assert out == "A BC"
+
+    def test_agrees_with_production_on_plain_streams(self):
+        for gen in ("minimal", "tj", "multipage", "flate", "cid"):
+            from zpdfspark.kernel.interpreter2 import extract_page_interpreter
+            pdf, text = fixtures.GENERATORS[gen](0)
+            doc = Document(pdf)
+            got = "\x0c".join(extract_page_interpreter(doc, p)
+                              for p in range(doc.page_count))
+            assert got == text, gen

@@ -90,6 +90,20 @@ def test_ngram_jaccard_joins_on_band(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_extract_query_parity_in_kernel(spark, sf_dir):
+    """The accuracy/fast parity queries must be MAP-ONLY: matches_oracle
+    is computed in-kernel from the same scan row — no join shuffling
+    full text on both sides (round-1 verdict note). The only exchange is
+    the driver-determinism orderBy."""
+    import __spark_entry__ as E
+
+    for name in ("extract_accuracy", "extract_fast"):
+        plan = _formatted(E.queries()[name](spark, sf_dir), spark)
+        for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+            assert op not in plan, f"{name}:\n{plan}"
+        assert "hashpartitioning" not in plan, plan
+
+
 def test_minhash_signatures_map_only(spark, sf_dir):
     """The minhash signature stage must be MAP-ONLY: min over per-word
     md5s inside array lambdas, not explode + word-level shuffle +

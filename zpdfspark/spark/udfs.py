@@ -143,10 +143,16 @@ def _errors_pa_type():
     return _ERRORS_PA_TYPE
 
 
-def extract_arrow_batches(mode: str = "accuracy", max_doc_bytes: int = 0):
+def extract_arrow_batches(mode: str = "accuracy", max_doc_bytes: int = 0,
+                          oracle_text_col: str = None):
     """mapInArrow variant of the extraction kernel: skips the pandas
     conversion on both sides of the Python boundary (~8% faster end to
-    end for whole-blob rows, measured at local[16])."""
+    end for whole-blob rows, measured at local[16]).
+
+    oracle_text_col: name of an input column carrying the expected text;
+    when set, the kernel emits a ``matches_oracle`` boolean computed
+    IN-KERNEL — the parity check stays map-only instead of a join that
+    shuffles full text on both sides (round-1 verdict note)."""
 
     def fn(batches):
         import pyarrow as pa
@@ -159,11 +165,14 @@ def extract_arrow_batches(mode: str = "accuracy", max_doc_bytes: int = 0):
         for rb in batches:
             urls = rb.column("url").to_pylist()
             htmls = rb.column("html")
+            oracle_texts = (rb.column(oracle_text_col).to_pylist()
+                            if oracle_text_col else None)
             cols = {k: [] for k in (
                 "extracted_text", "n_pages", "n_chars", "is_encrypted",
                 "error_count", "errors", "objects_resolved", "streams_decoded",
                 "structured_pages", "stream_pages", "geometric_pages",
                 "coverage_fallbacks", "elapsed_ms")}
+            matches = [] if oracle_texts is not None else None
             for i in range(len(urls)):
                 t0 = time.perf_counter()
                 blob = htmls[i].as_py()
@@ -195,7 +204,10 @@ def extract_arrow_batches(mode: str = "accuracy", max_doc_bytes: int = 0):
                 cols["geometric_pages"].append(m["geometric_pages"])
                 cols["coverage_fallbacks"].append(m["coverage_fallbacks"])
                 cols["elapsed_ms"].append((time.perf_counter() - t0) * 1000.0)
-            yield pa.RecordBatch.from_arrays([
+                if matches is not None:
+                    exp = oracle_texts[i]
+                    matches.append(exp is not None and text == exp)
+            arrays = [
                 pa.array(urls, pa.string()),
                 pa.array(cols["extracted_text"], pa.string()),
                 pa.array(cols["n_pages"], pa.int32()),
@@ -210,20 +222,37 @@ def extract_arrow_batches(mode: str = "accuracy", max_doc_bytes: int = 0):
                 pa.array(cols["geometric_pages"], pa.int32()),
                 pa.array(cols["coverage_fallbacks"], pa.int32()),
                 pa.array(cols["elapsed_ms"], pa.float64()),
-            ], names=[f.name for f in EXTRACT_SCHEMA.fields])
+            ]
+            names = [f.name for f in EXTRACT_SCHEMA.fields]
+            if matches is not None:
+                arrays.append(pa.array(matches, pa.bool_()))
+                names = names + ["matches_oracle"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return fn
 
 
+EXTRACT_ORACLE_SCHEMA = StructType(
+    EXTRACT_SCHEMA.fields + [StructField("matches_oracle", BooleanType())])
+
+
 def extract_dataframe(df: DataFrame, mode: str = "accuracy",
-                      max_doc_bytes: int = 0) -> DataFrame:
+                      max_doc_bytes: int = 0,
+                      oracle_text_col: str = None) -> DataFrame:
     """df(url, ..., html) -> extraction result DataFrame.
 
-    Projects to the two needed columns first so Catalyst prunes the
-    parquet scan to url+html (SURVEY.md Z1: column pruning is the
-    engine's "lazy parsing" analog). Uses mapInArrow (see
-    extract_arrow_batches).
+    Projects to the needed columns first so Catalyst prunes the parquet
+    scan (SURVEY.md Z1: column pruning is the engine's "lazy parsing"
+    analog). Uses mapInArrow (see extract_arrow_batches). With
+    oracle_text_col set, the result gains an in-kernel ``matches_oracle``
+    column and the whole parity query stays map-only.
     """
+    if oracle_text_col:
+        return df.select("url", "html", oracle_text_col).mapInArrow(
+            extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes,
+                                  oracle_text_col=oracle_text_col),
+            EXTRACT_ORACLE_SCHEMA,
+        )
     return df.select("url", "html").mapInArrow(
         extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes), EXTRACT_SCHEMA
     )
