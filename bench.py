@@ -178,6 +178,10 @@ def main() -> None:
     try:
         import __spark_entry__ as entry_mod
 
+        # materialize the mixed-profile corpus cache BEFORE timing — the
+        # one-time generation (expected columns incl. eager kernel runs)
+        # must not be billed to the first timed query
+        entry_mod._corpus_path(sf_dir)
         qs = entry_mod.queries()
         for name in ("extract_fast", "extract_spans", "dedup_exact",
                      "minhash_signatures", "token_counts", "ann_topk"):
