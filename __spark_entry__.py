@@ -598,6 +598,92 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str,
     )
 
 
+def _q_neardup_clusters(spark: SparkSession, sf_dir: str,
+                        sample_n: int = NGRAM_SAMPLE_N) -> DataFrame:
+    """Near-dup CLUSTER ASSIGNMENT: connected components over the
+    banded-minhash candidate graph, so a training-data pipeline can keep
+    exactly one document per transitive near-dup cluster (A~B via band
+    1, B~C via band 2 => {A,B,C} one cluster, keep min doc_id).
+
+    Implementation: iterative min-label propagation — each round every
+    node takes the min label among itself and its neighbors (one
+    broadcast-able join + groupBy per round), terminating when a round
+    changes nothing. Rounds = graph diameter; at web scale you'd switch
+    to the large-star/small-star algorithm (O(log n) rounds) — same
+    join/agg building blocks, documented here as the scale path. The
+    deterministic doc_id sample (surfaced cap) keeps the oracle
+    (a DuckDB recursive-CTE transitive closure) tractable.
+
+    Edge rule = the full dedup pipeline: banded-LSH candidate pairs,
+    VERIFIED by exact word-set Jaccard >= 0.95 (the synthetic docs share
+    a template vocabulary, so lower thresholds legitimately merge
+    everything — 0.95 captures true re-crawls/near-copies)."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < sample_n)
+    words = d.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ws"))
+    sig = d.select(
+        "doc_id",
+        *[_minhash_col(F.col("text"), k).alias(f"h{k}")
+          for k in range(NGRAM_BANDS * NGRAM_ROWS)],
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.md5(F.concat(*[F.col(f"h{b * NGRAM_ROWS + r}")
+                             for r in range(NGRAM_ROWS)]))
+            for b in range(NGRAM_BANDS)
+        ])).alias("band"),
+    )
+    cand = (
+        bands.alias("a").join(bands.alias("b"), "band")
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .where(F.col("a_id") < F.col("b_id"))
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("a_ws", "b_ws")) \
+        / F.size(F.array_union("a_ws", "b_ws"))
+    verified = (
+        cand.join(words.select(F.col("doc_id").alias("a_id"),
+                               F.col("ws").alias("a_ws")), "a_id")
+        .join(words.select(F.col("doc_id").alias("b_id"),
+                           F.col("ws").alias("b_ws")), "b_id")
+        .where(jac >= 0.95)
+        .select("a_id", "b_id")
+    )
+    pairs = verified.select(F.col("a_id").alias("src"),
+                            F.col("b_id").alias("dst")) \
+        .unionByName(verified.select(F.col("b_id").alias("src"),
+                                     F.col("a_id").alias("dst")))
+    labels = d.select("doc_id", F.col("doc_id").alias("rep"))
+    edges = pairs.localCheckpoint(eager=True)  # cut the growing lineage
+    for _ in range(32):  # diameter bound; converges long before
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("rep").alias("nrep"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep")))
+                .alias("rep"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.rep") != F.col("o.rep"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("rep").alias("cluster_rep"),
+        (F.col("rep") == F.col("doc_id")).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str,
                          sample_n: int = EMBED_SAMPLE_N) -> DataFrame:
     """Embedding-cosine near-dup: same-label (cluster-bucketed) pairs
@@ -679,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # *_sample: deterministic-sample near-dup queries (the cap is
         # surfaced in the name and the callables' sample_n parameter)
         "ngram_jaccard_sample": _q_ngram_jaccard,
+        "neardup_clusters_sample": _q_neardup_clusters,
         "embedding_neardup_sample": _q_embedding_neardup,
         "ann_ivf": _q_ann_ivf,
         "simhash": _q_simhash,
@@ -885,6 +972,35 @@ def oracle_sql() -> dict[str, str]:
             "len(list_distinct(list_concat(a_ws, b_ws))), 3) AS jaccard_r3 FROM pairs "
             "WHERE round(CAST(len(list_intersect(a_ws, b_ws)) AS DOUBLE) / "
             "len(list_distinct(list_concat(a_ws, b_ws))), 3) >= 0.6 ORDER BY a_id, b_id"
+        ),
+        "neardup_clusters_sample": (
+            # transitive closure of the banded candidate graph via a
+            # recursive CTE; component rep = min reachable doc_id (the
+            # Spark side reaches the same fixpoint by min-label
+            # propagation — different algorithm, same answer)
+            f"WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id < {NGRAM_SAMPLE_N}), "
+            "sig AS (SELECT doc_id, "
+            + ", ".join(f"min(md5(w || '|{k}')) AS h{k}" for k in range(8))
+            + " FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs) GROUP BY doc_id), "
+            "bands AS (SELECT doc_id, unnest(["
+            + ", ".join(f"md5(h{b * 2} || h{b * 2 + 1})" for b in range(4))
+            + "]) AS band FROM sig), "
+            "words AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM docs), "
+            "cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b "
+            "FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id), "
+            "verified AS (SELECT a, b FROM cand "
+            "JOIN words wa ON wa.doc_id = a JOIN words wb ON wb.doc_id = b "
+            "WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(wa.ws, wb.ws))) >= 0.95), "
+            "edges AS (SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified), "
+            "reach(src, dst) AS ("
+            "  SELECT doc_id, doc_id FROM docs"
+            "  UNION"
+            "  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst"
+            ") "
+            "SELECT src AS doc_id, min(dst) AS cluster_rep, "
+            "(min(dst) = src) AS is_keeper "
+            "FROM reach GROUP BY src ORDER BY doc_id"
         ),
         "embedding_neardup_sample": (
             f"WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < {EMBED_SAMPLE_N}), "
