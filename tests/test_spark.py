@@ -287,3 +287,36 @@ def test_format_job_json_and_pages(spark, tmp_path):
 
     with pytest.raises(ValueError):
         parse_page_range("3-1")
+
+
+def test_bucketed_input_prunes_per_bucket_scans(spark, corpus_path, tmp_path):
+    """With the input laid out as bucket=K partition dirs (the
+    write_bucketed_input preparation job / Iceberg bucket transform),
+    each per-bucket resume scan partition-prunes to its own directory —
+    n_buckets scans read the input once in total, not n_buckets times."""
+    from zpdfspark.spark.pipeline import run_extraction_job, write_bucketed_input
+
+    bsrc = str(tmp_path / "bucketed_src")
+    write_bucketed_input(spark, corpus_path, bsrc, n_buckets=4)
+    df = spark.read.parquet(bsrc)
+    assert "bucket" in df.columns
+
+    # the physical proof: the bucket filter becomes a PARTITION filter at
+    # the scan (directory pruning), not a post-scan data filter
+    plan = df.where(F.col("bucket") == 2)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "bucket" in pf[0] and "= 2" in pf[0], plan
+
+    out = str(tmp_path / "out_bucketed")
+    s = run_extraction_job(spark, bsrc, out, n_buckets=4, partitions=4)
+    assert s["buckets_run"] == 4 and s["docs"] == 150
+    result = spark.read.parquet(os.path.join(out, "data"))
+    assert result.select("url").distinct().count() == 150
+
+    # rerun resumes; single_pass is ignored for bucketed inputs (the
+    # per-bucket path is already pruned AND bucket-granular idempotent)
+    s2 = run_extraction_job(spark, bsrc, out, n_buckets=4, partitions=4,
+                            single_pass=True)
+    assert s2["buckets_run"] == 0 and s2["buckets_skipped"] == 4

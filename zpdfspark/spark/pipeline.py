@@ -30,10 +30,15 @@ Design for 10^12 documents (SURVEY.md §4):
   at scale the input table must be bucketed on the SAME
   ``xxhash64(url) % n_buckets`` expression (Iceberg ``bucket(n, url)``
   partition transform) so each per-bucket scan prunes to its own
-  partition — zero amplification AND bucket-granular resume. For
+  partition — zero amplification AND bucket-granular resume. An input
+  carrying a ``bucket`` partition column (one-time preparation:
+  ``write_bucketed_input``) is detected and trusted: the per-bucket
+  filter then partition-prunes at the scan (plan-tested). For
   unbucketed inputs, ``--single-pass`` processes all pending buckets in
   one job (one scan, output partitioned by bucket) at the cost of
-  run-granular rather than bucket-granular checkpointing.
+  run-granular rather than bucket-granular checkpointing; with a
+  bucketed input, single_pass is ignored (per-bucket is already pruned
+  and strictly better).
 - All shuffles are explicit; by default the extraction stage is
   map-only directly on scan splits (split sizing via
   ``spark.sql.files.maxPartitionBytes``), with a single opt-in salting
@@ -207,6 +212,24 @@ def bucket_of(url_col, n_buckets: int):
     return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
 
 
+def write_bucketed_input(spark: SparkSession, input_path: str,
+                         output_path: str, n_buckets: int = 8,
+                         input_format: str = "parquet") -> None:
+    """One-time preparation job: rewrite a crawl table laid out by the
+    resume bucket (``bucket=K`` partition directories, same
+    ``bucket_of()`` expression the pipeline derives), so that EVERY
+    per-bucket extraction scan partition-prunes to exactly its own
+    directory — n_buckets resumable scans read the input once in total
+    instead of n_buckets times (the read-amplification fix in the module
+    docstring). Iceberg analog: ``PARTITIONED BY (bucket(n, url))``."""
+    if input_format == "iceberg":
+        df = spark.read.format("iceberg").load(input_path)
+    else:
+        df = spark.read.parquet(input_path)
+    (df.withColumn("bucket", bucket_of(F.col("url"), n_buckets))
+       .write.mode("overwrite").partitionBy("bucket").parquet(output_path))
+
+
 def completed_buckets(spark: SparkSession, lineage_path: str) -> List[int]:
     try:
         lineage = spark.read.json(lineage_path)
@@ -261,7 +284,25 @@ def run_extraction_job(
         df = df.where(F.col("warc_ts") >= F.lit(since))
     if until:
         df = df.where(F.col("warc_ts") < F.lit(until))
-    df = df.select("url", "html").withColumn("bucket", bucket_of(F.col("url"), n_buckets))
+    input_bucketed = "bucket" in df.columns
+    if input_bucketed:
+        # the input table is ALREADY laid out by the resume bucket (a
+        # `bucket=K` partition column, written by write_bucketed_input or
+        # an Iceberg bucket transform): trust it — the per-bucket loop's
+        # `bucket = K` filter then PRUNES the scan to one partition
+        # directory (zero read amplification; pipeline docstring). The
+        # column must have been produced by the same bucket_of()
+        # expression with the same n_buckets.
+        df = df.select("url", "html", F.col("bucket").cast("int").alias("bucket"))
+        if single_pass:
+            # single-pass exists FOR unbucketed inputs (one scan instead
+            # of n_buckets scans); with a bucketed layout each per-bucket
+            # scan is already pruned, and the per-bucket path's
+            # bucket-granular idempotent overwrite is strictly better
+            single_pass = False
+    else:
+        df = df.select("url", "html").withColumn(
+            "bucket", bucket_of(F.col("url"), n_buckets))
     prev_split_conf = None
     if not wants_blob_shuffle(repartition_blobs, salt, big_doc_bytes):
         # map-only path: scan splits are the work units — size them
