@@ -2,13 +2,16 @@
 
 ``entry(spark)`` runs the flagship extraction query; ``queries()`` maps
 every implemented operator family (SURVEY.md §2 + the web-scale
-training-data ops) to a callable; ``oracle_sql()`` provides DuckDB
-oracles for the SQL-expressible queries. Extraction kernels operate on
-the self-carried-oracle PDF corpus (FIXTURES.md §1) generated
-deterministically at a scale matched to the sf directory; their golden
-check (extracted == carried text) is *inside* the returned DataFrame
-(`matches_oracle`), so even the rows-only driver check pins byte
-parity via the match-count column.
+training-data ops) to a callable; ``oracle_sql()`` provides a DuckDB
+value oracle for EVERY query (32/32): the extraction family is checked
+against the expected columns the fixture corpus self-carries
+(FIXTURES.md §6 — generator ground truth + the pinned eager kernel),
+the relational/web-scale ops against ANSI-SQL replays over the driver
+tables. Extraction kernels operate on the self-carried-oracle PDF
+corpus (FIXTURES.md §1) generated deterministically at a scale matched
+to the sf directory; the accuracy/fast queries additionally compute the
+byte-parity verdict IN-KERNEL (`matches_oracle`), keeping those queries
+map-only.
 """
 
 from __future__ import annotations

@@ -197,3 +197,22 @@ def test_htmltext_differential_oracle(blocks, rnd):
     html_parts.append("<footer>boiler</footer></body></html>")
     got = extract_main_text("".join(html_parts).encode())
     assert got == "\n".join(expected_lines)
+
+
+@_SETTINGS
+@given(st.lists(_TEXT, min_size=1, max_size=4),
+       st.sampled_from(["Hello", "hello", "HELLO", "o W", "zq"]))
+def test_search_matches_independent_scanner(pages, query):
+    """Property: Document.search (kernel, per-page byte scan with the
+    reference's offset/context rules) must agree with
+    fixtures.search_matches_expected (the independent 10-line spec
+    scanner over the oracle text) on every generated document."""
+    from zpdfspark.fixtures import search_matches_expected
+
+    pdf, text = fixtures.multi_page(pages)
+    doc = Document(pdf)
+    assert doc.extract_all() == text  # precondition: parity holds
+    got = [(m["page"], m["offset"], m["context"]) for m in doc.search(query)]
+    exp = [(m["page"], m["soffset"], m["context"])
+           for m in search_matches_expected(text, query)]
+    assert got == exp
