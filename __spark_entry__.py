@@ -398,6 +398,50 @@ def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# character-trigram profiles (hand-picked high-frequency trigrams per
+# language); score(lang) = total occurrences of its trigrams, argmax
+# wins, ties broken by profile order. All counting is substring
+# arithmetic, so Spark and DuckDB replay it identically.
+NGRAM_PROFILES = [
+    ("en", [" th", "the", "ing", " an", "ion"]),
+    ("de", ["der", "ein", "sch", "und", "die"]),
+    ("es", [" de", "los", "que", "ión", " la"]),
+    ("da", [" og", "det", "der", " en", "ern"]),
+]
+
+
+def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram profile language ID: counts each language's
+    signature trigrams with substring arithmetic (JVM-side, no UDF) and
+    takes the argmax — the n-gram upgrade of the stopword-vote
+    lang_guess. (`id_matches` scores against the table's lang label;
+    the driver's synthetic documents carry template text whose actual
+    language need not match the label, so low agreement there reflects
+    the data, not the operator — the correctness check is the oracle.)"""
+    d = _docs(spark, sf_dir)
+
+    def count_of(tg: str):
+        return (F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(tg), F.lit("")))) \
+            / F.lit(len(tg))
+
+    scores = [
+        (lang, sum((count_of(tg) for tg in tgs), F.lit(0.0)).cast("long"))
+        for lang, tgs in NGRAM_PROFILES
+    ]
+    best = F.lit(NGRAM_PROFILES[0][0])
+    best_score = scores[0][1]
+    for lang, sc in scores[1:]:
+        best = F.when(sc > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(sc > best_score, sc).otherwise(best_score)
+    return d.select(
+        "doc_id", "lang",
+        *[sc.alias(f"score_{lang}") for lang, sc in scores],
+        best.alias("lang_id"),
+        (best == F.col("lang")).cast("int").alias("id_matches"),
+    ).orderBy("doc_id")
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: hash of normalized text."""
     d = _docs(spark, sf_dir)
@@ -762,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": _q_token_counts_bpe,
         "quality_scores": _q_quality_scores,
         "lang_guess": _q_lang_guess,
+        "lang_id_ngram": _q_lang_id_ngram,
         "fingerprints": _q_fingerprints,
         "embedding_norms": _q_embedding_norms,
         "ann_topk": _q_ann_topk,
@@ -775,6 +820,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "media_embed": _q_media_embed,
     }
+
+
+def _lang_id_ngram_oracle() -> str:
+    """SQL replay of _q_lang_id_ngram: identical trigram counting and
+    the identical sequential strict-greater argmax fold."""
+    def cnt(tg: str) -> str:
+        return (f"(length(text) - length(replace(text, '{tg}', '')))"
+                f" / {len(tg)}")
+
+    score = {
+        lang: "CAST(" + " + ".join(cnt(tg) for tg in tgs) + " AS BIGINT)"
+        for lang, tgs in NGRAM_PROFILES
+    }
+    first = NGRAM_PROFILES[0][0]
+    best = f"'{first}'"
+    best_score = score[first]
+    for lang, _ in NGRAM_PROFILES[1:]:
+        best = (f"CASE WHEN {score[lang]} > {best_score} "
+                f"THEN '{lang}' ELSE {best} END")
+        best_score = (f"CASE WHEN {score[lang]} > {best_score} "
+                      f"THEN {score[lang]} ELSE {best_score} END")
+    score_cols = ", ".join(
+        f"{score[lang]} AS score_{lang}" for lang, _ in NGRAM_PROFILES)
+    return (
+        f"SELECT doc_id, lang, {score_cols}, {best} AS lang_id, "
+        f"CASE WHEN ({best}) = lang THEN 1 ELSE 0 END AS id_matches "
+        f"FROM documents ORDER BY doc_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -948,6 +1021,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": (
             "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id"
         ),
+        "lang_id_ngram": _lang_id_ngram_oracle(),
         "embedding_norms": (
             "SELECT vec_id, label, "
             "round(sqrt(list_sum(list_transform(embedding, "
