@@ -320,3 +320,37 @@ def test_bucketed_input_prunes_per_bucket_scans(spark, corpus_path, tmp_path):
     s2 = run_extraction_job(spark, bsrc, out, n_buckets=4, partitions=4,
                             single_pass=True)
     assert s2["buckets_run"] == 0 and s2["buckets_skipped"] == 4
+
+
+def test_sql_udf_surface_complete(spark, corpus_path):
+    """Round-2 SQL surface: markdown, doc-JSON, and parameterized search
+    callable straight from Spark SQL (SURVEY.md §2.11b)."""
+    from zpdfspark.spark.udfs import register_sql_udfs
+
+    register_sql_udfs(spark)
+    spark.read.parquet(corpus_path).createOrReplaceTempView("pages2")
+    row = spark.sql(
+        "SELECT zpdf_markdown(html) AS md, zpdf_doc_json(html) AS dj, "
+        "zpdf_search_json(html, 'Hello') AS sj "
+        "FROM pages2 WHERE url LIKE '%/minimal/%' LIMIT 1"
+    ).collect()[0]
+    assert row["md"].startswith("Hello World")
+    doc = json.loads(row["dj"])
+    assert doc["page_count"] == 1 and doc["pages"][0]["page"] == 1
+    matches = json.loads(row["sj"])
+    assert matches and matches[0]["page"] == 0 and matches[0]["offset"] == 0
+
+
+def test_format_job_info(spark, tmp_path):
+    """CLI --format info: the `zpdf info` analog."""
+    from zpdfspark.fixtures import write_corpus_parquet
+    from zpdfspark.spark.pipeline import run_format_job
+
+    src = str(tmp_path / "srci.parquet")
+    write_corpus_parquet(src, 30, seed=13)
+    out = str(tmp_path / "info_out")
+    s = run_format_job(spark, src, out, "info")
+    assert s["rows"] == 30
+    rows = spark.read.parquet(os.path.join(out, "data"))
+    assert {"url", "title", "n_pages", "is_encrypted"} <= set(rows.columns)
+    assert rows.count() == 30

@@ -466,7 +466,8 @@ def run_format_job(spark: SparkSession, input_path: str, output_path: str,
     checkpoint-resumable scale path remains the text pipeline
     (run_extraction_job)."""
     from zpdfspark.spark.udfs import (document_json_dataframe,
-                                      markdown_dataframe, pages_dataframe)
+                                      markdown_dataframe, metadata_dataframe,
+                                      pages_dataframe)
 
     if input_format == "iceberg":
         df = spark.read.format("iceberg").load(input_path)
@@ -480,6 +481,10 @@ def run_format_job(spark: SparkSession, input_path: str, output_path: str,
         out = document_json_dataframe(df, page_range=page_range)
     elif output_format == "markdown":
         out = markdown_dataframe(df)
+    elif output_format == "info":
+        # the `zpdf info` analog (main.zig:98-160): metadata + page
+        # count + encryption flag per document
+        out = metadata_dataframe(df)
     else:  # per-page text rows for an explicit --pages range
         out = pages_dataframe(df, page_range=page_range)
     data_path = os.path.join(output_path, "data")
@@ -497,12 +502,13 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--input", required=True, help="input parquet path/table")
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--mode", choices=("accuracy", "fast"), default="accuracy")
-    ap.add_argument("--format", choices=("text", "json", "markdown"),
+    ap.add_argument("--format", choices=("text", "json", "markdown", "info"),
                     default="text",
                     help="text = full extraction rows with lineage/resume "
                          "(the scale pipeline); json = one {metadata, "
                          "outline, pages} object per doc; markdown = "
-                         "rendered markdown (main.zig -f)")
+                         "rendered markdown (main.zig -f); info = "
+                         "metadata/page-count rows (the `zpdf info` analog)")
     ap.add_argument("--pages", default=None,
                     help="inclusive 1-based page range 'a-b' or 'n' "
                          "(main.zig -p): applies the kernel-side page "

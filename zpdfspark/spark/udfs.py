@@ -637,8 +637,33 @@ def register_sql_udfs(spark) -> None:
         return html.map(lambda b: json.dumps(
             Document(bytes(b) if b is not None else b"").metadata(), ensure_ascii=False))
 
+    @pandas_udf(StringType())
+    def zpdf_markdown(html: pd.Series) -> pd.Series:
+        from zpdfspark.kernel import Document
+        return html.map(lambda b: Document(
+            bytes(b) if b is not None else b"").extract_all_markdown())
+
+    @pandas_udf(StringType())
+    def zpdf_doc_json(html: pd.Series) -> pd.Series:
+        from zpdfspark.kernel import Document
+        return html.map(lambda b: document_json(
+            Document(bytes(b) if b is not None else b"")))
+
+    @pandas_udf(StringType())
+    def zpdf_search_json(html: pd.Series, query: pd.Series) -> pd.Series:
+        from zpdfspark.kernel import Document
+        return pd.Series([
+            json.dumps(Document(bytes(b) if b is not None else b"")
+                       .search(q or ""), ensure_ascii=False)
+            for b, q in zip(html, query)
+        ])
+
     spark.udf.register("zpdf_extract", zpdf_extract)
     spark.udf.register("zpdf_extract_fast", zpdf_extract_fast)
     spark.udf.register("zpdf_page_count", zpdf_page_count)
     spark.udf.register("zpdf_is_encrypted", zpdf_is_encrypted)
     spark.udf.register("zpdf_metadata_json", zpdf_metadata_json)
+    spark.udf.register("zpdf_markdown", zpdf_markdown)
+    spark.udf.register("zpdf_doc_json", zpdf_doc_json)
+    # SELECT zpdf_search_json(html, 'Hello') FROM pages
+    spark.udf.register("zpdf_search_json", zpdf_search_json)
