@@ -256,6 +256,59 @@ def _decode_media_stub(raw: bytes, kind: str):
 # =========================================================================
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window rollup (the batch twin of the
+    streaming crawl-rate aggregation): per hour × event_type counts,
+    exact cent-sums (integer arithmetic so the double-sum order can't
+    break the oracle), and a JSON-prop aggregate (get_json_object)."""
+    e = _events(spark, sf_dir)
+    win = F.date_format(F.date_trunc("hour", F.col("ts")),
+                        "yyyy-MM-dd HH:mm:ss")
+    return (
+        e.groupBy(win.alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .alias("sum_value_cents"),
+            F.sum(F.get_json_object("props", "$.k").cast("long"))
+            .alias("sum_k"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session) —
+    the standard event-time pipeline op, as lag + running-sum windows:
+    shuffle once on user_id, everything else inside the partition."""
+    from pyspark.sql import Window
+
+    # tz-free epoch seconds: a wall-clock diff on the NTZ timestamp,
+    # exactly DuckDB's epoch(naive ts) — no session-timezone dependence
+    es = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", es.cast("long").alias("es"))
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    prev = F.lag("es").over(w)
+    new_sess = (prev.isNull() | ((F.col("es") - prev) > 1800)).cast("int")
+    sess = e.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("es") - F.min("es")).alias("duration_secs"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
 def _q_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -798,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": _q_ann_lsh,
         # SQL-expressible (DuckDB oracles below)
         "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "event_windows": _q_event_windows,
+        "event_sessions": _q_event_sessions,
         "dedup_exact": _q_dedup_exact,
         "dedup_summary": _q_dedup_summary,
         "minhash_signatures": _q_minhash_signatures,
@@ -958,6 +1013,27 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats_by_lang": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "min(doc_id) AS first_doc FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "event_windows": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+            "event_type, count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents, "
+            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k "
+            "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"
+        ),
+        "event_sessions": (
+            "WITH x AS (SELECT user_id, event_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS es, "
+            "lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+            "y AS (SELECT user_id, event_id, es, "
+            "CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END AS ns FROM x), "
+            "z AS (SELECT user_id, es, "
+            "sum(ns) OVER (PARTITION BY user_id ORDER BY es, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM y) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "count(*) AS n_events, max(es) - min(es) AS duration_secs "
+            "FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id"
         ),
         "dedup_exact": (
             "SELECT doc_id, md5(text) AS h, "
