@@ -645,24 +645,16 @@ NGRAM_ROWS = 2        # minhash rows per band (r); K = b*r signatures
 EMBED_SAMPLE_N = 500  # vectors in the embedding near-dup sample
 
 
-def _q_ngram_jaccard(spark: SparkSession, sf_dir: str,
-                     sample_n: int = NGRAM_SAMPLE_N) -> DataFrame:
-    """Near-dup candidate pairs via b-band × r-row MinHash-LSH banding
-    (b=4, r=2 — tunable recall, vs the round-1 single 1-hash band),
-    scored by word-set Jaccard. Candidate generation is a band equi-join
-    (never all-pairs, plan-guarded); signatures are map-only.
-
-    ``sample_n`` is the SURFACED sampling cap (round-1 verdict: no
-    silent caps): Jaccard re-scoring collects full word sets per
-    candidate, so this query runs on a deterministic doc_id sample; at
-    production scale you'd drop the exact re-score or feed candidates
-    into a dedicated verify stage."""
-    d = _docs(spark, sf_dir).where(F.col("doc_id") < sample_n)
+def _band_candidates(d: DataFrame):
+    """Shared candidate generation for the near-dup family: distinct
+    word sets plus banded-minhash candidate pairs (a_id < b_id).
+    Signatures are MAP-ONLY (K = b*r _minhash_col components); bands are
+    md5 over each band's r components; candidates come from a band
+    equi-join — never all-pairs (plan-guarded)."""
     words = d.select(
         "doc_id",
         F.array_distinct(F.split(F.col("text"), " ")).alias("ws"),
     )
-    # K=8 map-only minhash components -> b bands of r rows each
     sig = d.select(
         "doc_id",
         *[_minhash_col(F.col("text"), k).alias(f"h{k}")
@@ -682,17 +674,60 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str,
         .where(F.col("a_id") < F.col("b_id"))
         .distinct()
     )
-    pairs = (
-        cand.join(words.select(F.col("doc_id").alias("a_id"),
-                               F.col("ws").alias("a_ws")), "a_id")
-        .join(words.select(F.col("doc_id").alias("b_id"),
-                           F.col("ws").alias("b_ws")), "b_id")
-    )
+    return words, cand
+
+
+def _scored_pairs(words: DataFrame, cand: DataFrame) -> DataFrame:
+    """Candidates joined to word sets with exact Jaccard (rounded to 3
+    for fp-stable oracle hashing)."""
     jac = F.round(
         F.size(F.array_intersect("a_ws", "b_ws"))
         / F.size(F.array_union("a_ws", "b_ws")), 3)
     return (
-        pairs.select("a_id", "b_id", jac.alias("jaccard_r3"))
+        cand.join(words.select(F.col("doc_id").alias("a_id"),
+                               F.col("ws").alias("a_ws")), "a_id")
+        .join(words.select(F.col("doc_id").alias("b_id"),
+                           F.col("ws").alias("b_ws")), "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard_r3"))
+    )
+
+
+def _band_candidates_sql(sample_n: int) -> str:
+    """The DuckDB replay of _band_candidates, generated from the SAME
+    NGRAM_BANDS/NGRAM_ROWS constants so query and oracle cannot
+    desynchronize. Yields CTEs: docs, words, sig, bands, cand."""
+    k = NGRAM_BANDS * NGRAM_ROWS
+    sig_cols = ", ".join(f"min(md5(w || '|{i}')) AS h{i}" for i in range(k))
+    band_list = ", ".join(
+        "md5(" + " || ".join(f"h{b * NGRAM_ROWS + r}"
+                             for r in range(NGRAM_ROWS)) + ")"
+        for b in range(NGRAM_BANDS))
+    return (
+        f"docs AS (SELECT * FROM documents WHERE doc_id < {sample_n}), "
+        "words AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM docs), "
+        f"sig AS (SELECT doc_id, {sig_cols} "
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs) GROUP BY doc_id), "
+        f"bands AS (SELECT doc_id, unnest([{band_list}]) AS band FROM sig), "
+        "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)"
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str,
+                     sample_n: int = NGRAM_SAMPLE_N) -> DataFrame:
+    """Near-dup candidate pairs via b-band × r-row MinHash-LSH banding
+    (b=4, r=2 — tunable recall, vs the round-1 single 1-hash band),
+    scored by word-set Jaccard (shared _band_candidates stage).
+
+    ``sample_n`` is the SURFACED sampling cap (round-1 verdict: no
+    silent caps): Jaccard re-scoring collects full word sets per
+    candidate, so this query runs on a deterministic doc_id sample; at
+    production scale you'd drop the exact re-score or feed candidates
+    into a dedicated verify stage."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < sample_n)
+    words, cand = _band_candidates(d)
+    return (
+        _scored_pairs(words, cand)
         .where(F.col("jaccard_r3") >= 0.6)
         .orderBy("a_id", "b_id")
     )
@@ -719,35 +754,10 @@ def _q_neardup_clusters(spark: SparkSession, sf_dir: str,
     a template vocabulary, so lower thresholds legitimately merge
     everything — 0.95 captures true re-crawls/near-copies)."""
     d = _docs(spark, sf_dir).where(F.col("doc_id") < sample_n)
-    words = d.select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ws"))
-    sig = d.select(
-        "doc_id",
-        *[_minhash_col(F.col("text"), k).alias(f"h{k}")
-          for k in range(NGRAM_BANDS * NGRAM_ROWS)],
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.md5(F.concat(*[F.col(f"h{b * NGRAM_ROWS + r}")
-                             for r in range(NGRAM_ROWS)]))
-            for b in range(NGRAM_BANDS)
-        ])).alias("band"),
-    )
-    cand = (
-        bands.alias("a").join(bands.alias("b"), "band")
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .where(F.col("a_id") < F.col("b_id"))
-        .distinct()
-    )
-    jac = F.size(F.array_intersect("a_ws", "b_ws")) \
-        / F.size(F.array_union("a_ws", "b_ws"))
+    words, cand = _band_candidates(d)
     verified = (
-        cand.join(words.select(F.col("doc_id").alias("a_id"),
-                               F.col("ws").alias("a_ws")), "a_id")
-        .join(words.select(F.col("doc_id").alias("b_id"),
-                           F.col("ws").alias("b_ws")), "b_id")
-        .where(jac >= 0.95)
+        _scored_pairs(words, cand)
+        .where(F.col("jaccard_r3") >= 0.95)
         .select("a_id", "b_id")
     )
     pairs = verified.select(F.col("a_id").alias("src"),
@@ -756,7 +766,12 @@ def _q_neardup_clusters(spark: SparkSession, sf_dir: str,
                                      F.col("a_id").alias("dst")))
     labels = d.select("doc_id", F.col("doc_id").alias("rep"))
     edges = pairs.localCheckpoint(eager=True)  # cut the growing lineage
-    for _ in range(32):  # diameter bound; converges long before
+    # min-label propagation moves the component min ONE hop per round,
+    # so worst case needs (component size - 1) rounds (a Jaccard-0.95
+    # chain), not any small constant — bound by sample_n and FAIL LOUD
+    # if ever not converged rather than silently returning partial reps
+    converged = False
+    for _ in range(max(sample_n, 2)):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src").agg(F.min("rep").alias("nrep"))
@@ -777,7 +792,12 @@ def _q_neardup_clusters(spark: SparkSession, sf_dir: str,
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"neardup_clusters did not converge within {max(sample_n, 2)} "
+            f"propagation rounds — component structure exceeds the bound")
     return labels.select(
         "doc_id", F.col("rep").alias("cluster_rep"),
         (F.col("rep") == F.col("doc_id")).alias("is_keeper"),
@@ -1024,8 +1044,11 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": (
             "WITH x AS (SELECT user_id, event_id, "
             "CAST(floor(epoch(ts)) AS BIGINT) AS es, "
+            # lag ordered by the TRUNCATED epoch + event_id, exactly the
+            # Spark window's (es, event_id) — ordering by full-precision
+            # ts could flip same-second ties the other way
             "lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+            "(PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev FROM events), "
             "y AS (SELECT user_id, event_id, es, "
             "CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END AS ns FROM x), "
             "z AS (SELECT user_id, es, "
@@ -1068,10 +1091,12 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_bpe": (
             "SELECT doc_id, "
             "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_pieces, "
-            "CAST(list_sum(list_transform("
+            # coalesce: DuckDB list_sum([]) is NULL where Spark's
+            # aggregate seed gives 0 for a token-less text
+            "CAST(coalesce(list_sum(list_transform("
             "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'), "
             "t -> CASE WHEN regexp_matches(t, '^[A-Za-z]+$') "
-            "THEN CAST(ceil(length(t) / 4.0) AS BIGINT) ELSE 1 END)) AS BIGINT) AS n_subwords "
+            "THEN CAST(ceil(length(t) / 4.0) AS BIGINT) ELSE 1 END)), 0) AS BIGINT) AS n_subwords "
             "FROM documents ORDER BY doc_id"
         ),
         "quality_scores": (
@@ -1105,20 +1130,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings ORDER BY vec_id"
         ),
         "ngram_jaccard_sample": (
-            # b=4 bands x r=2 rows over K=8 word-minhashes, candidates =
+            # b bands x r rows over K=b*r word-minhashes (CTEs generated
+            # from the same constants as the Spark stage), candidates =
             # docs sharing ANY band, then exact word-set Jaccard >= 0.6
-            f"WITH docs AS (SELECT * FROM documents WHERE doc_id < {NGRAM_SAMPLE_N}), "
-            "words AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM docs), "
-            "sig AS (SELECT doc_id, "
-            + ", ".join(
-                f"min(md5(w || '|{k}')) AS h{k}" for k in range(8))
-            + " FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs) GROUP BY doc_id), "
-            "bands AS (SELECT doc_id, unnest(["
-            + ", ".join(
-                f"md5(h{b * 2} || h{b * 2 + 1})" for b in range(4))
-            + "]) AS band FROM sig), "
-            "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
-            "FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id), "
+            f"WITH {_band_candidates_sql(NGRAM_SAMPLE_N)}, "
             "pairs AS (SELECT a_id, b_id, wa.ws AS a_ws, wb.ws AS b_ws FROM cand "
             "JOIN words wa ON wa.doc_id = a_id JOIN words wb ON wb.doc_id = b_id) "
             "SELECT a_id, b_id, round(CAST(len(list_intersect(a_ws, b_ws)) AS DOUBLE) / "
@@ -1127,24 +1142,17 @@ def oracle_sql() -> dict[str, str]:
             "len(list_distinct(list_concat(a_ws, b_ws))), 3) >= 0.6 ORDER BY a_id, b_id"
         ),
         "neardup_clusters_sample": (
-            # transitive closure of the banded candidate graph via a
-            # recursive CTE; component rep = min reachable doc_id (the
-            # Spark side reaches the same fixpoint by min-label
-            # propagation — different algorithm, same answer)
-            f"WITH RECURSIVE docs AS (SELECT * FROM documents WHERE doc_id < {NGRAM_SAMPLE_N}), "
-            "sig AS (SELECT doc_id, "
-            + ", ".join(f"min(md5(w || '|{k}')) AS h{k}" for k in range(8))
-            + " FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs) GROUP BY doc_id), "
-            "bands AS (SELECT doc_id, unnest(["
-            + ", ".join(f"md5(h{b * 2} || h{b * 2 + 1})" for b in range(4))
-            + "]) AS band FROM sig), "
-            "words AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM docs), "
-            "cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b "
-            "FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id), "
-            "verified AS (SELECT a, b FROM cand "
-            "JOIN words wa ON wa.doc_id = a JOIN words wb ON wb.doc_id = b "
-            "WHERE CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) / "
-            "len(list_distinct(list_concat(wa.ws, wb.ws))) >= 0.95), "
+            # transitive closure of the Jaccard-verified banded candidate
+            # graph via a recursive CTE; component rep = min reachable
+            # doc_id (the Spark side reaches the same fixpoint by
+            # min-label propagation — different algorithm, same answer).
+            # Verification uses the SAME round(...,3) >= 0.95 predicate
+            # as the Spark stage.
+            f"WITH RECURSIVE {_band_candidates_sql(NGRAM_SAMPLE_N)}, "
+            "verified AS (SELECT a_id AS a, b_id AS b FROM cand "
+            "JOIN words wa ON wa.doc_id = a_id JOIN words wb ON wb.doc_id = b_id "
+            "WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) / "
+            "len(list_distinct(list_concat(wa.ws, wb.ws))), 3) >= 0.95), "
             "edges AS (SELECT a, b FROM verified UNION ALL SELECT b, a FROM verified), "
             "reach(src, dst) AS ("
             "  SELECT doc_id, doc_id FROM docs"

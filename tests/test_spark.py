@@ -354,3 +354,43 @@ def test_format_job_info(spark, tmp_path):
     rows = spark.read.parquet(os.path.join(out, "data"))
     assert {"url", "title", "n_pages", "is_encrypted"} <= set(rows.columns)
     assert rows.count() == 30
+
+
+def test_format_markdown_respects_pages(spark, tmp_path):
+    """--pages must restrict markdown rendering (it silently didn't)."""
+    from zpdfspark.fixtures import write_corpus_parquet
+    from zpdfspark.spark.pipeline import run_format_job
+
+    src = str(tmp_path / "srcm.parquet")
+    write_corpus_parquet(src, 40, seed=11)
+    out_all = str(tmp_path / "md_all")
+    out_p1 = str(tmp_path / "md_p1")
+    run_format_job(spark, src, out_all, "markdown")
+    run_format_job(spark, src, out_p1, "markdown", page_range=(1, 1))
+    full = {r["url"]: r["markdown"] for r in
+            spark.read.parquet(os.path.join(out_all, "data")).collect()}
+    p1 = {r["url"]: r["markdown"] for r in
+          spark.read.parquet(os.path.join(out_p1, "data")).collect()}
+    multi = [u for u in full if "/multipage/" in u]
+    assert multi
+    for u in multi:
+        assert "\n---\n\n" in full[u]        # all pages, with separators
+        assert "\n---\n\n" not in p1[u]      # page 1 only
+        assert full[u].startswith(p1[u])
+    # info + --pages is a usage error, not silently ignored
+    with pytest.raises(ValueError):
+        run_format_job(spark, src, str(tmp_path / "x"), "info",
+                       page_range=(1, 1))
+
+
+def test_bucketed_input_domain_validated(spark, corpus_path, tmp_path):
+    """A bucket column whose values fall outside range(n_buckets) must
+    fail loudly — a mismatched layout would otherwise silently skip
+    those rows forever while reporting success."""
+    from zpdfspark.spark.pipeline import run_extraction_job, write_bucketed_input
+
+    bsrc = str(tmp_path / "bsrc16")
+    write_bucketed_input(spark, corpus_path, bsrc, n_buckets=16)
+    with pytest.raises(ValueError, match="outside range"):
+        run_extraction_job(spark, bsrc, str(tmp_path / "outx"),
+                           n_buckets=4, partitions=4)

@@ -1191,8 +1191,8 @@ EXPECTED_COLUMNS = (
 def expected_row(raw: bytes, text: Optional[str]) -> dict:
     """Compute every EXPECTED_COLUMNS value for one document."""
     from .kernel import Document
+    from .kernel.document import document_json
     from .kernel.htmltext import extract_any
-    from .spark.udfs import document_json
 
     text_a, _, doc_a = extract_any(raw, "accuracy")
     text_f, _, doc_f = extract_any(raw, "fast")

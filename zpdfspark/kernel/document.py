@@ -52,6 +52,40 @@ class PageNotFoundError(Exception):
     matching the reference binding (python/zpdf/__init__.py:133-134)."""
 
 
+def document_json(doc, page_range=None) -> str:
+    """One document as the CLI `-f json` object (main.zig:252-339 field
+    semantics: metadata keys present only when non-null, page_count,
+    outline[{title,page,level}], pages[{page(1-based), label-if-present,
+    text}]). Formatting is json.dumps — field parity, not byte parity
+    with the Zig writer. page_range is the CLI's inclusive 1-based
+    `-p a-b` (main.zig:173-177): it restricts the pages array only.
+
+    Lives in the kernel layer (not spark/) so pyspark-free consumers —
+    fixtures' expected-column generation, plain scripts — can use it."""
+    import json
+
+    meta = {k: v for k, v in doc.metadata().items() if v is not None}
+    pages = []
+    lo, hi = (page_range or (1, doc.page_count or 0))
+    for page_idx in range(doc.page_count):
+        if not (lo <= page_idx + 1 <= hi):
+            continue
+        row = {"page": page_idx + 1}
+        label = doc.get_page_label(page_idx)
+        if label is not None:
+            row["label"] = label
+        row["text"] = doc.extract_text_structured_bytes(page_idx).decode(
+            "utf-8", "replace")
+        pages.append(row)
+    return json.dumps({
+        "metadata": meta,
+        "page_count": doc.page_count,
+        "outline": [{"title": o["title"], "page": o["page"],
+                     "level": o["level"]} for o in doc.outline()],
+        "pages": pages,
+    }, ensure_ascii=False, sort_keys=True)
+
+
 def decode_pdf_string(raw: bytes) -> str:
     """UTF-16BE with BOM (incl. surrogates) else PDFDocEncoding/Latin-1
     (root.zig:1780-1870)."""
@@ -493,17 +527,20 @@ class Document:
         width = page.media_box[2] - page.media_box[0]
         return md.render_page_markdown(spans, width).decode("utf-8", "replace")
 
-    def extract_all_markdown(self, structured: bool = False) -> str:
+    def extract_all_markdown(self, structured: bool = False,
+                             page_range=None) -> str:
         """Default mode is the span-heuristic renderer for byte parity
         with the reference (its StructuredMarkdownRenderer is dead code —
         root.zig:886-908 never routes tagged docs through it).
         structured=True opts into the ported struct-type map
-        (markdown.zig:564-606)."""
+        (markdown.zig:564-606). page_range is the CLI's inclusive
+        1-based -p (main.zig:173-177)."""
         from . import markdown as md
         if structured:
-            return md.render_document_markdown_structured(self).decode(
-                "utf-8", "replace")
-        return md.render_document_markdown(self).decode("utf-8", "replace")
+            return md.render_document_markdown_structured(
+                self, page_range=page_range).decode("utf-8", "replace")
+        return md.render_document_markdown(
+            self, page_range=page_range).decode("utf-8", "replace")
 
     # -- search ----------------------------------------------------------
 

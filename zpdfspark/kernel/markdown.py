@@ -184,11 +184,21 @@ def render_page_markdown(spans: List[TextSpan], page_width: float) -> bytes:
     return bytes(out)
 
 
-def render_document_markdown(doc) -> bytes:
-    """All pages with '\\n---\\n\\n' page breaks (root.zig:916-942)."""
+def _selected_pages(doc, page_range):
+    """Inclusive 1-based (a, b) like the CLI's -p (main.zig:173-177);
+    None = all pages. Separators go between EMITTED pages only, exactly
+    like doExtract iterating the pages slice."""
+    if page_range is None:
+        return range(doc.page_count)
+    lo, hi = page_range
+    return [p for p in range(doc.page_count) if lo <= p + 1 <= hi]
+
+
+def render_document_markdown(doc, page_range=None) -> bytes:
+    """Selected pages with '\\n---\\n\\n' page breaks (root.zig:916-942)."""
     parts = []
-    for page_idx in range(doc.page_count):
-        if page_idx > 0:
+    for i, page_idx in enumerate(_selected_pages(doc, page_range)):
+        if i > 0:
             parts.append(b"\n---\n\n")
         spans = doc.extract_bounds(page_idx)
         if not spans:
@@ -305,7 +315,7 @@ def render_elements(elements) -> bytes:
     return bytes(out)
 
 
-def render_document_markdown_structured(doc) -> bytes:
+def render_document_markdown_structured(doc, page_range=None) -> bytes:
     """Opt-in tagged-PDF markdown: pages with a structure tree render via
     the struct-type map; untagged pages fall back to the span heuristics.
 
@@ -323,8 +333,8 @@ def render_document_markdown_structured(doc) -> bytes:
     doc._ensure_reading_order()
     ro = doc._reading_order
     parts = []
-    for page_idx in range(doc.page_count):
-        if page_idx > 0:
+    for i, page_idx in enumerate(_selected_pages(doc, page_range)):
+        if i > 0:
             parts.append(b"\n---\n\n")
         mcids = ro.get(page_idx) if (ro is not None and root is not None) else None
         if mcids:

@@ -292,8 +292,19 @@ def run_extraction_job(
         # `bucket = K` filter then PRUNES the scan to one partition
         # directory (zero read amplification; pipeline docstring). The
         # column must have been produced by the same bucket_of()
-        # expression with the same n_buckets.
+        # expression with the same n_buckets — VALIDATE the domain, or a
+        # mismatched --buckets (or an unrelated column that happens to be
+        # named 'bucket') would silently skip rows forever: todo only
+        # covers range(n_buckets), so bucket values outside it are never
+        # selected by any scan while the job still reports success.
         df = df.select("url", "html", F.col("bucket").cast("int").alias("bucket"))
+        seen = [r[0] for r in df.select("bucket").distinct().collect()]
+        bad = [b for b in seen if b is None or not 0 <= b < n_buckets]
+        if bad:
+            raise ValueError(
+                f"input 'bucket' column has values {sorted(bad, key=str)[:8]} "
+                f"outside range({n_buckets}); rerun write_bucketed_input with "
+                f"n_buckets={n_buckets} or pass --buckets to match the layout")
         if single_pass:
             # single-pass exists FOR unbucketed inputs (one scan instead
             # of n_buckets scans); with a bucketed layout each per-bucket
@@ -480,10 +491,14 @@ def run_format_job(spark: SparkSession, input_path: str, output_path: str,
     if output_format == "json":
         out = document_json_dataframe(df, page_range=page_range)
     elif output_format == "markdown":
-        out = markdown_dataframe(df)
+        out = markdown_dataframe(df, page_range=page_range)
     elif output_format == "info":
         # the `zpdf info` analog (main.zig:98-160): metadata + page
-        # count + encryption flag per document
+        # count + encryption flag per document. Like the reference,
+        # info is a document-level report — a page range is a usage
+        # error, not something to silently ignore.
+        if page_range is not None:
+            raise ValueError("--pages does not apply to --format info")
         out = metadata_dataframe(df)
     else:  # per-page text rows for an explicit --pages range
         out = pages_dataframe(df, page_range=page_range)

@@ -426,7 +426,7 @@ def features_dataframe(df: DataFrame) -> DataFrame:
 
 
 def markdown_batches(html_col: str = "html", url_col: str = "url",
-                     structured: bool = False):
+                     structured: bool = False, page_range=None):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from zpdfspark.kernel import Document
 
@@ -435,19 +435,22 @@ def markdown_batches(html_col: str = "html", url_col: str = "url",
             for url, blob in zip(batch[url_col], batch[html_col]):
                 doc = Document(bytes(blob) if blob is not None else b"")
                 out["url"].append(url)
-                out["markdown"].append(
-                    doc.extract_all_markdown(structured=structured))
+                out["markdown"].append(doc.extract_all_markdown(
+                    structured=structured, page_range=page_range))
             yield pd.DataFrame(out)
 
     return fn
 
 
-def markdown_dataframe(df: DataFrame, structured: bool = False) -> DataFrame:
+def markdown_dataframe(df: DataFrame, structured: bool = False,
+                       page_range=None) -> DataFrame:
     """structured=True opts into the tagged-PDF struct-type map
     (markdown.zig:564-606; see kernel/markdown.py for why it is NOT the
-    default — the reference's production path never uses it)."""
+    default — the reference's production path never uses it).
+    page_range is the CLI's inclusive 1-based -p."""
     return df.select("url", "html").mapInPandas(
-        markdown_batches(structured=structured), "url string, markdown string")
+        markdown_batches(structured=structured, page_range=page_range),
+        "url string, markdown string")
 
 
 # -- per-page output: the CLI JSON sink's row form (S12) -------------------
@@ -493,33 +496,9 @@ def pages_dataframe(df: DataFrame, page_range=None) -> DataFrame:
         pages_batches(page_range=page_range), PAGES_SCHEMA_DDL)
 
 
-def document_json(doc, page_range=None) -> str:
-    """One document as the CLI `-f json` object (main.zig:252-339 field
-    semantics: metadata keys present only when non-null, page_count,
-    outline[{title,page,level}], pages[{page(1-based), label-if-present,
-    text}]). Formatting is json.dumps — field parity, not byte parity
-    with the Zig writer. page_range is the CLI's inclusive 1-based
-    `-p a-b` (main.zig:173-177): it restricts the pages array only."""
-    meta = {k: v for k, v in doc.metadata().items() if v is not None}
-    pages = []
-    lo, hi = (page_range or (1, doc.page_count or 0))
-    for page_idx in range(doc.page_count):
-        if not (lo <= page_idx + 1 <= hi):
-            continue
-        row = {"page": page_idx + 1}
-        label = doc.get_page_label(page_idx)
-        if label is not None:
-            row["label"] = label
-        row["text"] = doc.extract_text_structured_bytes(page_idx).decode(
-            "utf-8", "replace")
-        pages.append(row)
-    return json.dumps({
-        "metadata": meta,
-        "page_count": doc.page_count,
-        "outline": [{"title": o["title"], "page": o["page"],
-                     "level": o["level"]} for o in doc.outline()],
-        "pages": pages,
-    }, ensure_ascii=False, sort_keys=True)
+# re-exported from the kernel layer (moved there so pyspark-free
+# consumers — fixtures' expected-column generation — can import it)
+from zpdfspark.kernel.document import document_json  # noqa: E402,F401
 
 
 def document_json_batches(html_col: str = "html", url_col: str = "url",
