@@ -210,28 +210,36 @@ def _q_markdown_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads as opaque media columns with
-    typed metadata; decode is a clearly-marked stub (no image/audio libs
-    in this container) while the Spark-side schema/batching is real."""
+    """Multimodal payloads as opaque media columns with typed metadata.
+    Decode is REAL for PDFs (the kernel) and PNGs (pure-Python decoder,
+    kernel/png.py); jpeg/video kinds remain honestly stubbed (no codec
+    libs in this container) while the Spark-side schema/batching is the
+    same either way."""
     import pandas as pd
 
     corpus = _corpus(spark, sf_dir)
 
     def media_batches(batches):
+        from zpdfspark.kernel.htmltext import looks_like_html
+        from zpdfspark.kernel.png import PngError
+        from zpdfspark.spark.media import decode_media
+
         for batch in batches:
             out = {"url": [], "n_bytes": [], "media_kind": [], "decode_ok": []}
             for url, blob in zip(batch["url"], batch["html"]):
                 raw = bytes(blob) if blob is not None else b""
-                from zpdfspark.kernel.htmltext import looks_like_html
                 kind = "pdf" if raw.startswith(b"%PDF-") else (
                     "png" if raw.startswith(b"\x89PNG") else (
                         "jpeg" if raw.startswith(b"\xff\xd8") else (
                             "html" if looks_like_html(raw) else "unknown")))
-                try:
-                    _decode_media_stub(raw, kind)
-                    ok = True
-                except NotImplementedError:
-                    ok = False
+                if kind == "pdf":
+                    ok = True  # the PDF kernel is this engine
+                else:
+                    try:
+                        decode_media(raw, kind)
+                        ok = True
+                    except (NotImplementedError, PngError):
+                        ok = False
                 out["url"].append(url)
                 out["n_bytes"].append(len(raw))
                 out["media_kind"].append(kind)
@@ -241,14 +249,6 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.select("url", "html").mapInPandas(
         media_batches, "url string, n_bytes long, media_kind string, decode_ok boolean"
     ).orderBy("url")
-
-
-def _decode_media_stub(raw: bytes, kind: str):
-    """STUB: image/audio decode unavailable in this container; PDFs go
-    through the real kernel, everything else raises NotImplementedError."""
-    if kind == "pdf":
-        return None
-    raise NotImplementedError(f"media decode for {kind} not available")
 
 
 # =========================================================================
@@ -1026,8 +1026,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, markdown_structured FROM {corpus} ORDER BY url"
         ),
         "media_stats": (
+            # decode is real for pdf (the kernel) and png (kernel/png.py)
             f"SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes, "
-            f"media_kind, (media_kind = 'pdf') AS decode_ok "
+            f"media_kind, (media_kind IN ('pdf', 'png')) AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
         "doc_stats_by_lang": (

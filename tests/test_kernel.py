@@ -467,3 +467,77 @@ class TestSecondaryInterpreter:
             got = "\x0c".join(extract_page_interpreter(doc, p)
                               for p in range(doc.page_count))
             assert got == text, gen
+
+
+class TestPng:
+    """kernel/png.py: the REAL image-decode path of the media pipeline
+    (zlib + the same PNG row filters the PDF kernel uses)."""
+
+    def _round(self, shape):
+        import numpy as np
+        from zpdfspark.kernel import png as P
+        rng = np.random.default_rng(shape[0] * 100 + shape[-1])
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, c, out = P.decode_png(P.encode_png(px))
+        assert (h, w, c) == (shape[0], shape[1], shape[2])
+        assert (out == px).all()
+
+    def test_roundtrip_all_color_types(self):
+        for c in (1, 2, 3, 4):
+            self._round((11, 5, c))
+
+    def test_palette_expansion(self):
+        import struct, zlib
+        import numpy as np
+        from zpdfspark.kernel import png as P
+        # hand-build a 2x2 palette image: indices [[0,1],[1,0]]
+        pal = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        idat = zlib.compress(b"\x00\x00\x01" + b"\x00\x01\x00")
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        raw = (P.SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal)
+               + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+        w, h, c, out = P.decode_png(raw)
+        assert (w, h, c) == (2, 2, 3)
+        assert out[0, 0].tolist() == [255, 0, 0]
+        assert out[0, 1].tolist() == [0, 0, 255]
+
+    def test_resize_nearest_exact(self):
+        import numpy as np
+        from zpdfspark.kernel.png import resize_nearest
+        px = np.arange(24, dtype=np.uint8).reshape(4, 6, 1)
+        out = resize_nearest(px, 3, 2)
+        # ys = [0, 2], xs = [0, 2, 4]
+        assert out[:, :, 0].tolist() == [[0, 2, 4], [12, 14, 16]]
+
+    def test_hostile_pngs_raise_pngerror_only(self):
+        import random
+        import numpy as np
+        from zpdfspark.kernel import png as P
+        base = P.encode_png(np.zeros((9, 9, 3), dtype=np.uint8))
+        rnd = random.Random(3)
+        for _ in range(500):
+            b = bytearray(base)
+            for _ in range(rnd.randint(1, 10)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+            raw = bytes(b[:rnd.randrange(8, len(b))]
+                        if rnd.random() < 0.3 else b)
+            try:
+                P.decode_png(raw)
+            except P.PngError:
+                pass  # the only acceptable failure mode
+
+    def test_decode_caps_giant_dimensions(self):
+        import struct, zlib
+        from zpdfspark.kernel import png as P
+        ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0)
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        raw = (P.SIGNATURE + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(b"\x00"))
+               + chunk(b"IEND", b""))
+        with pytest.raises(P.PngError, match="too large"):
+            P.decode_png(raw)

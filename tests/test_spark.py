@@ -196,16 +196,25 @@ def test_driver_contract_shape():
 
 
 def test_media_plumbing(spark, corpus_path):
-    """Multimodal kernels (spark/media.py): decode stub produces error
-    records (never raises), the fake path is deterministic, frame
-    sampling expands 1-to-N inside the task, embeddings are stable."""
+    """Multimodal kernels (spark/media.py): decode is REAL for PNG rows
+    (pure-Python decoder), stubbed-soft for codec-less kinds (error
+    records, never raises); the fake path is deterministic; frame
+    sampling expands 1-to-N inside the task; embeddings are stable."""
     from zpdfspark.spark import media
 
-    df = spark.read.parquet(corpus_path).limit(20)
+    base = spark.read.parquet(corpus_path)
+    # 20 arbitrary rows plus guaranteed PNG coverage
+    df = base.limit(20).unionByName(
+        base.where(F.col("url").like("%/png/%")).limit(5)).distinct()
 
-    # decode: stub -> ok=False everywhere, schema intact
+    # decode: real for png (actual dimensions), soft-fail elsewhere
     dec = media.decode_dataframe(df).collect()
-    assert len(dec) == 20 and all(not r.decode_ok for r in dec)
+    assert any(r.media_kind == "png" for r in dec)
+    for r in dec:
+        if r.media_kind == "png":
+            assert r.decode_ok and r.width >= 1 and r.height >= 1
+        else:
+            assert not r.decode_ok and r.width == 0
     # fake decode: deterministic dims, all ok
     fake1 = {r.url: (r.width, r.height) for r in
              media.decode_dataframe(df, fake=True).collect()}
@@ -214,11 +223,17 @@ def test_media_plumbing(spark, corpus_path):
     assert fake1 == fake2
     assert all(1 <= w <= 64 and 1 <= h <= 64 for w, h in fake1.values())
 
-    # resize: stub fails soft; fake sizes w*h*3
+    # resize: REAL for png (3-channel nearest-neighbor -> exact bytes),
+    # soft-fail elsewhere; fake sizes w*h*3
     rs = media.resize_dataframe(df, 32, 16, fake=True).collect()
     assert all(r.out_bytes == 32 * 16 * 3 and r.resize_ok for r in rs)
-    rs0 = media.resize_dataframe(df, 32, 16).collect()
-    assert all(not r.resize_ok and r.out_bytes == 0 for r in rs0)
+    rs0 = {r.url: r for r in media.resize_dataframe(df, 32, 16).collect()}
+    kinds = {r.url: r.media_kind for r in dec}
+    for url, r in rs0.items():
+        if kinds[url] == "png":
+            assert r.resize_ok and r.out_bytes == 32 * 16 * 3
+        else:
+            assert not r.resize_ok and r.out_bytes == 0
 
     # frame sampling: 1-to-N with exact chunk arithmetic
     import pandas as pd
@@ -249,11 +264,11 @@ def test_format_job_json_and_pages(spark, tmp_path):
     from zpdfspark.spark.pipeline import parse_page_range, run_format_job
 
     src = str(tmp_path / "src.parquet")
-    write_corpus_parquet(src, 40, seed=11)
+    write_corpus_parquet(src, 80, seed=11)
 
     out = str(tmp_path / "json_out")
     s = run_format_job(spark, src, out, "json")
-    assert s["rows"] == 40
+    assert s["rows"] == 80
     rows = spark.read.parquet(os.path.join(out, "data")).collect()
     multi = [r for r in rows if "/multipage/" in r["url"]]
     assert multi
@@ -283,7 +298,7 @@ def test_format_job_json_and_pages(spark, tmp_path):
     # markdown format renders every doc
     out4 = str(tmp_path / "md_out")
     s4 = run_format_job(spark, src, out4, "markdown")
-    assert s4["rows"] == 40
+    assert s4["rows"] == 80
 
     with pytest.raises(ValueError):
         parse_page_range("3-1")
@@ -362,7 +377,7 @@ def test_format_markdown_respects_pages(spark, tmp_path):
     from zpdfspark.spark.pipeline import run_format_job
 
     src = str(tmp_path / "srcm.parquet")
-    write_corpus_parquet(src, 40, seed=11)
+    write_corpus_parquet(src, 80, seed=11)
     out_all = str(tmp_path / "md_all")
     out_p1 = str(tmp_path / "md_p1")
     run_format_job(spark, src, out_all, "markdown")

@@ -689,6 +689,24 @@ def two_column() -> Tuple[bytes, str]:
     return _simple_page_pdf(content, _HELVETICA), expected
 
 
+def png_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic small RGB PNG (multimodal payload row): gradient
+    pixels seeded by i, encoded by fixtures' own filter-0 encoder —
+    the independent direction against kernel/png.py's decoder. No text
+    oracle (it is not a text document); media decode ground truth is
+    carried via media_kind + the decoder's exactness tests."""
+    import numpy as np
+
+    from .kernel.png import encode_png
+
+    w, h = 8 + i % 9, 6 + i % 7
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack([
+        (x * 31 + i) % 256, (y * 17 + 2 * i) % 256, (x * y + 3 * i) % 256,
+    ], axis=-1).astype(np.uint8)
+    return encode_png(px), None
+
+
 def html_page(i: int = 0) -> Tuple[bytes, str]:
     """A Common-Crawl-style HTML page with boilerplate (script/style/
     nav/header/footer/aside) around a <main> block. The oracle is the
@@ -1034,6 +1052,10 @@ def _register():
     def g_v(i):
         return vertical_text()
 
+    @var("png")
+    def g_png(i):
+        return png_image(i)
+
     @var("html")
     def g_html(i):
         return html_page(i)
@@ -1066,7 +1088,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v10"
+CORPUS_VERSION = "v11"
 
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)

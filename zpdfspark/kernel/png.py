@@ -1,0 +1,141 @@
+"""Minimal pure-Python PNG decoder for the multimodal decode kernel.
+
+The sandbox has no codec libraries (PIL/ffmpeg), but PNG is just
+zlib + per-row prediction filters — both of which this engine already
+implements for PDF streams (kernel/filters.py PNG predictors 10-15 are
+the SAME None/Sub/Up/Average/Paeth row filters, decompress.zig:257-350).
+So the image-decode step of the media pipeline is REAL for PNG:
+signature + chunk walk, IHDR, concatenated IDAT -> capped zlib
+inflate -> row unfiltering -> numpy pixel array. JPEG/video remain
+honestly stubbed (media.py).
+
+Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette,
+expanded to RGB), 4 (gray+alpha), 6 (RGBA), interlace 0. Anything else
+raises PngError — callers treat a failed decode as data, never as a
+task failure (the same permissive contract as the PDF kernel).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Tuple
+
+import numpy as np
+
+from .filters import apply_predictor
+
+SIGNATURE = b"\x89PNG\r\n\x1a\n"
+MAX_PIXEL_BYTES = 64 * 1024 * 1024  # decoded-size DoS cap (Z12 spirit)
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngError(Exception):
+    pass
+
+
+def decode_png(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
+    """raw PNG bytes -> (width, height, channels, pixels[h, w, c] uint8).
+
+    Palette images are expanded to RGB (3 channels)."""
+    if not raw.startswith(SIGNATURE):
+        raise PngError("bad signature")
+    pos = len(SIGNATURE)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(raw) and not seen_iend:
+        length, ctype = struct.unpack(">I4s", raw[pos:pos + 8])
+        if length > len(raw):  # corrupt length: bail before huge slices
+            raise PngError("chunk length exceeds file")
+        data = raw[pos + 8: pos + 8 + length]
+        if len(data) < length:
+            raise PngError("truncated chunk")
+        pos += 8 + length + 4  # skip CRC (tolerated like the PDF kernel
+        # tolerates damaged xref checksums: content errors surface as
+        # decode failures, not as strict CRC validation)
+        if ctype == b"IHDR":
+            if length != 13:
+                raise PngError("bad IHDR")
+            (width, height, bit_depth, color_type,
+             _comp, _filt, interlace) = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise PngError("bad PLTE")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_iend = True
+    if width is None:
+        raise PngError("missing IHDR")
+    if bit_depth != 8:
+        raise PngError(f"unsupported bit depth {bit_depth}")
+    if color_type not in _CHANNELS:
+        raise PngError(f"unsupported color type {color_type}")
+    if interlace != 0:
+        raise PngError("interlaced PNG unsupported")
+    if width == 0 or height == 0:
+        raise PngError("zero dimension")
+    channels = _CHANNELS[color_type]
+    if width * height * channels > MAX_PIXEL_BYTES:
+        raise PngError("image too large")
+    if not idat:
+        raise PngError("missing IDAT")
+    try:
+        decompressed = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise PngError(f"IDAT inflate failed: {e}")
+    expected = height * (width * channels + 1)
+    if len(decompressed) < expected:
+        raise PngError("IDAT short")
+    # per-row filter bytes: exactly the PDF PNG predictor layout — reuse
+    # it (predictor=15 means "per-row filter byte chooses the filter")
+    try:
+        unfiltered = apply_predictor(
+            decompressed[:expected], 15, width, channels, 8)
+    except Exception as e:
+        raise PngError(f"unfilter failed: {e}")
+    pixels = np.frombuffer(unfiltered, dtype=np.uint8).reshape(
+        height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise PngError("palette image without PLTE")
+        idx = pixels[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise PngError("palette index out of range")
+        pixels = palette[idx]
+        channels = 3
+    return width, height, channels, pixels
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (the classic sample-grid index map) —
+    pure numpy, deterministic."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[ys][:, xs]
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal encoder (filter type 0 rows) for fixtures/tests — the
+    independent direction against decode_png's differential tests."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    scanlines = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    idat = zlib.compress(scanlines)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    return (SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))

@@ -1,15 +1,17 @@
 """Multimodal column plumbing: decode / feature-extract / resize /
 frame-sample over opaque binary media, as Arrow-batched pandas kernels.
 
-The image/audio/video codec libraries are not available in this
-environment (round-1 brief), so the DECODE step is stubbed behind a
-clearly-marked NotImplementedError with a deterministic fake used by
-tests — but the Spark-side plumbing (schemas, mapInPandas signatures,
-1-to-N row expansion, batch shapes, partitioning) is real and tested,
-and the two operations whose semantics are pure arithmetic over the
-payload (frame sampling, fingerprint embeddings) are EXACTLY
-replayable in SQL, so they carry full DuckDB value oracles in
-__spark_entry__.py.
+Decode is REAL for PNG (round 2): zlib + the engine's own PNG row
+unfiltering make a full pure-Python decoder (kernel/png.py), so
+decode -> nearest-neighbor resize is exercised with actual pixels.
+JPEG/audio/video codecs are absent from this container, so those kinds
+remain stubbed behind a clearly-marked NotImplementedError with a
+deterministic fake used by tests — the Spark-side plumbing (schemas,
+mapInPandas signatures, 1-to-N row expansion, batch shapes,
+partitioning) is identical either way, and the two operations whose
+semantics are pure arithmetic over the payload (frame sampling,
+fingerprint embeddings) are EXACTLY replayable in SQL, so they carry
+full DuckDB value oracles in __spark_entry__.py.
 
 At 100 TB scale these kernels run map-only on scan splits like the PDF
 extraction kernel: media blobs are never shuffled; frame explosion
@@ -30,12 +32,27 @@ RESIZE_SCHEMA = ("url string, out_width int, out_height int, "
                  "out_bytes long, resize_ok boolean")
 
 
-def decode_media(raw: bytes, kind: str):
-    """Decode an opaque media payload -> (width, height, pixels).
+def sniff_kind(raw: bytes) -> str:
+    if raw.startswith(b"%PDF-"):
+        return "pdf"
+    if raw.startswith(b"\x89PNG"):
+        return "png"
+    if raw.startswith(b"\xff\xd8"):
+        return "jpeg"
+    return "binary"
 
-    STUB: real decoding needs codec libraries absent from this
-    container. Raises NotImplementedError for every kind; callers must
-    treat a failed decode as data, not as a task failure."""
+
+def decode_media(raw: bytes, kind: str):
+    """Decode an opaque media payload -> (width, height, channels,
+    pixels ndarray).
+
+    REAL for PNG (pure-Python, kernel/png.py). STUB for every codec
+    kind the container lacks libraries for (jpeg/audio/video):
+    NotImplementedError — callers must treat a failed decode as data,
+    not as a task failure."""
+    if kind == "png":
+        from zpdfspark.kernel.png import decode_png
+        return decode_png(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
@@ -54,12 +71,14 @@ def decode_dataframe(df: DataFrame, url_col: str = "url",
     def batches(it):
         import pandas as pd
 
+        from zpdfspark.kernel.png import PngError
+
         for b in it:
             rows = {"url": [], "media_kind": [], "n_bytes": [],
                     "width": [], "height": [], "decode_ok": []}
             for url, blob in zip(b[url_col], b[blob_col]):
                 raw = bytes(blob)
-                kind = "pdf" if raw.startswith(b"%PDF-") else "binary"
+                kind = sniff_kind(raw)
                 w = h = 0
                 ok = False
                 try:
@@ -67,9 +86,11 @@ def decode_dataframe(df: DataFrame, url_col: str = "url",
                         w, h = _fake_decode(raw)
                         ok = True
                     else:
-                        decode_media(raw, kind)
-                except NotImplementedError:
+                        w, h, _c, _px = decode_media(raw, kind)
+                        ok = True
+                except (NotImplementedError, PngError):
                     ok = False
+                    w = h = 0
                 rows["url"].append(url)
                 rows["media_kind"].append(kind)
                 rows["n_bytes"].append(len(raw))
@@ -135,11 +156,14 @@ def embed_dataframe(df: DataFrame, id_col: str = "doc_id",
 def resize_dataframe(df: DataFrame, width: int, height: int,
                      url_col: str = "url", blob_col: str = "html",
                      fake: bool = False) -> DataFrame:
-    """Resize kernel plumbing: target dimensions + output size. With
-    the decode stub, resize_ok is False and out_bytes 0; the fake path
-    sizes the output deterministically (w*h*3 RGB bytes)."""
+    """Resize kernel: REAL decode + nearest-neighbor resample for PNG
+    payloads (out_bytes = actual resized array size); the decode stub
+    leaves other kinds resize_ok=False/0; the fake path sizes the output
+    deterministically (w*h*3 RGB bytes) for tests."""
     def batches(it):
         import pandas as pd
+
+        from zpdfspark.kernel.png import PngError, resize_nearest
 
         for b in it:
             rows = {"url": [], "out_width": [], "out_height": [],
@@ -154,8 +178,10 @@ def resize_dataframe(df: DataFrame, width: int, height: int,
                         out_bytes = width * height * 3
                         ok = True
                     else:
-                        decode_media(raw, "image")
-                except NotImplementedError:
+                        _w, _h, _c, px = decode_media(raw, sniff_kind(raw))
+                        out_bytes = int(resize_nearest(px, width, height).nbytes)
+                        ok = True
+                except (NotImplementedError, PngError):
                     ok = False
                 rows["url"].append(url)
                 rows["out_width"].append(width)
