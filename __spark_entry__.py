@@ -222,6 +222,7 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def media_batches(batches):
         from zpdfspark.kernel.htmltext import looks_like_html
         from zpdfspark.kernel.png import PngError
+        from zpdfspark.kernel.wav import WavError
         from zpdfspark.spark.media import decode_media
 
         for batch in batches:
@@ -231,14 +232,15 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 kind = "pdf" if raw.startswith(b"%PDF-") else (
                     "png" if raw.startswith(b"\x89PNG") else (
                         "jpeg" if raw.startswith(b"\xff\xd8") else (
-                            "html" if looks_like_html(raw) else "unknown")))
+                            "wav" if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+                            else ("html" if looks_like_html(raw) else "unknown"))))
                 if kind == "pdf":
                     ok = True  # the PDF kernel is this engine
                 else:
                     try:
                         decode_media(raw, kind)
                         ok = True
-                    except (NotImplementedError, PngError):
+                    except (NotImplementedError, PngError, WavError):
                         ok = False
                 out["url"].append(url)
                 out["n_bytes"].append(len(raw))
@@ -564,6 +566,17 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket").agg(F.count("*").alias("n_vecs"))
         .orderBy("bucket")
     )
+
+
+def _q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (WAV/PCM, kernel/wav.py): rate/channels/length
+    + integer RMS over the actual decoded samples, one row per WAV
+    payload; value-oracled against the corpus-carried ground truth
+    (computed at generation time by an INDEPENDENT RIFF re-read,
+    fixtures._wav_expected — not the kernel decoder)."""
+    from zpdfspark.spark.media import audio_stats_dataframe
+
+    return audio_stats_dataframe(_corpus(spark, sf_dir)).orderBy("url")
 
 
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_sample": _q_embedding_neardup,
         "ann_ivf": _q_ann_ivf,
         "simhash": _q_simhash,
+        "audio_stats": _q_audio_stats,
         "media_frames": _q_media_frames,
         "media_embed": _q_media_embed,
     }
@@ -1026,10 +1040,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, markdown_structured FROM {corpus} ORDER BY url"
         ),
         "media_stats": (
-            # decode is real for pdf (the kernel) and png (kernel/png.py)
+            # decode is real for pdf (the kernel), png (kernel/png.py)
+            # and wav (kernel/wav.py)
             f"SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes, "
-            f"media_kind, (media_kind IN ('pdf', 'png')) AS decode_ok "
+            f"media_kind, (media_kind IN ('pdf', 'png', 'wav')) AS decode_ok "
             f"FROM {corpus} ORDER BY url"
+        ),
+        "audio_stats": (
+            # carried ground truth from the independent RIFF re-read
+            f"SELECT url, audio_sr AS sample_rate, "
+            f"audio_channels AS n_channels, audio_n_samples AS n_samples, "
+            f"(audio_n_samples * 1000) // CAST(audio_sr AS BIGINT) AS duration_ms, "
+            f"audio_rms_x1000 AS rms_x1000 "
+            f"FROM {corpus} WHERE media_kind = 'wav' ORDER BY url"
         ),
         "doc_stats_by_lang": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "

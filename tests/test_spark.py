@@ -213,6 +213,8 @@ def test_media_plumbing(spark, corpus_path):
     for r in dec:
         if r.media_kind == "png":
             assert r.decode_ok and r.width >= 1 and r.height >= 1
+        elif r.media_kind == "wav":
+            assert r.decode_ok and r.width == 0  # audio: no pixel dims
         else:
             assert not r.decode_ok and r.width == 0
     # fake decode: deterministic dims, all ok
@@ -232,7 +234,7 @@ def test_media_plumbing(spark, corpus_path):
     for url, r in rs0.items():
         if kinds[url] == "png":
             assert r.resize_ok and r.out_bytes == 32 * 16 * 3
-        else:
+        else:  # resize is an image op: wav and stubs fail soft
             assert not r.resize_ok and r.out_bytes == 0
 
     # frame sampling: 1-to-N with exact chunk arithmetic

@@ -707,6 +707,27 @@ def png_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
     return encode_png(px), None
 
 
+def wav_audio(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic 16-bit PCM WAV (multimodal audio payload row):
+    quantized sine + ramp waveform seeded by i, mono/stereo by parity,
+    encoded by the kernel's minimal encoder. No text oracle; audio
+    ground truth (rate/channels/samples/RMS) is carried by the expected
+    columns, computed from the PRE-encode array so the decoder is the
+    thing under test."""
+    import numpy as np
+
+    from .kernel.wav import encode_wav
+
+    n = 400 + 40 * (i % 5)
+    ch = 1 + (i % 2)
+    sr = 8000 if i % 2 else 16000
+    t = np.arange(n, dtype=np.float64)
+    wave = (3000 * np.sin(t * (0.05 + 0.01 * (i % 7)))
+            + (t % 97) * 20 - 970 + 11 * i).astype(np.int16)
+    samples = np.stack([wave] * ch, axis=1) if ch > 1 else wave[:, None]
+    return encode_wav(samples, sr), None
+
+
 def html_page(i: int = 0) -> Tuple[bytes, str]:
     """A Common-Crawl-style HTML page with boilerplate (script/style/
     nav/header/footer/aside) around a <main> block. The oracle is the
@@ -1056,6 +1077,10 @@ def _register():
     def g_png(i):
         return png_image(i)
 
+    @var("wav")
+    def g_wav(i):
+        return wav_audio(i)
+
     @var("html")
     def g_html(i):
         return html_page(i)
@@ -1088,7 +1113,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v11"
+CORPUS_VERSION = "v12"
 
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -1182,6 +1207,8 @@ def _sniff_media_kind(raw: bytes) -> str:
         return "png"
     if raw.startswith(b"\xff\xd8"):
         return "jpeg"
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return "wav"
     if looks_like_html(raw):
         return "html"
     return "unknown"
@@ -1207,7 +1234,31 @@ EXPECTED_COLUMNS = (
     "n_outline", "n_links", "n_form_fields", "n_images", "labels",
     "markdown", "markdown_structured", "spans", "page_texts", "doc_json",
     "search_hello", "media_kind",
+    "audio_sr", "audio_channels", "audio_n_samples", "audio_rms_x1000",
 )
+
+
+def _wav_expected(raw: bytes):
+    """INDEPENDENT ground truth for the audio oracle: a 12-line re-read
+    of the RIFF spec for the exact layout our 16-bit PCM generator
+    emits (fmt then data) — deliberately NOT kernel/wav.py, so the
+    oracle catches decoder drift. Returns (sr, channels, n_samples,
+    rms_x1000)."""
+    import struct
+
+    import numpy as np
+
+    assert raw[12:16] == b"fmt "
+    fmt_len = struct.unpack("<I", raw[16:20])[0]
+    channels = struct.unpack("<H", raw[22:24])[0]
+    sr = struct.unpack("<I", raw[24:28])[0]
+    data_off = 20 + fmt_len
+    assert raw[data_off:data_off + 4] == b"data"
+    dlen = struct.unpack("<I", raw[data_off + 4:data_off + 8])[0]
+    s = np.frombuffer(raw[data_off + 8:data_off + 8 + dlen],
+                      dtype="<i2").astype(np.float64)
+    rms = int(np.floor(np.sqrt(np.mean(s * s)) * 1000.0))
+    return sr, channels, len(s) // channels, rms
 
 
 def expected_row(raw: bytes, text: Optional[str]) -> dict:
@@ -1268,6 +1319,13 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     row["doc_json"] = document_json(doc)
     row["search_hello"] = search_matches_expected(text)
     row["media_kind"] = _sniff_media_kind(raw)
+    if row["media_kind"] == "wav":
+        sr, ch, n, rms = _wav_expected(raw)
+        row.update({"audio_sr": sr, "audio_channels": ch,
+                    "audio_n_samples": n, "audio_rms_x1000": rms})
+    else:
+        row.update({"audio_sr": None, "audio_channels": None,
+                    "audio_n_samples": None, "audio_rms_x1000": None})
     return row
 
 
@@ -1322,6 +1380,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "spans": spans_type, "page_texts": pa.list_(pa.string()),
         "doc_json": pa.string(), "search_hello": search_type,
         "media_kind": pa.string(),
+        "audio_sr": pa.int32(), "audio_channels": pa.int32(),
+        "audio_n_samples": pa.int64(), "audio_rms_x1000": pa.int64(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

@@ -39,20 +39,26 @@ def sniff_kind(raw: bytes) -> str:
         return "png"
     if raw.startswith(b"\xff\xd8"):
         return "jpeg"
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return "wav"
     return "binary"
 
 
 def decode_media(raw: bytes, kind: str):
-    """Decode an opaque media payload -> (width, height, channels,
-    pixels ndarray).
+    """Decode an opaque media payload.
 
-    REAL for PNG (pure-Python, kernel/png.py). STUB for every codec
-    kind the container lacks libraries for (jpeg/audio/video):
+    REAL for PNG — (width, height, channels, pixels ndarray) via
+    kernel/png.py — and for WAV — (sample_rate, channels,
+    samples ndarray) via kernel/wav.py. STUB for every codec kind the
+    container lacks libraries for (jpeg/mp3/video):
     NotImplementedError — callers must treat a failed decode as data,
     not as a task failure."""
     if kind == "png":
         from zpdfspark.kernel.png import decode_png
         return decode_png(raw)
+    if kind == "wav":
+        from zpdfspark.kernel.wav import decode_wav
+        return decode_wav(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
@@ -72,6 +78,7 @@ def decode_dataframe(df: DataFrame, url_col: str = "url",
         import pandas as pd
 
         from zpdfspark.kernel.png import PngError
+        from zpdfspark.kernel.wav import WavError
 
         for b in it:
             rows = {"url": [], "media_kind": [], "n_bytes": [],
@@ -86,9 +93,12 @@ def decode_dataframe(df: DataFrame, url_col: str = "url",
                         w, h = _fake_decode(raw)
                         ok = True
                     else:
-                        w, h, _c, _px = decode_media(raw, kind)
+                        res = decode_media(raw, kind)
+                        if len(res) == 4:  # image: (w, h, c, pixels)
+                            w, h = res[0], res[1]
+                        # audio decodes have no pixel dims (0, 0)
                         ok = True
-                except (NotImplementedError, PngError):
+                except (NotImplementedError, PngError, WavError):
                     ok = False
                     w = h = 0
                 rows["url"].append(url)
@@ -100,6 +110,44 @@ def decode_dataframe(df: DataFrame, url_col: str = "url",
             yield pd.DataFrame(rows)
 
     return df.select(url_col, blob_col).mapInPandas(batches, DECODE_SCHEMA)
+
+
+AUDIO_SCHEMA = ("url string, sample_rate int, n_channels int, "
+                "n_samples long, duration_ms long, rms_x1000 long")
+
+
+def audio_stats_dataframe(df: DataFrame, url_col: str = "url",
+                          blob_col: str = "html") -> DataFrame:
+    """REAL audio feature extraction for WAV payloads (kernel/wav.py):
+    one row per decodable WAV with rate/channels/length and the integer
+    RMS over the ACTUAL decoded samples. Non-WAV rows emit nothing —
+    the kernel filters by magic bytes before decoding, map-only."""
+    def batches(it):
+        import pandas as pd
+
+        from zpdfspark.kernel.wav import WavError, audio_rms_x1000, decode_wav
+
+        for b in it:
+            rows = {"url": [], "sample_rate": [], "n_channels": [],
+                    "n_samples": [], "duration_ms": [], "rms_x1000": []}
+            for url, blob in zip(b[url_col], b[blob_col]):
+                raw = bytes(blob)
+                if sniff_kind(raw) != "wav":
+                    continue
+                try:
+                    sr, ch, samples = decode_wav(raw)
+                except WavError:
+                    continue
+                n = samples.shape[0]
+                rows["url"].append(url)
+                rows["sample_rate"].append(sr)
+                rows["n_channels"].append(ch)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000 // sr)
+                rows["rms_x1000"].append(audio_rms_x1000(samples))
+            yield pd.DataFrame(rows)
+
+    return df.select(url_col, blob_col).mapInPandas(batches, AUDIO_SCHEMA)
 
 
 def frame_sample_dataframe(df: DataFrame, id_col: str = "doc_id",
@@ -178,7 +226,11 @@ def resize_dataframe(df: DataFrame, width: int, height: int,
                         out_bytes = width * height * 3
                         ok = True
                     else:
-                        _w, _h, _c, px = decode_media(raw, sniff_kind(raw))
+                        kind = sniff_kind(raw)
+                        if kind not in ("png",):  # resize is an image op
+                            raise NotImplementedError(
+                                f"resize for {kind!r} not available")
+                        _w, _h, _c, px = decode_media(raw, kind)
                         out_bytes = int(resize_nearest(px, width, height).nbytes)
                         ok = True
                 except (NotImplementedError, PngError):
