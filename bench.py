@@ -218,11 +218,11 @@ def main() -> None:
         m: dict[int, float] = {}
         trials = []
         scaling_t0 = time.perf_counter()
-        for round_idx in range(3):
-            # time-budget the interleave: noise protection wants 3
-            # rounds, but one complete round already yields a valid
-            # same-window measurement — don't risk the driver's bench
-            # timeout on a slow host episode
+        for round_idx in range(4):
+            # time-budget the interleave: noise protection wants 3-4
+            # rounds (min-of-config sampling), but one complete round
+            # already yields a valid same-window measurement — don't
+            # risk the driver's bench timeout on a slow host episode
             if round_idx > 0 and time.perf_counter() - scaling_t0 > 420:
                 break
             round_vals = {}
