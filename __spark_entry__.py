@@ -438,6 +438,71 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, IPv4s, long digit runs -> typed tags) — a
+    standard pre-training cleaning op, pure JVM regexp_replace. The
+    driver's synthetic documents contain no PII, so the query SEEDS
+    deterministic PII derived from doc_id into the text first (making
+    the op observable), then scrubs it; redaction counts are reported
+    per type. ASCII-only patterns so Java and RE2 dialects agree."""
+    d = _docs(spark, sf_dir)
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" ref 4111111111111"), (F.col("doc_id") % 10).cast("string"),
+    )
+    email_re = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+    ip_re = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    digits_re = "[0-9]{9,}"
+
+    def count(col, pat):
+        return F.regexp_count(col, F.lit(pat)).cast("long")
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(seeded, email_re, "<EMAIL>"),
+            ip_re, "<IP>"),
+        digits_re, "<NUM>")
+    return d.select(
+        "doc_id",
+        count(seeded, email_re).alias("n_emails"),
+        count(F.regexp_replace(seeded, email_re, "<EMAIL>"), ip_re).alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        (F.length(seeded) - F.length(scrubbed)).cast("long").alias("chars_removed"),
+    ).orderBy("doc_id")
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style composite quality rules scaled to the
+    synthetic corpus: word-count bounds, mean-word-length band, symbol
+    ratio, and stopword evidence — each surfaced as a flag plus the
+    composite keep decision. Pure JVM expressions."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    n_chars_nospace = F.length(F.regexp_replace("text", " ", ""))
+    mean_wl_x100 = F.floor(n_chars_nospace * 100 / n_words).cast("long")
+    n_symbols = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^A-Za-z0-9 ]", ""))
+    symbol_ratio_x1000 = F.floor(n_symbols * 1000 / F.length("text")).cast("long")
+    has_stopword = (F.col("text").like("% the %") | F.col("text").like("% a %")
+                    | F.col("text").like("% and %"))
+    ok_words = (n_words >= 10) & (n_words <= 100000)
+    ok_wl = (mean_wl_x100 >= 200) & (mean_wl_x100 <= 1000)
+    ok_sym = symbol_ratio_x1000 <= 100
+    return d.select(
+        "doc_id", n_words.alias("n_words"),
+        mean_wl_x100.alias("mean_word_len_x100"),
+        symbol_ratio_x1000.alias("symbol_ratio_x1000"),
+        ok_words.alias("ok_word_count"), ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"), has_stopword.alias("ok_stopwords"),
+        (ok_words & ok_wl & ok_sym & has_stopword).alias("keep"),
+    ).orderBy("doc_id")
+
+
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID heuristic (deterministic SQL both sides)."""
     d = _docs(spark, sf_dir)
@@ -893,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
         "quality_scores": _q_quality_scores,
+        "pii_scrub": _q_pii_scrub,
+        "gopher_quality": _q_gopher_quality,
         "lang_guess": _q_lang_guess,
         "lang_id_ngram": _q_lang_id_ngram,
         "fingerprints": _q_fingerprints,
@@ -1130,6 +1197,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(length(replace(text, ' ', '')) * 100 / "
             "(length(text) - length(replace(text, ' ', '')) + 1)) AS BIGINT) AS mean_word_len_x100 "
             "FROM documents ORDER BY doc_id"
+        ),
+        "pii_scrub": (
+            "WITH seeded AS (SELECT doc_id, "
+            "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+            "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+            "'.' || CAST((doc_id * 7) % 256 AS VARCHAR) || "
+            "' ref 4111111111111' || CAST(doc_id % 10 AS VARCHAR) AS s "
+            "FROM documents), "
+            "s1 AS (SELECT doc_id, s, "
+            "regexp_replace(s, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+[.][A-Za-z]+', '<EMAIL>', 'g') AS e "
+            "FROM seeded), "
+            "s2 AS (SELECT doc_id, s, e, "
+            "regexp_replace(e, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g') AS i "
+            "FROM s1), "
+            "s3 AS (SELECT doc_id, s, e, "
+            "len(regexp_extract_all(s, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+[.][A-Za-z]+')) AS n_emails, "
+            "len(regexp_extract_all(e, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS n_ips, "
+            "regexp_replace(i, '[0-9]{9,}', '<NUM>', 'g') AS f FROM s2) "
+            "SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails, "
+            "CAST(n_ips AS BIGINT) AS n_ips, md5(f) AS scrubbed_md5, "
+            "CAST(length(s) - length(f) AS BIGINT) AS chars_removed "
+            "FROM s3 ORDER BY doc_id"
+        ),
+        "gopher_quality": (
+            "WITH m AS (SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+            "CAST(floor(length(replace(text, ' ', '')) * 100 / "
+            "len(string_split(text, ' '))) AS BIGINT) AS mwl, "
+            "CAST(floor((length(text) - length(regexp_replace(text, "
+            "'[^A-Za-z0-9 ]', '', 'g'))) * 1000 / length(text)) AS BIGINT) AS sym, "
+            "(text LIKE '% the %' OR text LIKE '% a %' OR text LIKE '% and %') AS stop "
+            "FROM documents) "
+            "SELECT doc_id, n_words, mwl AS mean_word_len_x100, "
+            "sym AS symbol_ratio_x1000, "
+            "(n_words >= 10 AND n_words <= 100000) AS ok_word_count, "
+            "(mwl >= 200 AND mwl <= 1000) AS ok_word_len, "
+            "(sym <= 100) AS ok_symbols, stop AS ok_stopwords, "
+            "((n_words >= 10 AND n_words <= 100000) AND (mwl >= 200 AND mwl <= 1000) "
+            "AND sym <= 100 AND stop) AS keep "
+            "FROM m ORDER BY doc_id"
         ),
         "lang_guess": (
             "SELECT doc_id, lang, "
