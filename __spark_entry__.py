@@ -311,6 +311,28 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_recrawl_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl merge: keep the NEWEST version of each url by warc_ts —
+    the standard incremental-crawl upsert (one url shuffle, window
+    row_number, rank-1 filter). The driver corpus has one version per
+    url, so the query synthesizes a second, one-hour-newer crawl of
+    every url (union) to make the op observable; the keeper must always
+    be the +1h version."""
+    from pyspark.sql import Window
+
+    c = _corpus(spark, sf_dir).select("url", "warc_ts")
+    v2 = c.select("url", (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"))
+    both = c.unionByName(v2)
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    ts_str = F.date_format(F.col("warc_ts"), "yyyy-MM-dd HH:mm:ss")
+    return (
+        both.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("url", ts_str.alias("kept_ts"))
+        .orderBy("url")
+    )
+
+
 def _q_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -949,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": _q_ann_lsh,
         # SQL-expressible (DuckDB oracles below)
         "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "recrawl_latest": _q_recrawl_latest,
         "event_windows": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "dedup_exact": _q_dedup_exact,
@@ -1124,6 +1147,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats_by_lang": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "min(doc_id) AS first_doc FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "recrawl_latest": (
+            f"WITH vers AS (SELECT url, warc_ts FROM {corpus} "
+            f"UNION ALL SELECT url, warc_ts + INTERVAL 1 HOUR FROM {corpus}), "
+            "r AS (SELECT url, warc_ts, row_number() OVER "
+            "(PARTITION BY url ORDER BY warc_ts DESC) AS rnk FROM vers) "
+            "SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS kept_ts "
+            "FROM r WHERE rnk = 1 ORDER BY url"
         ),
         "event_windows": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
