@@ -32,6 +32,7 @@ NOTES = {
     "extract_markdown_structured": "map-only kernel (struct-map mode).",
     "media_stats": "map-only sniff kernel.",
     "doc_stats_by_lang": "partial_agg -> exchange on lang -> final agg: classic map-side combine; whole-stage codegen.",
+    "recrawl_latest": "one url hash exchange, window row_number inside the partition, rank-1 filter — the standard incremental-crawl upsert shape.",
     "event_windows": "partial agg -> one exchange on (window,type) -> final agg; integer cent-sums; JSON prop extraction JVM-side.",
     "event_sessions": "ONE exchange on user_id; lag + running-sum + session agg all within the partition (sort-based windows).",
     "dedup_exact": "single hash exchange on md5(text), window row_number inside partition — the dedup shuffle is the one unavoidable exchange.",
