@@ -542,6 +542,55 @@ class TestPng:
         with pytest.raises(P.PngError, match="too large"):
             P.decode_png(raw)
 
+    def test_idat_bomb_is_capped_before_allocation(self):
+        # tiny declared dims + high-ratio IDAT: inflate must stop at the
+        # declared scanline size (ADVICE r2: uncapped zlib.decompress let
+        # a 510 KB file allocate 513 MB before the size check)
+        import struct, tracemalloc, zlib
+        from zpdfspark.kernel import png as P
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+        bomb = zlib.compress(b"\x00" * (256 * 1024 * 1024), 9)
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+        raw = (P.SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb)
+               + chunk(b"IEND", b""))
+        tracemalloc.start()
+        with pytest.raises(P.PngError, match="longer than declared"):
+            P.decode_png(raw)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        # peak must be O(compressed size), nowhere near the 256 MB payload
+        assert peak < 8 * 1024 * 1024
+
+    def test_idat_overshoot_rejected(self):
+        # stream inflates to MORE than height*(width*channels+1): corrupt
+        # data must not decode "successfully" from a truncated prefix
+        import struct, zlib
+        from zpdfspark.kernel import png as P
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        idat = zlib.compress(b"\x00\x00\x00" * 2 + b"extra!")
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+        raw = (P.SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+               + chunk(b"IEND", b""))
+        with pytest.raises(P.PngError, match="longer than declared"):
+            P.decode_png(raw)
+
+    def test_exact_length_stream_still_decodes(self):
+        # the cap must not false-positive on a valid stream whose adler
+        # trailer sits past the output limit
+        import numpy as np
+        from zpdfspark.kernel import png as P
+        px = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+        w, h, c, out = P.decode_png(P.encode_png(px))
+        assert (w, h, c) == (5, 4, 3) and (out == px).all()
+
 
 class TestWav:
     """kernel/wav.py: the REAL audio-decode path of the media pipeline."""

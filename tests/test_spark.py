@@ -411,3 +411,21 @@ def test_bucketed_input_domain_validated(spark, corpus_path, tmp_path):
     with pytest.raises(ValueError, match="outside range"):
         run_extraction_job(spark, bsrc, str(tmp_path / "outx"),
                            n_buckets=4, partitions=4)
+
+    # the domain check must come from the partition LISTING, not a data
+    # scan (ADVICE r2: distinct().collect() was a full extra job per run)
+    from zpdfspark.spark.pipeline import _bucket_domain_from_listing
+    listed = _bucket_domain_from_listing(spark, bsrc)
+    assert listed is not None and sorted(int(v) for v in listed) == list(
+        range(16))
+
+    # fallback path: 'bucket' as a plain DATA column (no partition dirs)
+    # still validated — via a pruned/pushed filter, not a distinct
+    flat = str(tmp_path / "flat_bad")
+    (spark.read.parquet(corpus_path)
+     .withColumn("bucket", F.lit(99))
+     .write.parquet(flat))
+    assert _bucket_domain_from_listing(spark, flat) is None
+    with pytest.raises(ValueError, match="outside range"):
+        run_extraction_job(spark, flat, str(tmp_path / "outy"),
+                           n_buckets=4, partitions=4)

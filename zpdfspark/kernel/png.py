@@ -85,13 +85,27 @@ def decode_png(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
         raise PngError("image too large")
     if not idat:
         raise PngError("missing IDAT")
+    expected = height * (width * channels + 1)
+    # Bounded inflate (mirrors filters.py's incremental flate cap): never
+    # allocate more than the IHDR-declared scanline bytes, so a tiny-IHDR
+    # high-ratio IDAT bomb cannot OOM an executor before the size check.
     try:
-        decompressed = zlib.decompress(bytes(idat))
+        inflater = zlib.decompressobj()
+        decompressed = inflater.decompress(bytes(idat), expected)
+        # A valid stream's trailer may sit in unconsumed_tail after the
+        # cap is hit; only *output* bytes beyond `expected` are overshoot,
+        # so probe with a 1-byte output limit (bounded, cannot OOM).
+        overshoot = b""
+        if not inflater.eof:
+            overshoot = inflater.decompress(inflater.unconsumed_tail, 1)
     except zlib.error as e:
         raise PngError(f"IDAT inflate failed: {e}")
-    expected = height * (width * channels + 1)
     if len(decompressed) < expected:
         raise PngError("IDAT short")
+    if overshoot:
+        # Over-long streams are corrupt/bomb data, not a truncatable
+        # prefix — reject rather than report decode_ok on partial bytes.
+        raise PngError("IDAT longer than declared dimensions")
     # per-row filter bytes: exactly the PDF PNG predictor layout — reuse
     # it (predictor=15 means "per-row filter byte chooses the filter")
     try:

@@ -230,6 +230,64 @@ def write_bucketed_input(spark: SparkSession, input_path: str,
        .write.mode("overwrite").partitionBy("bucket").parquet(output_path))
 
 
+def _bucket_domain_from_listing(spark: SparkSession,
+                                input_path: str) -> Optional[List[str]]:
+    """Partition values live in the directory names (``bucket=K``) — read
+    the domain from the file listing (one metadata RPC per child, works on
+    HDFS/S3 via the Hadoop FS API) instead of scanning all the data.
+    Returns None when the layout isn't a bucket=K partition tree (then the
+    caller falls back to a pruned filter)."""
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(input_path)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        vals = [st.getPath().getName().split("=", 1)[1]
+                for st in fs.listStatus(path)
+                if st.isDirectory()
+                and st.getPath().getName().startswith("bucket=")]
+        return vals or None
+    except Exception:
+        return None
+
+
+def _validate_bucket_domain(spark: SparkSession, df, input_path: str,
+                            input_format: str, n_buckets: int) -> None:
+    """Guard against a mismatched --buckets / unrelated 'bucket' column
+    (values outside range(n_buckets) would be silently skipped forever by
+    the per-bucket loop). ADVICE r2: the old full distinct().collect()
+    was an extra whole-input Spark job on every run — instead (a) read the
+    domain from the partition listing when the layout is bucket=K
+    directories, else (b) run an out-of-range FILTER, which
+    partition-prunes to zero splits on a healthy partitioned layout and is
+    a single pushed-filter early-exit scan otherwise."""
+    if input_format != "iceberg":
+        listed = _bucket_domain_from_listing(spark, input_path)
+        if listed is not None:
+            bad = []
+            for v in listed:
+                try:
+                    ok = 0 <= int(v) < n_buckets
+                except ValueError:
+                    ok = False
+                if not ok:
+                    bad.append(v)
+            if bad:
+                raise ValueError(
+                    f"input 'bucket' partitions {sorted(bad)[:8]} outside "
+                    f"range({n_buckets}); rerun write_bucketed_input with "
+                    f"n_buckets={n_buckets} or pass --buckets to match")
+            return
+    out_of_range = df.where(
+        F.col("bucket").isNull() | (F.col("bucket") < 0)
+        | (F.col("bucket") >= n_buckets))
+    bad_rows = out_of_range.select("bucket").limit(1).collect()
+    if bad_rows:
+        raise ValueError(
+            f"input 'bucket' column has value {bad_rows[0][0]!r} outside "
+            f"range({n_buckets}); rerun write_bucketed_input with "
+            f"n_buckets={n_buckets} or pass --buckets to match the layout")
+
+
 def completed_buckets(spark: SparkSession, lineage_path: str) -> List[int]:
     try:
         lineage = spark.read.json(lineage_path)
@@ -298,13 +356,8 @@ def run_extraction_job(
         # covers range(n_buckets), so bucket values outside it are never
         # selected by any scan while the job still reports success.
         df = df.select("url", "html", F.col("bucket").cast("int").alias("bucket"))
-        seen = [r[0] for r in df.select("bucket").distinct().collect()]
-        bad = [b for b in seen if b is None or not 0 <= b < n_buckets]
-        if bad:
-            raise ValueError(
-                f"input 'bucket' column has values {sorted(bad, key=str)[:8]} "
-                f"outside range({n_buckets}); rerun write_bucketed_input with "
-                f"n_buckets={n_buckets} or pass --buckets to match the layout")
+        _validate_bucket_domain(spark, df, input_path, input_format,
+                                n_buckets)
         if single_pass:
             # single-pass exists FOR unbucketed inputs (one scan instead
             # of n_buckets scans); with a bucketed layout each per-bucket
