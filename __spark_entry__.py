@@ -876,19 +876,21 @@ def _q_neardup_clusters(spark: SparkSession, sf_dir: str,
     exactly one document per transitive near-dup cluster (A~B via band
     1, B~C via band 2 => {A,B,C} one cluster, keep min doc_id).
 
-    Implementation: iterative min-label propagation — each round every
-    node takes the min label among itself and its neighbors (one
-    broadcast-able join + groupBy per round), terminating when a round
-    changes nothing. Rounds = graph diameter; at web scale you'd switch
-    to the large-star/small-star algorithm (O(log n) rounds) — same
-    join/agg building blocks, documented here as the scale path. The
+    Implementation: alternating **large-star/small-star** (Kiveris et
+    al., SoCC'14 — zpdfspark/spark/cc.py), the 100 TB scale path:
+    O(log^2 n) worst-case rounds of pure groupBy/agg + join, so a long
+    re-crawl chain's diameter no longer bounds the driver loop (the
+    round-1/2 min-label propagation needed O(diameter) rounds; it is
+    retained in cc.py as the independent cross-check implementation,
+    and tests pin that both agree on adversarial chain graphs). The
     deterministic doc_id sample (surfaced cap) keeps the oracle
     (a DuckDB recursive-CTE transitive closure) tractable.
 
     Edge rule = the full dedup pipeline: banded-LSH candidate pairs,
-    VERIFIED by exact shingle-set Jaccard >= 0.95 (the synthetic docs share
-    a template vocabulary, so lower thresholds legitimately merge
-    everything — 0.95 captures true re-crawls/near-copies)."""
+    VERIFIED by exact shingle-set Jaccard >= 0.95 (true
+    re-crawls/near-copies)."""
+    from zpdfspark.spark.cc import connected_components
+
     d = _docs(spark, sf_dir).where(F.col("doc_id") < sample_n)
     words, cand = _band_candidates(d)
     verified = (
@@ -896,44 +898,13 @@ def _q_neardup_clusters(spark: SparkSession, sf_dir: str,
         .where(F.col("jaccard_r3") >= 0.95)
         .select("a_id", "b_id")
     )
-    pairs = verified.select(F.col("a_id").alias("src"),
-                            F.col("b_id").alias("dst")) \
-        .unionByName(verified.select(F.col("b_id").alias("src"),
-                                     F.col("a_id").alias("dst")))
-    labels = d.select("doc_id", F.col("doc_id").alias("rep"))
-    edges = pairs.localCheckpoint(eager=True)  # cut the growing lineage
-    # min-label propagation moves the component min ONE hop per round,
-    # so worst case needs (component size - 1) rounds (a Jaccard-0.95
-    # chain), not any small constant — bound by sample_n and FAIL LOUD
-    # if ever not converged rather than silently returning partial reps
-    converged = False
-    for _ in range(max(sample_n, 2)):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src").agg(F.min("rep").alias("nrep"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep")))
-                .alias("rep"),
-            )
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.rep") != F.col("o.rep"))
-            .limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"neardup_clusters did not converge within {max(sample_n, 2)} "
-            f"propagation rounds — component structure exceeds the bound")
+    comp = connected_components(verified, src="a_id", dst="b_id")
+    labels = (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.node, "left")
+        .select("doc_id",
+                F.coalesce(F.col("rep"), F.col("doc_id")).alias("rep"))
+    )
     return labels.select(
         "doc_id", F.col("rep").alias("cluster_rep"),
         (F.col("rep") == F.col("doc_id")).alias("is_keeper"),

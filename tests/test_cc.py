@@ -1,0 +1,128 @@
+"""zpdfspark/spark/cc.py: large-star/small-star connected components —
+the 100 TB scale path for near-dup cluster assignment (round-2 verdict
+item #3) — cross-checked against min-label propagation and a driver-side
+union-find ground truth."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from zpdfspark.spark.cc import connected_components, min_label_components
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from zpdfspark.spark.session import get_spark
+
+    s = get_spark(4, "zpdfspark-cc-tests", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+def _ground_truth(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(comp[find(n)]) for n in nodes}
+
+
+def _check(spark, edges, expect_rounds_le=None, cross_check=True):
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({x for e in edges for x in e})
+    gt = _ground_truth(edges, nodes)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rc = []
+    got = {r["node"]: r["rep"]
+           for r in connected_components(df, _round_counter=rc).collect()}
+    assert got == gt
+    if expect_rounds_le is not None:
+        assert rc[0] <= expect_rounds_le, rc
+    if cross_check:
+        # independent implementation agrees (the cross-check the verdict
+        # asked to keep): one-hop min-label propagation. Skipped on long
+        # chains, where min-label's O(diameter) rounds dominate suite
+        # time — that's the point of large-star/small-star.
+        nodes_df = spark.createDataFrame([(n,) for n in nodes], "node long")
+        ml = {r["node"]: r["rep"]
+              for r in min_label_components(df, nodes_df).collect()}
+        assert ml == gt
+    return rc[0]
+
+
+def test_adversarial_chain_logarithmic_rounds(spark):
+    """A Jaccard-0.95 re-crawl chain is the adversarial case: min-label
+    needs O(n) rounds; large-star/small-star must stay O(log n)."""
+    n = 200
+    rounds = _check(spark, [(i, i + 1) for i in range(n)],
+                    expect_rounds_le=2 * math.ceil(math.log2(n)) + 2,
+                    cross_check=False)
+    assert rounds < 20  # vs ~200 for one-hop propagation
+
+
+def test_short_chain_cross_checked(spark):
+    # diameter 16: small enough to run the min-label cross-check too
+    _check(spark, [(i, i + 1) for i in range(16)])
+
+
+def test_random_graphs_match_union_find(spark):
+    rnd = random.Random(7)
+    for trial in range(2):
+        n = 120 + 60 * trial
+        edges = [(rnd.randrange(n), rnd.randrange(n))
+                 for _ in range(n // 2)]
+        _check(spark, edges)
+
+
+def test_star_and_two_components(spark):
+    _check(spark, [(0, i) for i in range(1, 40)]
+           + [(100, i) for i in range(101, 140)], expect_rounds_le=3)
+
+
+def test_reversed_and_duplicate_edges(spark):
+    # direction and duplicates must not matter
+    _check(spark, [(5, 1), (1, 5), (5, 9), (9, 5), (9, 5), (20, 21)])
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def test_nonconvergence_fails_loud(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                               "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=1)
+
+
+def test_neardup_query_isolated_nodes_labeled(spark):
+    """The query path labels docs with no near-dup edges as their own
+    keeper (left join + coalesce around connected_components)."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["neardup_clusters_sample"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 500
+    by_id = {r["doc_id"]: r for r in out}
+    # every doc labeled; reps are component minima (rep <= doc_id)
+    for r in out:
+        assert r["cluster_rep"] <= r["doc_id"]
+        assert r["is_keeper"] == (r["cluster_rep"] == r["doc_id"])
+        # rep rows are themselves keepers (label consistency)
+        assert by_id[r["cluster_rep"]]["cluster_rep"] == r["cluster_rep"]
+    # the corpus contains true near-dups: at least one non-trivial cluster
+    assert any(not r["is_keeper"] for r in out)

@@ -1,0 +1,183 @@
+"""Distributed connected components for the near-dup clustering stage.
+
+Two algorithms over the same (src, dst) edge DataFrame:
+
+- ``connected_components`` — alternating **large-star / small-star**
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14): converges in O(log^2 n) rounds worst-case (O(log n) on real
+  graphs), each round two groupBy/agg + join shapes with no driver-side
+  data. This is the 100 TB scale path: a near-dup component's diameter
+  (re-crawl chains A~B~C~...) no longer bounds the round count.
+- ``min_label_components`` — one-hop min-label propagation, O(diameter)
+  rounds. Kept as the independent cross-check implementation (the two
+  must agree on every graph; tests pin that on adversarial chains) and
+  for tiny interactive samples.
+
+Both return (node, rep) with rep = min node id of the component, one row
+per node that appears in the edge list; callers left-join and coalesce
+to label isolated nodes with themselves (see __spark_entry__
+_q_neardup_clusters). Both fail loud on non-convergence rather than
+returning partial labels.
+
+Reference parity note: the reference engine (Lulzx/zpdf) has no
+clustering counterpart — this operator exists for the training-data
+dedup pipeline (SURVEY.md §2.12 additions), so its spec is the published
+algorithm, not a reference file.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components", "min_label_components"]
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected unique edges as (u, v) with u < v; self-loops dropped."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For every node u: connect each STRICTLY LARGER neighbor to
+    min(neighborhood(u) + {u}). Keeps the component connected while
+    pointing big nodes at small ones; never increases edge count."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (sym.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+    out = (
+        sym.where(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("m").alias("u"), F.col("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges (u > v); for every u: connect u and all its smaller
+    neighbors to min(neighbors + {u}) — flattens local trees to stars."""
+    oriented = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # canonical edges already have u < v, so oriented has u > v and the
+    # min over (neighbors + {u}) is simply min(v)
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    linked = (
+        oriented.join(mins, "u")
+        .select(F.col("m").alias("u"), F.col("v"))
+        .unionByName(mins.select(F.col("m").alias("u"), F.col("u").alias("v")))
+    )
+    return (
+        linked.where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_rounds: Optional[int] = None,
+                         _round_counter: Optional[list] = None) -> DataFrame:
+    """Large-star/small-star connected components.
+
+    Returns (node, rep) for every node appearing in ``edges``, where rep
+    is the minimum node id of its component. Raises RuntimeError if the
+    edge set has not stabilized within ``max_rounds`` alternations
+    (default 64 — far above the O(log^2 n) bound for any feasible n;
+    2^64 nodes would not fit any cluster).
+
+    Each round is two aggregate+join stages; the only driver-side action
+    is the per-round convergence probe (one count of changed edges,
+    early-exit limit(1)). ``_round_counter``, when given a list, receives
+    the number of rounds used (tests pin the logarithmic bound)."""
+    spark = edges.sparkSession
+    if max_rounds is None:
+        max_rounds = 64
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    if e.isEmpty():
+        return spark.createDataFrame(
+            [], "node long, rep long")
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # converged when the (canonical, distinct) edge set is unchanged:
+        # probe symmetric difference with early-exit limit(1) counts
+        changed = (
+            nxt.exceptAll(e).limit(1).count()
+            + e.exceptAll(nxt).limit(1).count()
+        )
+        e = nxt
+        if changed == 0:
+            converged = True
+            break
+    if _round_counter is not None:
+        _round_counter.append(rounds)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            f"large-star/small-star rounds")
+    # fixpoint edge set is a union of stars: (root=u, child=v) with u < v
+    children = e.select(F.col("v").alias("node"), F.col("u").alias("rep"))
+    roots = e.select(F.col("u").alias("node"),
+                     F.col("u").alias("rep")).distinct()
+    return children.unionByName(roots)
+
+
+def min_label_components(edges: DataFrame, nodes: DataFrame,
+                         src: str = "src", dst: str = "dst",
+                         node_col: str = "node",
+                         max_rounds: int = 10_000) -> DataFrame:
+    """One-hop min-label propagation (the round-1/2 implementation,
+    retained as the independent cross-check): each round every node takes
+    the min label of itself and its neighbors. O(component diameter)
+    rounds — do NOT use at scale; use connected_components.
+
+    ``nodes`` must contain every vertex (isolated ones included) in
+    ``node_col``; returns (node, rep) for all of them."""
+    pairs = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(node_col).alias("node"),
+                          F.col(node_col).alias("rep"))
+    converged = False
+    for _ in range(max_rounds):
+        neighbor_min = (
+            pairs.join(labels, pairs.b == labels.node)
+            .groupBy("a").agg(F.min("rep").alias("nrep"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("rep"),
+                        F.coalesce(F.col("nrep"), F.col("rep"))).alias("rep"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.rep") != F.col("o.rep"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"min_label_components did not converge within {max_rounds} "
+            f"propagation rounds")
+    return labels
