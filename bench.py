@@ -58,16 +58,33 @@ def _warm_workers(spark, cores: int) -> None:
      .mapInPandas(warm, "id long").count())
 
 
-def _best_of(n_runs: int, cores: int, sf_dir: str, shuffle_partitions: int) -> tuple[float, int]:
-    """Best (min wall) of n runs — the box shows high run-to-run variance
-    (shared-host frequency/contention noise), so min-time is the least
-    noisy estimator of engine capability."""
+def _headline_interleaved(n_rounds: int, cores: int, sf_dir: str,
+                          shuffle_partitions: int):
+    """Headline throughput with a SAME-WINDOW hardware co-measurement
+    (round-2 verdict requirement): each round runs spark@cores then the
+    bare-kernel multiprocessing baseline at the same width back-to-back,
+    so the headline docs/s always ships with the hardware weather it was
+    measured in — round-over-round deltas become readable (r1's 7.9k vs
+    r2's 6.1k docs/s was unexplainable ±30% host noise without this).
+
+    Returns (best_spark_wall, n_docs, trials, hw_best_wall, n_hw_blobs).
+    Min over interleaved rounds is the least-biased estimator on a
+    shared host with noise episodes."""
+    blobs = _load_mp_blobs(sf_dir)
     best = None
+    hw_best = None
     n_docs = 0
-    for _ in range(n_runs):
+    trials = []
+    for _ in range(n_rounds):
         wall, n_docs = _run_extraction(cores, sf_dir, shuffle_partitions)
         best = wall if best is None or wall < best else best
-    return best, n_docs
+        trial = {"spark": round(wall, 3)}
+        if blobs:
+            mw = _mp_run(cores, blobs)
+            hw_best = mw if hw_best is None or mw < hw_best else hw_best
+            trial["hw"] = round(mw, 3)
+        trials.append(trial)
+    return best, n_docs, trials, hw_best, len(blobs or [])
 
 
 def _run_extraction(cores: int, sf_dir: str, shuffle_partitions: int) -> tuple[float, int]:
@@ -167,11 +184,23 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     # -- headline 1: full-corpus accuracy extraction at full parallelism --
-    # best-of-3: the shared host has ±30% noise episodes and the headline
-    # docs/s is the baseline-comparison number
-    t_full, n_docs = _best_of(3, cpus, sf_dir, shuffle_partitions=cpus)
+    # interleaved with the bare-kernel multiprocessing baseline at the
+    # same width: the headline docs/s ships with its same-window hardware
+    # co-measurement (headline_hw_docs_per_sec) so the ±30% host-noise
+    # episodes are separable from engine regressions across rounds
+    t_full, n_docs, h_trials, hw_wall, n_hw = _headline_interleaved(
+        3, cpus, sf_dir, shuffle_partitions=cpus)
     queries["extract_accuracy"] = round(t_full, 3)
     queries["extract_docs_per_sec"] = round(n_docs / t_full, 1)
+    queries["headline_trials"] = h_trials
+    if hw_wall:
+        hw_dps = n_hw / hw_wall
+        queries["headline_hw_docs_per_sec"] = round(hw_dps, 1)
+        # spark-vs-bare-hardware ratio at full width: weather-invariant
+        # (both legs sampled in the same windows); ~1.0 means the Spark
+        # layer adds no throughput loss over the bare kernel
+        queries["headline_spark_vs_hw"] = round(
+            (n_docs / t_full) / hw_dps, 3)
 
     # -- headline 2: relational/web-scale queries in one session ----------
     spark = get_spark(cpus, "bench-queries", shuffle_partitions=cpus)
