@@ -211,16 +211,17 @@ def _q_markdown_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal payloads as opaque media columns with typed metadata.
-    Decode is REAL for PDFs (the kernel) and PNGs (pure-Python decoder,
-    kernel/png.py); jpeg/video kinds remain honestly stubbed (no codec
-    libs in this container) while the Spark-side schema/batching is the
-    same either way."""
+    Decode is REAL for PDFs (the kernel), PNGs (kernel/png.py), WAVs
+    (kernel/wav.py) and baseline JPEGs (kernel/jpeg.py); mp3/video kinds
+    remain honestly stubbed (no codec libs in this container) while the
+    Spark-side schema/batching is the same either way."""
     import pandas as pd
 
     corpus = _corpus(spark, sf_dir)
 
     def media_batches(batches):
         from zpdfspark.kernel.htmltext import looks_like_html
+        from zpdfspark.kernel.jpeg import JpegError
         from zpdfspark.kernel.png import PngError
         from zpdfspark.kernel.wav import WavError
         from zpdfspark.spark.media import decode_media
@@ -240,7 +241,8 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     try:
                         decode_media(raw, kind)
                         ok = True
-                    except (NotImplementedError, PngError, WavError):
+                    except (NotImplementedError, PngError, JpegError,
+                            WavError):
                         ok = False
                 out["url"].append(url)
                 out["n_bytes"].append(len(raw))
@@ -250,6 +252,46 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return corpus.select("url", "html").mapInPandas(
         media_batches, "url string, n_bytes long, media_kind string, decode_ok boolean"
+    ).orderBy("url")
+
+
+def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction for PNG and baseline-JPEG payloads:
+    one row per decodable image with the ACTUAL decoded dimensions and
+    channel count (kernel/png.py + kernel/jpeg.py). The oracle compares
+    against header-derived ground truth carried by the corpus
+    (fixtures._image_expected — IHDR/SOF0 bytes, not the decoders), so
+    a decoder dimension/upsample/channel bug breaks the hash. Map-only:
+    the kernel filters by magic bytes before decoding; blobs never
+    shuffle."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.jpeg import JpegError
+        from zpdfspark.kernel.png import PngError
+        from zpdfspark.spark.media import decode_media, sniff_kind
+
+        for b in it:
+            rows = {"url": [], "width": [], "height": [], "n_channels": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                kind = sniff_kind(raw)
+                if kind not in ("png", "jpeg"):
+                    continue
+                try:
+                    w, h, c, _px = decode_media(raw, kind)
+                except (PngError, JpegError):
+                    continue
+                rows["url"].append(url)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_channels"].append(c)
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches, "url string, width int, height int, n_channels int"
     ).orderBy("url")
 
 
@@ -972,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_doc_json": _q_doc_json,
         "extract_sql_udf": _q_sql_udf,
         "media_stats": _q_media_stats,
+        "image_stats": _q_image_stats,
         "extract_features": _q_features,
         "extract_markdown": _q_markdown,
         "extract_markdown_structured": _q_markdown_structured,
@@ -1137,11 +1180,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, markdown_structured FROM {corpus} ORDER BY url"
         ),
         "media_stats": (
-            # decode is real for pdf (the kernel), png (kernel/png.py)
-            # and wav (kernel/wav.py)
+            # decode is real for pdf (the kernel), png (kernel/png.py),
+            # jpeg (kernel/jpeg.py) and wav (kernel/wav.py)
             f"SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes, "
-            f"media_kind, (media_kind IN ('pdf', 'png', 'wav')) AS decode_ok "
+            f"media_kind, "
+            f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav')) AS decode_ok "
             f"FROM {corpus} ORDER BY url"
+        ),
+        "image_stats": (
+            # carried ground truth read straight from the IHDR/SOF0
+            # header bytes at generation time (fixtures._image_expected)
+            # — NOT the decoders, so this pins decoder output to the
+            # container format headers through the distributed pipeline
+            f"SELECT url, img_width AS width, img_height AS height, "
+            f"img_channels AS n_channels "
+            f"FROM {corpus} WHERE media_kind IN ('png', 'jpeg') "
+            f"ORDER BY url"
         ),
         "audio_stats": (
             # carried ground truth from the independent RIFF re-read

@@ -592,6 +592,120 @@ class TestPng:
         assert (w, h, c) == (5, 4, 3) and (out == px).all()
 
 
+class TestJpeg:
+    """kernel/jpeg.py: REAL baseline-JPEG decode (marker walk +
+    canonical Huffman + dequant + numpy IDCT), round-tripped against
+    the module's independent encoder (forward DCT + its own canonical
+    tables — the encode_png pattern). quant=1 bounds round-trip error
+    to DCT rounding (a few levels)."""
+
+    def _round(self, px, maxerr=3, **enc):
+        import numpy as np
+        from zpdfspark.kernel import jpeg as J
+        w, h, c, out = J.decode_jpeg(J.encode_jpeg(px, **enc))
+        exp_c = 1 if px.ndim == 2 else px.shape[2]
+        assert (h, w, c) == (px.shape[0], px.shape[1], exp_c)
+        ref = px if px.ndim == 3 else px[:, :, None]
+        err = int(np.abs(out.astype(int) - ref.astype(int)).max())
+        assert err <= maxerr, err
+
+    def test_gray_roundtrip_awkward_dims(self):
+        import numpy as np
+        rng = np.random.default_rng(11)
+        for shape in [(8, 8), (13, 9), (1, 1), (7, 30)]:
+            self._round(rng.integers(0, 256, size=shape, dtype=np.uint8))
+
+    def test_rgb_444_roundtrip(self):
+        import numpy as np
+        rng = np.random.default_rng(12)
+        for shape in [(8, 8, 3), (17, 11, 3)]:
+            self._round(rng.integers(0, 256, size=shape, dtype=np.uint8),
+                        maxerr=4)
+
+    def test_rgb_420_subsampled_constant_chroma(self):
+        # constant chroma makes the 2x2 box-average + nearest upsample
+        # exact, isolating the decoder's chroma-upsampling path
+        import numpy as np
+        g = np.random.default_rng(13).integers(
+            0, 256, size=(19, 21), dtype=np.uint8)
+        self._round(np.stack([g, g, g], axis=-1), maxerr=4, subsample=True)
+
+    def test_restart_intervals(self):
+        import numpy as np
+        rng = np.random.default_rng(14)
+        self._round(rng.integers(0, 256, size=(24, 40), dtype=np.uint8),
+                    restart_interval=2)
+        self._round(np.stack([rng.integers(0, 256, size=(24, 40),
+                                           dtype=np.uint8)] * 3, axis=-1),
+                    maxerr=4, subsample=True, restart_interval=1)
+
+    def test_checkerboard_extreme_coefficients(self):
+        # max-frequency block: stresses the AC category range
+        import numpy as np
+        px = np.zeros((8, 8), dtype=np.uint8)
+        px[::2, ::2] = 255
+        px[1::2, 1::2] = 255
+        self._round(px)
+
+    def test_hostile_jpegs_raise_jpegerror_only(self):
+        import random
+        import numpy as np
+        from zpdfspark.kernel import jpeg as J
+        base = J.encode_jpeg(np.random.default_rng(15).integers(
+            0, 256, size=(16, 16, 3), dtype=np.uint8))
+        rnd = random.Random(4)
+        for _ in range(500):
+            b = bytearray(base)
+            for _ in range(rnd.randint(1, 10)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+            raw = bytes(b[:rnd.randrange(4, len(b))]
+                        if rnd.random() < 0.3 else b)
+            try:
+                J.decode_jpeg(raw)
+            except J.JpegError:
+                pass  # the only acceptable failure mode
+
+    def test_decode_caps_giant_dimensions(self):
+        import struct
+        from zpdfspark.kernel import jpeg as J
+        sof = struct.pack(">BHHB", 8, 30000, 30000, 3) + bytes(
+            [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+        dqt = bytes([0x00]) + bytes(64)
+        dht = bytes([0x00]) + bytes([0] * 16)
+        sos = bytes([3, 1, 0, 2, 0, 3, 0, 0, 63, 0])
+
+        def m(mk, p):
+            return struct.pack(">BBH", 0xFF, mk, len(p) + 2) + p
+
+        raw = (b"\xff\xd8" + m(0xDB, dqt) + m(0xC0, sof) + m(0xC4, dht)
+               + m(0xDA, sos) + b"\x00" + b"\xff\xd9")
+        with pytest.raises(J.JpegError, match="too large"):
+            J.decode_jpeg(raw)
+
+    def test_progressive_rejected(self):
+        import struct
+        from zpdfspark.kernel import jpeg as J
+        sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        raw = (b"\xff\xd8"
+               + struct.pack(">BBH", 0xFF, 0xC2, len(sof2) + 2) + sof2)
+        with pytest.raises(J.JpegError, match="baseline"):
+            J.decode_jpeg(raw)
+
+    def test_image_expected_matches_decoder(self):
+        # the fixtures-side header read (independent ground truth) must
+        # agree with the decoder on every jpeg/png fixture variant
+        from zpdfspark import fixtures
+        from zpdfspark.kernel.jpeg import decode_jpeg
+        from zpdfspark.kernel.png import decode_png
+        for i in range(12):
+            raw, _ = fixtures.jpeg_image(i)
+            w, h, c, _px = decode_jpeg(raw)
+            assert fixtures._image_expected(raw, "jpeg") == (w, h, c), i
+            raw, _ = fixtures.png_image(i)
+            w, h, c, _px = decode_png(raw)
+            assert fixtures._image_expected(raw, "png") == (w, h, c), i
+
+
 class TestWav:
     """kernel/wav.py: the REAL audio-decode path of the media pipeline."""
 

@@ -707,6 +707,35 @@ def png_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
     return encode_png(px), None
 
 
+def jpeg_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic baseline JPEG (multimodal payload row): gradient
+    pixels seeded by i, encoded by kernel/jpeg.py's minimal encoder —
+    the independent direction (forward DCT + its own canonical Huffman
+    tables) against the decoder. Variations by i: grayscale vs RGB,
+    4:2:0 subsampling, and restart intervals, so the corpus exercises
+    every decoder path. No text oracle; image ground truth (dims,
+    channels) is carried via expected columns read straight from the
+    SOF0 header (_image_expected), not the decoder."""
+    import numpy as np
+
+    from .kernel.jpeg import encode_jpeg
+
+    w, h = 9 + i % 8, 7 + i % 6
+    y, x = np.mgrid[0:h, 0:w]
+    if i % 3 == 0:  # grayscale
+        px = ((x * 13 + y * 7 + i) % 256).astype(np.uint8)
+        return encode_jpeg(px, restart_interval=(2 if i % 2 else 0)), None
+    if i % 3 == 1:  # RGB 4:4:4
+        px = np.stack([
+            (x * 31 + i) % 256, (y * 17 + 2 * i) % 256,
+            (x * y + 3 * i) % 256], axis=-1).astype(np.uint8)
+        return encode_jpeg(px), None
+    # RGB 4:2:0 (constant chroma per 2x2 after the gradient's doubling)
+    px = np.stack([(y * 11 + i) % 256] * 3, axis=-1).astype(np.uint8)
+    return encode_jpeg(px, subsample=True,
+                       restart_interval=(1 if i % 2 else 0)), None
+
+
 def wav_audio(i: int = 0) -> Tuple[bytes, Optional[str]]:
     """Deterministic 16-bit PCM WAV (multimodal audio payload row):
     quantized sine + ramp waveform seeded by i, mono/stereo by parity,
@@ -1077,6 +1106,10 @@ def _register():
     def g_png(i):
         return png_image(i)
 
+    @var("jpeg")
+    def g_jpeg(i):
+        return jpeg_image(i)
+
     @var("wav")
     def g_wav(i):
         return wav_audio(i)
@@ -1113,7 +1146,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v12"
+CORPUS_VERSION = "v13"
 
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -1235,6 +1268,7 @@ EXPECTED_COLUMNS = (
     "markdown", "markdown_structured", "spans", "page_texts", "doc_json",
     "search_hello", "media_kind",
     "audio_sr", "audio_channels", "audio_n_samples", "audio_rms_x1000",
+    "img_width", "img_height", "img_channels",
 )
 
 
@@ -1259,6 +1293,36 @@ def _wav_expected(raw: bytes):
                       dtype="<i2").astype(np.float64)
     rms = int(np.floor(np.sqrt(np.mean(s * s)) * 1000.0))
     return sr, channels, len(s) // channels, rms
+
+
+def _image_expected(raw: bytes, kind: str):
+    """INDEPENDENT ground truth for the image oracle: read (width,
+    height, channels) straight from the PNG IHDR / JPEG SOF0 header
+    bytes — deliberately NOT kernel/png.py or kernel/jpeg.py, so the
+    oracle catches decoder drift. Channels follow the decoders' output
+    contract (PNG palette expands to RGB; JPEG 3-component scans return
+    RGB). Returns (width, height, channels)."""
+    import struct
+
+    if kind == "png":
+        assert raw[12:16] == b"IHDR"
+        w, h = struct.unpack(">II", raw[16:24])
+        color_type = raw[25]
+        channels = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}[color_type]
+        return w, h, channels
+    # jpeg: walk markers to SOF0 (the layout our encoder emits has no
+    # entropy data before SOF0, so a plain marker walk suffices)
+    pos = 2
+    while pos + 4 <= len(raw):
+        assert raw[pos] == 0xFF
+        marker = raw[pos + 1]
+        (seglen,) = struct.unpack(">H", raw[pos + 2:pos + 4])
+        if marker == 0xC0:
+            h, w = struct.unpack(">HH", raw[pos + 5:pos + 9])
+            nc = raw[pos + 9]
+            return w, h, nc
+        pos += 2 + seglen
+    raise AssertionError("fixture jpeg without SOF0")
 
 
 def expected_row(raw: bytes, text: Optional[str]) -> dict:
@@ -1326,6 +1390,12 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"audio_sr": None, "audio_channels": None,
                     "audio_n_samples": None, "audio_rms_x1000": None})
+    if row["media_kind"] in ("png", "jpeg"):
+        iw, ih, ic = _image_expected(raw, row["media_kind"])
+        row.update({"img_width": iw, "img_height": ih, "img_channels": ic})
+    else:
+        row.update({"img_width": None, "img_height": None,
+                    "img_channels": None})
     return row
 
 
@@ -1382,6 +1452,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "media_kind": pa.string(),
         "audio_sr": pa.int32(), "audio_channels": pa.int32(),
         "audio_n_samples": pa.int64(), "audio_rms_x1000": pa.int64(),
+        "img_width": pa.int32(), "img_height": pa.int32(),
+        "img_channels": pa.int32(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: decode / feature-extract / resize /
 frame-sample over opaque binary media, as Arrow-batched pandas kernels.
 
-Decode is REAL for PNG (round 2): zlib + the engine's own PNG row
-unfiltering make a full pure-Python decoder (kernel/png.py), so
-decode -> nearest-neighbor resize is exercised with actual pixels.
-JPEG/audio/video codecs are absent from this container, so those kinds
-remain stubbed behind a clearly-marked NotImplementedError with a
-deterministic fake used by tests — the Spark-side plumbing (schemas,
+Decode is REAL for PNG (round 2: zlib + the engine's own PNG row
+unfiltering, kernel/png.py), for WAV/PCM (kernel/wav.py), and for
+baseline JPEG (round 3: marker walk + canonical Huffman + dequant +
+numpy IDCT, kernel/jpeg.py), so decode -> nearest-neighbor resize is
+exercised with actual pixels. mp3/video codecs are absent from this
+container, so those kinds remain stubbed behind a clearly-marked
+NotImplementedError with a deterministic fake used by tests — the Spark-side plumbing (schemas,
 mapInPandas signatures, 1-to-N row expansion, batch shapes,
 partitioning) is identical either way, and the two operations whose
 semantics are pure arithmetic over the payload (frame sampling,
@@ -47,15 +48,18 @@ def sniff_kind(raw: bytes) -> str:
 def decode_media(raw: bytes, kind: str):
     """Decode an opaque media payload.
 
-    REAL for PNG — (width, height, channels, pixels ndarray) via
-    kernel/png.py — and for WAV — (sample_rate, channels,
-    samples ndarray) via kernel/wav.py. STUB for every codec kind the
-    container lacks libraries for (jpeg/mp3/video):
+    REAL for PNG and baseline JPEG — (width, height, channels,
+    pixels ndarray) via kernel/png.py / kernel/jpeg.py — and for WAV —
+    (sample_rate, channels, samples ndarray) via kernel/wav.py. STUB for
+    every codec kind the container lacks libraries for (mp3/video):
     NotImplementedError — callers must treat a failed decode as data,
     not as a task failure."""
     if kind == "png":
         from zpdfspark.kernel.png import decode_png
         return decode_png(raw)
+    if kind == "jpeg":
+        from zpdfspark.kernel.jpeg import decode_jpeg
+        return decode_jpeg(raw)
     if kind == "wav":
         from zpdfspark.kernel.wav import decode_wav
         return decode_wav(raw)
@@ -77,6 +81,7 @@ def decode_dataframe(df: DataFrame, url_col: str = "url",
     def batches(it):
         import pandas as pd
 
+        from zpdfspark.kernel.jpeg import JpegError
         from zpdfspark.kernel.png import PngError
         from zpdfspark.kernel.wav import WavError
 
@@ -98,7 +103,8 @@ def decode_dataframe(df: DataFrame, url_col: str = "url",
                             w, h = res[0], res[1]
                         # audio decodes have no pixel dims (0, 0)
                         ok = True
-                except (NotImplementedError, PngError, WavError):
+                except (NotImplementedError, PngError, JpegError,
+                        WavError):
                     ok = False
                     w = h = 0
                 rows["url"].append(url)
@@ -205,12 +211,13 @@ def resize_dataframe(df: DataFrame, width: int, height: int,
                      url_col: str = "url", blob_col: str = "html",
                      fake: bool = False) -> DataFrame:
     """Resize kernel: REAL decode + nearest-neighbor resample for PNG
-    payloads (out_bytes = actual resized array size); the decode stub
-    leaves other kinds resize_ok=False/0; the fake path sizes the output
-    deterministically (w*h*3 RGB bytes) for tests."""
+    and JPEG payloads (out_bytes = actual resized array size); the
+    decode stub leaves other kinds resize_ok=False/0; the fake path
+    sizes the output deterministically (w*h*3 RGB bytes) for tests."""
     def batches(it):
         import pandas as pd
 
+        from zpdfspark.kernel.jpeg import JpegError
         from zpdfspark.kernel.png import PngError, resize_nearest
 
         for b in it:
@@ -227,13 +234,13 @@ def resize_dataframe(df: DataFrame, width: int, height: int,
                         ok = True
                     else:
                         kind = sniff_kind(raw)
-                        if kind not in ("png",):  # resize is an image op
+                        if kind not in ("png", "jpeg"):  # image-only op
                             raise NotImplementedError(
                                 f"resize for {kind!r} not available")
                         _w, _h, _c, px = decode_media(raw, kind)
                         out_bytes = int(resize_nearest(px, width, height).nbytes)
                         ok = True
-                except (NotImplementedError, PngError):
+                except (NotImplementedError, PngError, JpegError):
                     ok = False
                 rows["url"].append(url)
                 rows["out_width"].append(width)
