@@ -1462,6 +1462,11 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
     cols = {k: [] for k in
             ("url", "warc_ts", "html", "text", "lang", *EXPECTED_COLUMNS)}
     null_expected = {k: None for k in EXPECTED_COLUMNS}
+    # expected_row is deterministic in (html, text) and most generators
+    # ignore their index, so a content-hash memo collapses the eager
+    # kernel runs (accuracy+fast+features per doc) from n_docs to the
+    # number of DISTINCT payloads — the dominant corpus-build cost
+    exp_cache: dict = {}
     for url, ts, html, text, lang in corpus_rows(n_docs, seed=seed, profile=profile):
         cols["url"].append(url)
         cols["warc_ts"].append(ts)
@@ -1469,7 +1474,10 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         cols["text"].append(text)
         cols["lang"].append(lang)
         if profile == "mixed":
-            exp = expected_row(html, text)
+            key = hashlib.blake2b(html, digest_size=16).digest()
+            exp = exp_cache.get(key)
+            if exp is None:
+                exp = exp_cache[key] = expected_row(html, text)
             _check_generator_truth(url.split("/")[3], exp, url)
         else:
             exp = null_expected
