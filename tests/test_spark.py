@@ -348,7 +348,8 @@ def test_sql_udf_surface_complete(spark, corpus_path):
     spark.read.parquet(corpus_path).createOrReplaceTempView("pages2")
     row = spark.sql(
         "SELECT zpdf_markdown(html) AS md, zpdf_doc_json(html) AS dj, "
-        "zpdf_search_json(html, 'Hello') AS sj "
+        "zpdf_search_json(html, 'Hello') AS sj, "
+        "zpdf_extract_secondary(html) AS sec, zpdf_extract(html) AS prod "
         "FROM pages2 WHERE url LIKE '%/minimal/%' LIMIT 1"
     ).collect()[0]
     assert row["md"].startswith("Hello World")
@@ -356,6 +357,11 @@ def test_sql_udf_surface_complete(spark, corpus_path):
     assert doc["page_count"] == 1 and doc["pages"][0]["page"] == 1
     matches = json.loads(row["sj"])
     assert matches and matches[0]["page"] == 0 and matches[0]["offset"] == 0
+    # the secondary-interpreter diagnostic surface agrees with the
+    # production path on plain streams (kernel tests pin where the two
+    # interpretations deliberately differ)
+    assert row["sec"] == row["prod"]
+    assert row["prod"].startswith("Hello World")
 
 
 def test_format_job_info(spark, tmp_path):

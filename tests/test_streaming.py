@@ -108,6 +108,107 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert state_rows == 50
 
 
+def test_streaming_dedup_ttl_expiry_at_64_partitions(spark, tmp_path):
+    """The windowed-dedup TTL path (round-2 verdict item #7): with
+    state_ttl set, a url not re-seen within the TTL is forgotten (state
+    row removed via ProcessingTimeTimeout) and a later re-crawl is
+    re-emitted. Pipeline A drives 64 shuffle partitions (the state-store
+    shard count at query start — realistic sharding for the per-url
+    state design); pipeline B runs the expiry assertions on the RocksDB
+    state-store provider, the production config for 10^12-url state (the
+    HDFS-backed default keeps all state on the JVM heap). RocksDB runs
+    at 8 partitions: 64 RocksDB instances in one local JVM cost ~2 min
+    per query start and prove nothing extra."""
+    import time
+
+    from zpdfspark.spark.streaming import start_streaming_dedup
+
+    def run_drained(in_dir, out_dir, ckpt, ttl, expect_input):
+        """availableNow + ProcessingTimeTimeout: the micro-batch engine
+        keeps scheduling no-data batches while timeouts are pending, so
+        the query does NOT self-terminate — and a restart may run a
+        timeout-only (0-input) batch BEFORE reading new files. Drain
+        until the run has consumed ``expect_input`` rows AND a
+        subsequent no-data batch committed (so state metrics reflect the
+        data batch), then stop explicitly and return that last
+        progress."""
+        q = start_streaming_dedup(spark, in_dir, out_dir, ckpt,
+                                  state_ttl=ttl)
+        deadline = time.time() + 120
+        last = None
+        while time.time() < deadline:
+            progs = {p["batchId"]: p for p in q.recentProgress}
+            if progs:
+                total_in = sum(p["numInputRows"] for p in progs.values())
+                newest = progs[max(progs)]
+                if total_in >= expect_input and newest["numInputRows"] == 0:
+                    last = newest
+                    break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        assert last is not None, "drain timed out"
+        return last
+
+    input_dir = str(tmp_path / "in5")
+    output_dir = str(tmp_path / "out5")
+    ckpt = str(tmp_path / "ckpt5")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        # -- pipeline A: 64 shards; TTL far longer than a test run —
+        # within-TTL re-crawls stay suppressed ---------------------------
+        _write_drop(input_dir, 40, seed=11)
+        p = run_drained(input_dir, output_dir, ckpt, "10 minutes", 40)
+        assert p["stateOperators"][0]["numShufflePartitions"] == 64
+        data = os.path.join(output_dir, "data")
+        assert spark.read.parquet(data).count() == 40
+
+        shutil.copy(os.path.join(input_dir, "drop_11.parquet"),
+                    os.path.join(input_dir, "drop_11b.parquet"))
+        p2 = run_drained(input_dir, output_dir, ckpt, "10 minutes", 40)
+        assert spark.read.parquet(data).count() == 40
+        assert p2["stateOperators"][0]["numRowsTotal"] == 40
+
+        # -- pipeline B: RocksDB provider, 2-second TTL — keys not
+        # re-seen within the TTL are removed on the next trigger and
+        # later re-crawls re-emit ----------------------------------------
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+        in_b = str(tmp_path / "in5b")
+        out_b = str(tmp_path / "out5b")
+        ckpt_b = str(tmp_path / "ckpt5b")
+        _write_drop(in_b, 40, seed=11)
+        run_drained(in_b, out_b, ckpt_b, "2 seconds", 40)
+        data_b = os.path.join(out_b, "data")
+        assert spark.read.parquet(data_b).count() == 40
+
+        # let the TTL lapse, then trigger a batch with DIFFERENT urls:
+        # the expired keys hit the hasTimedOut branch and are removed
+        time.sleep(3)
+        _write_drop(in_b, 25, seed=12)
+        pb2 = run_drained(in_b, out_b, ckpt_b, "2 seconds", 25)
+        assert spark.read.parquet(data_b).count() == 65
+        # seed-11 state expired and was removed (<= 25: a trailing
+        # no-data batch can lapse the NEW keys' 2s TTL too — what
+        # matters is the 40 old keys are gone, which the post-expiry
+        # re-emission below proves behaviorally)
+        assert pb2["stateOperators"][0]["numRowsTotal"] <= 25
+
+        # re-crawl AFTER expiry: re-emitted (the windowed-dedup tradeoff
+        # the docstring states)
+        shutil.copy(os.path.join(in_b, "drop_11.parquet"),
+                    os.path.join(in_b, "drop_11c.parquet"))
+        run_drained(in_b, out_b, ckpt_b, "2 seconds", 40)
+        assert spark.read.parquet(data_b).count() == 105
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_streaming_extraction_sink_is_idempotent(spark, tmp_path):
     """Replaying a committed batch_id (restart-after-write crash window)
     must not duplicate rows: the batch_id=N directory is skipped when it

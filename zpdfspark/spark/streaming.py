@@ -158,6 +158,16 @@ def start_streaming_dedup(
     state for unbounded crawls: a url not seen within the TTL is
     forgotten and would be re-emitted — the standard windowed-dedup
     tradeoff, off by default.
+
+    Production state-store config for 10^12 urls: the default
+    HDFSBackedStateStoreProvider keeps every key on the executor JVM
+    heap — set ``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.
+    RocksDBStateStoreProvider`` (bundled with Spark, exercised in
+    tests/test_streaming.py) so state lives off-heap/on-disk with
+    incremental checkpointing, and size
+    ``spark.sql.shuffle.partitions`` at query START (it is frozen into
+    the checkpoint as the state shard count — tests drive 64).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout

@@ -629,6 +629,22 @@ def register_sql_udfs(spark) -> None:
             Document(bytes(b) if b is not None else b"")))
 
     @pandas_udf(StringType())
+    def zpdf_extract_secondary(html: pd.Series) -> pd.Series:
+        # debug/diagnostic surface for the secondary interpreter port
+        # (kernel/interpreter2.py, interpreter.zig:27-394): the
+        # reference's richer text-state semantics (Tc/Tw/Tz/TL/Ts, q/Q,
+        # leading-based '/"), NOT the byte-parity production path —
+        # use it to diff the two tokenizer interpretations on a doc
+        from zpdfspark.kernel import Document
+        from zpdfspark.kernel.interpreter2 import extract_page_interpreter
+
+        def run(b):
+            doc = Document(bytes(b) if b is not None else b"")
+            return "\x0c".join(extract_page_interpreter(doc, p)
+                               for p in range(doc.page_count))
+        return html.map(run)
+
+    @pandas_udf(StringType())
     def zpdf_search_json(html: pd.Series, query: pd.Series) -> pd.Series:
         from zpdfspark.kernel import Document
         return pd.Series([
@@ -644,5 +660,7 @@ def register_sql_udfs(spark) -> None:
     spark.udf.register("zpdf_metadata_json", zpdf_metadata_json)
     spark.udf.register("zpdf_markdown", zpdf_markdown)
     spark.udf.register("zpdf_doc_json", zpdf_doc_json)
+    # SELECT zpdf_extract_secondary(html) FROM pages  (diagnostic)
+    spark.udf.register("zpdf_extract_secondary", zpdf_extract_secondary)
     # SELECT zpdf_search_json(html, 'Hello') FROM pages
     spark.udf.register("zpdf_search_json", zpdf_search_json)
