@@ -431,25 +431,38 @@ def _shingles_col(text_col):
     )
 
 
-def _minhash_from(shingles_col, k: int):
-    """One MinHash component over a prematerialized shingle array — min
-    of per-shingle md5s inside array lambdas, zero exchanges (the K
-    components share ONE shingle evaluation instead of re-splitting the
-    text K times; round-2 verdict 'What's wrong #2')."""
+def _minhash_chunk(hashed_col, j: int):
+    """MinHash component j%4 of a hashed-shingle group: min over the
+    j-th 8-hex-char (32-bit) slice of each shingle's md5. One md5 per
+    shingle serves FOUR components (b-bit minwise hashing: the digest
+    chunks are independent uniform orderings) — 4x less hashing than an
+    md5 per component, which round-3 benching showed dominated the
+    map-only stage's wall time. Fixed-width hex compares
+    lexicographically == numerically, in Spark and DuckDB alike."""
     return F.array_min(F.transform(
-        shingles_col, lambda s: F.md5(F.concat(s, F.lit(f"|{k}")))))
+        hashed_col, lambda h: F.substring(h, j * 8 + 1, 8)))
+
+
+def _hashed_shingles(shingles_col, group: int):
+    """One md5 per shingle for component group ``group`` (components
+    4*group .. 4*group+3). Zero exchanges."""
+    return F.transform(
+        shingles_col, lambda s: F.md5(F.concat(s, F.lit(f"|{group}"))))
 
 
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle MinHash (K=4) built from md5 — identical hex in Spark
-    and DuckDB, so the oracle checks the full signature. Map-only:
-    shingles materialize once per row (CollapseProject keeps the
-    non-cheap alias), then K array_min passes."""
+    """Shingle MinHash (K=4) built from md5 chunks — identical hex in
+    Spark and DuckDB, so the oracle checks the full signature. Map-only:
+    shingles materialize once per row, ONE md5 pass serves all four
+    components (CollapseProject keeps both non-cheap aliases), then 4
+    array_min slice passes."""
     d = _docs(spark, sf_dir)
     base = d.select("doc_id", _shingles_col(F.col("text")).alias("sh"))
-    return base.select(
+    hashed = base.select(
+        "doc_id", _hashed_shingles(F.col("sh"), 0).alias("g0"))
+    return hashed.select(
         "doc_id",
-        *[_minhash_from(F.col("sh"), k).alias(f"h{k}") for k in range(4)],
+        *[_minhash_chunk(F.col("g0"), j).alias(f"h{j}") for j in range(4)],
     ).orderBy("doc_id")
 
 
@@ -808,17 +821,25 @@ EMBED_SAMPLE_N = 500  # vectors in the embedding near-dup sample
 def _band_candidates(d: DataFrame):
     """Shared candidate generation for the near-dup family: distinct
     SHINGLE_N-gram shingle sets plus banded-minhash candidate pairs
-    (a_id < b_id). Signatures are MAP-ONLY (K = b*r _minhash_from
-    components over ONE shingle evaluation); bands are md5 over each
-    band's r components; candidates come from a band equi-join — never
-    all-pairs (plan-guarded)."""
+    (a_id < b_id). Signatures are MAP-ONLY (K = b*r _minhash_chunk
+    components — digest-chunk minwise over ONE shingle evaluation and
+    one md5 pass per group of 4); bands are md5 over each band's r
+    components; candidates come from a band equi-join — never all-pairs
+    (plan-guarded)."""
+    k_total = NGRAM_BANDS * NGRAM_ROWS
+    n_groups = -(-k_total // 4)
     base = d.select("doc_id", _shingles_col(F.col("text")).alias("sh"))
     words = base.select(
         "doc_id", F.array_distinct(F.col("sh")).alias("ws"))
-    sig = base.select(
+    hashed = base.select(
         "doc_id",
-        *[_minhash_from(F.col("sh"), k).alias(f"h{k}")
-          for k in range(NGRAM_BANDS * NGRAM_ROWS)],
+        *[_hashed_shingles(F.col("sh"), g).alias(f"g{g}")
+          for g in range(n_groups)],
+    )
+    sig = hashed.select(
+        "doc_id",
+        *[_minhash_chunk(F.col(f"g{k // 4}"), k % 4).alias(f"h{k}")
+          for k in range(k_total)],
     )
     bands = sig.select(
         "doc_id",
@@ -874,7 +895,9 @@ def _band_candidates_sql(sample_n: int) -> str:
     cannot desynchronize. Yields CTEs: docs, shl, words, sig, bands,
     cand."""
     k = NGRAM_BANDS * NGRAM_ROWS
-    sig_cols = ", ".join(f"min(md5(s || '|{i}')) AS h{i}" for i in range(k))
+    sig_cols = ", ".join(
+        f"min(substr(md5(s || '|{i // 4}'), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(k))
     band_list = ", ".join(
         "md5(" + " || ".join(f"h{b * NGRAM_ROWS + r}"
                              for r in range(NGRAM_ROWS)) + ")"
@@ -1253,16 +1276,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "minhash_signatures": (
+            # one md5 per shingle, four 32-bit digest chunks = the four
+            # components (same b-bit minwise scheme as the Spark side)
             f"WITH {_shingles_sql('documents')} "
             "SELECT doc_id, "
-            "min(md5(s || '|0')) AS h0, min(md5(s || '|1')) AS h1, "
-            "min(md5(s || '|2')) AS h2, min(md5(s || '|3')) AS h3 "
+            "min(substr(md5(s || '|0'), 1, 8)) AS h0, "
+            "min(substr(md5(s || '|0'), 9, 8)) AS h1, "
+            "min(substr(md5(s || '|0'), 17, 8)) AS h2, "
+            "min(substr(md5(s || '|0'), 25, 8)) AS h3 "
             "FROM (SELECT doc_id, unnest(shingles) AS s FROM shl) "
             "GROUP BY doc_id ORDER BY doc_id"
         ),
         "lsh_buckets": (
             f"WITH {_shingles_sql('documents')}, "
-            "sig AS (SELECT doc_id, min(md5(s || '|0')) AS h0 "
+            "sig AS (SELECT doc_id, "
+            "min(substr(md5(s || '|0'), 1, 8)) AS h0 "
             "FROM (SELECT doc_id, unnest(shingles) AS s FROM shl) "
             "GROUP BY doc_id) "
             "SELECT substr(h0, 1, 8) AS band, count(*) AS bucket_size FROM sig "

@@ -120,10 +120,13 @@ def test_minhash_signatures_map_only(spark, sf_dir):
     assert "HashAggregate" not in plan, plan
     assert "hashpartitioning" not in plan, plan
     assert "Generate explode" not in plan, plan
-    # single shingle evaluation: the shingle array materializes in ONE
-    # projection (2 split occurrences inside it: the sequence bound and
-    # the slice; K x that would mean CollapseProject inlined the
-    # non-cheap alias into every component) and all K mins read the
-    # materialized column, never re-splitting
+    # single shingle evaluation + single md5 pass: the shingle array
+    # materializes in ONE projection (2 split occurrences inside it:
+    # the sequence bound and the slice), ONE md5-per-shingle transform
+    # feeds all four components (digest-chunk minwise hashing), and the
+    # K mins slice the materialized hash column — no re-split, no
+    # per-component re-hash (CollapseProject must not inline either
+    # non-cheap alias)
     assert plan.count("split(text") == 2, plan
-    assert plan.count("array_min(transform(sh#") == 4, plan
+    assert plan.count("md5(") == 1, plan
+    assert plan.count("array_min(transform(g0#") == 4, plan
