@@ -63,6 +63,16 @@ _NUMCHARS_RE = re.compile(rb"[0-9.+\-]+")
 _NAME_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 _OP_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
 _EI_RE = re.compile(rb"EI(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|\Z)")
+# master token scan (hot path): ws/comment skip + number | name |
+# operator | any-single-byte in ONE C regex call per token; the
+# single-byte group routes strings/hex/arrays/strays to their scanners
+_TOK_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+))"
+    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|([A-Za-z'\"*][^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(.))",
+    re.DOTALL)
 
 
 class ContentLexer:
@@ -75,53 +85,26 @@ class ContentLexer:
         self.pos = 0
 
     def tokens(self):
-        """Yield (kind, value) tuples."""
+        """Yield (kind, value) tuples (one _TOK_RE scan per token; same
+        observable stream as the per-class dispatch it replaced)."""
         data = self.data
         n = len(data)
         pos = self.pos
-        while True:
-            m = _SKIP_RE.match(data, pos)
-            if m:
-                pos = m.end()
-            if pos >= n:
+        match = _TOK_RE.match
+        while pos < n:
+            m = match(data, pos)
+            if m is None:  # trailing whitespace/comment only
+                pos = n
                 break
-            c = data[pos]
-            if c == 0x28:  # '('
-                self.pos = pos
-                s = self._scan_string()
-                pos = self.pos
-                yield (T_STR, s)
-            elif c == 0x3C:  # '<'
-                if data[pos + 1 : pos + 2] == b"<":
-                    pos += 2  # skip dict start (interpreter.zig:531-536)
-                    continue
-                self.pos = pos
-                s = self._scan_hex_string()
-                pos = self.pos
-                yield (T_HEX, s)
-            elif c == 0x2F:  # '/'
-                m = _NAME_RE.match(data, pos + 1)
+            g = m.lastindex
+            if g == 1:  # number
                 pos = m.end()
-                yield (T_NAME, m.group(0))
-            elif c == 0x5B:  # '['
-                self.pos = pos
-                arr = self._scan_array()
-                pos = self.pos
-                yield (T_ARR, arr)
-            elif c in (0x5D, 0x3E):  # stray ']' '>'
-                pos += 1
-            elif (0x30 <= c <= 0x39) or c in (0x2D, 0x2B, 0x2E):
-                m = _NUM_RE.match(data, pos)
-                if m:
-                    pos = m.end()
-                    yield (T_NUM, float(m.group(0)))
-                else:
-                    m = _NUMCHARS_RE.match(data, pos)
-                    pos = m.end() if m else pos + 1
-                    yield (T_NUM, 0.0)
-            elif (0x41 <= c <= 0x5A) or (0x61 <= c <= 0x7A) or c in (0x27, 0x22, 0x2A):
-                m = _OP_RE.match(data, pos)
-                op = m.group(0)
+                yield (T_NUM, float(m.group(1)))
+            elif g == 2:  # /name
+                pos = m.end()
+                yield (T_NAME, m.group(2))
+            elif g == 3:  # operator
+                op = m.group(3)
                 pos = m.end()
                 if op == b"BI":
                     # skip inline image binary-safely
@@ -129,7 +112,33 @@ class ContentLexer:
                     continue
                 yield (T_OP, op)
             else:
-                pos += 1
+                c = m.group(4)
+                start = m.start(4)
+                if c == b"(":
+                    self.pos = start
+                    s = self._scan_string()
+                    pos = self.pos
+                    yield (T_STR, s)
+                elif c == b"<":
+                    if data[start + 1 : start + 2] == b"<":
+                        # skip dict start (interpreter.zig:531-536)
+                        pos = start + 2
+                        continue
+                    self.pos = start
+                    s = self._scan_hex_string()
+                    pos = self.pos
+                    yield (T_HEX, s)
+                elif c == b"[":
+                    self.pos = start
+                    arr = self._scan_array()
+                    pos = self.pos
+                    yield (T_ARR, arr)
+                elif c in b"+-.":  # number chars that aren't a number
+                    m2 = _NUMCHARS_RE.match(data, start)
+                    pos = m2.end() if m2 else start + 1
+                    yield (T_NUM, 0.0)
+                else:  # stray ']' '>' or junk byte
+                    pos = m.end()
         self.pos = pos
 
     def _skip_inline_image(self, pos: int) -> int:
@@ -159,40 +168,45 @@ class ContentLexer:
         data = self.data
         pos = self.pos + 1  # '['
         out = []
+        append = out.append
         n = len(data)
+        match = _TOK_RE.match
         while pos < n and len(out) < 512:
-            m = _SKIP_RE.match(data, pos)
-            if m:
+            m = match(data, pos)
+            if m is None:
+                pos = n
+                break
+            g = m.lastindex
+            if g == 1:  # number (TJ kerning: the common element)
+                append((T_NUM, float(m.group(1))))
                 pos = m.end()
-            if pos >= n:
-                break
-            c = data[pos]
-            if c == 0x5D:
-                pos += 1
-                break
-            if c == 0x28:
-                self.pos = pos
-                out.append((T_STR, self._scan_string()))
-                pos = self.pos
-            elif c == 0x3C:
-                self.pos = pos
-                out.append((T_HEX, self._scan_hex_string()))
-                pos = self.pos
-            elif (0x30 <= c <= 0x39) or c in (0x2D, 0x2B, 0x2E):
-                m = _NUM_RE.match(data, pos)
-                if m:
-                    out.append((T_NUM, float(m.group(0))))
-                    pos = m.end()
-                else:
-                    m = _NUMCHARS_RE.match(data, pos)
-                    pos = m.end() if m else pos + 1
-                    out.append((T_NUM, 0.0))
-            elif c == 0x2F:
-                m = _NAME_RE.match(data, pos + 1)
-                out.append((T_NAME, m.group(0)))
+            elif g == 2:  # /name
+                append((T_NAME, m.group(2)))
+                pos = m.end()
+            elif g == 3:  # operator bytes are skipped inside arrays
                 pos = m.end()
             else:
-                pos += 1
+                c = m.group(4)
+                start = m.start(4)
+                if c == b"]":
+                    pos = m.end()
+                    break
+                if c == b"(":
+                    self.pos = start
+                    append((T_STR, self._scan_string()))
+                    pos = self.pos
+                elif c == b"<":
+                    # '<' in a TJ array is always a hex string here
+                    # (no dict skip, matching the per-byte original)
+                    self.pos = start
+                    append((T_HEX, self._scan_hex_string()))
+                    pos = self.pos
+                elif c in b"+-.":
+                    m2 = _NUMCHARS_RE.match(data, start)
+                    pos = m2.end() if m2 else start + 1
+                    append((T_NUM, 0.0))
+                else:
+                    pos = m.end()
         self.pos = pos
         return out
 

@@ -128,6 +128,24 @@ _REF_OR_MISS_RE = re.compile(
     rb"[\x00\t\n\x0c\r ]+([0-9]+)"
     rb"(?:([\x00\t\n\x0c\r ]+R)"
     rb"|(?:\.[0-9]*)?[\x00\t\n\x0c\r ]*([^\x00\t\n\x0c\r ]?))")
+# single-scan union of _NUMBER_RE and _REF_OR_MISS_RE (hot path: one C
+# regex call per number token answers number + ref-hit + provable-miss
+# at once). Group 1 = the number; groups 2-4 mirror _REF_OR_MISS_RE;
+# group 5 = the first non-ws follower byte when no second integer
+# exists (only a '%' there can hide a comment-separated ref and needs
+# the general path).
+_NUMREF_RE = re.compile(
+    rb"([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+))"
+    rb"(?:[\x00\t\n\x0c\r ]+([0-9]+)"
+    rb"(?:([\x00\t\n\x0c\r ]+R)"
+    rb"|(?:\.[0-9]*)?[\x00\t\n\x0c\r ]*([^\x00\t\n\x0c\r ]?))"
+    rb"|[\x00\t\n\x0c\r ]*([^\x00\t\n\x0c\r ]?))")
+# "N G obj" header in one scan (comments between the tokens fall back
+# to the general skip_ws path); the lookahead enforces the same
+# keyword-boundary rule as match_keyword
+_OBJ_HEADER_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]*([0-9]+)[\x00\t\n\x0c\r ]+([0-9]+)"
+    rb"[\x00\t\n\x0c\r ]+obj(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)")
 _NUM_CHARS_RE = re.compile(rb"[0-9.+-]+")
 # bounded intern caches for names / dict keys: PDF name vocabulary is
 # tiny and extremely repetitive (/Type /Page /Font ...); the cap keeps
@@ -332,13 +350,19 @@ class Parser:
 
     def parse_indirect_object(self):
         """Parse ``N G obj ... endobj`` (parser.zig:185-208)."""
-        self.skip_ws()
-        num = self._parse_uint()
-        self.skip_ws()
-        gen = self._parse_uint()
-        self.skip_ws()
-        if not self.match_keyword(b"obj"):
-            raise ParseError("expected 'obj'")
+        m = _OBJ_HEADER_RE.match(self.data, self.pos)
+        if m:
+            num = int(m.group(1))
+            gen = int(m.group(2))
+            self.pos = m.end()
+        else:  # comments between header tokens: general path
+            self.skip_ws()
+            num = self._parse_uint()
+            self.skip_ws()
+            gen = self._parse_uint()
+            self.skip_ws()
+            if not self.match_keyword(b"obj"):
+                raise ParseError("expected 'obj'")
         obj = self.parse_object()
         self.skip_ws()
         self.match_keyword(b"endobj")  # optional
@@ -382,28 +406,42 @@ class Parser:
     def parse_number_or_ref(self):
         """N G R lookahead with backtracking (parser.zig:484-541).
 
-        Fast path: a single regex answers the common hit ("N G R") and
-        miss (number arrays) cases without re-parsing the next token;
-        regex failure falls through to the fully general path (which
-        also handles comments between the tokens and a missing space
-        before 'R'), so observable behavior is unchanged.
+        Fast path: ONE regex (_NUMREF_RE) parses the number and answers
+        the common hit ("N G R") and miss (number arrays) cases without
+        re-parsing the next token; ambiguous followers fall through to
+        the fully general path (which also handles comments between the
+        tokens and a missing space before 'R'), so observable behavior
+        is unchanged. Float / negative firsts return immediately: the
+        general path's Ref type-check always fails for them and
+        backtracks to exactly the post-number position.
         """
-        first = self._parse_number()
-        if type(first) is int and first >= 0:
-            m = _REF_OR_MISS_RE.match(self.data, self.pos)
-            if m:
-                if m.group(2) is not None:  # "G R" hit
-                    gen = int(m.group(1))
-                    if gen <= 65535:
-                        self.pos = m.end()
-                        return Ref(first, gen)
-                    return first  # same outcome as the general backtrack
-                if m.group(3) not in (b"R", b"%"):
-                    # provable miss: the general path would parse the
-                    # second number, skip plain whitespace, fail the 'R'
-                    # check and backtrack to exactly this position
-                    return first
-        after_first = self.pos
+        m = _NUMREF_RE.match(self.data, self.pos)
+        if not m:
+            raise ParseError("invalid number")
+        text = m.group(1)
+        if b"." in text:
+            self.pos = m.end(1)
+            return float(text)
+        first = int(text)
+        if m.group(2) is not None:  # second integer present
+            if first >= 0 and m.group(3) is not None:  # "G R" hit
+                gen = int(m.group(2))
+                if gen <= 65535:
+                    self.pos = m.end()
+                    return Ref(first, gen)
+                self.pos = m.end(1)
+                return first  # same outcome as the general backtrack
+            if m.group(4) not in (b"R", b"%"):
+                # provable miss: the general path would parse the
+                # second number, skip plain whitespace, fail the 'R'
+                # check and backtrack to exactly this position
+                self.pos = m.end(1)
+                return first
+        elif m.group(5) != b"%":
+            # no second integer and no comment that could hide one
+            self.pos = m.end(1)
+            return first
+        after_first = self.pos = m.end(1)
         self.skip_ws()
         data = self.data
         if self.pos < len(data) and data[self.pos] in _DIGITS:
@@ -441,15 +479,37 @@ class Parser:
             self.nesting -= 1
             raise ParseError("nesting too deep")
         out = []
+        data = self.data
+        n = len(data)
+        append = out.append
         try:
             while True:
-                self.skip_ws()
-                if self.pos >= len(self.data):
+                # inline ws/comment skip + element dispatch (hot path:
+                # number/ref and name elements skip the parse_object
+                # call and its duplicate ws scan)
+                pos = self.pos
+                while pos < n:
+                    c = data[pos]
+                    if c in _WS_SET:
+                        pos += 1
+                    elif c == 0x25:
+                        m = _WS_COMMENT_RE.match(data, pos)
+                        pos = m.end()
+                    else:
+                        break
+                self.pos = pos
+                if pos >= n:
                     raise ParseError("unexpected EOF in array")
-                if self.data[self.pos] == 0x5D:  # ']'
-                    self.pos += 1
+                c = data[pos]
+                if c == 0x5D:  # ']'
+                    self.pos = pos + 1
                     break
-                out.append(self.parse_object())
+                if 0x30 <= c <= 0x39 or c in (0x2D, 0x2B, 0x2E):
+                    append(self.parse_number_or_ref())
+                elif c == 0x2F:
+                    append(self.parse_name())
+                else:
+                    append(self.parse_object())
         finally:
             self.nesting -= 1
         return out
@@ -497,7 +557,38 @@ class Parser:
                            else raw).decode("latin-1")
                     if len(_KEY_INTERN) < _INTERN_CAP:
                         _KEY_INTERN[raw] = key
-                value = self.parse_object()
+                # inline value dispatch (hot path): same switch as
+                # parse_object minus the keyword cases, saving one call
+                # + duplicate ws scan per value
+                pos = self.pos
+                while pos < n:
+                    c = data[pos]
+                    if c in _WS_SET:
+                        pos += 1
+                    elif c == 0x25:
+                        m = _WS_COMMENT_RE.match(data, pos)
+                        pos = m.end()
+                    else:
+                        break
+                self.pos = pos
+                if pos >= n:
+                    raise ParseError("unexpected EOF")
+                c = data[pos]
+                if c == 0x2F:
+                    value = self.parse_name()
+                elif 0x30 <= c <= 0x39 or c in (0x2D, 0x2B, 0x2E):
+                    value = self.parse_number_or_ref()
+                elif c == 0x3C:
+                    if data[pos + 1 : pos + 2] == b"<":
+                        value = self.parse_dict_or_stream()
+                    else:
+                        value = self.parse_hex_string()
+                elif c == 0x5B:
+                    value = self.parse_array()
+                elif c == 0x28:
+                    value = self.parse_string()
+                else:
+                    value = self.parse_object()
                 if key not in out:  # first occurrence wins (parser.zig:37-42)
                     out[key] = value
         finally:
