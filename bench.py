@@ -256,11 +256,12 @@ def main() -> None:
         m: dict[int, float] = {}
         trials = []
         scaling_t0 = time.perf_counter()
-        for round_idx in range(4):
-            # time-budget the interleave: noise protection wants 3-4
-            # rounds (min-of-config sampling), but one complete round
-            # already yields a valid same-window measurement — don't
-            # risk the driver's bench timeout on a slow host episode
+        for round_idx in range(6):
+            # time-budget the interleave: noise protection wants as many
+            # rounds as fit (min-of-config sampling), but one complete
+            # round already yields a valid same-window measurement —
+            # don't risk the driver's bench timeout on a slow host
+            # episode. Fast-host episodes get up to 6 rounds.
             if round_idx > 0 and time.perf_counter() - scaling_t0 > 420:
                 break
             round_vals = {}
@@ -280,6 +281,21 @@ def main() -> None:
         queries[f"extract_secs_local{high}"] = round(t[high], 3)
         queries["scaling_efficiency"] = round(eff, 3)
         queries["scaling_trials"] = trials
+        # supplementary same-window estimator: efficiency computed
+        # WITHIN each trial (both legs share one noise window — the
+        # same pairing the headline uses), median across trials. The
+        # min-based number above can pair a good-weather T_N with a
+        # bad-weather T_4N from a different window; the paired median
+        # is robust to exactly that.
+        paired = [rv[f"spark{low}"] / (4 * rv[f"spark{high}"])
+                  for rv in trials
+                  if f"spark{low}" in rv and f"spark{high}" in rv]
+        if paired:
+            paired.sort()
+            mid = len(paired) // 2
+            med = (paired[mid] if len(paired) % 2
+                   else (paired[mid - 1] + paired[mid]) / 2)
+            queries["scaling_paired_median"] = round(med, 3)
         if m:
             hw = m[low] / (4 * m[high])
             queries["hw_scaling_ceiling"] = round(hw, 3)
