@@ -598,6 +598,135 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters (Rae et al. 2021, app. A1.1)
+    as map-only JVM higher-order expressions — no shuffle, no explode,
+    no Python in the hot path, so the plan is a pure project at 100 TB:
+
+      - dup_line_frac_x1000: fraction of lines repeating an earlier
+        line. The driver's synthetic text is a single line, so lines
+        are synthesized deterministically as fixed 10-word chunks (the
+        same make-the-op-observable seeding pii_scrub uses for PII).
+      - dup_5gram_frac_x1000: fraction of word-5-gram occurrences that
+        are duplicates (Gopher's duplicate-n-gram family).
+      - top_bigram / top_bigram_count / top_bigram_chars_x1000: the
+        most frequent word 2-gram (ties -> lexically smallest) and the
+        fraction of document characters it covers. The per-doc mode is
+        computed as a sort + run-length fold over the bigram array
+        (array_sort + aggregate), NOT an explode+groupBy — the classic
+        implementation would shuffle every bigram of every document.
+
+    The driver's synthetic texts never repeat a 5-gram, so every third
+    doc gets a doc_id-derived 10-word phrase appended 3x before
+    measuring (seeded identically in the oracle): a period-10 word
+    sequence makes consecutive aligned 10-chunks equal regardless of
+    the chunking offset, guaranteeing both dup signals fire on the
+    seeded rows while the others keep their natural zeros.
+    """
+    d = _docs(spark, sf_dir)
+    phrase = F.concat_ws(" ", *[
+        F.concat(F.lit("r"), (F.col("doc_id") % 10).cast("string"),
+                 F.lit(f"_{j}"))
+        for j in range(10)])
+    seeded = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" "), phrase, F.lit(" "), phrase,
+                 F.lit(" "), phrase),
+    ).otherwise(F.col("text"))
+    words = F.split(seeded, " ")
+    n_words = F.size(words)
+
+    lines = F.transform(
+        F.sequence(F.lit(0), F.floor((n_words - 1) / 10).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)))
+    n_lines = F.size(lines).cast("long")
+    dup_line = F.floor(
+        (n_lines - F.size(F.array_distinct(lines))) * 1000 / n_lines
+    ).cast("long")
+
+    # guards matter: Spark's sequence(1, n-4) runs DESCENDING for n < 5
+    empty = F.array().cast("array<string>")
+    g5 = F.when(n_words >= 5, F.transform(
+        F.sequence(F.lit(1), n_words - 4),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 5)))).otherwise(empty)
+    n5 = F.size(g5)
+    dup5 = F.when(n5 > 0, F.floor(
+        (n5 - F.size(F.array_distinct(g5))) * 1000 / n5
+    )).otherwise(F.lit(0)).cast("long")
+
+    bigrams = F.when(n_words >= 2, F.transform(
+        F.sequence(F.lit(1), n_words - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)))).otherwise(empty)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"), F.lit("").alias("gram"))
+
+    def _merge(acc, g):
+        run = (F.when(g == acc["prev"], acc["run"] + F.lit(1))
+               .otherwise(F.lit(1))).cast("long")
+        return F.struct(
+            g.alias("prev"), run.alias("run"),
+            F.when(run > acc["best"], run).otherwise(acc["best"]).alias("best"),
+            F.when(run > acc["best"], g).otherwise(acc["gram"]).alias("gram"))
+
+    top = F.aggregate(
+        F.array_sort(bigrams), init, _merge,
+        lambda acc: F.struct(acc["best"].alias("cnt"), acc["gram"].alias("gram")))
+    return d.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        dup_line.alias("dup_line_frac_x1000"),
+        dup5.alias("dup_5gram_frac_x1000"),
+        top["gram"].alias("top_bigram"),
+        top["cnt"].alias("top_bigram_count"),
+        F.floor(top["cnt"] * F.length(top["gram"]) * 1000 / F.length(seeded))
+        .cast("long").alias("top_bigram_chars_x1000"),
+    ).orderBy("doc_id")
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span dedup (the C4 "any repeated three-sentence
+    span occurs once corpus-wide" rule, RefinedWeb's line-dedup):
+    chunk every doc into 10-word spans, keep the globally FIRST
+    occurrence of each span (ordered by doc_id, position), drop the
+    rest, and report per doc the span count, dropped count, and an md5
+    of the surviving text.
+
+    Unlike the per-doc repetition_signals this is inherently global:
+    the plan is explode -> one hash exchange on the span (window
+    row_number picks the keeper) -> one doc_id exchange to reassemble.
+    Both shuffles carry only (span, doc_id, idx) rows — never the
+    original blobs — which is the C4-at-scale shape; span rows are
+    uniformly hash-partitioned so span-frequency skew (boilerplate
+    spans occurring millions of times) lands as one window partition
+    per span, the same property exact dedup relies on.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((n_words - 1) / 10).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)))
+    spans = d.select("doc_id", F.posexplode(chunks).alias("span_idx", "span"))
+    w = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    flagged = spans.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("span_idx", "span"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+            F.md5(F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["span"]))).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID heuristic (deterministic SQL both sides)."""
     d = _docs(spark, sf_dir)
@@ -1056,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "pii_scrub": _q_pii_scrub,
         "gopher_quality": _q_gopher_quality,
+        "repetition_signals": _q_repetition_signals,
+        "span_dedup": _q_span_dedup,
         "lang_guess": _q_lang_guess,
         "lang_id_ngram": _q_lang_id_ngram,
         "fingerprints": _q_fingerprints,
@@ -1359,6 +1490,70 @@ def oracle_sql() -> dict[str, str]:
             "((n_words >= 10 AND n_words <= 100000) AND (mwl >= 200 AND mwl <= 1000) "
             "AND sym <= 100 AND stop) AS keep "
             "FROM m ORDER BY doc_id"
+        ),
+        "repetition_signals": (
+            # same signals via unnest + group-by + window — the oracle
+            # need not be map-only, only value-identical (tie-break for
+            # the top bigram: highest count, then lexically smallest,
+            # matching the Spark fold's strict-greater over the sorted
+            # array)
+            "WITH seeded AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+            "text || repeat(' ' || " + " || ' ' || ".join(
+                f"'r' || CAST(doc_id % 10 AS VARCHAR) || '_{j}'"
+                for j in range(10)) + ", 3) "
+            "ELSE text END AS text FROM documents), "
+            "w AS (SELECT doc_id, text, string_split(text, ' ') AS words "
+            "FROM seeded), "
+            "base AS (SELECT doc_id, text, "
+            "list_transform(range(0, CAST(floor((len(words)-1)/10) AS INT) + 1), "
+            "i -> array_to_string(list_slice(words, i*10+1, i*10+10), ' ')) AS lines, "
+            "CASE WHEN len(words) >= 5 THEN "
+            "list_transform(range(1, len(words)-3), "
+            "i -> array_to_string(list_slice(words, i, i+4), ' ')) "
+            "ELSE [] END AS g5, "
+            "CASE WHEN len(words) >= 2 THEN "
+            "list_transform(range(1, len(words)), "
+            "i -> words[i] || ' ' || words[i+1]) "
+            "ELSE [] END AS bg FROM w), "
+            "lin AS (SELECT doc_id, text, bg, "
+            "CAST(len(lines) AS BIGINT) AS n_lines, "
+            "CAST(floor((len(lines) - len(list_distinct(lines))) * 1000 "
+            "/ len(lines)) AS BIGINT) AS dup_line_frac_x1000, "
+            "CASE WHEN len(g5) > 0 THEN "
+            "CAST(floor((len(g5) - len(list_distinct(g5))) * 1000 / len(g5)) AS BIGINT) "
+            "ELSE 0 END AS dup_5gram_frac_x1000 FROM base), "
+            "bgu AS (SELECT doc_id, gram, count(*) AS cnt FROM "
+            "(SELECT doc_id, unnest(bg) AS gram FROM base) GROUP BY doc_id, gram), "
+            "topbg AS (SELECT doc_id, gram, cnt, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn FROM bgu) "
+            "SELECT l.doc_id, l.n_lines, l.dup_line_frac_x1000, "
+            "l.dup_5gram_frac_x1000, "
+            "coalesce(t.gram, '') AS top_bigram, "
+            "CAST(coalesce(t.cnt, 0) AS BIGINT) AS top_bigram_count, "
+            "CAST(floor(coalesce(t.cnt, 0) * length(coalesce(t.gram, '')) "
+            "* 1000 / length(l.text)) AS BIGINT) AS top_bigram_chars_x1000 "
+            "FROM lin l LEFT JOIN (SELECT * FROM topbg WHERE rn = 1) t "
+            "USING (doc_id) ORDER BY doc_id"
+        ),
+        "span_dedup": (
+            # keeper = globally first occurrence (doc_id, span_idx
+            # order); docs that are full duplicates of an earlier doc
+            # keep zero spans -> coalesce to md5('') like the Spark
+            # side's empty concat_ws
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "
+            "FROM documents), "
+            "idx AS (SELECT doc_id, words, unnest(range(0, "
+            "CAST(floor((len(words)-1)/10) AS INT) + 1)) AS span_idx FROM w), "
+            "sp AS (SELECT doc_id, span_idx, array_to_string("
+            "list_slice(words, span_idx*10+1, span_idx*10+10), ' ') AS span "
+            "FROM idx), "
+            "rn AS (SELECT doc_id, span_idx, span, row_number() OVER "
+            "(PARTITION BY span ORDER BY doc_id, span_idx) AS rn FROM sp) "
+            "SELECT doc_id, count(*) AS n_spans, "
+            "CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, "
+            "md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' "
+            "ORDER BY span_idx), '')) AS kept_md5 "
+            "FROM rn GROUP BY doc_id ORDER BY doc_id"
         ),
         "lang_guess": (
             "SELECT doc_id, lang, "
