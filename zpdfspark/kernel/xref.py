@@ -99,6 +99,8 @@ def _trailer_prev(trailer: dict) -> Optional[int]:
 
 
 def _parse_fixed_uint(chunk: bytes) -> Optional[int]:
+    if chunk.isdigit():  # common case: zero-padded field, one C call
+        return int(chunk)
     value = 0
     for c in chunk:
         if 0x30 <= c <= 0x39:
@@ -106,6 +108,12 @@ def _parse_fixed_uint(chunk: bytes) -> Optional[int]:
         elif c != 0x20:
             return None
     return value
+
+
+# well-formed 20-byte xref record in one scan (offset, gen, type, EOL);
+# anything irregular (space padding, odd separators) falls back to the
+# tolerant per-field path below, which preserves the original behavior
+_XREF_REC_RE = re.compile(rb"([0-9]{10}) ([0-9]{5}) ([nf])[ \r\n]*")
 
 
 def _parse_xref_table(data: bytes, offset: int, xref: XRefTable) -> dict:
@@ -148,7 +156,17 @@ def _parse_xref_table(data: bytes, offset: int, xref: XRefTable) -> dict:
             pos += 1
         if pos < n and data[pos] == 0x0A:
             pos += 1
+        rec = _XREF_REC_RE.match
         for i in range(count):
+            m = rec(data, pos)
+            if m is not None:  # fast path: one C scan per record
+                pos = m.end()
+                obj_num = first_obj + i
+                if obj_num not in entries:  # first occurrence wins
+                    entries[obj_num] = (
+                        int(m.group(1)), int(m.group(2)),
+                        IN_USE if m.group(3) == b"n" else FREE)
+                continue
             if pos + 17 > n:
                 break
             entry_offset = _parse_fixed_uint(data[pos : pos + 10])
