@@ -727,6 +727,92 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring with the corpus as its
+    own unigram LM (Wenzek et al. 2019 use a KenLM perplexity; the
+    unigram variant keeps the exact same pipeline shape without a model
+    artifact): build the corpus vocabulary with counts, then score every
+    doc by its mean negative log-probability — low = fluent/common
+    wording, high = rare-token noise.
+
+    Scale shape: vocab is a word-hash aggregation (map-side partials);
+    scoring re-joins words to vocab counts. The vocab of a 100 TB crawl
+    still fits the broadcast budget after a min-count floor (Zipf: the
+    long tail is hapax), so the join is hinted broadcast here; without
+    the floor it degrades gracefully to a shuffle join on word. The
+    1-row corpus total crosses in via broadcast, never a driver
+    collect.
+    """
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        words.join(F.broadcast(vocab), "word")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("total"))), 3)
+            .alias("avg_neg_logprob_r3"),
+        )
+        .orderBy("doc_id")
+    )
+    return scored
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM appendix recipe):
+    flag any training doc sharing an 8-gram with a held-out benchmark
+    set. The benchmark here is the deterministic doc_id % 97 == 0
+    slice of the corpus standing in for an external eval set.
+
+    Scale shape: the benchmark n-gram set is tiny and broadcast; the
+    training side streams its 8-grams map-only into a broadcast
+    LEFT SEMI join — no shuffle of the corpus, which is how
+    decontamination runs over 100 TB (eval suites are megabytes).
+
+    The synthetic corpus has no natural cross-doc 8-gram overlap with
+    the benchmark slice, so a shared 8-word phrase is seeded into the
+    benchmark docs AND every 31st doc (deterministic, replayed in the
+    oracle) — the flag has true positives to find, and everything else
+    stays a true negative.
+    """
+    d = _docs(spark, sf_dir)
+    leak = " q0 q1 q2 q3 q4 q5 q6 q7"
+    seeded = F.when(
+        (F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 31 == 5),
+        F.concat(F.col("text"), F.lit(leak))).otherwise(F.col("text"))
+    words = F.split(seeded, " ")
+    n_words = F.size(words)
+    empty = F.array().cast("array<string>")
+    grams = F.when(n_words >= 8, F.transform(
+        F.sequence(F.lit(1), n_words - 7),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 8)))).otherwise(empty)
+    with_grams = d.select(
+        "doc_id", (F.col("doc_id") % 97 == 0).alias("is_benchmark"),
+        F.size(grams).cast("long").alias("n_grams"),
+        grams.alias("grams"))
+    bench_grams = (
+        with_grams.where("is_benchmark")
+        .select(F.explode("grams").alias("gram")).distinct())
+    doc_grams = with_grams.select(
+        "doc_id", F.explode("grams").alias("gram"))
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id").distinct())
+    return (
+        with_grams.drop("grams")
+        .join(contaminated.withColumn("contaminated", F.lit(True)),
+              "doc_id", "left")
+        .select(
+            "doc_id", "is_benchmark", "n_grams",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID heuristic (deterministic SQL both sides)."""
     d = _docs(spark, sf_dir)
@@ -1187,6 +1273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "repetition_signals": _q_repetition_signals,
         "span_dedup": _q_span_dedup,
+        "unigram_logprob": _q_unigram_logprob,
+        "decontaminate": _q_decontaminate,
         "lang_guess": _q_lang_guess,
         "lang_id_ngram": _q_lang_id_ngram,
         "fingerprints": _q_fingerprints,
@@ -1554,6 +1642,33 @@ def oracle_sql() -> dict[str, str]:
             "md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' "
             "ORDER BY span_idx), '')) AS kept_md5 "
             "FROM rn GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "unigram_logprob": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+            "FROM documents), "
+            "v AS (SELECT word, count(*) AS cnt FROM w GROUP BY word), "
+            "t AS (SELECT sum(cnt) AS total FROM v) "
+            "SELECT doc_id, count(*) AS n_words, "
+            "round(avg(-ln(cnt / total)), 3) AS avg_neg_logprob_r3 "
+            "FROM w JOIN v USING (word) CROSS JOIN t "
+            "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "decontaminate": (
+            "WITH s AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0 OR "
+            "doc_id % 31 = 5 THEN text || ' q0 q1 q2 q3 q4 q5 q6 q7' "
+            "ELSE text END AS text FROM documents), "
+            "g AS (SELECT doc_id, doc_id % 97 = 0 AS is_benchmark, "
+            "CASE WHEN len(string_split(text, ' ')) >= 8 THEN "
+            "list_transform(range(1, len(string_split(text, ' ')) - 6), "
+            "i -> array_to_string(list_slice(string_split(text, ' '), i, i+7), ' ')) "
+            "ELSE [] END AS grams FROM s), "
+            "b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_benchmark), "
+            "dg AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            "c AS (SELECT DISTINCT doc_id FROM dg WHERE gram IN (SELECT gram FROM b)) "
+            "SELECT g.doc_id, g.is_benchmark, "
+            "CAST(len(g.grams) AS BIGINT) AS n_grams, "
+            "(g.doc_id IN (SELECT doc_id FROM c)) AS contaminated "
+            "FROM g ORDER BY g.doc_id"
         ),
         "lang_guess": (
             "SELECT doc_id, lang, "
