@@ -692,17 +692,16 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest, and report per doc the span count, dropped count, and an md5
     of the surviving text.
 
-    Unlike the per-doc repetition_signals this is inherently global:
-    the plan is explode -> one hash exchange on the span (window
-    row_number picks the keeper) -> one doc_id exchange to reassemble.
-    Both shuffles carry only (span, doc_id, idx) rows — never the
-    original blobs — which is the C4-at-scale shape; span rows are
-    uniformly hash-partitioned so span-frequency skew (boilerplate
-    spans occurring millions of times) lands as one window partition
-    per span, the same property exact dedup relies on.
+    Unlike the per-doc repetition_signals this is inherently global.
+    The keeper per span is computed as min(struct(doc_id, span_idx))
+    via groupBy — NOT a row_number window: a boilerplate span occurring
+    10^9 times corpus-wide would force a single window partition to
+    sort every occurrence (AQE cannot split a window), whereas the
+    aggregation collapses the hot span map-side (partial combine) and
+    the equi-join back IS skew-splittable by AQE. All exchanges carry
+    only (span, doc_id, idx) rows — never the original blobs — which
+    is the C4-at-scale shape.
     """
-    from pyspark.sql import Window
-
     d = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
@@ -710,15 +709,17 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.floor((n_words - 1) / 10).cast("int")),
         lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)))
     spans = d.select("doc_id", F.posexplode(chunks).alias("span_idx", "span"))
-    w = Window.partitionBy("span").orderBy("doc_id", "span_idx")
-    flagged = spans.withColumn("rn", F.row_number().over(w))
-    kept_struct = F.when(
-        F.col("rn") == 1, F.struct("span_idx", "span"))
+    keepers = spans.groupBy("span").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("k"))
+    flagged = spans.join(keepers, "span").withColumn(
+        "keep", (F.col("doc_id") == F.col("k.doc_id"))
+        & (F.col("span_idx") == F.col("k.span_idx")))
+    kept_struct = F.when(F.col("keep"), F.struct("span_idx", "span"))
     return (
         flagged.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
-            F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
             F.md5(F.concat_ws(" ", F.transform(
                 F.array_sort(F.collect_list(kept_struct)),
                 lambda x: x["span"]))).alias("kept_md5"),
