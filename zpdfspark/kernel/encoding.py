@@ -56,6 +56,12 @@ from .encodings_data import (
 
 _WS_SET = frozenset(b"\x00\t\n\x0c\r ")
 
+# process-wide cache of built simple-font decode tables keyed by the
+# (codepoint_map, low-byte multi-map) content; bounded so hostile docs
+# with thousands of distinct /Differences cannot grow it unboundedly
+_SIMPLE_TABLE_CACHE: dict = {}
+_SIMPLE_TABLE_CACHE_CAP = 512
+
 
 def _encode_cp(cp: int) -> bytes:
     """UTF-8 encode a codepoint; surrogate halves -> U+FFFD."""
@@ -137,24 +143,37 @@ class FontEncoding:
     def _simple_table(self) -> List[bytes]:
         tbl = self._simple_cache
         if tbl is None:
+            # font encodings repeat endlessly across a crawl corpus
+            # (most docs carry a pristine base encoding), so built
+            # tables are shared process-wide, keyed by content — the
+            # per-instance build would otherwise re-run the 256-entry
+            # encode + identity check once per font per document
             cm = self.codepoint_map
             multi = self.cmap_multi
-            tbl = []
-            for b in range(256):
-                if b in multi:
-                    tbl.append(multi[b])
-                elif cm[b] == 0:
-                    tbl.append(b" ")
-                else:
-                    tbl.append(_encode_cp(cm[b]))
+            key = (tuple(cm),
+                   tuple(sorted(multi.items())) if multi else None)
+            hit = _SIMPLE_TABLE_CACHE.get(key)
+            if hit is None:
+                tbl = []
+                for b in range(256):
+                    if b in multi:
+                        tbl.append(multi[b])
+                    elif cm[b] == 0:
+                        tbl.append(b" ")
+                    else:
+                        tbl.append(_encode_cp(cm[b]))
+                # ASCII identity fast path: true for WinAnsi/MacRoman/
+                # PDFDoc (codepoints 1-127 map to themselves) unless
+                # Differences or bfchar entries remapped a low byte.
+                # Byte 0 is excluded — it maps to space per the
+                # 0->space rule — so the fast path additionally
+                # requires NUL-free input.
+                hit = (tbl, all(
+                    tbl[b] == bytes((b,)) for b in range(1, 128)))
+                if len(_SIMPLE_TABLE_CACHE) < _SIMPLE_TABLE_CACHE_CAP:
+                    _SIMPLE_TABLE_CACHE[key] = hit
+            tbl, self._ascii_identity = hit
             self._simple_cache = tbl
-            # ASCII identity fast path: true for WinAnsi/MacRoman/PDFDoc
-            # (codepoints 1-127 map to themselves) unless Differences or
-            # bfchar entries remapped a low byte. Byte 0 is excluded —
-            # it maps to space per the 0->space rule — so the fast path
-            # additionally requires NUL-free input.
-            self._ascii_identity = all(
-                tbl[b] == bytes((b,)) for b in range(1, 128))
         return tbl
 
     def _decode_simple(self, data: bytes) -> bytes:
