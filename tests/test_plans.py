@@ -130,3 +130,55 @@ def test_minhash_signatures_map_only(spark, sf_dir):
     assert plan.count("split(text") == 2, plan
     assert plan.count("md5(") == 1, plan
     assert plan.count("array_min(transform(g0#") == 4, plan
+
+
+def test_repetition_signals_map_only(spark, sf_dir):
+    """Per-doc repetition filters (Gopher A1.1) must stay a pure
+    projection: the bigram mode is a sort+run-length fold over the
+    in-row array, never an explode + per-bigram shuffle + groupBy."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["repetition_signals"](spark, sf_dir), spark)
+    assert "EvalPython" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "Generate explode" not in plan, plan
+
+
+def test_span_dedup_has_no_window(spark, sf_dir):
+    """Cross-doc span dedup picks keepers with min(struct) aggregation
+    + equi-join, NOT a per-span row_number window: a boilerplate span
+    occurring billions of times corpus-wide would pin one un-splittable
+    window sort partition, while the aggregation collapses map-side and
+    AQE can skew-split the join."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["span_dedup"](spark, sf_dir), spark)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_decontaminate_probe_is_broadcast_semi(spark, sf_dir):
+    """Decontamination must probe the (tiny) benchmark n-gram set via a
+    broadcast LEFT SEMI join — the training corpus side must never
+    sort-merge or shuffle against the benchmark set."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["decontaminate"](spark, sf_dir), spark)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_unigram_logprob_jvm_side(spark, sf_dir):
+    """CCNet-style LM scoring must compile to JVM joins/aggregates: no
+    Python evaluation, no cartesian blow-up (the 1-row corpus total
+    enters via broadcast, not a driver collect)."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["unigram_logprob"](spark, sf_dir), spark)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
