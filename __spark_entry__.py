@@ -212,7 +212,8 @@ def _q_markdown_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal payloads as opaque media columns with typed metadata.
     Decode is REAL for PDFs (the kernel), PNGs (kernel/png.py), WAVs
-    (kernel/wav.py) and baseline JPEGs (kernel/jpeg.py); mp3/video kinds
+    (kernel/wav.py), baseline JPEGs (kernel/jpeg.py) and GIFs
+    (kernel/gif.py); mp3/video kinds
     remain honestly stubbed (no codec libs in this container) while the
     Spark-side schema/batching is the same either way."""
     import pandas as pd
@@ -220,6 +221,7 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
 
     def media_batches(batches):
+        from zpdfspark.kernel.gif import GifError
         from zpdfspark.kernel.htmltext import looks_like_html
         from zpdfspark.kernel.jpeg import JpegError
         from zpdfspark.kernel.png import PngError
@@ -234,7 +236,9 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "png" if raw.startswith(b"\x89PNG") else (
                         "jpeg" if raw.startswith(b"\xff\xd8") else (
                             "wav" if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
-                            else ("html" if looks_like_html(raw) else "unknown"))))
+                            else ("gif" if raw[:4] == b"GIF8" else (
+                                "html" if looks_like_html(raw)
+                                else "unknown")))))
                 if kind == "pdf":
                     ok = True  # the PDF kernel is this engine
                 else:
@@ -242,7 +246,7 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         decode_media(raw, kind)
                         ok = True
                     except (NotImplementedError, PngError, JpegError,
-                            WavError):
+                            WavError, GifError):
                         ok = False
                 out["url"].append(url)
                 out["n_bytes"].append(len(raw))
@@ -258,7 +262,7 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image feature extraction for PNG and baseline-JPEG payloads:
     one row per decodable image with the ACTUAL decoded dimensions and
-    channel count (kernel/png.py + kernel/jpeg.py). The oracle compares
+    channel count (kernel/png.py + kernel/jpeg.py + kernel/gif.py). The oracle compares
     against header-derived ground truth carried by the corpus
     (fixtures._image_expected — IHDR/SOF0 bytes, not the decoders), so
     a decoder dimension/upsample/channel bug breaks the hash. Map-only:
@@ -269,6 +273,7 @@ def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
 
     def batches(it):
+        from zpdfspark.kernel.gif import GifError
         from zpdfspark.kernel.jpeg import JpegError
         from zpdfspark.kernel.png import PngError
         from zpdfspark.spark.media import decode_media, sniff_kind
@@ -278,11 +283,11 @@ def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for url, blob in zip(b["url"], b["html"]):
                 raw = bytes(blob) if blob is not None else b""
                 kind = sniff_kind(raw)
-                if kind not in ("png", "jpeg"):
+                if kind not in ("png", "jpeg", "gif"):
                     continue
                 try:
                     w, h, c, _px = decode_media(raw, kind)
-                except (PngError, JpegError):
+                except (PngError, JpegError, GifError):
                     continue
                 rows["url"].append(url)
                 rows["width"].append(w)
@@ -1424,10 +1429,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_stats": (
             # decode is real for pdf (the kernel), png (kernel/png.py),
-            # jpeg (kernel/jpeg.py) and wav (kernel/wav.py)
+            # jpeg (kernel/jpeg.py), wav (kernel/wav.py) and gif
+            # (kernel/gif.py)
             f"SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes, "
             f"media_kind, "
-            f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav')) AS decode_ok "
+            f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif')) AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
         "image_stats": (
@@ -1437,7 +1443,7 @@ def oracle_sql() -> dict[str, str]:
             # container format headers through the distributed pipeline
             f"SELECT url, img_width AS width, img_height AS height, "
             f"img_channels AS n_channels "
-            f"FROM {corpus} WHERE media_kind IN ('png', 'jpeg') "
+            f"FROM {corpus} WHERE media_kind IN ('png', 'jpeg', 'gif') "
             f"ORDER BY url"
         ),
         "audio_stats": (

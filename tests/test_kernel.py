@@ -759,3 +759,108 @@ class TestWav:
             exp = fixtures._wav_expected(raw)
             assert exp == (sr, ch, samples.shape[0],
                            W.audio_rms_x1000(samples))
+
+
+class TestGif:
+    """kernel/gif.py: the GIF-variant LZW decode path of the media
+    pipeline (LSB-first variable-width codes, palette, interlace)."""
+
+    def _round(self, h, w, ncolors, interlace):
+        import numpy as np
+        from zpdfspark.kernel import gif as G
+        rng = np.random.default_rng(h * 100 + w + ncolors)
+        px = (rng.integers(0, ncolors, size=(h, w), dtype=np.uint8)[:, :, None]
+              * np.array([7, 3, 11], dtype=np.uint8)).astype(np.uint8)
+        ww, hh, c, out = G.decode_gif(G.encode_gif(px, interlace=interlace))
+        assert (ww, hh, c) == (w, h, 3)
+        assert (out == px).all()
+
+    def test_roundtrip_palette_sizes(self):
+        for ncol in (1, 2, 5, 17, 200):
+            self._round(9, 7, ncol, False)
+
+    def test_roundtrip_interlaced(self):
+        for h in (1, 2, 7, 16, 33):
+            self._round(h, 5, 4, True)
+
+    def test_roundtrip_wide_table(self):
+        # enough pixels to grow the code width past its initial size
+        self._round(80, 70, 250, False)
+
+    def test_compressed_stream_kwkwk(self):
+        """Hand-packed stream with a real compression code (KwKwK):
+        codes [CLEAR=4, 0, 6, END=5] at min_code=2 decode to indices
+        0,0,0 — the literal-only encoder never emits this path."""
+        import struct
+        from zpdfspark.kernel import gif as G
+        pal = bytes([10, 20, 30]) + bytes(9)  # 4-entry table
+        raw = (b"GIF89a" + struct.pack("<HH", 3, 1) + bytes((0x91, 0, 0))
+               + pal
+               + b"\x2C" + struct.pack("<HHHH", 0, 0, 3, 1) + b"\x00"
+               + b"\x02" + b"\x02\x84\x0b" + b"\x00" + b"\x3B")
+        w, h, c, out = G.decode_gif(raw)
+        assert (w, h, c) == (3, 1, 3)
+        assert out[0].tolist() == [[10, 20, 30]] * 3
+
+    def test_compressed_stream_table_reference(self):
+        """Codes [CLEAR, 0, 1, 6, END]: code 6 references the table
+        entry built from the previous pair -> indices 0,1,0,1."""
+        import struct
+        from zpdfspark.kernel import gif as G
+        pal = bytes([1, 2, 3, 4, 5, 6]) + bytes(6)
+        # 3-bit codes LSB-first: 4, 0, 1, 6, 5
+        data = bytes([0x04 | (0x01 << 6), (0x06 << 1) | (0x05 << 4)])
+        raw = (b"GIF89a" + struct.pack("<HH", 4, 1) + bytes((0x91, 0, 0))
+               + pal
+               + b"\x2C" + struct.pack("<HHHH", 0, 0, 4, 1) + b"\x00"
+               + b"\x02" + bytes([len(data)]) + data + b"\x00" + b"\x3B")
+        w, h, c, out = G.decode_gif(raw)
+        assert out[0].tolist() == [[1, 2, 3], [4, 5, 6], [1, 2, 3], [4, 5, 6]]
+
+    def test_hostile_gifs_raise_giferror_only(self):
+        import random
+        import numpy as np
+        from zpdfspark.kernel import gif as G
+        px = (np.arange(81, dtype=np.uint8).reshape(9, 9)[:, :, None]
+              % 5 * np.array([40, 20, 10], dtype=np.uint8)).astype(np.uint8)
+        base = G.encode_gif(px)
+        rnd = random.Random(3)
+        for _ in range(500):
+            b = bytearray(base)
+            for _ in range(rnd.randint(1, 10)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+            raw = bytes(b[:rnd.randrange(6, len(b))]
+                        if rnd.random() < 0.3 else b)
+            try:
+                G.decode_gif(raw)
+            except G.GifError:
+                pass  # the only acceptable failure mode
+
+    def test_decode_caps_giant_dimensions(self):
+        import struct
+        import pytest as _pytest
+        from zpdfspark.kernel import gif as G
+        raw = (b"GIF89a" + struct.pack("<HH", 60000, 60000)
+               + bytes((0x80, 0, 0)) + bytes(6)
+               + b"\x2C" + struct.pack("<HHHH", 0, 0, 60000, 60000)
+               + b"\x00\x02\x01\x00\x00\x3B")
+        with _pytest.raises(G.GifError, match="too large"):
+            G.decode_gif(raw)
+
+    def test_lzw_output_capped_by_dimensions(self):
+        """A stream decoding to more pixels than the descriptor declares
+        is rejected (bomb policy, mirrors the PNG overshoot check)."""
+        import numpy as np
+        import pytest as _pytest
+        from zpdfspark.kernel import gif as G
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        raw = bytearray(G.encode_gif(px))
+        # shrink the declared image dims to 2x2; the 16-pixel stream
+        # now overshoots
+        import struct
+        raw[6:10] = struct.pack("<HH", 2, 2)
+        # image descriptor dims live 8 bytes into the 0x2C block
+        i = bytes(raw).index(b"\x2C")
+        raw[i + 5 : i + 9] = struct.pack("<HH", 2, 2)
+        with _pytest.raises(G.GifError, match="exceeds|short|range"):
+            G.decode_gif(bytes(raw))

@@ -196,22 +196,28 @@ def test_driver_contract_shape():
 
 
 def test_media_plumbing(spark, corpus_path):
-    """Multimodal kernels (spark/media.py): decode is REAL for PNG rows
-    (pure-Python decoder), stubbed-soft for codec-less kinds (error
-    records, never raises); the fake path is deterministic; frame
-    sampling expands 1-to-N inside the task; embeddings are stable."""
+    """Multimodal kernels (spark/media.py): decode is REAL for the
+    image kinds (png/jpeg/gif pure-Python decoders) and WAV,
+    stubbed-soft for codec-less kinds (error records, never raises);
+    the fake path is deterministic; frame sampling expands 1-to-N
+    inside the task; embeddings are stable."""
     from zpdfspark.spark import media
 
     base = spark.read.parquet(corpus_path)
-    # 20 arbitrary rows plus guaranteed PNG coverage
-    df = base.limit(20).unionByName(
-        base.where(F.col("url").like("%/png/%")).limit(5)).distinct()
+    # 20 arbitrary rows plus guaranteed image-kind coverage
+    df = base.limit(20)
+    for kind in ("png", "jpeg", "gif"):
+        df = df.unionByName(
+            base.where(F.col("url").like(f"%/{kind}/%")).limit(3))
+    df = df.distinct()
 
-    # decode: real for png (actual dimensions), soft-fail elsewhere
+    # decode: real for image kinds (actual dimensions), soft-fail
+    # elsewhere
     dec = media.decode_dataframe(df).collect()
-    assert any(r.media_kind == "png" for r in dec)
+    for kind in ("png", "jpeg", "gif"):
+        assert any(r.media_kind == kind for r in dec), kind
     for r in dec:
-        if r.media_kind == "png":
+        if r.media_kind in ("png", "jpeg", "gif"):
             assert r.decode_ok and r.width >= 1 and r.height >= 1
         elif r.media_kind == "wav":
             assert r.decode_ok and r.width == 0  # audio: no pixel dims
@@ -225,14 +231,14 @@ def test_media_plumbing(spark, corpus_path):
     assert fake1 == fake2
     assert all(1 <= w <= 64 and 1 <= h <= 64 for w, h in fake1.values())
 
-    # resize: REAL for png (3-channel nearest-neighbor -> exact bytes),
-    # soft-fail elsewhere; fake sizes w*h*3
+    # resize: REAL for the image kinds (3-channel nearest-neighbor ->
+    # exact bytes), soft-fail elsewhere; fake sizes w*h*3
     rs = media.resize_dataframe(df, 32, 16, fake=True).collect()
     assert all(r.out_bytes == 32 * 16 * 3 and r.resize_ok for r in rs)
     rs0 = {r.url: r for r in media.resize_dataframe(df, 32, 16).collect()}
     kinds = {r.url: r.media_kind for r in dec}
     for url, r in rs0.items():
-        if kinds[url] == "png":
+        if kinds[url] in ("png", "jpeg", "gif"):
             assert r.resize_ok and r.out_bytes == 32 * 16 * 3
         else:  # resize is an image op: wav and stubs fail soft
             assert not r.resize_ok and r.out_bytes == 0

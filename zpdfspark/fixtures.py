@@ -757,6 +757,26 @@ def wav_audio(i: int = 0) -> Tuple[bytes, Optional[str]]:
     return encode_wav(samples, sr), None
 
 
+def gif_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic small palette GIF (multimodal payload row):
+    low-color quantized pattern seeded by i, interlaced every third
+    variant, encoded by kernel/gif.py's literal-code encoder. No text
+    oracle; image ground truth (dims, channels) is carried via expected
+    columns read straight from the logical-screen-descriptor bytes
+    (_image_expected), not the decoder."""
+    import numpy as np
+
+    from .kernel.gif import encode_gif
+
+    w, h = 6 + i % 8, 5 + i % 6
+    y, x = np.mgrid[0:h, 0:w]
+    # <= 16 distinct colors so every palette size path is exercised
+    px = np.stack([
+        ((x + i) % 4) * 60, ((y + 2 * i) % 3) * 90, ((x + y) % 2) * 120,
+    ], axis=-1).astype(np.uint8)
+    return encode_gif(px, interlace=(i % 3 == 1)), None
+
+
 def html_page(i: int = 0) -> Tuple[bytes, str]:
     """A Common-Crawl-style HTML page with boilerplate (script/style/
     nav/header/footer/aside) around a <main> block. The oracle is the
@@ -1114,6 +1134,10 @@ def _register():
     def g_wav(i):
         return wav_audio(i)
 
+    @var("gif")
+    def g_gif(i):
+        return gif_image(i)
+
     @var("html")
     def g_html(i):
         return html_page(i)
@@ -1146,7 +1170,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v13"
+CORPUS_VERSION = "v14"
 
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -1242,6 +1266,8 @@ def _sniff_media_kind(raw: bytes) -> str:
         return "jpeg"
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return "wav"
+    if raw[:4] == b"GIF8":
+        return "gif"
     if looks_like_html(raw):
         return "html"
     return "unknown"
@@ -1297,13 +1323,19 @@ def _wav_expected(raw: bytes):
 
 def _image_expected(raw: bytes, kind: str):
     """INDEPENDENT ground truth for the image oracle: read (width,
-    height, channels) straight from the PNG IHDR / JPEG SOF0 header
-    bytes — deliberately NOT kernel/png.py or kernel/jpeg.py, so the
-    oracle catches decoder drift. Channels follow the decoders' output
-    contract (PNG palette expands to RGB; JPEG 3-component scans return
-    RGB). Returns (width, height, channels)."""
+    height, channels) straight from the PNG IHDR / JPEG SOF0 / GIF
+    logical-screen-descriptor header bytes — deliberately NOT the
+    kernel decoders, so the oracle catches decoder drift. Channels
+    follow the decoders' output contract (PNG palette expands to RGB;
+    JPEG 3-component scans return RGB; GIF palette expands to RGB).
+    Returns (width, height, channels)."""
     import struct
 
+    if kind == "gif":
+        # logical screen descriptor dims; the generator writes the
+        # image descriptor with identical dims at offset 0,0
+        w, h = struct.unpack("<HH", raw[6:10])
+        return w, h, 3
     if kind == "png":
         assert raw[12:16] == b"IHDR"
         w, h = struct.unpack(">II", raw[16:24])
@@ -1438,7 +1470,7 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"audio_sr": None, "audio_channels": None,
                     "audio_n_samples": None, "audio_rms_x1000": None})
-    if row["media_kind"] in ("png", "jpeg"):
+    if row["media_kind"] in ("png", "jpeg", "gif"):
         iw, ih, ic = _image_expected(raw, row["media_kind"])
         row.update({"img_width": iw, "img_height": ih, "img_channels": ic})
     else:

@@ -2,9 +2,10 @@
 frame-sample over opaque binary media, as Arrow-batched pandas kernels.
 
 Decode is REAL for PNG (round 2: zlib + the engine's own PNG row
-unfiltering, kernel/png.py), for WAV/PCM (kernel/wav.py), and for
-baseline JPEG (round 3: marker walk + canonical Huffman + dequant +
-numpy IDCT, kernel/jpeg.py), so decode -> nearest-neighbor resize is
+unfiltering, kernel/png.py), for WAV/PCM (kernel/wav.py), for baseline
+JPEG (round 3: marker walk + canonical Huffman + dequant + numpy IDCT,
+kernel/jpeg.py), and for GIF (round 3: GIF-variant LZW + palette +
+interlace, kernel/gif.py), so decode -> nearest-neighbor resize is
 exercised with actual pixels. mp3/video codecs are absent from this
 container, so those kinds remain stubbed behind a clearly-marked
 NotImplementedError with a deterministic fake used by tests — the Spark-side plumbing (schemas,
@@ -42,14 +43,17 @@ def sniff_kind(raw: bytes) -> str:
         return "jpeg"
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return "wav"
+    if raw[:4] == b"GIF8":
+        return "gif"
     return "binary"
 
 
 def decode_media(raw: bytes, kind: str):
     """Decode an opaque media payload.
 
-    REAL for PNG and baseline JPEG — (width, height, channels,
-    pixels ndarray) via kernel/png.py / kernel/jpeg.py — and for WAV —
+    REAL for PNG, baseline JPEG and GIF — (width, height, channels,
+    pixels ndarray) via kernel/png.py / kernel/jpeg.py / kernel/gif.py
+    — and for WAV —
     (sample_rate, channels, samples ndarray) via kernel/wav.py. STUB for
     every codec kind the container lacks libraries for (mp3/video):
     NotImplementedError — callers must treat a failed decode as data,
@@ -63,6 +67,9 @@ def decode_media(raw: bytes, kind: str):
     if kind == "wav":
         from zpdfspark.kernel.wav import decode_wav
         return decode_wav(raw)
+    if kind == "gif":
+        from zpdfspark.kernel.gif import decode_gif
+        return decode_gif(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
@@ -81,6 +88,7 @@ def decode_dataframe(df: DataFrame, url_col: str = "url",
     def batches(it):
         import pandas as pd
 
+        from zpdfspark.kernel.gif import GifError
         from zpdfspark.kernel.jpeg import JpegError
         from zpdfspark.kernel.png import PngError
         from zpdfspark.kernel.wav import WavError
@@ -104,7 +112,7 @@ def decode_dataframe(df: DataFrame, url_col: str = "url",
                         # audio decodes have no pixel dims (0, 0)
                         ok = True
                 except (NotImplementedError, PngError, JpegError,
-                        WavError):
+                        WavError, GifError):
                     ok = False
                     w = h = 0
                 rows["url"].append(url)
@@ -217,6 +225,7 @@ def resize_dataframe(df: DataFrame, width: int, height: int,
     def batches(it):
         import pandas as pd
 
+        from zpdfspark.kernel.gif import GifError
         from zpdfspark.kernel.jpeg import JpegError
         from zpdfspark.kernel.png import PngError, resize_nearest
 
@@ -234,13 +243,14 @@ def resize_dataframe(df: DataFrame, width: int, height: int,
                         ok = True
                     else:
                         kind = sniff_kind(raw)
-                        if kind not in ("png", "jpeg"):  # image-only op
+                        if kind not in ("png", "jpeg", "gif"):  # image-only op
                             raise NotImplementedError(
                                 f"resize for {kind!r} not available")
                         _w, _h, _c, px = decode_media(raw, kind)
                         out_bytes = int(resize_nearest(px, width, height).nbytes)
                         ok = True
-                except (NotImplementedError, PngError, JpegError):
+                except (NotImplementedError, PngError, JpegError,
+                        GifError):
                     ok = False
                 rows["url"].append(url)
                 rows["out_width"].append(width)
