@@ -237,8 +237,10 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "jpeg" if raw.startswith(b"\xff\xd8") else (
                             "wav" if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
                             else ("gif" if raw[:4] == b"GIF8" else (
-                                "html" if looks_like_html(raw)
-                                else "unknown")))))
+                                "mp4" if len(raw) >= 12
+                                and raw[4:8] == b"ftyp" else (
+                                    "html" if looks_like_html(raw)
+                                    else "unknown"))))))
                 if kind == "pdf":
                     ok = True  # the PDF kernel is this engine
                 else:
@@ -981,6 +983,45 @@ def _q_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_dataframe(d).orderBy("doc_id")
 
 
+def _q_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video METADATA extraction for MP4 payloads (kernel/mp4.py
+    ISO BMFF box walk): duration, track count, display dims per
+    container — the layer a crawl pipeline extracts from video WITHOUT
+    codecs (frame decode remains the honest stub in spark/media.py).
+    Map-only: the kernel filters by the ftyp magic before parsing;
+    blobs never shuffle. Oracle: the corpus-carried columns from an
+    INDEPENDENT fixtures-side box re-read (fixtures._mp4_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.mp4 import Mp4Error, parse_mp4
+
+        for b in it:
+            rows = {"url": [], "duration_ms": [], "n_tracks": [],
+                    "width": [], "height": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if len(raw) < 12 or raw[4:8] != b"ftyp":
+                    continue
+                try:
+                    meta = parse_mp4(raw)
+                except Mp4Error:
+                    continue
+                rows["url"].append(url)
+                rows["duration_ms"].append(meta["duration_ms"])
+                rows["n_tracks"].append(meta["n_tracks"])
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, duration_ms long, n_tracks int, width int, height int"
+    ).orderBy("url")
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over word md5s — the vectorized (numpy) kernel of
     the near-dup family. The word hash is the first 8 md5 digest bytes
@@ -1294,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "simhash": _q_simhash,
         "audio_stats": _q_audio_stats,
+        "video_stats": _q_video_stats,
         "media_frames": _q_media_frames,
         "media_embed": _q_media_embed,
     }
@@ -1445,6 +1487,14 @@ def oracle_sql() -> dict[str, str]:
             f"img_channels AS n_channels "
             f"FROM {corpus} WHERE media_kind IN ('png', 'jpeg', 'gif') "
             f"ORDER BY url"
+        ),
+        "video_stats": (
+            # carried ground truth from the independent fixtures-side
+            # box re-read (_mp4_expected) — NOT kernel/mp4.py
+            f"SELECT url, video_duration_ms AS duration_ms, "
+            f"video_n_tracks AS n_tracks, video_width AS width, "
+            f"video_height AS height "
+            f"FROM {corpus} WHERE media_kind = 'mp4' ORDER BY url"
         ),
         "audio_stats": (
             # carried ground truth from the independent RIFF re-read

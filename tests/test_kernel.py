@@ -864,3 +864,66 @@ class TestGif:
         raw[i + 5 : i + 9] = struct.pack("<HH", 2, 2)
         with _pytest.raises(G.GifError, match="exceeds|short|range"):
             G.decode_gif(bytes(raw))
+
+
+class TestMp4:
+    """kernel/mp4.py: ISO BMFF metadata box walk (the real layer of the
+    video pipeline; frame decode stays honestly stubbed)."""
+
+    def test_roundtrip_metadata(self):
+        from zpdfspark.kernel import mp4 as M
+        for units, ts, tracks in [
+            (5000, 1000, [(640, 360, b"avc1")]),
+            (123456, 90000, [(1920, 1080, b"hev1"), (0, 0, b"mp4a")]),
+            (7, 600, [(0, 0, b"mp4a")]),
+        ]:
+            meta = M.parse_mp4(M.encode_mp4(units, ts, tracks))
+            assert meta["duration_ms"] == units * 1000 // ts
+            assert meta["n_tracks"] == len(tracks)
+            assert meta["timescale"] == ts
+            vis = [(w, h) for (w, h, _f) in tracks if w]
+            assert (meta["width"], meta["height"]) == (
+                vis[0] if vis else (0, 0))
+            assert meta["codecs"] == [f.decode() for (_w, _h, f) in tracks]
+
+    def test_largesize_box(self):
+        import struct
+        from zpdfspark.kernel import mp4 as M
+        base = M.encode_mp4(5000, 1000, [(640, 360, b"avc1")])
+        ftyp_len = struct.unpack(">I", base[:4])[0]
+        payload = base[8:ftyp_len]
+        big = (struct.pack(">I", 1) + b"ftyp"
+               + struct.pack(">Q", 16 + len(payload)) + payload
+               + base[ftyp_len:])
+        assert M.parse_mp4(big)["duration_ms"] == 5000
+
+    def test_hostile_mp4s_raise_mp4error_only(self):
+        import random
+        from zpdfspark.kernel import mp4 as M
+        base = M.encode_mp4(5000, 1000, [(640, 360, b"avc1"), (0, 0, b"mp4a")])
+        rnd = random.Random(5)
+        for _ in range(600):
+            b = bytearray(base)
+            for _ in range(rnd.randint(1, 10)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+            raw = bytes(b[:rnd.randrange(4, len(b))]
+                        if rnd.random() < 0.3 else b)
+            try:
+                M.parse_mp4(raw)
+            except M.Mp4Error:
+                pass  # the only acceptable failure mode
+
+    def test_box_budget_bounds_crafted_nesting(self):
+        import struct
+        import pytest as _pytest
+        from zpdfspark.kernel import mp4 as M
+        # a moov stuffed with thousands of empty traks trips MAX_BOXES
+        trak = struct.pack(">I", 8) + b"trak"
+        mvhd_payload = (bytes(12) + struct.pack(">II", 1000, 5000)
+                        + bytes(80))
+        mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+        body = mvhd + trak * (M.MAX_BOXES + 10)
+        raw = (struct.pack(">I", 16) + b"ftyp" + b"isomAAAA"
+               + struct.pack(">I", 8 + len(body)) + b"moov" + body)
+        with _pytest.raises(M.Mp4Error, match="too many boxes"):
+            M.parse_mp4(raw)

@@ -272,7 +272,7 @@ def test_format_job_json_and_pages(spark, tmp_path):
     from zpdfspark.spark.pipeline import parse_page_range, run_format_job
 
     src = str(tmp_path / "src.parquet")
-    write_corpus_parquet(src, 80, seed=11)
+    write_corpus_parquet(src, 80, seed=16)
 
     out = str(tmp_path / "json_out")
     s = run_format_job(spark, src, out, "json")
@@ -391,7 +391,7 @@ def test_format_markdown_respects_pages(spark, tmp_path):
     from zpdfspark.spark.pipeline import run_format_job
 
     src = str(tmp_path / "srcm.parquet")
-    write_corpus_parquet(src, 80, seed=11)
+    write_corpus_parquet(src, 80, seed=16)
     out_all = str(tmp_path / "md_all")
     out_p1 = str(tmp_path / "md_p1")
     run_format_job(spark, src, out_all, "markdown")

@@ -777,6 +777,24 @@ def gif_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
     return encode_gif(px, interlace=(i % 3 == 1)), None
 
 
+def mp4_video(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic minimal ISO BMFF/MP4 (multimodal video payload
+    row), muxed by kernel/mp4.py's fixture encoder with seeded
+    duration/timescale/track layout. Frame decode remains honestly
+    stubbed (no codecs in this container); the REAL layer is metadata
+    (duration, track count, dims, codec fourcc) via the kernel's box
+    walk, oracled against an independent fixtures-side re-read
+    (_mp4_expected)."""
+    from .kernel.mp4 import encode_mp4
+
+    ts = (600, 1000, 90000)[i % 3]
+    units = ts * (3 + i % 20) + i * 7
+    tracks = [(320 + 16 * (i % 12), 180 + 16 * (i % 9), b"avc1")]
+    if i % 2:
+        tracks.append((0, 0, b"mp4a"))
+    return encode_mp4(units, ts, tracks), None
+
+
 def html_page(i: int = 0) -> Tuple[bytes, str]:
     """A Common-Crawl-style HTML page with boilerplate (script/style/
     nav/header/footer/aside) around a <main> block. The oracle is the
@@ -1138,6 +1156,10 @@ def _register():
     def g_gif(i):
         return gif_image(i)
 
+    @var("mp4")
+    def g_mp4(i):
+        return mp4_video(i)
+
     @var("html")
     def g_html(i):
         return html_page(i)
@@ -1170,7 +1192,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v14"
+CORPUS_VERSION = "v15"
 
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -1268,6 +1290,8 @@ def _sniff_media_kind(raw: bytes) -> str:
         return "wav"
     if raw[:4] == b"GIF8":
         return "gif"
+    if len(raw) >= 12 and raw[4:8] == b"ftyp":
+        return "mp4"
     if looks_like_html(raw):
         return "html"
     return "unknown"
@@ -1294,6 +1318,7 @@ EXPECTED_COLUMNS = (
     "markdown", "markdown_structured", "spans", "page_texts", "doc_json",
     "search_hello", "media_kind",
     "audio_sr", "audio_channels", "audio_n_samples", "audio_rms_x1000",
+    "video_duration_ms", "video_n_tracks", "video_width", "video_height",
     "img_width", "img_height", "img_channels",
 )
 
@@ -1319,6 +1344,39 @@ def _wav_expected(raw: bytes):
                       dtype="<i2").astype(np.float64)
     rms = int(np.floor(np.sqrt(np.mean(s * s)) * 1000.0))
     return sr, channels, len(s) // channels, rms
+
+
+def _mp4_expected(raw: bytes):
+    """INDEPENDENT ground truth for the video oracle: a standalone box
+    walk over the generator's own v0-box layout — deliberately NOT
+    kernel/mp4.py, so the oracle catches parser drift. Returns
+    (duration_ms, n_tracks, width, height)."""
+    import struct
+
+    def walk(lo, hi):
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack(">I", raw[pos:pos + 4])
+            yield raw[pos + 4:pos + 8], pos + 8, pos + size
+            pos += size
+
+    dur_ms = n_tracks = 0
+    w = h = 0
+    for t, s, e in walk(0, len(raw)):
+        if t != b"moov":
+            continue
+        for t2, s2, e2 in walk(s, e):
+            if t2 == b"mvhd":
+                ts_, dur = struct.unpack(">II", raw[s2 + 12:s2 + 20])
+                dur_ms = dur * 1000 // ts_
+            elif t2 == b"trak":
+                n_tracks += 1
+                for t3, s3, _e3 in walk(s2, e2):
+                    if t3 == b"tkhd":
+                        w16, h16 = struct.unpack(">II", raw[s3 + 76:s3 + 84])
+                        if w16 and not w:
+                            w, h = w16 >> 16, h16 >> 16
+    return dur_ms, n_tracks, w, h
 
 
 def _image_expected(raw: bytes, kind: str):
@@ -1476,6 +1534,13 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"img_width": None, "img_height": None,
                     "img_channels": None})
+    if row["media_kind"] == "mp4":
+        dur, nt, vw, vh = _mp4_expected(raw)
+        row.update({"video_duration_ms": dur, "video_n_tracks": nt,
+                    "video_width": vw, "video_height": vh})
+    else:
+        row.update({"video_duration_ms": None, "video_n_tracks": None,
+                    "video_width": None, "video_height": None})
     return row
 
 
@@ -1546,6 +1611,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "audio_n_samples": pa.int64(), "audio_rms_x1000": pa.int64(),
         "img_width": pa.int32(), "img_height": pa.int32(),
         "img_channels": pa.int32(),
+        "video_duration_ms": pa.int64(), "video_n_tracks": pa.int32(),
+        "video_width": pa.int32(), "video_height": pa.int32(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

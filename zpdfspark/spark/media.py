@@ -6,9 +6,12 @@ unfiltering, kernel/png.py), for WAV/PCM (kernel/wav.py), for baseline
 JPEG (round 3: marker walk + canonical Huffman + dequant + numpy IDCT,
 kernel/jpeg.py), and for GIF (round 3: GIF-variant LZW + palette +
 interlace, kernel/gif.py), so decode -> nearest-neighbor resize is
-exercised with actual pixels. mp3/video codecs are absent from this
-container, so those kinds remain stubbed behind a clearly-marked
-NotImplementedError with a deterministic fake used by tests — the Spark-side plumbing (schemas,
+exercised with actual pixels. mp3/video CODECS are absent from this
+container, so frame/sample decode for those kinds remains stubbed
+behind a clearly-marked NotImplementedError with a deterministic fake
+used by tests — though MP4 container METADATA (duration, tracks, dims,
+codec fourcc) is real via kernel/mp4.py's box walk (the video_stats
+query). The Spark-side plumbing (schemas,
 mapInPandas signatures, 1-to-N row expansion, batch shapes,
 partitioning) is identical either way, and the two operations whose
 semantics are pure arithmetic over the payload (frame sampling,
@@ -45,6 +48,8 @@ def sniff_kind(raw: bytes) -> str:
         return "wav"
     if raw[:4] == b"GIF8":
         return "gif"
+    if len(raw) >= 12 and raw[4:8] == b"ftyp":
+        return "mp4"
     return "binary"
 
 
