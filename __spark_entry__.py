@@ -239,8 +239,11 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             else ("gif" if raw[:4] == b"GIF8" else (
                                 "mp4" if len(raw) >= 12
                                 and raw[4:8] == b"ftyp" else (
-                                    "html" if looks_like_html(raw)
-                                    else "unknown"))))))
+                                    "mp3" if raw[:3] == b"ID3"
+                                    or (len(raw) >= 2 and raw[0] == 0xFF
+                                        and (raw[1] & 0xE0) == 0xE0) else (
+                                        "html" if looks_like_html(raw)
+                                        else "unknown")))))))
                 if kind == "pdf":
                     ok = True  # the PDF kernel is this engine
                 else:
@@ -1022,6 +1025,49 @@ def _q_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio METADATA extraction for MP3 payloads (kernel/mp3.py
+    frame-header walk): frames, rate, channels, duration, mean bitrate
+    per stream — without any audio decode (the codec layer stays
+    honestly stubbed). Map-only, magic-filtered in-kernel; oracle: the
+    corpus-carried columns from an INDEPENDENT fixtures-side header
+    walk (fixtures._mp3_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.mp3 import Mp3Error, parse_mp3
+
+        for b in it:
+            rows = {"url": [], "n_frames": [], "sample_rate": [],
+                    "n_channels": [], "duration_ms": [], "kbps": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                is_mp3 = raw[:3] == b"ID3" or (
+                    len(raw) >= 2 and raw[0] == 0xFF
+                    and (raw[1] & 0xE0) == 0xE0)
+                if not is_mp3:
+                    continue
+                try:
+                    meta = parse_mp3(raw)
+                except Mp3Error:
+                    continue
+                rows["url"].append(url)
+                rows["n_frames"].append(meta["n_frames"])
+                rows["sample_rate"].append(meta["sample_rate"])
+                rows["n_channels"].append(meta["channels"])
+                rows["duration_ms"].append(meta["duration_ms"])
+                rows["kbps"].append(meta["mean_bitrate_kbps"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, n_frames int, sample_rate int, n_channels int, "
+        "duration_ms long, kbps int"
+    ).orderBy("url")
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over word md5s — the vectorized (numpy) kernel of
     the near-dup family. The word hash is the first 8 md5 digest bytes
@@ -1336,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "audio_stats": _q_audio_stats,
         "video_stats": _q_video_stats,
+        "mp3_stats": _q_mp3_stats,
         "media_frames": _q_media_frames,
         "media_embed": _q_media_embed,
     }
@@ -1495,6 +1542,14 @@ def oracle_sql() -> dict[str, str]:
             f"video_n_tracks AS n_tracks, video_width AS width, "
             f"video_height AS height "
             f"FROM {corpus} WHERE media_kind = 'mp4' ORDER BY url"
+        ),
+        "mp3_stats": (
+            # carried ground truth from the independent fixtures-side
+            # frame-header walk (_mp3_expected) — NOT kernel/mp3.py
+            f"SELECT url, mp3_n_frames AS n_frames, mp3_sr AS sample_rate, "
+            f"mp3_channels AS n_channels, mp3_duration_ms AS duration_ms, "
+            f"mp3_kbps AS kbps "
+            f"FROM {corpus} WHERE media_kind = 'mp3' ORDER BY url"
         ),
         "audio_stats": (
             # carried ground truth from the independent RIFF re-read

@@ -927,3 +927,55 @@ class TestMp4:
                + struct.pack(">I", 8 + len(body)) + b"moov" + body)
         with _pytest.raises(M.Mp4Error, match="too many boxes"):
             M.parse_mp4(raw)
+
+
+class TestMp3:
+    """kernel/mp3.py: MPEG-1 Layer III frame-header walk (the real
+    metadata layer of the audio pipeline; codec decode stays honestly
+    stubbed)."""
+
+    def test_roundtrip_metadata(self):
+        from zpdfspark.kernel import mp3 as M
+        for frame_brs, sr_idx, stereo, id3 in [
+            ([9] * 30, 0, True, 0),
+            ([1, 5, 9, 14] * 10, 1, False, 0),   # VBR
+            ([9] * 20, 2, True, 200),            # ID3v2 prefix
+        ]:
+            meta = M.parse_mp3(M.encode_mp3(frame_brs, sr_idx, stereo, id3))
+            sr = M._SAMPLE_RATES[sr_idx]
+            assert meta["n_frames"] == len(frame_brs)
+            assert meta["sample_rate"] == sr
+            assert meta["channels"] == (2 if stereo else 1)
+            assert meta["duration_ms"] == len(frame_brs) * 1152 * 1000 // sr
+            assert meta["mean_bitrate_kbps"] == sum(
+                M._BITRATES[b] for b in frame_brs) // len(frame_brs)
+
+    def test_id3v1_tail_tolerated(self):
+        from zpdfspark.kernel import mp3 as M
+        raw = M.encode_mp3([9] * 10, 0) + b"TAG" + bytes(125)
+        assert M.parse_mp3(raw)["n_frames"] == 10
+
+    def test_hostile_mp3s_raise_mp3error_only(self):
+        import random
+        from zpdfspark.kernel import mp3 as M
+        base = M.encode_mp3([9] * 25, 0, True, 64)
+        rnd = random.Random(9)
+        for _ in range(600):
+            b = bytearray(base)
+            for _ in range(rnd.randint(1, 10)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+            raw = bytes(b[:rnd.randrange(2, len(b))]
+                        if rnd.random() < 0.3 else b)
+            try:
+                M.parse_mp3(raw)
+            except M.Mp3Error:
+                pass  # the only acceptable failure mode
+
+    def test_non_mpeg1_layer3_rejected(self):
+        import struct
+        import pytest as _pytest
+        from zpdfspark.kernel import mp3 as M
+        # MPEG-2 (version bits 10) header
+        h = (0x7FF << 21) | (2 << 19) | (1 << 17) | (9 << 12) | (0 << 10)
+        with _pytest.raises(M.Mp3Error, match="MPEG-1 Layer III"):
+            M.parse_mp3(struct.pack(">I", h) + bytes(100))

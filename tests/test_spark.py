@@ -239,7 +239,9 @@ def test_media_plumbing(spark, corpus_path):
     kinds = {r.url: r.media_kind for r in dec}
     for url, r in rs0.items():
         if kinds[url] in ("png", "jpeg", "gif"):
-            assert r.resize_ok and r.out_bytes == 32 * 16 * 3
+            # out bytes = w*h*channels; grayscale jpeg decodes 1 channel
+            assert r.resize_ok and r.out_bytes in (
+                32 * 16 * c for c in (1, 2, 3, 4))
         else:  # resize is an image op: wav and stubs fail soft
             assert not r.resize_ok and r.out_bytes == 0
 
@@ -264,19 +266,20 @@ def test_media_plumbing(spark, corpus_path):
     assert e1 == e2 and all(0 <= v < 1 for vs in e1.values() for v in vs)
 
 
-def test_format_job_json_and_pages(spark, tmp_path):
+def test_format_job_json_and_pages(spark, tmp_path, corpus_path):
     """CLI -f json / -p a-b (main.zig:173-177, 252-339): json docs carry
     {metadata, page_count, outline, pages}; an explicit page range
-    restricts the page array / page rows kernel-side."""
-    from zpdfspark.fixtures import write_corpus_parquet
+    restricts the page array / page rows kernel-side. Uses the shared
+    300-doc corpus: every generator (including multipage) is guaranteed
+    present, regardless of how the generator rotation reshuffles when
+    new fixture kinds are added."""
     from zpdfspark.spark.pipeline import parse_page_range, run_format_job
 
-    src = str(tmp_path / "src.parquet")
-    write_corpus_parquet(src, 80, seed=16)
+    src = corpus_path
 
     out = str(tmp_path / "json_out")
     s = run_format_job(spark, src, out, "json")
-    assert s["rows"] == 80
+    assert s["rows"] == 150
     rows = spark.read.parquet(os.path.join(out, "data")).collect()
     multi = [r for r in rows if "/multipage/" in r["url"]]
     assert multi
@@ -306,7 +309,7 @@ def test_format_job_json_and_pages(spark, tmp_path):
     # markdown format renders every doc
     out4 = str(tmp_path / "md_out")
     s4 = run_format_job(spark, src, out4, "markdown")
-    assert s4["rows"] == 80
+    assert s4["rows"] == 150
 
     with pytest.raises(ValueError):
         parse_page_range("3-1")
@@ -385,13 +388,11 @@ def test_format_job_info(spark, tmp_path):
     assert rows.count() == 30
 
 
-def test_format_markdown_respects_pages(spark, tmp_path):
+def test_format_markdown_respects_pages(spark, tmp_path, corpus_path):
     """--pages must restrict markdown rendering (it silently didn't)."""
-    from zpdfspark.fixtures import write_corpus_parquet
     from zpdfspark.spark.pipeline import run_format_job
 
-    src = str(tmp_path / "srcm.parquet")
-    write_corpus_parquet(src, 80, seed=16)
+    src = corpus_path
     out_all = str(tmp_path / "md_all")
     out_p1 = str(tmp_path / "md_p1")
     run_format_job(spark, src, out_all, "markdown")

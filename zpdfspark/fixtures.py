@@ -795,6 +795,21 @@ def mp4_video(i: int = 0) -> Tuple[bytes, Optional[str]]:
     return encode_mp4(units, ts, tracks), None
 
 
+def mp3_audio(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic MPEG-1 Layer III stream (multimodal audio payload
+    row): seeded VBR frame sequence with silent payloads, optional
+    ID3v2 prefix, muxed by kernel/mp3.py's fixture encoder. Audio
+    DECODE remains honestly stubbed (no codecs); the REAL layer is
+    frame-header metadata (frames, rate, channels, duration, mean
+    bitrate), oracled against an independent fixtures-side header walk
+    (_mp3_expected)."""
+    from .kernel.mp3 import encode_mp3
+
+    frame_brs = [((i * 7 + j) % 13) + 1 for j in range(20 + i % 40)]
+    return encode_mp3(frame_brs, sr_idx=i % 3, stereo=(i % 2 == 0),
+                      id3_bytes=(90 if i % 3 == 1 else 0)), None
+
+
 def html_page(i: int = 0) -> Tuple[bytes, str]:
     """A Common-Crawl-style HTML page with boilerplate (script/style/
     nav/header/footer/aside) around a <main> block. The oracle is the
@@ -1160,6 +1175,10 @@ def _register():
     def g_mp4(i):
         return mp4_video(i)
 
+    @var("mp3")
+    def g_mp3(i):
+        return mp3_audio(i)
+
     @var("html")
     def g_html(i):
         return html_page(i)
@@ -1192,7 +1211,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v15"
+CORPUS_VERSION = "v16"
 
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -1292,6 +1311,9 @@ def _sniff_media_kind(raw: bytes) -> str:
         return "gif"
     if len(raw) >= 12 and raw[4:8] == b"ftyp":
         return "mp4"
+    if raw[:3] == b"ID3" or (len(raw) >= 2 and raw[0] == 0xFF
+                             and (raw[1] & 0xE0) == 0xE0):
+        return "mp3"
     if looks_like_html(raw):
         return "html"
     return "unknown"
@@ -1319,6 +1341,8 @@ EXPECTED_COLUMNS = (
     "search_hello", "media_kind",
     "audio_sr", "audio_channels", "audio_n_samples", "audio_rms_x1000",
     "video_duration_ms", "video_n_tracks", "video_width", "video_height",
+    "mp3_n_frames", "mp3_sr", "mp3_channels", "mp3_duration_ms",
+    "mp3_kbps",
     "img_width", "img_height", "img_channels",
 )
 
@@ -1377,6 +1401,36 @@ def _mp4_expected(raw: bytes):
                         if w16 and not w:
                             w, h = w16 >> 16, h16 >> 16
     return dur_ms, n_tracks, w, h
+
+
+def _mp3_expected(raw: bytes):
+    """INDEPENDENT ground truth for the mp3 oracle: a standalone
+    frame-header walk with its own table constants — deliberately NOT
+    kernel/mp3.py. Returns (n_frames, sr, channels, duration_ms,
+    mean_kbps)."""
+    import struct
+
+    brs = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    srs = (44100, 48000, 32000)
+    pos = 0
+    if raw[:3] == b"ID3":
+        b = raw[6:10]
+        pos = 10 + ((b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3])
+    n = len(raw)
+    frames = 0
+    kbps_sum = 0
+    sr = ch = None
+    while pos + 4 <= n:
+        h = struct.unpack(">I", raw[pos:pos + 4])[0]
+        kbps = brs[(h >> 12) & 0xF]
+        sr = srs[(h >> 10) & 3]
+        if ch is None:
+            ch = 1 if ((h >> 6) & 3) == 3 else 2
+        flen = (144 * kbps * 1000) // sr + ((h >> 9) & 1)
+        kbps_sum += kbps
+        frames += 1
+        pos += flen
+    return (frames, sr, ch, frames * 1152 * 1000 // sr, kbps_sum // frames)
 
 
 def _image_expected(raw: bytes, kind: str):
@@ -1541,6 +1595,14 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"video_duration_ms": None, "video_n_tracks": None,
                     "video_width": None, "video_height": None})
+    if row["media_kind"] == "mp3":
+        fr, sr, ch, dur, kbps = _mp3_expected(raw)
+        row.update({"mp3_n_frames": fr, "mp3_sr": sr, "mp3_channels": ch,
+                    "mp3_duration_ms": dur, "mp3_kbps": kbps})
+    else:
+        row.update({"mp3_n_frames": None, "mp3_sr": None,
+                    "mp3_channels": None, "mp3_duration_ms": None,
+                    "mp3_kbps": None})
     return row
 
 
@@ -1613,6 +1675,9 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "img_channels": pa.int32(),
         "video_duration_ms": pa.int64(), "video_n_tracks": pa.int32(),
         "video_width": pa.int32(), "video_height": pa.int32(),
+        "mp3_n_frames": pa.int32(), "mp3_sr": pa.int32(),
+        "mp3_channels": pa.int32(), "mp3_duration_ms": pa.int64(),
+        "mp3_kbps": pa.int32(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

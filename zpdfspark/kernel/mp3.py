@@ -1,0 +1,127 @@
+"""Minimal MPEG-1 Layer III (MP3) frame-header parser for the
+multimodal kernel.
+
+Header walk only: sync scan, bitrate/sample-rate tables, per-frame
+length arithmetic, ID3v2 skip, ID3v1 tail tolerance — summing frames
+gives the stream duration and mean bitrate WITHOUT any audio decode
+(the huffman + IMDCT + synthesis filterbank stays honestly stubbed in
+spark/media.py; no codec libs in this container). This is the metadata
+layer a crawl pipeline extracts from audio without codecs: duration,
+rate, channel mode, VBR-aware frame count.
+
+Contract mirrors kernel/mp4.py: malformed input raises Mp3Error;
+callers treat a failed parse as data, never as a task failure.
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAX_FRAMES = 1_000_000
+
+# MPEG-1 Layer III bitrate table (kbps); index 0 = "free", 15 = bad
+_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+             160, 192, 224, 256, 320)
+_SAMPLE_RATES = (44100, 48000, 32000)  # MPEG-1; index 3 = reserved
+_SAMPLES_PER_FRAME = 1152
+
+
+class Mp3Error(Exception):
+    pass
+
+
+def _skip_id3v2(raw: bytes) -> int:
+    """ID3v2 header: 'ID3' + ver(2) + flags + 28-bit syncsafe size."""
+    if raw[:3] != b"ID3":
+        return 0
+    if len(raw) < 10:
+        raise Mp3Error("truncated ID3v2 header")
+    b = raw[6:10]
+    if any(x & 0x80 for x in b):
+        raise Mp3Error("bad ID3v2 syncsafe size")
+    size = (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+    end = 10 + size
+    if end > len(raw):
+        raise Mp3Error("ID3v2 tag exceeds file")
+    return end
+
+
+def parse_mp3(raw: bytes) -> dict:
+    """raw MP3 bytes -> {n_frames, sample_rate, channels, duration_ms,
+    mean_bitrate_kbps}. MPEG-1 Layer III only (the overwhelming crawl
+    majority); anything else raises Mp3Error. VBR streams sum per-frame
+    bitrates."""
+    pos = _skip_id3v2(raw)
+    n = len(raw)
+    if n - pos >= 128 and raw[n - 128 : n - 125] == b"TAG":
+        n -= 128  # ID3v1 tail
+    n_frames = 0
+    sample_rate = None
+    channels = None
+    total_kbps = 0
+    while pos < n:
+        if n - pos < 4:
+            break  # trailing padding shorter than a header
+        h = struct.unpack(">I", raw[pos : pos + 4])[0]
+        if (h >> 21) != 0x7FF:
+            raise Mp3Error(f"lost sync at byte {pos}")
+        version = (h >> 19) & 3
+        layer = (h >> 17) & 3
+        if version != 3 or layer != 1:  # MPEG-1, Layer III
+            raise Mp3Error("only MPEG-1 Layer III supported")
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 3
+        padding = (h >> 9) & 1
+        mode = (h >> 6) & 3
+        if br_idx in (0, 15):
+            raise Mp3Error("free/bad bitrate index")
+        if sr_idx == 3:
+            raise Mp3Error("reserved sample-rate index")
+        kbps = _BITRATES[br_idx]
+        sr = _SAMPLE_RATES[sr_idx]
+        if sample_rate is None:
+            sample_rate = sr
+            channels = 1 if mode == 3 else 2
+        elif sr != sample_rate:
+            raise Mp3Error("sample rate changes mid-stream")
+        frame_len = (144 * kbps * 1000) // sr + padding
+        if frame_len < 4 or pos + frame_len > n:
+            raise Mp3Error("truncated frame")
+        total_kbps += kbps
+        n_frames += 1
+        if n_frames > MAX_FRAMES:
+            raise Mp3Error("too many frames")
+        pos += frame_len
+    if not n_frames:
+        raise Mp3Error("no MP3 frames")
+    duration_ms = n_frames * _SAMPLES_PER_FRAME * 1000 // sample_rate
+    return {
+        "n_frames": n_frames, "sample_rate": sample_rate,
+        "channels": channels, "duration_ms": duration_ms,
+        "mean_bitrate_kbps": total_kbps // n_frames,
+    }
+
+
+def encode_mp3(frame_brs: list, sr_idx: int, stereo: bool = True,
+               id3_bytes: int = 0) -> bytes:
+    """Minimal muxer for fixtures/tests — valid MPEG-1 Layer III frame
+    headers with zeroed (silent) payloads, one per entry of
+    `frame_brs` (bitrate-table indices, so VBR streams are one list
+    away), optionally prefixed with an ID3v2 tag of `id3_bytes`
+    payload. The independent direction against parse_mp3."""
+    out = bytearray()
+    if id3_bytes:
+        out += b"ID3\x03\x00\x00" + bytes((
+            (id3_bytes >> 21) & 0x7F, (id3_bytes >> 14) & 0x7F,
+            (id3_bytes >> 7) & 0x7F, id3_bytes & 0x7F))
+        out += bytes(id3_bytes)
+    sr = _SAMPLE_RATES[sr_idx]
+    for i, br_idx in enumerate(frame_brs):
+        padding = i % 2  # exercise the padding bit
+        mode = 0 if stereo else 3
+        h = ((0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+             | (br_idx << 12) | (sr_idx << 10) | (padding << 9)
+             | (mode << 6))
+        frame_len = (144 * _BITRATES[br_idx] * 1000) // sr + padding
+        out += struct.pack(">I", h) + bytes(frame_len - 4)
+    return bytes(out)
