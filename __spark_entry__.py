@@ -44,6 +44,21 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_corpus_path(sf_dir))
 
 
+def _warc_paths(sf_dir: str) -> tuple:
+    """Materialize the deterministic WARC fixture for this sf (cached
+    like _corpus_path); returns (warc_glob, expected_parquet)."""
+    from zpdfspark.fixtures import CORPUS_VERSION, write_warc_fixture
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.001"
+    n = _SF_DOCS.get(sf, 200)
+    d = f"/tmp/zpdfspark_warc_{CORPUS_VERSION}_{sf}_{n}"
+    expected = os.path.join(d, "expected_records.parquet")
+    if not os.path.exists(expected):
+        write_warc_fixture(d + ".tmp", n, seed=42)
+        os.replace(d + ".tmp", d)
+    return os.path.join(d, "*.warc.gz"), expected
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -1068,6 +1083,26 @@ def _q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-style WARC ingestion (spark/warc_source.py): parse
+    per-record-gzip .warc.gz archives inside the scan task (binaryFile
+    = file-per-task parallelism, the CC layout's natural granularity;
+    1->N record expansion, no blob shuffle) and emit per-record
+    identity. Oracle: the generator-side expected-records parquet,
+    whose n_bytes/body_md5 were computed from the PRE-WRAP payload
+    bytes — so HTTP-envelope stripping, gzip member walking, and
+    Content-Length handling are all pinned end to end."""
+    from zpdfspark.spark.warc_source import read_warc
+
+    glob, _expected = _warc_paths(sf_dir)
+    rec = read_warc(spark, glob)
+    return (
+        rec.where(F.col("parse_error").isNull())
+        .select("url", "warc_date", "n_bytes", "body_md5")
+        .orderBy("url")
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over word md5s — the vectorized (numpy) kernel of
     the near-dup family. The word hash is the first 8 md5 digest bytes
@@ -1383,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": _q_audio_stats,
         "video_stats": _q_video_stats,
         "mp3_stats": _q_mp3_stats,
+        "warc_ingest": _q_warc_ingest,
         "media_frames": _q_media_frames,
         "media_embed": _q_media_embed,
     }
@@ -1425,6 +1461,7 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB can read it in any order.
     c = _corpus_path("/root/testdata/sf0.01")
     corpus = f"read_parquet('{c}')"
+    _, _warc_expected = _warc_paths("/root/testdata/sf0.01")
     return {
         "extract_parity": (
             # byte-parity value oracle: the corpus text column IS the
@@ -1542,6 +1579,11 @@ def oracle_sql() -> dict[str, str]:
             f"video_n_tracks AS n_tracks, video_width AS width, "
             f"video_height AS height "
             f"FROM {corpus} WHERE media_kind = 'mp4' ORDER BY url"
+        ),
+        "warc_ingest": (
+            # generator-side expected records (pre-wrap payload bytes)
+            f"SELECT url, warc_date, n_bytes, body_md5 "
+            f"FROM read_parquet('{_warc_expected}') ORDER BY url"
         ),
         "mp3_stats": (
             # carried ground truth from the independent fixtures-side

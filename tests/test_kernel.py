@@ -979,3 +979,56 @@ class TestMp3:
         h = (0x7FF << 21) | (2 << 19) | (1 << 17) | (9 << 12) | (0 << 10)
         with _pytest.raises(M.Mp3Error, match="MPEG-1 Layer III"):
             M.parse_mp3(struct.pack(">I", h) + bytes(100))
+
+
+class TestWarc:
+    """kernel/warc.py: Common-Crawl-style WARC record reader (per-record
+    gzip members, HTTP envelope strip, error-row resync)."""
+
+    def _recs(self, n=12):
+        return [(f"https://ex.com/p{i}", "2025-06-01T00:00:00Z",
+                 b"<html>doc %d</html>" % i, "text/html") for i in range(n)]
+
+    def test_roundtrip_gzip_and_plain(self):
+        from zpdfspark.kernel import warc as W
+        for gz in (True, False):
+            got = list(W.iter_warc_records(
+                W.build_warc(self._recs(), per_record_gzip=gz)))
+            assert len(got) == 12
+            for i, r in enumerate(got):
+                assert r.error is None and r.warc_type == "response"
+                assert r.target_uri == f"https://ex.com/p{i}"
+                assert r.body == b"<html>doc %d</html>" % i  # HTTP stripped
+
+    def test_malformed_record_resyncs(self):
+        from zpdfspark.kernel import warc as W
+        raw = W.build_warc(self._recs(), per_record_gzip=False)
+        # corrupt one record's WARC-level Content-Length (the HTTP
+        # envelope's own Content-Length must NOT be what the reader uses)
+        bad = raw.replace(b"msgtype=response\r\nContent-Length",
+                          b"msgtype=response\r\nContent-Oopsss", 1)
+        got = list(W.iter_warc_records(bad))
+        assert sum(1 for r in got if r.error) == 1
+        assert sum(1 for r in got if not r.error) == 11
+
+    def test_hostile_streams_raise_warcerror_only(self):
+        import random
+        from zpdfspark.kernel import warc as W
+        base = W.build_warc(self._recs(5))
+        rnd = random.Random(11)
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(rnd.randint(1, 12)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+            raw = bytes(b[:rnd.randrange(2, len(b))]
+                        if rnd.random() < 0.3 else b)
+            try:
+                list(W.iter_warc_records(raw))
+            except W.WarcError:
+                pass  # the only acceptable failure mode
+
+    def test_non_warc_rejected(self):
+        import pytest as _pytest
+        from zpdfspark.kernel import warc as W
+        with _pytest.raises(W.WarcError):
+            list(W.iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\nnope"))

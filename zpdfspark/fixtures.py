@@ -14,6 +14,7 @@ The corpus builder emits rows matching BASELINE.json input_hint:
 from __future__ import annotations
 
 import hashlib
+import os
 import zlib
 from datetime import datetime, timedelta, timezone
 from typing import Callable, Dict, List, Optional, Tuple
@@ -1261,6 +1262,44 @@ def corpus_rows(n_docs: int, seed: int = 42, malformed_ratio: float = 0.01,
         ts = _EPOCH + timedelta(seconds=_url_hash(url) % (365 * 24 * 3600))
         lang = "zh" if gen == "cid" else _LANGS[h % len(_LANGS)]
         yield (url, ts, pdf, text, lang)
+
+
+def write_warc_fixture(dir_path: str, n_docs: int, seed: int = 42,
+                       shards: int = 3) -> Tuple[str, str]:
+    """Deterministic Common-Crawl-style WARC fixture: the corpus rows
+    (same generators as the parquet corpus) wrapped as per-record-gzip
+    `response` records across `shards` .warc.gz files, plus an
+    expected-records parquet whose n_bytes/body_md5 come from the
+    PRE-WRAP payload bytes (generator ground truth, independent of the
+    reader). Returns (warc_glob, expected_parquet_path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .kernel.warc import build_warc
+
+    os.makedirs(dir_path, exist_ok=True)
+    rows = list(corpus_rows(n_docs, seed=seed))
+    exp = {"url": [], "warc_date": [], "n_bytes": [], "body_md5": []}
+    for shard in range(shards):
+        recs = []
+        for url, ts, pdf, _text, _lang in rows[shard::shards]:
+            date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            recs.append((url, date, pdf, "application/octet-stream"))
+            exp["url"].append(url)
+            exp["warc_date"].append(date)
+            exp["n_bytes"].append(len(pdf))
+            exp["body_md5"].append(hashlib.md5(pdf).hexdigest())
+        with open(os.path.join(dir_path, f"shard-{shard:03d}.warc.gz"),
+                  "wb") as f:
+            f.write(build_warc(recs))
+    expected = os.path.join(dir_path, "expected_records.parquet")
+    pq.write_table(pa.table({
+        "url": pa.array(exp["url"], pa.string()),
+        "warc_date": pa.array(exp["warc_date"], pa.string()),
+        "n_bytes": pa.array(exp["n_bytes"], pa.int64()),
+        "body_md5": pa.array(exp["body_md5"], pa.string()),
+    }), expected)
+    return os.path.join(dir_path, "*.warc.gz"), expected
 
 
 def search_matches_expected(text: Optional[str], query: str = "Hello") -> List[dict]:

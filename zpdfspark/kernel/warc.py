@@ -1,0 +1,159 @@
+"""WARC (Web ARChive) record reader for Common-Crawl-style ingestion.
+
+Crawl corpora arrive as WARC files — ISO 28500 records, each
+`WARC/1.x` + headers + Content-Length payload, conventionally one
+gzip member PER RECORD concatenated into a .warc.gz (the Common Crawl
+layout, which is what makes member-at-a-time streaming possible).
+This reader handles both that layout and plain uncompressed WARC, and
+strips the HTTP envelope from `response` records so the payload is
+the raw document bytes the extraction kernel consumes.
+
+Contract mirrors the rest of the kernel: a malformed RECORD yields an
+error entry and the reader continues (a single corrupt record must
+not kill a 1 GB archive task); a stream that is not WARC at all
+raises WarcError.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator, Optional, Tuple
+
+MAX_HEADER_BYTES = 64 * 1024
+MAX_RECORD_BYTES = 256 * 1024 * 1024  # per-record DoS cap (Z12 spirit)
+
+
+class WarcError(Exception):
+    pass
+
+
+class WarcRecord:
+    __slots__ = ("warc_type", "target_uri", "warc_date", "content_type",
+                 "body", "error")
+
+    def __init__(self, warc_type: str = "", target_uri: Optional[str] = None,
+                 warc_date: Optional[str] = None,
+                 content_type: Optional[str] = None,
+                 body: bytes = b"", error: Optional[str] = None):
+        self.warc_type = warc_type
+        self.target_uri = target_uri
+        self.warc_date = warc_date
+        self.content_type = content_type
+        self.body = body
+        self.error = error
+
+
+def _gunzip_members(raw: bytes) -> bytes:
+    """Decompress concatenated gzip members (the CC per-record layout)
+    into one plain byte stream; caps each member's output."""
+    out = bytearray()
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        try:
+            chunk = d.decompress(raw[pos:], MAX_RECORD_BYTES)
+        except zlib.error as e:
+            raise WarcError(f"gzip member at byte {pos}: {e}")
+        if not d.eof:
+            if d.decompress(b"", 1):
+                raise WarcError(f"gzip member at byte {pos} exceeds cap")
+            raise WarcError(f"truncated gzip member at byte {pos}")
+        out += chunk
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0:  # zero-length member cannot advance
+            raise WarcError("empty gzip member")
+        pos += consumed
+    return bytes(out)
+
+
+def _strip_http(body: bytes) -> bytes:
+    """Drop the HTTP response envelope (status line + headers) from a
+    response record payload; non-HTTP payloads pass through."""
+    if not body.startswith(b"HTTP/"):
+        return body
+    sep = body.find(b"\r\n\r\n")
+    if sep == -1:
+        return body
+    return body[sep + 4:]
+
+
+def iter_warc_records(raw: bytes) -> Iterator[WarcRecord]:
+    """Yield WarcRecord for every record in the (possibly per-record
+    gzipped) WARC byte stream. Malformed records yield an entry with
+    `error` set and scanning resynchronizes at the next 'WARC/' magic."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = _gunzip_members(raw)
+    if not raw.startswith(b"WARC/"):
+        raise WarcError("not a WARC stream")
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        if raw[pos : pos + 5] != b"WARC/":
+            nxt = raw.find(b"WARC/", pos)
+            if nxt == -1:
+                break  # trailing padding
+            pos = nxt
+        hdr_end = raw.find(b"\r\n\r\n", pos, pos + MAX_HEADER_BYTES)
+        if hdr_end == -1:
+            yield WarcRecord(error="unterminated record headers")
+            break
+        headers = {}
+        lines = raw[pos:hdr_end].split(b"\r\n")
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = (
+                v.strip().decode("latin-1"))
+        body_start = hdr_end + 4
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            yield WarcRecord(error="missing/invalid Content-Length")
+            pos = body_start
+            continue
+        if length < 0 or length > MAX_RECORD_BYTES:
+            yield WarcRecord(error="Content-Length out of bounds")
+            pos = body_start
+            continue
+        if body_start + length > n:
+            yield WarcRecord(error="record body truncated")
+            break
+        body = raw[body_start : body_start + length]
+        wtype = headers.get("warc-type", "")
+        if wtype == "response":
+            body = _strip_http(body)
+        yield WarcRecord(
+            warc_type=wtype,
+            target_uri=headers.get("warc-target-uri"),
+            warc_date=headers.get("warc-date"),
+            content_type=headers.get("content-type"),
+            body=body)
+        # records are followed by \r\n\r\n per the spec; resync is
+        # magic-based so a missing separator cannot shift the stream
+        pos = body_start + length
+
+
+def build_warc(records, per_record_gzip: bool = True) -> bytes:
+    """Minimal WARC writer for fixtures/tests — the independent
+    direction against iter_warc_records. `records` is an iterable of
+    (target_uri, warc_date, payload_bytes, content_type); each becomes
+    a `response` record with a plain HTTP 200 envelope, gzipped as its
+    own member when per_record_gzip (the Common Crawl layout)."""
+    import gzip as _gzip
+
+    out = bytearray()
+    for uri, date, payload, ctype in records:
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: "
+                + ctype.encode("latin-1")
+                + b"\r\nContent-Length: " + str(len(payload)).encode()
+                + b"\r\n\r\n" + payload)
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + uri.encode("latin-1") + b"\r\n"
+            b"WARC-Date: " + date.encode("latin-1") + b"\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n")
+        rec = hdr + http + b"\r\n\r\n"
+        out += (_gzip.compress(rec, mtime=0) if per_record_gzip else rec)
+    return bytes(out)

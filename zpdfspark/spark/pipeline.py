@@ -335,6 +335,12 @@ def run_extraction_job(
 
     if input_format == "iceberg":
         df = spark.read.format("iceberg").load(input_path)
+    elif input_format == "warc":
+        # Common-Crawl-style ingestion: extraction straight off the
+        # .warc.gz archives (file = unit of parallelism; records parsed
+        # in-task, warc_source.py)
+        from zpdfspark.spark.warc_source import warc_documents
+        df = warc_documents(spark, input_path)
     else:
         df = spark.read.parquet(input_path)
     # partition-prunable time predicate (Iceberg warc_ts buckets at scale)
@@ -588,7 +594,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--since", default=None, help="warc_ts lower bound")
     ap.add_argument("--until", default=None, help="warc_ts upper bound")
-    ap.add_argument("--input-format", choices=("parquet", "iceberg"),
+    ap.add_argument("--input-format", choices=("parquet", "iceberg", "warc"),
                     default="parquet")
     ap.add_argument("--max-doc-bytes", type=int, default=0,
                     help="skip blobs larger than this (0 = no cap)")

@@ -1,0 +1,92 @@
+"""Common-Crawl-style WARC ingestion source.
+
+Crawl corpora ship as WARC archives (ISO 28500; Common Crawl: ~1 GB
+.warc.gz files with one gzip member per record, ~64k files per
+monthly crawl), not parquet. This source reads them Spark-natively:
+
+- `spark.read.format("binaryFile")` makes the WARC FILE the unit of
+  parallelism — exactly the right granularity at crawl scale (the
+  per-record gzip layout is not block-splittable, and CC sizes files
+  so one file ≈ one task);
+- records are parsed INSIDE the scan task (kernel/warc.py) as a 1->N
+  mapInPandas expansion — blobs never shuffle, mirroring the
+  extraction kernel's map-only shape;
+- per-record errors surface as rows with `parse_error` set (a corrupt
+  record must not kill a 1 GB archive task), keeping the engine's
+  permissive-parsing contract end to end.
+
+`warc_documents` yields the (url, warc_ts, html) shape the extraction
+pipeline consumes, so `run_extraction_job(..., input_format="warc")`
+runs extraction straight off crawl archives.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = ("url string, warc_date string, content_type string, "
+               "html binary, n_bytes long, body_md5 string, "
+               "warc_file string, parse_error string")
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """All records of the .warc / .warc.gz files under `path`, one row
+    per record (responses carry the HTTP-stripped payload in `html`),
+    plus error rows with `parse_error` set."""
+    binary = spark.read.format("binaryFile").load(path)
+
+    def batches(it):
+        import hashlib
+
+        import pandas as pd
+
+        from zpdfspark.kernel.warc import WarcError, iter_warc_records
+
+        cols = ("url", "warc_date", "content_type", "html", "n_bytes",
+                "body_md5", "warc_file", "parse_error")
+        for b in it:
+            rows = {k: [] for k in cols}
+
+            def add(url=None, date=None, ctype=None, body=None,
+                    fname="", err=None):
+                rows["url"].append(url)
+                rows["warc_date"].append(date)
+                rows["content_type"].append(ctype)
+                rows["html"].append(body)
+                rows["n_bytes"].append(len(body) if body is not None else 0)
+                rows["body_md5"].append(
+                    hashlib.md5(body).hexdigest() if body is not None
+                    else None)
+                rows["warc_file"].append(fname)
+                rows["parse_error"].append(err)
+
+            for fpath, content in zip(b["path"], b["content"]):
+                try:
+                    for rec in iter_warc_records(bytes(content)):
+                        if rec.error:
+                            add(fname=fpath, err=rec.error)
+                        elif rec.warc_type == "response":
+                            add(url=rec.target_uri, date=rec.warc_date,
+                                ctype=rec.content_type, body=rec.body,
+                                fname=fpath)
+                except WarcError as e:
+                    add(fname=fpath, err=f"file-level: {e}")
+            yield pd.DataFrame(rows)
+
+    return binary.select("path", "content").mapInPandas(batches, WARC_SCHEMA)
+
+
+def warc_documents(spark: SparkSession, path: str) -> DataFrame:
+    """The (url, warc_ts, html) input shape the extraction pipeline
+    consumes, from WARC archives (error rows dropped; WARC-Date parsed
+    to a timestamp)."""
+    rec = read_warc(spark, path)
+    return (
+        rec.where(F.col("parse_error").isNull() & F.col("url").isNotNull())
+        .select(
+            "url",
+            F.to_timestamp(F.col("warc_date"),
+                           "yyyy-MM-dd'T'HH:mm:ssX").alias("warc_ts"),
+            "html")
+    )
