@@ -99,6 +99,70 @@ def start_streaming_extraction(
     return writer.start()
 
 
+def start_streaming_warc_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    mode: str = "accuracy",
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """readStream(binaryFile over a .warc.gz drop directory) -> in-task
+    WARC record parse (kernel/warc.py) -> the SAME extraction kernel ->
+    idempotent parquet sink. The continuous twin of
+    ``run_extraction_job(..., input_format="warc")``: a crawler drops
+    archives into a directory and extraction keeps up, with file-source
+    offsets checkpointed so each archive is processed exactly once
+    across restarts. The unit of streaming progress is the WARC FILE
+    (the CC per-record-gzip layout is not block-splittable), matching
+    the batch ingestion's parallelism shape.
+    """
+    reader = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; binaryFile's is
+        # fixed by the format
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")  # crawls drop nested dirs
+        .option("maxFilesPerTrigger", str(max_files_per_trigger or 8))
+        .load(input_dir)
+    )
+    sink = _idempotent_batch_writer(spark, output_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import pandas as pd
+
+        def rec_batches(it):
+            from zpdfspark.kernel.warc import WarcError, iter_warc_records
+
+            for b in it:
+                rows = {"url": [], "html": []}
+                for content in b["content"]:
+                    try:
+                        for rec in iter_warc_records(bytes(content)):
+                            if not rec.error and rec.target_uri:
+                                rows["url"].append(rec.target_uri)
+                                rows["html"].append(rec.body)
+                    except WarcError:
+                        continue  # file-level garbage: skip the archive
+                yield pd.DataFrame(rows)
+
+        docs = batch_df.select("content").mapInPandas(
+            rec_batches, "url string, html binary")
+        extracted = docs.mapInArrow(
+            extract_arrow_batches(mode), EXTRACT_SCHEMA)
+        sink(extracted, batch_id)
+
+    writer = reader.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_crawl_rate_aggregation(
     spark: SparkSession,
     input_dir: str,
