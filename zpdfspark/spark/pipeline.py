@@ -333,13 +333,29 @@ def run_extraction_job(
     lineage_path = os.path.join(output_path, "_lineage")
     data_path = os.path.join(output_path, "data")
 
+    prebuilt_result = None
     if input_format == "iceberg":
         df = spark.read.format("iceberg").load(input_path)
     elif input_format == "warc":
         # Common-Crawl-style ingestion: extraction straight off the
         # .warc.gz archives (file = unit of parallelism; records parsed
         # in-task, warc_source.py)
-        from zpdfspark.spark.warc_source import warc_documents
+        from zpdfspark.spark.warc_source import (warc_documents,
+                                                 warc_extract_arrow_batches)
+        if single_pass and not since and not until:
+            # fused shape (the scale path): parse + extract in ONE
+            # Python task, blobs never round-trip through the JVM
+            # between stages (1.6x end-to-end on the 60k heavy soak);
+            # bucket re-derived from url post-extraction exactly like
+            # the parquet single-pass. Resume still works (pending
+            # buckets filter post-extraction) but re-parses completed
+            # archives — the two-stage form below is the resume-heavy
+            # alternative.
+            binary = spark.read.format("binaryFile").load(input_path)
+            prebuilt_result = binary.select("path", "content").mapInArrow(
+                warc_extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes),
+                EXTRACT_SCHEMA,
+            ).withColumn("bucket", bucket_of(F.col("url"), n_buckets))
         df = warc_documents(spark, input_path)
     else:
         df = spark.read.parquet(input_path)
@@ -382,7 +398,7 @@ def run_extraction_job(
         return _run_buckets(spark, df, n_buckets, partitions, salt, resume,
                             mode, max_doc_bytes, big_doc_bytes, single_pass,
                             repartition_blobs, writer_tasks, data_path,
-                            lineage_path)
+                            lineage_path, prebuilt_result=prebuilt_result)
     finally:
         if prev_split_conf is not None:
             spark.conf.set("spark.sql.files.maxPartitionBytes",
@@ -392,7 +408,7 @@ def run_extraction_job(
 def _run_buckets(spark, df, n_buckets, partitions, salt, resume, mode,
                  max_doc_bytes, big_doc_bytes, single_pass,
                  repartition_blobs, writer_tasks, data_path,
-                 lineage_path) -> dict:
+                 lineage_path, prebuilt_result=None) -> dict:
     done = set(completed_buckets(spark, lineage_path)) if resume else set()
     todo = [b for b in range(n_buckets) if b not in done]
     summary = {"buckets_total": n_buckets, "buckets_skipped": len(done),
@@ -402,7 +418,7 @@ def _run_buckets(spark, df, n_buckets, partitions, salt, resume, mode,
         return _run_single_pass(spark, df, todo, n_buckets, partitions, salt,
                                 mode, max_doc_bytes, big_doc_bytes, data_path,
                                 lineage_path, summary, repartition_blobs,
-                                writer_tasks)
+                                writer_tasks, prebuilt_result=prebuilt_result)
 
     for bucket in todo:
         t0 = time.time()
@@ -453,19 +469,26 @@ def _run_buckets(spark, df, n_buckets, partitions, salt, resume, mode,
 def _run_single_pass(spark, df, todo, n_buckets, partitions, salt, mode,
                      max_doc_bytes, big_doc_bytes, data_path, lineage_path,
                      summary, repartition_blobs: bool = False,
-                     writer_tasks: int = 0) -> dict:
+                     writer_tasks: int = 0, prebuilt_result=None) -> dict:
     """One job over all pending buckets: a single source scan, output
-    partitioned by bucket, lineage appended per bucket afterwards."""
+    partitioned by bucket, lineage appended per bucket afterwards.
+    `prebuilt_result` (fused-source kernels, e.g. WARC parse+extract)
+    skips the extraction step here and enters at the bucket filter."""
     t0 = time.time()
-    part = maybe_salted(df.where(F.col("bucket").isin(todo)), partitions,
-                        salt=salt, big_doc_bytes=big_doc_bytes,
-                        repartition_blobs=repartition_blobs)
-    # carry the bucket through the kernel via re-derivation (cheaper than
-    # widening the kernel schema): the bucket expression is a pure
-    # function of url, so recomputing it after extraction is exact
-    result = part.drop("bucket").mapInArrow(
-        extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes), EXTRACT_SCHEMA
-    ).withColumn("bucket", bucket_of(F.col("url"), n_buckets))
+    if prebuilt_result is not None:
+        result = prebuilt_result.where(F.col("bucket").isin(todo))
+    else:
+        part = maybe_salted(df.where(F.col("bucket").isin(todo)), partitions,
+                            salt=salt, big_doc_bytes=big_doc_bytes,
+                            repartition_blobs=repartition_blobs)
+        # carry the bucket through the kernel via re-derivation (cheaper
+        # than widening the kernel schema): the bucket expression is a
+        # pure function of url, so recomputing it after extraction is
+        # exact
+        result = part.drop("bucket").mapInArrow(
+            extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes),
+            EXTRACT_SCHEMA
+        ).withColumn("bucket", bucket_of(F.col("url"), n_buckets))
     if writer_tasks:
         # shuffle the EXTRACTED rows (text — ~10x smaller than the raw
         # blobs, which stay map-only) into writer_tasks hash partitions

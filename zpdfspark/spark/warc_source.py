@@ -90,3 +90,56 @@ def warc_documents(spark: SparkSession, path: str) -> DataFrame:
                            "yyyy-MM-dd'T'HH:mm:ssX").alias("warc_ts"),
             "html")
     )
+
+
+def warc_extract_arrow_batches(mode: str = "accuracy",
+                               max_doc_bytes: int = 0):
+    """FUSED ingestion + extraction kernel (mapInArrow over binaryFile
+    rows): WARC records are parsed AND extracted inside the same Python
+    task, so document blobs never cross the Python/JVM Arrow boundary
+    between an ingestion stage and an extraction stage — on the 60k
+    heavy-doc soak the two-stage form spent ~76% extra wall on exactly
+    that round-trip (BASELINE.md round-3 WARC soak). Delegates row
+    assembly to udfs.extract_arrow_batches so extraction output is
+    byte-identical to the parquet path; records are re-batched in
+    bounded chunks so a 1 GB archive never materializes all decompressed
+    bodies at once."""
+    from zpdfspark.spark.udfs import extract_arrow_batches
+
+    extract = extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes)
+    chunk_records = 512
+
+    def fn(batches):
+        import pyarrow as pa
+
+        from zpdfspark.kernel.warc import WarcError, iter_warc_records
+
+        def parsed():
+            urls, bodies = [], []
+            for rb in batches:
+                contents = rb.column("content")
+                for j in range(len(contents)):
+                    raw = contents[j].as_py()
+                    try:
+                        for rec in iter_warc_records(raw):
+                            if rec.error or not rec.target_uri:
+                                continue
+                            urls.append(rec.target_uri)
+                            bodies.append(rec.body)
+                            if len(urls) >= chunk_records:
+                                yield pa.RecordBatch.from_arrays(
+                                    [pa.array(urls, pa.string()),
+                                     pa.array(bodies, pa.binary())],
+                                    names=["url", "html"])
+                                urls, bodies = [], []
+                    except WarcError:
+                        continue  # file-level garbage: skip the archive
+            if urls:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(urls, pa.string()),
+                     pa.array(bodies, pa.binary())],
+                    names=["url", "html"])
+
+        yield from extract(parsed())
+
+    return fn
