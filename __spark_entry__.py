@@ -839,6 +839,62 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup (the frontier/recrawl
+    normalizer every crawler runs): lowercase scheme+host, drop the
+    scheme-default port (443/https, 80/http — others kept), strip the
+    fragment, drop tracking params (utm_*, fbclid, gclid), sort the
+    remaining query params. Pure JVM regexp/array expressions, map-only
+    except the tiny canonical-group count.
+
+    The driver's synthetic doc urls are already canonical, so messy
+    variants are seeded deterministically from doc_id (mixed-case
+    host, default and non-default ports, tracking params, fragments —
+    replayed identically in the oracle); modular host/path seeding
+    makes distinct raw urls collide on the same canonical form, so the
+    dedup grouping is observable."""
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("HTTPS://Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443"))
+        .when(F.col("doc_id") % 11 == 7, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Path/"), (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("?utm_source=x&b=2&a=1")).otherwise(F.lit("?a=1&b=2")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#:]+)", 1))
+    port = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#:]+:([0-9]+)", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "https") & (port == "443"))
+        & ~((scheme == "http") & (port == "80")))
+    path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1)
+    query = F.regexp_extract(url, r"[?]([^#]*)", 1)
+    canon_q = F.concat_ws("&", F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(r"^(utm_[a-z]+|fbclid|gclid)="))))
+    canonical = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q))
+        .otherwise(F.lit("")))
+    from pyspark.sql import Window
+
+    base = d.select(
+        "doc_id", url.alias("raw_url"), canonical.alias("canonical_url"))
+    return base.select(
+        "doc_id", "raw_url", "canonical_url",
+        (F.col("raw_url") != F.col("canonical_url")).alias("changed"),
+        F.count("*").over(
+            Window.partitionBy("canonical_url")).alias("n_sharing"),
+    ).orderBy("doc_id")
+
+
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID heuristic (deterministic SQL both sides)."""
     d = _docs(spark, sf_dir)
@@ -1419,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_stats": _q_video_stats,
         "mp3_stats": _q_mp3_stats,
         "warc_ingest": _q_warc_ingest,
+        "url_canonicalize": _q_url_canonicalize,
         "media_frames": _q_media_frames,
         "media_embed": _q_media_embed,
     }
@@ -1823,6 +1880,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(g.grams) AS BIGINT) AS n_grams, "
             "(g.doc_id IN (SELECT doc_id FROM c)) AS contaminated "
             "FROM g ORDER BY g.doc_id"
+        ),
+        "url_canonicalize": (
+            # identical regex/filter/sort pipeline in DuckDB
+            "WITH seeded AS (SELECT doc_id, "
+            "'HTTPS://Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM' || "
+            "CASE WHEN doc_id % 3 = 0 THEN ':443' "
+            "WHEN doc_id % 11 = 7 THEN ':8080' ELSE '' END || "
+            "'/Path/' || CAST(doc_id % 50 AS VARCHAR) || "
+            "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1' "
+            "ELSE '?a=1&b=2' END || "
+            "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS raw_url "
+            "FROM documents), "
+            "parts AS (SELECT doc_id, raw_url, "
+            "lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme, "
+            "lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#:]+)', 1)) AS host, "
+            "regexp_extract(raw_url, '^[A-Za-z]+://[^/?#:]+:([0-9]+)', 1) AS port, "
+            "regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path, "
+            "regexp_extract(raw_url, '[?]([^#]*)', 1) AS query FROM seeded), "
+            "norm AS (SELECT doc_id, raw_url, scheme, host, path, "
+            "CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443') "
+            "AND NOT (scheme = 'http' AND port = '80') "
+            "THEN ':' || port ELSE '' END AS portpart, "
+            "array_to_string(list_sort(list_filter(string_split(query, '&'), "
+            "p -> p <> '' AND NOT regexp_matches(p, "
+            "'^(utm_[a-z]+|fbclid|gclid)='))), '&') AS canon_q FROM parts), "
+            "canon AS (SELECT doc_id, raw_url, "
+            "scheme || '://' || host || portpart || path || "
+            "CASE WHEN canon_q <> '' THEN '?' || canon_q ELSE '' END "
+            "AS canonical_url FROM norm) "
+            "SELECT doc_id, raw_url, canonical_url, "
+            "raw_url <> canonical_url AS changed, "
+            "CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) "
+            "AS n_sharing FROM canon ORDER BY doc_id"
         ),
         "lang_guess": (
             "SELECT doc_id, lang, "
