@@ -895,6 +895,45 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + source-weighted
+    sampling — the mixture step every training-data pipeline runs
+    before tokenization. Both decisions come from md5 of a salted key
+    (never a random() call): the same doc lands in the same split on
+    every run, on any cluster, at any parallelism — and the DuckDB
+    oracle replays the exact hash arithmetic. Map-only.
+
+      - split: the first 8 hex digits of md5(doc_id || ':split')
+        compared LEXICOGRAPHICALLY against fixed-width hex thresholds
+        (identical to the uint32 compare, with no integer conversion
+        for either engine to disagree on): < 'cccccccc' train
+        (4/5 of 2^32), < 'e6666666' val (9/10), else test.
+      - sampled: per-source keep rates (the classic source
+        up/down-weighting: src0-4 kept at 50%, src5-9 at 75%, the
+        rest at 100%) applied via an independent salt so split and
+        sampling stay uncorrelated.
+    """
+    d = _docs(spark, sf_dir)
+    split_hex = F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8)
+    sample_hex = F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":sample"))), 1, 8)
+    split = (F.when(split_hex < "cccccccc", "train")
+             .when(split_hex < "e6666666", "val")
+             .otherwise("test"))
+    sampled = (F.when(F.col("source").isin(
+                   "src0", "src1", "src2", "src3", "src4"),
+                   sample_hex < "80000000")         # keep 50%
+               .when(F.col("source").isin(
+                   "src5", "src6", "src7", "src8", "src9"),
+                   sample_hex < "c0000000")         # keep 75%
+               .otherwise(F.lit(True)))             # keep 100%
+    return d.select(
+        "doc_id", "source", split.alias("split"),
+        sampled.alias("sampled"),
+    ).orderBy("doc_id")
+
+
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID heuristic (deterministic SQL both sides)."""
     d = _docs(spark, sf_dir)
@@ -1476,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp3_stats": _q_mp3_stats,
         "warc_ingest": _q_warc_ingest,
         "url_canonicalize": _q_url_canonicalize,
+        "dataset_split": _q_dataset_split,
         "media_frames": _q_media_frames,
         "media_embed": _q_media_embed,
     }
@@ -1913,6 +1953,23 @@ def oracle_sql() -> dict[str, str]:
             "raw_url <> canonical_url AS changed, "
             "CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) "
             "AS n_sharing FROM canon ORDER BY doc_id"
+        ),
+        "dataset_split": (
+            # identical md5-hex prefix with LEXICOGRAPHIC threshold
+            # compares (fixed-width lowercase hex orders exactly like
+            # the uint32 value)
+            "WITH h AS (SELECT doc_id, source, "
+            "substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS sh, "
+            "substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8) AS mh "
+            "FROM documents) "
+            "SELECT doc_id, source, "
+            "CASE WHEN sh < 'cccccccc' THEN 'train' "
+            "WHEN sh < 'e6666666' THEN 'val' ELSE 'test' END AS split, "
+            "CASE WHEN source IN ('src0','src1','src2','src3','src4') "
+            "THEN mh < '80000000' "
+            "WHEN source IN ('src5','src6','src7','src8','src9') "
+            "THEN mh < 'c0000000' ELSE true END AS sampled "
+            "FROM h ORDER BY doc_id"
         ),
         "lang_guess": (
             "SELECT doc_id, lang, "
