@@ -216,3 +216,70 @@ def test_search_matches_independent_scanner(pages, query):
     exp = [(m["page"], m["soffset"], m["context"])
            for m in search_matches_expected(text, query)]
     assert got == exp
+
+
+# -- round-3 media/source kernels: arbitrary-input round-trips ------------
+
+_DIMS = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+@_SETTINGS
+@given(_DIMS, st.integers(1, 256), st.booleans(), st.integers(0, 2**31))
+def test_gif_roundtrip_property(dims, ncolors, interlace, seed):
+    import numpy as np
+
+    from zpdfspark.kernel import gif as G
+
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    px = (rng.integers(0, ncolors, size=(h, w), dtype=np.uint16)[:, :, None]
+          * np.array([7, 3, 11], dtype=np.uint16) % 256).astype(np.uint8)
+    ww, hh, c, out = G.decode_gif(G.encode_gif(px, interlace=interlace))
+    assert (ww, hh, c) == (w, h, 3)
+    assert (out == px).all()
+
+
+@_SETTINGS
+@given(st.lists(st.integers(1, 14), min_size=1, max_size=80),
+       st.integers(0, 2), st.booleans(), st.integers(0, 300))
+def test_mp3_roundtrip_property(frame_brs, sr_idx, stereo, id3):
+    from zpdfspark.kernel import mp3 as M
+
+    meta = M.parse_mp3(M.encode_mp3(frame_brs, sr_idx, stereo, id3))
+    sr = M._SAMPLE_RATES[sr_idx]
+    assert meta["n_frames"] == len(frame_brs)
+    assert meta["duration_ms"] == len(frame_brs) * 1152 * 1000 // sr
+    assert meta["mean_bitrate_kbps"] == sum(
+        M._BITRATES[b] for b in frame_brs) // len(frame_brs)
+
+
+@_SETTINGS
+@given(st.integers(0, 2**31), st.sampled_from([600, 1000, 90000]),
+       st.lists(st.tuples(st.integers(0, 4096), st.integers(0, 4096),
+                          st.sampled_from([b"avc1", b"hev1", b"mp4a", b"vp09"])),
+                min_size=0, max_size=4))
+def test_mp4_roundtrip_property(units, ts, tracks):
+    from zpdfspark.kernel import mp4 as M
+
+    meta = M.parse_mp4(M.encode_mp4(units, ts, tracks))
+    assert meta["duration_ms"] == units * 1000 // ts
+    assert meta["n_tracks"] == len(tracks)
+    vis = [(w, h) for (w, h, _f) in tracks if w and h]
+    assert (meta["width"], meta["height"]) == (vis[0] if vis else (0, 0))
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(
+    st.text(alphabet=string.ascii_letters + string.digits + ":/._-",
+            min_size=1, max_size=60),
+    st.binary(min_size=0, max_size=400)), min_size=1, max_size=12),
+    st.booleans())
+def test_warc_roundtrip_property(pairs, gz):
+    from zpdfspark.kernel import warc as W
+
+    recs = [(f"https://h/{i}/{u}", "2025-01-02T03:04:05Z", body, "x/y")
+            for i, (u, body) in enumerate(pairs)]
+    got = list(W.iter_warc_records(W.build_warc(recs, per_record_gzip=gz)))
+    assert len(got) == len(recs)
+    for (uri, _d, body, _c), r in zip(recs, got):
+        assert r.error is None and r.target_uri == uri and r.body == body
