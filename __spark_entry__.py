@@ -934,6 +934,36 @@ def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML head-metadata extraction over the crawl corpus's html rows:
+    <title>, meta description, canonical link, anchor count — the
+    fields a crawl index keeps per page. Pure JVM: the binary column is
+    cast to string and mined with regexp_extract/regexp_count (no
+    Python in the path — the 100 TB shape), rows selected by the
+    corpus-carried media_kind. The DuckDB oracle runs the IDENTICAL
+    regex set over the same bytes, so this is an independent two-engine
+    re-extraction, not a carried-column replay."""
+    corpus = _corpus(spark, sf_dir)
+    html = F.col("html").cast("string")
+    return (
+        corpus.where(F.col("media_kind") == "html")
+        .select(
+            "url",
+            F.regexp_extract(html, "<title>([^<]*)</title>", 1)
+            .alias("title"),
+            F.regexp_extract(
+                html, '<meta name="description" content="([^"]*)"', 1)
+            .alias("meta_description"),
+            F.regexp_extract(
+                html, '<link rel="canonical" href="([^"]*)"', 1)
+            .alias("canonical"),
+            F.regexp_count(html, F.lit("<a[ >\n]")).cast("long")
+            .alias("n_anchors"),
+        )
+        .orderBy("url")
+    )
+
+
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID heuristic (deterministic SQL both sides)."""
     d = _docs(spark, sf_dir)
@@ -1516,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,
         "url_canonicalize": _q_url_canonicalize,
         "dataset_split": _q_dataset_split,
+        "html_meta": _q_html_meta,
         "media_frames": _q_media_frames,
         "media_embed": _q_media_embed,
     }
@@ -1970,6 +2001,18 @@ def oracle_sql() -> dict[str, str]:
             "WHEN source IN ('src5','src6','src7','src8','src9') "
             "THEN mh < 'c0000000' ELSE true END AS sampled "
             "FROM h ORDER BY doc_id"
+        ),
+        "html_meta": (
+            # the IDENTICAL regex set over the same bytes in DuckDB —
+            # an independent two-engine re-extraction
+            f"SELECT url, "
+            f"regexp_extract(decode(html), '<title>([^<]*)</title>', 1) AS title, "
+            "regexp_extract(decode(html), "
+            "'<meta name=\"description\" content=\"([^\"]*)\"', 1) AS meta_description, "
+            "regexp_extract(decode(html), "
+            "'<link rel=\"canonical\" href=\"([^\"]*)\"', 1) AS canonical, "
+            "CAST(len(regexp_extract_all(decode(html), '<a[ >\n]')) AS BIGINT) AS n_anchors "
+            f"FROM {corpus} WHERE media_kind = 'html' ORDER BY url"
         ),
         "lang_guess": (
             "SELECT doc_id, lang, "

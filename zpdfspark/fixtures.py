@@ -819,7 +819,9 @@ def html_page(i: int = 0) -> Tuple[bytes, str]:
     paras = [f"Paragraph {i}-{p} of the main content &amp; more." for p in range(3)]
     body = "".join(f"<p>{p}</p>" for p in paras)
     doc = (
-        "<!DOCTYPE html><html><head><title>T</title>"
+        f"<!DOCTYPE html><html><head><title>Doc Title {i}</title>"
+        f'<meta name="description" content="Summary of document {i}.">'
+        f'<link rel="canonical" href="https://fixtures.example/html/canon-{i}">'
         "<style>body{color:red}</style><script>var x=1;</script></head>"
         "<body><header>Site Header</header><nav><ul><li>Home</li></ul></nav>"
         f"<main><h1>Title {i}</h1>{body}</main>"
@@ -1212,7 +1214,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v16"
+CORPUS_VERSION = "v17"
 
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
