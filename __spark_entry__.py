@@ -251,6 +251,8 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "png" if raw.startswith(b"\x89PNG") else (
                         "jpeg" if raw.startswith(b"\xff\xd8") else (
                             "wav" if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+                            else "webp" if raw[:4] == b"RIFF"
+                            and raw[8:12] == b"WEBP"
                             else ("gif" if raw[:4] == b"GIF8" else (
                                 "mp4" if len(raw) >= 12
                                 and raw[4:8] == b"ftyp" else (
@@ -1228,6 +1230,38 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP header dims (kernel/webp.py: VP8/VP8L/VP8X) — the no-codec
+    metadata layer for the modern web's image format; pixel decode is
+    honestly stubbed (no VP8 codec in this container). Map-only,
+    magic-filtered in-kernel; oracle: the corpus-carried dims from the
+    independent fixtures-side header re-read (_image_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.webp import WebpError, webp_dims
+
+        for b in it:
+            rows = {"url": [], "width": [], "height": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
+                    continue
+                try:
+                    w, h, _flavor = webp_dims(raw)
+                except WebpError:
+                    continue
+                rows["url"].append(url)
+                rows["width"].append(w)
+                rows["height"].append(h)
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches, "url string, width int, height int").orderBy("url")
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over word md5s — the vectorized (numpy) kernel of
     the near-dup family. The word hash is the first 8 md5 digest bytes
@@ -1544,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_stats": _q_video_stats,
         "mp3_stats": _q_mp3_stats,
         "warc_ingest": _q_warc_ingest,
+        "webp_meta": _q_webp_meta,
         "url_canonicalize": _q_url_canonicalize,
         "dataset_split": _q_dataset_split,
         "html_meta": _q_html_meta,
@@ -1720,6 +1755,11 @@ def oracle_sql() -> dict[str, str]:
             f"mp3_channels AS n_channels, mp3_duration_ms AS duration_ms, "
             f"mp3_kbps AS kbps "
             f"FROM {corpus} WHERE media_kind = 'mp3' ORDER BY url"
+        ),
+        "webp_meta": (
+            # carried dims from the independent header re-read
+            f"SELECT url, img_width AS width, img_height AS height "
+            f"FROM {corpus} WHERE media_kind = 'webp' ORDER BY url"
         ),
         "audio_stats": (
             # carried ground truth from the independent RIFF re-read

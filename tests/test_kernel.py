@@ -1032,3 +1032,31 @@ class TestWarc:
         from zpdfspark.kernel import warc as W
         with _pytest.raises(W.WarcError):
             list(W.iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\nnope"))
+
+
+class TestWebp:
+    """kernel/webp.py: WebP header dims (vp8/vp8l/vp8x; pixel decode
+    stays honestly stubbed)."""
+
+    def test_roundtrip_all_flavors(self):
+        from zpdfspark.kernel import webp as W
+        for w, h, fl in [(64, 48, "vp8"), (1, 1, "vp8l"),
+                         (16383, 100, "vp8l"), (640, 360, "vp8x"),
+                         (1 << 20, 3, "vp8x")]:
+            assert W.webp_dims(W.encode_webp_header(w, h, fl)) == (w, h, fl)
+
+    def test_hostile_webps_raise_webperror_only(self):
+        import random
+        from zpdfspark.kernel import webp as W
+        base = W.encode_webp_header(64, 48, "vp8l")
+        rnd = random.Random(3)
+        for _ in range(500):
+            b = bytearray(base)
+            for _ in range(rnd.randint(1, 8)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+            raw = bytes(b[:rnd.randrange(2, len(b))]
+                        if rnd.random() < 0.3 else b)
+            try:
+                W.webp_dims(raw)
+            except W.WebpError:
+                pass  # the only acceptable failure mode

@@ -796,6 +796,20 @@ def mp4_video(i: int = 0) -> Tuple[bytes, Optional[str]]:
     return encode_mp4(units, ts, tracks), None
 
 
+def webp_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic WebP header (multimodal image payload row):
+    flavors cycle vp8/vp8l/vp8x by i, dims seeded by i, payload
+    deterministic filler (pixel decode honestly stubbed — no VP8 codec
+    in this container; the REAL layer is header dims via
+    kernel/webp.py, oracled against the independent header re-read in
+    _image_expected)."""
+    from .kernel.webp import encode_webp_header
+
+    flavor = ("vp8", "vp8l", "vp8x")[i % 3]
+    return encode_webp_header(40 + 3 * (i % 30), 25 + 2 * (i % 40),
+                              flavor, filler=16 + i % 50), None
+
+
 def mp3_audio(i: int = 0) -> Tuple[bytes, Optional[str]]:
     """Deterministic MPEG-1 Layer III stream (multimodal audio payload
     row): seeded VBR frame sequence with silent payloads, optional
@@ -1182,6 +1196,10 @@ def _register():
     def g_mp3(i):
         return mp3_audio(i)
 
+    @var("webp")
+    def g_webp(i):
+        return webp_image(i)
+
     @var("html")
     def g_html(i):
         return html_page(i)
@@ -1214,7 +1232,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v17"
+CORPUS_VERSION = "v19"
 
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -1242,6 +1260,21 @@ def corpus_rows(n_docs: int, seed: int = 42, malformed_ratio: float = 0.01,
         h = int.from_bytes(hashlib.blake2b(
             b"corpus:%d:%d" % (seed, i), digest_size=8).digest(), "big")
         r = (h % 10_000) / 10_000.0
+        if profile == "mixed" and i < len(gen_names):
+            # guaranteed coverage: the first len(gen_names) docs carry
+            # one doc per feature generator ("one doc per feature
+            # generator", docstring) — tests and oracles can rely on
+            # every generator being present in any corpus of >= ~46
+            # docs, instead of on hash-selection luck that reshuffles
+            # whenever a new generator joins the rotation
+            gen = gen_names[i]
+            pdf, text = GENERATORS[gen](i)
+            url = f"https://fixtures.example/{gen}/{seed:04d}-{i:08d}.pdf"
+            ts = _EPOCH + timedelta(
+                seconds=_url_hash(url) % (365 * 24 * 3600))
+            lang = "zh" if gen == "cid" else _LANGS[h % len(_LANGS)]
+            yield (url, ts, pdf, text, lang)
+            continue
         if r < malformed_ratio:
             name = mal_names[h % len(mal_names)]
             pdf, text = MALFORMED[name]()
@@ -1348,6 +1381,8 @@ def _sniff_media_kind(raw: bytes) -> str:
         return "jpeg"
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return "wav"
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        return "webp"
     if raw[:4] == b"GIF8":
         return "gif"
     if len(raw) >= 12 and raw[4:8] == b"ftyp":
@@ -1489,6 +1524,21 @@ def _image_expected(raw: bytes, kind: str):
         # image descriptor with identical dims at offset 0,0
         w, h = struct.unpack("<HH", raw[6:10])
         return w, h, 3
+    if kind == "webp":
+        # independent header read (deliberately NOT kernel/webp.py)
+        fourcc = raw[12:16]
+        body = raw[20:]
+        if fourcc == b"VP8 ":
+            w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+        elif fourcc == b"VP8L":
+            bits = struct.unpack("<I", body[1:5])[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+        else:  # VP8X
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+        return w, h, 3
     if kind == "png":
         assert raw[12:16] == b"IHDR"
         w, h = struct.unpack(">II", raw[16:24])
@@ -1623,7 +1673,7 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"audio_sr": None, "audio_channels": None,
                     "audio_n_samples": None, "audio_rms_x1000": None})
-    if row["media_kind"] in ("png", "jpeg", "gif"):
+    if row["media_kind"] in ("png", "jpeg", "gif", "webp"):
         iw, ih, ic = _image_expected(raw, row["media_kind"])
         row.update({"img_width": iw, "img_height": ih, "img_channels": ic})
     else:

@@ -46,6 +46,8 @@ def sniff_kind(raw: bytes) -> str:
         return "jpeg"
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return "wav"
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        return "webp"
     if raw[:4] == b"GIF8":
         return "gif"
     if len(raw) >= 12 and raw[4:8] == b"ftyp":
