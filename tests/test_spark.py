@@ -481,3 +481,31 @@ def test_warc_ingestion_end_to_end(spark, tmp_path):
             assert result[u] == text, u
             n_checked += 1
     assert n_checked > 50
+
+
+def test_warc_fused_equals_two_stage(spark, tmp_path):
+    """The fused parse+extract kernel (single-pass default) must be
+    byte-identical to the two-stage form (warc_documents -> extraction
+    kernel) — fusion is a plan optimization, never a semantics change."""
+    from zpdfspark.fixtures import write_warc_fixture
+    from zpdfspark.spark.udfs import EXTRACT_SCHEMA, extract_arrow_batches
+    from zpdfspark.spark.warc_source import (warc_documents,
+                                             warc_extract_arrow_batches)
+
+    d = str(tmp_path / "warc")
+    glob, _ = write_warc_fixture(d, 70, seed=31)
+
+    two_stage = {r["url"]: r for r in
+                 warc_documents(spark, glob).select("url", "html")
+                 .mapInArrow(extract_arrow_batches("accuracy"),
+                             EXTRACT_SCHEMA).collect()}
+    fused = {r["url"]: r for r in
+             spark.read.format("binaryFile").load(glob)
+             .select("path", "content")
+             .mapInArrow(warc_extract_arrow_batches("accuracy"),
+                         EXTRACT_SCHEMA).collect()}
+    assert set(fused) == set(two_stage) and len(fused) == 70
+    for u, r in fused.items():
+        assert r["extracted_text"] == two_stage[u]["extracted_text"], u
+        assert r["n_pages"] == two_stage[u]["n_pages"]
+        assert r["error_count"] == two_stage[u]["error_count"]
