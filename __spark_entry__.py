@@ -885,16 +885,23 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         F.when(canon_q != "", F.concat(F.lit("?"), canon_q))
         .otherwise(F.lit("")))
-    from pyspark.sql import Window
-
     base = d.select(
         "doc_id", url.alias("raw_url"), canonical.alias("canonical_url"))
-    return base.select(
-        "doc_id", "raw_url", "canonical_url",
-        (F.col("raw_url") != F.col("canonical_url")).alias("changed"),
-        F.count("*").over(
-            Window.partitionBy("canonical_url")).alias("n_sharing"),
-    ).orderBy("doc_id")
+    # group size via aggregation + join, NOT a per-canonical window: a
+    # boilerplate canonical shared by 10^9 raw urls would pin one
+    # un-splittable window partition, while the aggregation collapses
+    # map-side and AQE can skew-split the join (the same rule as
+    # span_dedup's keeper selection)
+    counts = base.groupBy("canonical_url").agg(
+        F.count("*").alias("n_sharing"))
+    return (
+        base.join(counts, "canonical_url")
+        .select(
+            "doc_id", "raw_url", "canonical_url",
+            (F.col("raw_url") != F.col("canonical_url")).alias("changed"),
+            "n_sharing")
+        .orderBy("doc_id")
+    )
 
 
 def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:

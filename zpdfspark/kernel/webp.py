@@ -25,9 +25,8 @@ def webp_dims(raw: bytes) -> Tuple[int, int, str]:
     'vp8', 'vp8l', 'vp8x'."""
     if len(raw) < 20 or raw[:4] != b"RIFF" or raw[8:12] != b"WEBP":
         raise WebpError("not a WebP file")
-    (riff_size,) = struct.unpack("<I", raw[4:8])
-    if riff_size + 8 > len(raw) + 8:  # tolerate trailing padding only
-        pass  # size field may exceed on truncated files; chunk reads guard
+    # the RIFF size field is not trusted: per-chunk length guards below
+    # bound every read, so truncated/overstated sizes fail cleanly
     fourcc = raw[12:16]
     (chunk_size,) = struct.unpack("<I", raw[16:20])
     body = raw[20 : 20 + chunk_size]
