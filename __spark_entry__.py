@@ -973,6 +973,50 @@ def _q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary tokenization to ids — the step right before the
+    tokenizer farm in a pre-training pipeline: the corpus's top-1000
+    words by frequency (ties broken lexically) become ids 0..999,
+    everything else lands in 24 deterministic OOV buckets (1000..1023),
+    and each doc's ordered id sequence is fingerprinted.
+
+    Scale shape: the ranking window runs on the AGGREGATED vocab
+    (map-side combine already collapsed the corpus; thousands of rows,
+    not billions), the word->id map broadcasts, and docs re-assemble
+    with one doc_id exchange. The md5 of the comma-joined sequence
+    pins ORDER, not just membership — a wrong position breaks the
+    oracle hash."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    # top-K first via the DISTRIBUTED TakeOrdered (orderBy+limit), so
+    # the global ranking window only ever touches the 1000 survivors —
+    # a full-vocab single-partition window would sort 10^8 rows on one
+    # executor at crawl scale
+    top = vocab.orderBy(F.desc("cnt"), F.asc("word")).limit(1000)
+    rank_w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = top.select(
+        "word", (F.row_number().over(rank_w) - 1).alias("id"))
+    oov = F.lit(1000) + F.ascii(F.substring(F.col("word"), 1, 1)) % 24
+    mapped = words.join(F.broadcast(ranked), "word", "left").select(
+        "doc_id", "pos",
+        F.coalesce(F.col("id").cast("long"), oov.cast("long")).alias("tid"))
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.md5(F.concat_ws(",", F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda x: x["tid"].cast("string")))).alias("ids_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID heuristic (deterministic SQL both sides)."""
     d = _docs(spark, sf_dir)
@@ -1589,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "dataset_split": _q_dataset_split,
         "html_meta": _q_html_meta,
+        "tokenize_ids": _q_tokenize_ids,
         "media_frames": _q_media_frames,
         "media_embed": _q_media_embed,
     }
@@ -2060,6 +2105,25 @@ def oracle_sql() -> dict[str, str]:
             "'<link rel=\"canonical\" href=\"([^\"]*)\"', 1) AS canonical, "
             "CAST(len(regexp_extract_all(decode(html), '<a[ >\n]')) AS BIGINT) AS n_anchors "
             f"FROM {corpus} WHERE media_kind = 'html' ORDER BY url"
+        ),
+        "tokenize_ids": (
+            # identical vocab ranking + OOV bucketing + ordered-id md5
+            "WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "w AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos, ws "
+            "FROM w0), "
+            "tok AS (SELECT doc_id, pos, ws[pos] AS word FROM w), "
+            "v AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word), "
+            "r AS (SELECT word, row_number() OVER "
+            "(ORDER BY cnt DESC, word ASC) - 1 AS id FROM v "
+            "QUALIFY id < 1000), "
+            "m AS (SELECT t.doc_id, t.pos, "
+            "CAST(coalesce(r.id, 1000 + ascii(substr(t.word, 1, 1)) % 24) "
+            "AS BIGINT) AS tid "
+            "FROM tok t LEFT JOIN r USING (word)) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) "
+            "AS ids_md5 FROM m GROUP BY doc_id ORDER BY doc_id"
         ),
         "lang_guess": (
             "SELECT doc_id, lang, "
