@@ -47,15 +47,33 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _warc_paths(sf_dir: str) -> tuple:
     """Materialize the deterministic WARC fixture for this sf (cached
     like _corpus_path); returns (warc_glob, expected_parquet)."""
-    from zpdfspark.fixtures import CORPUS_VERSION, write_warc_fixture
+    from zpdfspark.fixtures import (CORPUS_VERSION, WARC_FIXTURE_VERSION,
+                                    write_warc_fixture)
 
     sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.001"
     n = _SF_DOCS.get(sf, 200)
-    d = f"/tmp/zpdfspark_warc_{CORPUS_VERSION}_{sf}_{n}"
+    d = f"/tmp/zpdfspark_warc_{CORPUS_VERSION}{WARC_FIXTURE_VERSION}_{sf}_{n}"
     expected = os.path.join(d, "expected_records.parquet")
     if not os.path.exists(expected):
-        write_warc_fixture(d + ".tmp", n, seed=42)
-        os.replace(d + ".tmp", d)
+        import shutil
+        import uuid
+
+        # Unique tmp name + rmtree of any half-written target: os.replace
+        # onto an existing non-empty dir raises ENOTEMPTY, so a crash
+        # between replace and completion (or a racing driver) must not
+        # wedge the cache.
+        tmp = f"{d}.tmp.{uuid.uuid4().hex[:8]}"
+        write_warc_fixture(tmp, n, seed=42)
+        if os.path.isdir(d) and not os.path.exists(expected):
+            shutil.rmtree(d, ignore_errors=True)
+        try:
+            os.replace(tmp, d)
+        except OSError:
+            # lost a race to a concurrent writer — their fixture is
+            # deterministic-identical; drop ours
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(expected):
+                raise
     return os.path.join(d, "*.warc.gz"), expected
 
 
@@ -755,7 +773,8 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str,
+                       min_count: int = 2) -> DataFrame:
     """CCNet-style language-model quality scoring with the corpus as its
     own unigram LM (Wenzek et al. 2019 use a KenLM perplexity; the
     unigram variant keeps the exact same pipeline shape without a model
@@ -763,26 +782,33 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc by its mean negative log-probability — low = fluent/common
     wording, high = rare-token noise.
 
-    Scale shape: vocab is a word-hash aggregation (map-side partials);
-    scoring re-joins words to vocab counts. The vocab of a 100 TB crawl
-    still fits the broadcast budget after a min-count floor (Zipf: the
-    long tail is hapax), so the join is hinted broadcast here; without
-    the floor it degrades gracefully to a shuffle join on word. The
-    1-row corpus total crosses in via broadcast, never a driver
-    collect.
+    Scale shape (r3-verdict fix): the vocabulary of a 100 TB crawl is
+    Zipf — mostly hapax — so the scoring join carries only words with
+    `cnt >= min_count`; floored-out words score with the smoothed
+    default probability 1/total via a LEFT join + coalesce, which is
+    both the linguistics (an unseen/rare word is maximally surprising)
+    and the scale fix (the join's build side shrinks by the long tail).
+    The broadcast decision is left to AQE: at runtime Spark broadcasts
+    the floored vocab iff its actual size clears the threshold, else it
+    stays an AQE shuffle join on word — no unconditional
+    F.broadcast(vocab) that would OOM the driver on a crawl-scale
+    vocabulary. The 1-row corpus total crosses in via broadcast, never
+    a driver collect.
     """
     d = _docs(spark, sf_dir)
     words = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
     vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
+    floored = vocab.where(F.col("cnt") >= int(min_count))
     scored = (
-        words.join(F.broadcast(vocab), "word")
+        words.join(floored, "word", "left")
         .join(F.broadcast(total))
+        .withColumn("p", F.coalesce(F.col("cnt"), F.lit(1)) / F.col("total"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),
-            F.round(F.avg(-F.log(F.col("cnt") / F.col("total"))), 3)
+            F.round(F.avg(-F.log(F.col("p"))), 3)
             .alias("avg_neg_logprob_r3"),
         )
         .orderBy("doc_id")
@@ -973,16 +999,21 @@ def _q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_tokenize_ids(spark: SparkSession, sf_dir: str,
+                    vocab_k: int = 50000) -> DataFrame:
     """Vocabulary tokenization to ids — the step right before the
-    tokenizer farm in a pre-training pipeline: the corpus's top-1000
-    words by frequency (ties broken lexically) become ids 0..999,
-    everything else lands in 24 deterministic OOV buckets (1000..1023),
-    and each doc's ordered id sequence is fingerprinted.
+    tokenizer farm in a pre-training pipeline: the corpus's top-50k
+    words by frequency (ties broken lexically; a production word-level
+    vocab size, r3-verdict ask) become ids 0..49999, everything else
+    lands in 24 deterministic OOV buckets (50000..50023), and each
+    doc's ordered id sequence is fingerprinted.
 
-    Scale shape: the ranking window runs on the AGGREGATED vocab
-    (map-side combine already collapsed the corpus; thousands of rows,
-    not billions), the word->id map broadcasts, and docs re-assemble
+    Scale shape: the ranking window runs on the TakeOrdered TOP-K ONLY
+    (orderBy+limit = distributed per-partition top-K then a K-row
+    merge; the window input is <= vocab_k rows by construction — a
+    full-vocab single-partition window would sort 10^8 rows on one
+    executor at crawl scale), the word->id map broadcasts (50k rows ~
+    1 MB, always under the broadcast budget), and docs re-assemble
     with one doc_id exchange. The md5 of the comma-joined sequence
     pins ORDER, not just membership — a wrong position breaks the
     oracle hash."""
@@ -993,15 +1024,12 @@ def _q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"))
     vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
-    # top-K first via the DISTRIBUTED TakeOrdered (orderBy+limit), so
-    # the global ranking window only ever touches the 1000 survivors —
-    # a full-vocab single-partition window would sort 10^8 rows on one
-    # executor at crawl scale
-    top = vocab.orderBy(F.desc("cnt"), F.asc("word")).limit(1000)
+    top = vocab.orderBy(F.desc("cnt"), F.asc("word")).limit(int(vocab_k))
     rank_w = Window.orderBy(F.desc("cnt"), F.asc("word"))
     ranked = top.select(
         "word", (F.row_number().over(rank_w) - 1).alias("id"))
-    oov = F.lit(1000) + F.ascii(F.substring(F.col("word"), 1, 1)) % 24
+    oov = (F.lit(int(vocab_k))
+           + F.ascii(F.substring(F.col("word"), 1, 1)) % 24)
     mapped = words.join(F.broadcast(ranked), "word", "left").select(
         "doc_id", "pos",
         F.coalesce(F.col("id").cast("long"), oov.cast("long")).alias("tid"))
@@ -1278,6 +1306,36 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec.where(F.col("parse_error").isNull())
         .select("url", "warc_date", "n_bytes", "body_md5")
         .orderBy("url")
+    )
+
+
+def _q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-native dedup hints: `revisit` records (WARC 1.1 §6.7 —
+    Common Crawl emits one per unchanged re-capture) joined back to the
+    response capture they point at, so the re-crawl merge can skip
+    re-extraction of unchanged pages without content hashing. Both
+    sides come from the same file-per-task WARC scan; the join is a
+    plain url equi-join (AQE-splittable — a hot url that was revisited
+    millions of times splits fine; no window, no sort). Oracle: the
+    generator-side expected_revisits parquet joined to expected_records
+    with the identical key arithmetic."""
+    from zpdfspark.spark.warc_source import read_warc, warc_revisits
+
+    glob, _expected = _warc_paths(sf_dir)
+    rev = warc_revisits(spark, glob)
+    resp = (read_warc(spark, glob)
+            .where(F.col("parse_error").isNull())
+            .select(F.col("url").alias("orig_url"),
+                    F.col("warc_date").alias("orig_date"),
+                    "n_bytes", "body_md5"))
+    return (
+        rev.join(resp, (rev["refers_to_uri"] == resp["orig_url"])
+                 & (rev["refers_to_date"] == resp["orig_date"]))
+        .select("url", F.col("warc_date").alias("revisit_date"),
+                F.col("refers_to_date").alias("original_date"),
+                F.col("n_bytes").alias("original_n_bytes"),
+                F.col("body_md5").alias("original_md5"))
+        .orderBy("url", "revisit_date")
     )
 
 
@@ -1629,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_stats": _q_video_stats,
         "mp3_stats": _q_mp3_stats,
         "warc_ingest": _q_warc_ingest,
+        "warc_revisit": _q_warc_revisit,
         "webp_meta": _q_webp_meta,
         "url_canonicalize": _q_url_canonicalize,
         "dataset_split": _q_dataset_split,
@@ -1677,6 +1736,8 @@ def oracle_sql() -> dict[str, str]:
     c = _corpus_path("/root/testdata/sf0.01")
     corpus = f"read_parquet('{c}')"
     _, _warc_expected = _warc_paths("/root/testdata/sf0.01")
+    _warc_revisits_expected = os.path.join(
+        os.path.dirname(_warc_expected), "expected_revisits.parquet")
     return {
         "extract_parity": (
             # byte-parity value oracle: the corpus text column IS the
@@ -1799,6 +1860,17 @@ def oracle_sql() -> dict[str, str]:
             # generator-side expected records (pre-wrap payload bytes)
             f"SELECT url, warc_date, n_bytes, body_md5 "
             f"FROM read_parquet('{_warc_expected}') ORDER BY url"
+        ),
+        "warc_revisit": (
+            # generator-side revisit pointers joined to the expected
+            # records with the same (uri, date) key arithmetic
+            f"SELECT r.url, r.warc_date AS revisit_date, "
+            f"r.refers_to_date AS original_date, "
+            f"e.n_bytes AS original_n_bytes, e.body_md5 AS original_md5 "
+            f"FROM read_parquet('{_warc_revisits_expected}') r "
+            f"JOIN read_parquet('{_warc_expected}') e "
+            f"ON r.refers_to_uri = e.url AND r.refers_to_date = e.warc_date "
+            f"ORDER BY r.url, revisit_date"
         ),
         "mp3_stats": (
             # carried ground truth from the independent fixtures-side
@@ -2018,13 +2090,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM rn GROUP BY doc_id ORDER BY doc_id"
         ),
         "unigram_logprob": (
+            # min-count floor (= 2): rare words score the smoothed
+            # default 1/total via LEFT JOIN + coalesce, replaying the
+            # Spark query's floored-vocab definition exactly
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
             "FROM documents), "
             "v AS (SELECT word, count(*) AS cnt FROM w GROUP BY word), "
-            "t AS (SELECT sum(cnt) AS total FROM v) "
+            "t AS (SELECT sum(cnt) AS total FROM v), "
+            "f AS (SELECT word, cnt FROM v WHERE cnt >= 2) "
             "SELECT doc_id, count(*) AS n_words, "
-            "round(avg(-ln(cnt / total)), 3) AS avg_neg_logprob_r3 "
-            "FROM w JOIN v USING (word) CROSS JOIN t "
+            "round(avg(-ln(coalesce(cnt, 1) / total)), 3) "
+            "AS avg_neg_logprob_r3 "
+            "FROM w LEFT JOIN f USING (word) CROSS JOIN t "
             "GROUP BY doc_id ORDER BY doc_id"
         ),
         "decontaminate": (
@@ -2116,9 +2193,9 @@ def oracle_sql() -> dict[str, str]:
             "v AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word), "
             "r AS (SELECT word, row_number() OVER "
             "(ORDER BY cnt DESC, word ASC) - 1 AS id FROM v "
-            "QUALIFY id < 1000), "
+            "QUALIFY id < 50000), "
             "m AS (SELECT t.doc_id, t.pos, "
-            "CAST(coalesce(r.id, 1000 + ascii(substr(t.word, 1, 1)) % 24) "
+            "CAST(coalesce(r.id, 50000 + ascii(substr(t.word, 1, 1)) % 24) "
             "AS BIGINT) AS tid "
             "FROM tok t LEFT JOIN r USING (word)) "
             "SELECT doc_id, count(*) AS n_tokens, "

@@ -955,6 +955,21 @@ class TestMp3:
         raw = M.encode_mp3([9] * 10, 0) + b"TAG" + bytes(125)
         assert M.parse_mp3(raw)["n_frames"] == 10
 
+    def test_trailing_tag_junk_tolerated(self):
+        """Real MP3s carry APEv2 tags / Lyrics3 blocks / junk after the
+        last frame (ADVICE r3): sync loss after >=1 parsed frame is
+        end-of-stream, not an error."""
+        from zpdfspark.kernel import mp3 as M
+        base = M.encode_mp3([9] * 10, 0)
+        for tail in [b"APETAGEX" + bytes(64), b"LYRICSBEGIN hello",
+                     bytes(300)]:
+            meta = M.parse_mp3(base + tail)
+            assert meta["n_frames"] == 10
+        # but a stream with NO parseable frame still raises
+        import pytest as _pytest
+        with _pytest.raises(M.Mp3Error):
+            M.parse_mp3(b"APETAGEX" + bytes(64))
+
     def test_hostile_mp3s_raise_mp3error_only(self):
         import random
         from zpdfspark.kernel import mp3 as M
@@ -1032,6 +1047,33 @@ class TestWarc:
         from zpdfspark.kernel import warc as W
         with _pytest.raises(W.WarcError):
             list(W.iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\nnope"))
+
+    def test_mixed_record_types_and_revisit_pointers(self):
+        """Real CC archives interleave request/metadata/revisit records
+        per capture; the parser surfaces warc_type + the revisit
+        refers-to pointers, and only responses get HTTP-stripped."""
+        from zpdfspark.kernel import warc as W
+        recs = [
+            ("http://e.com/a", "2025-01-01T00:00:00Z", b"", "text/plain",
+             "request"),
+            ("http://e.com/a", "2025-01-01T00:00:00Z", b"BODY-A",
+             "text/html"),
+            ("http://e.com/a", "2025-01-01T00:00:00Z", b"k: v",
+             "application/warc-fields", "metadata"),
+            ("http://e.com/a", "2025-02-01T00:00:00Z", b"", "message/http",
+             "revisit", {"WARC-Refers-To-Target-URI": "http://e.com/a",
+                         "WARC-Refers-To-Date": "2025-01-01T00:00:00Z"}),
+        ]
+        got = list(W.iter_warc_records(W.build_warc(recs)))
+        assert [r.warc_type for r in got] == [
+            "request", "response", "metadata", "revisit"]
+        resp = got[1]
+        assert resp.body == b"BODY-A"  # HTTP envelope stripped
+        assert got[0].body != b""      # request body NOT stripped
+        rv = got[3]
+        assert rv.refers_to_uri == "http://e.com/a"
+        assert rv.refers_to_date == "2025-01-01T00:00:00Z"
+        assert got[1].refers_to_uri is None
 
 
 class TestWebp:

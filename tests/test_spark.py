@@ -483,6 +483,36 @@ def test_warc_ingestion_end_to_end(spark, tmp_path):
     assert n_checked > 50
 
 
+def test_warc_fractional_date_and_revisits(spark, tmp_path):
+    """WARC 1.1 permits fractional-second dates — those rows must keep
+    a non-null warc_ts (ADVICE r3); revisit records surface as dedup
+    hints via warc_revisits."""
+    from zpdfspark.kernel.warc import build_warc
+    from zpdfspark.spark.warc_source import warc_documents, warc_revisits
+
+    recs = [
+        ("http://e.com/frac", "2025-01-01T00:00:00.123Z", b"%PDF-1.4 x",
+         "application/pdf"),
+        ("http://e.com/whole", "2025-01-02T00:00:00Z", b"%PDF-1.4 y",
+         "application/pdf"),
+        ("http://e.com/frac", "2025-02-01T00:00:00Z", b"", "message/http",
+         "revisit", {"WARC-Refers-To-Target-URI": "http://e.com/frac",
+                     "WARC-Refers-To-Date": "2025-01-01T00:00:00.123Z"}),
+    ]
+    p = tmp_path / "frac.warc.gz"
+    p.write_bytes(build_warc(recs))
+
+    docs = {r["url"]: r for r in warc_documents(spark, str(p)).collect()}
+    assert set(docs) == {"http://e.com/frac", "http://e.com/whole"}
+    assert docs["http://e.com/frac"]["warc_ts"] is not None
+    assert docs["http://e.com/whole"]["warc_ts"] is not None
+
+    revs = warc_revisits(spark, str(p)).collect()
+    assert len(revs) == 1
+    assert revs[0]["refers_to_uri"] == "http://e.com/frac"
+    assert revs[0]["refers_to_date"] == "2025-01-01T00:00:00.123Z"
+
+
 def test_warc_fused_equals_two_stage(spark, tmp_path):
     """The fused parse+extract kernel (single-pass default) must be
     byte-identical to the two-stage form (warc_documents -> extraction

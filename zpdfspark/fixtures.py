@@ -1234,6 +1234,11 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 # /tmp corpus cache key must include it or stale oracles leak into runs
 CORPUS_VERSION = "v19"
 
+# separate key for the WARC fixture layout (record mix / revisit
+# seeding), so bumping it regenerates /tmp warc caches without
+# invalidating the (unchanged) parquet corpus caches
+WARC_FIXTURE_VERSION = "w2"
+
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
@@ -1315,11 +1320,35 @@ def write_warc_fixture(dir_path: str, n_docs: int, seed: int = 42,
     os.makedirs(dir_path, exist_ok=True)
     rows = list(corpus_rows(n_docs, seed=seed))
     exp = {"url": [], "warc_date": [], "n_bytes": [], "body_md5": []}
+    rev = {"url": [], "warc_date": [], "refers_to_uri": [],
+           "refers_to_date": []}
     for shard in range(shards):
         recs = []
-        for url, ts, pdf, _text, _lang in rows[shard::shards]:
+        for i, (url, ts, pdf, _text, _lang) in enumerate(rows[shard::shards]):
             date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            # Real CC archives interleave request/metadata records per
+            # capture, all carrying WARC-Target-URI — the readers must
+            # keep responses only (ADVICE r3 high/medium regression:
+            # before the fix the fused path emitted ~3x rows here).
+            if i % 5 == 0:
+                recs.append((url, date, b"", "text/plain", "request"))
             recs.append((url, date, pdf, "application/octet-stream"))
+            if i % 5 == 0:
+                recs.append((url, date, b"fetchTimeMs: 12\r\n",
+                             "application/warc-fields", "metadata"))
+            # Seed `revisit` records for every 10th capture: the crawl
+            # re-fetched the url later, found it unchanged, and emitted
+            # a body-less pointer at the prior capture.
+            if i % 10 == 3:
+                rev_date = (ts + timedelta(days=30)).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ")
+                recs.append((url, rev_date, b"", "message/http", "revisit",
+                             {"WARC-Refers-To-Target-URI": url,
+                              "WARC-Refers-To-Date": date}))
+                rev["url"].append(url)
+                rev["warc_date"].append(rev_date)
+                rev["refers_to_uri"].append(url)
+                rev["refers_to_date"].append(date)
             exp["url"].append(url)
             exp["warc_date"].append(date)
             exp["n_bytes"].append(len(pdf))
@@ -1334,6 +1363,12 @@ def write_warc_fixture(dir_path: str, n_docs: int, seed: int = 42,
         "n_bytes": pa.array(exp["n_bytes"], pa.int64()),
         "body_md5": pa.array(exp["body_md5"], pa.string()),
     }), expected)
+    pq.write_table(pa.table({
+        "url": pa.array(rev["url"], pa.string()),
+        "warc_date": pa.array(rev["warc_date"], pa.string()),
+        "refers_to_uri": pa.array(rev["refers_to_uri"], pa.string()),
+        "refers_to_date": pa.array(rev["refers_to_date"], pa.string()),
+    }), os.path.join(dir_path, "expected_revisits.parquet"))
     return os.path.join(dir_path, "*.warc.gz"), expected
 
 

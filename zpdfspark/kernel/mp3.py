@@ -64,6 +64,11 @@ def parse_mp3(raw: bytes) -> dict:
             break  # trailing padding shorter than a header
         h = struct.unpack(">I", raw[pos : pos + 4])[0]
         if (h >> 21) != 0x7FF:
+            # Real MP3s commonly carry APEv2 tags, Lyrics3 blocks, or
+            # junk after the last frame; once at least one frame parsed,
+            # treat sync loss as end-of-stream rather than an error.
+            if n_frames:
+                break
             raise Mp3Error(f"lost sync at byte {pos}")
         version = (h >> 19) & 3
         layer = (h >> 17) & 3

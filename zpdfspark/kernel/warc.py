@@ -29,18 +29,25 @@ class WarcError(Exception):
 
 class WarcRecord:
     __slots__ = ("warc_type", "target_uri", "warc_date", "content_type",
-                 "body", "error")
+                 "body", "error", "refers_to_uri", "refers_to_date")
 
     def __init__(self, warc_type: str = "", target_uri: Optional[str] = None,
                  warc_date: Optional[str] = None,
                  content_type: Optional[str] = None,
-                 body: bytes = b"", error: Optional[str] = None):
+                 body: bytes = b"", error: Optional[str] = None,
+                 refers_to_uri: Optional[str] = None,
+                 refers_to_date: Optional[str] = None):
         self.warc_type = warc_type
         self.target_uri = target_uri
         self.warc_date = warc_date
         self.content_type = content_type
         self.body = body
         self.error = error
+        # `revisit` records (WARC 1.1 §6.7; Common Crawl emits one per
+        # unchanged re-capture) point at the prior capture they
+        # duplicate — the crawl's own dedup hint.
+        self.refers_to_uri = refers_to_uri
+        self.refers_to_date = refers_to_date
 
 
 def _gunzip_members(raw: bytes) -> bytes:
@@ -127,7 +134,9 @@ def iter_warc_records(raw: bytes) -> Iterator[WarcRecord]:
             target_uri=headers.get("warc-target-uri"),
             warc_date=headers.get("warc-date"),
             content_type=headers.get("content-type"),
-            body=body)
+            body=body,
+            refers_to_uri=headers.get("warc-refers-to-target-uri"),
+            refers_to_date=headers.get("warc-refers-to-date"))
         # records are followed by \r\n\r\n per the spec; resync is
         # magic-based so a missing separator cannot shift the stream
         pos = body_start + length
@@ -136,24 +145,42 @@ def iter_warc_records(raw: bytes) -> Iterator[WarcRecord]:
 def build_warc(records, per_record_gzip: bool = True) -> bytes:
     """Minimal WARC writer for fixtures/tests — the independent
     direction against iter_warc_records. `records` is an iterable of
-    (target_uri, warc_date, payload_bytes, content_type); each becomes
-    a `response` record with a plain HTTP 200 envelope, gzipped as its
-    own member when per_record_gzip (the Common Crawl layout)."""
+    (target_uri, warc_date, payload_bytes, content_type) 4-tuples
+    (each a `response` record with a plain HTTP 200 envelope) or
+    (..., warc_type, extra_headers) 5/6-tuples for non-response
+    records (`request` gets an HTTP request envelope; `metadata`/
+    `revisit`/... carry the payload raw, matching real crawls where
+    only responses are HTTP-response-wrapped). Each record is gzipped
+    as its own member when per_record_gzip (the Common Crawl layout)."""
     import gzip as _gzip
 
     out = bytearray()
-    for uri, date, payload, ctype in records:
-        http = (b"HTTP/1.1 200 OK\r\nContent-Type: "
-                + ctype.encode("latin-1")
-                + b"\r\nContent-Length: " + str(len(payload)).encode()
-                + b"\r\n\r\n" + payload)
-        hdr = (
+    for rec_tuple in records:
+        uri, date, payload, ctype = rec_tuple[:4]
+        wtype = rec_tuple[4] if len(rec_tuple) > 4 else "response"
+        extra = rec_tuple[5] if len(rec_tuple) > 5 else {}
+        if wtype == "response":
+            body = (b"HTTP/1.1 200 OK\r\nContent-Type: "
+                    + ctype.encode("latin-1")
+                    + b"\r\nContent-Length: " + str(len(payload)).encode()
+                    + b"\r\n\r\n" + payload)
+            rec_ctype = b"application/http; msgtype=response"
+        elif wtype == "request":
+            body = (b"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n" + payload)
+            rec_ctype = b"application/http; msgtype=request"
+        else:
+            body = payload
+            rec_ctype = ctype.encode("latin-1")
+        hdr = bytearray(
             b"WARC/1.0\r\n"
-            b"WARC-Type: response\r\n"
+            b"WARC-Type: " + wtype.encode("latin-1") + b"\r\n"
             b"WARC-Target-URI: " + uri.encode("latin-1") + b"\r\n"
-            b"WARC-Date: " + date.encode("latin-1") + b"\r\n"
-            b"Content-Type: application/http; msgtype=response\r\n"
-            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n")
-        rec = hdr + http + b"\r\n\r\n"
+            b"WARC-Date: " + date.encode("latin-1") + b"\r\n")
+        for k, v in extra.items():
+            hdr += (k.encode("latin-1") + b": " + v.encode("latin-1")
+                    + b"\r\n")
+        hdr += (b"Content-Type: " + rec_ctype + b"\r\n"
+                b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n")
+        rec = bytes(hdr) + body + b"\r\n\r\n"
         out += (_gzip.compress(rec, mtime=0) if per_record_gzip else rec)
     return bytes(out)

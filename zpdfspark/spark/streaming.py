@@ -142,7 +142,11 @@ def start_streaming_warc_ingest(
                 for content in b["content"]:
                     try:
                         for rec in iter_warc_records(bytes(content)):
-                            if not rec.error and rec.target_uri:
+                            # Response-only, matching warc_source.read_warc
+                            # (request/metadata records also carry
+                            # WARC-Target-URI on real crawls).
+                            if (not rec.error and rec.target_uri
+                                    and rec.warc_type == "response"):
                                 rows["url"].append(rec.target_uri)
                                 rows["html"].append(rec.body)
                     except WarcError:

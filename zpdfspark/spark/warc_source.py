@@ -86,10 +86,53 @@ def warc_documents(spark: SparkSession, path: str) -> DataFrame:
         rec.where(F.col("parse_error").isNull() & F.col("url").isNotNull())
         .select(
             "url",
-            F.to_timestamp(F.col("warc_date"),
-                           "yyyy-MM-dd'T'HH:mm:ssX").alias("warc_ts"),
+            # WARC 1.1 permits fractional seconds (…T00:00:00.123Z);
+            # the fixed ssX pattern alone would drop those rows (under
+            # ANSI it even throws). try_ whole-second first, then a
+            # lenient parse — null only if neither form matches.
+            F.coalesce(
+                F.try_to_timestamp(F.col("warc_date"),
+                                   F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
+                F.try_to_timestamp(F.col("warc_date")),
+            ).alias("warc_ts"),
             "html")
     )
+
+
+def warc_revisits(spark: SparkSession, path: str) -> DataFrame:
+    """`revisit` records (WARC 1.1 §6.7) as dedup hints: Common Crawl
+    emits one per unchanged re-capture, pointing at the prior capture
+    via WARC-Refers-To-Target-URI/-Date. Surfacing them lets the
+    re-crawl merge (recrawl_latest) skip re-extraction for unchanged
+    pages — the crawl's own dedup signal, far cheaper than content
+    hashing. Same file-per-task map-only shape as read_warc; bodies
+    are never carried (revisits are body-less pointers)."""
+    binary = spark.read.format("binaryFile").load(path)
+
+    def batches(it):
+        import pandas as pd
+
+        from zpdfspark.kernel.warc import WarcError, iter_warc_records
+
+        for b in it:
+            rows = {"url": [], "warc_date": [], "refers_to_uri": [],
+                    "refers_to_date": []}
+            for content in b["content"]:
+                try:
+                    for rec in iter_warc_records(bytes(content)):
+                        if rec.error or rec.warc_type != "revisit":
+                            continue
+                        rows["url"].append(rec.target_uri)
+                        rows["warc_date"].append(rec.warc_date)
+                        rows["refers_to_uri"].append(rec.refers_to_uri)
+                        rows["refers_to_date"].append(rec.refers_to_date)
+                except WarcError:
+                    continue
+            yield pd.DataFrame(rows)
+
+    return binary.select("content").mapInPandas(
+        batches, "url string, warc_date string, refers_to_uri string, "
+                 "refers_to_date string")
 
 
 def warc_extract_arrow_batches(mode: str = "accuracy",
@@ -122,7 +165,13 @@ def warc_extract_arrow_batches(mode: str = "accuracy",
                     raw = contents[j].as_py()
                     try:
                         for rec in iter_warc_records(raw):
-                            if rec.error or not rec.target_uri:
+                            # Response-only, matching read_warc: real CC
+                            # archives interleave request/metadata records
+                            # per capture, all carrying WARC-Target-URI;
+                            # keeping them would emit ~3x rows with raw
+                            # HTTP-request/metadata bytes as bodies.
+                            if (rec.error or not rec.target_uri
+                                    or rec.warc_type != "response"):
                                 continue
                             urls.append(rec.target_uri)
                             bodies.append(rec.body)
