@@ -100,24 +100,41 @@ def connected_components(edges: DataFrame, src: str = "src",
     spark = edges.sparkSession
     if max_rounds is None:
         max_rounds = 64
-    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
-    if e.isEmpty():
-        return spark.createDataFrame(
-            [], "node long, rep long")
-    converged = False
-    rounds = 0
-    for rounds in range(1, max_rounds + 1):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # converged when the (canonical, distinct) edge set is unchanged:
-        # probe symmetric difference with early-exit limit(1) counts
-        changed = (
-            nxt.exceptAll(e).limit(1).count()
-            + e.exceptAll(nxt).limit(1).count()
-        )
-        e = nxt
-        if changed == 0:
-            converged = True
-            break
+    # Catalyst's constraint propagation is O(plan^2) and has a known
+    # failure mode on iterative self-union plans (Union constraint
+    # rewriting dies with "key not found: <attr>" when round N's plan
+    # references attributes from round N-1 — hit by range-generated
+    # edge lists). Disabling it during the loop is the established
+    # practice for iterative graph algorithms on Spark (GraphFrames
+    # ships the same advice); restored afterwards.
+    _CP = "spark.sql.constraintPropagation.enabled"
+    old_cp = spark.conf.get(_CP, None)
+    spark.conf.set(_CP, "false")
+    try:
+        e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+        if e.isEmpty():
+            return spark.createDataFrame(
+                [], "node long, rep long")
+        converged = False
+        rounds = 0
+        for rounds in range(1, max_rounds + 1):
+            nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            # converged when the (canonical, distinct) edge set is
+            # unchanged: probe symmetric difference with early-exit
+            # limit(1) counts
+            changed = (
+                nxt.exceptAll(e).limit(1).count()
+                + e.exceptAll(nxt).limit(1).count()
+            )
+            e = nxt
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        if old_cp is None:
+            spark.conf.unset(_CP)
+        else:
+            spark.conf.set(_CP, old_cp)
     if _round_counter is not None:
         _round_counter.append(rounds)
     if not converged:
