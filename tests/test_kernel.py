@@ -682,14 +682,61 @@ class TestJpeg:
         with pytest.raises(J.JpegError, match="too large"):
             J.decode_jpeg(raw)
 
-    def test_progressive_rejected(self):
+    def test_hierarchical_and_arithmetic_rejected(self):
         import struct
         from zpdfspark.kernel import jpeg as J
-        sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-        raw = (b"\xff\xd8"
-               + struct.pack(">BBH", 0xFF, 0xC2, len(sof2) + 2) + sof2)
-        with pytest.raises(J.JpegError, match="baseline"):
-            J.decode_jpeg(raw)
+        for m in (0xC3, 0xC9, 0xCB):  # lossless, arith sequential, ...
+            sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+            raw = (b"\xff\xd8"
+                   + struct.pack(">BBH", 0xFF, m, len(sof) + 2) + sof)
+            with pytest.raises(J.JpegError, match="baseline/progressive"):
+                J.decode_jpeg(raw)
+
+    def test_progressive_decodes_identical_to_baseline(self):
+        """SOF2 spectral selection + successive approximation completes
+        at Al=0, so progressive and baseline streams carry identical
+        coefficients — decode must match BIT-FOR-BIT, including 4:2:0
+        subsampling, multi-bit approximation, and multi-band splits."""
+        import numpy as np
+        from zpdfspark.kernel import jpeg as J
+        rng = np.random.default_rng(11)
+        cases = [
+            ((16, 24, 3), False, dict()),
+            ((16, 24, 3), True, dict()),
+            ((31, 17), False, dict()),
+            ((33, 29, 3), True, dict(dc_al=2, ac_al=2,
+                                     bands=((1, 2), (3, 20), (21, 63)))),
+            ((8, 8), False, dict(bands=((1, 63),))),
+        ]
+        for shape, sub, kw in cases:
+            px = rng.integers(0, 256, size=shape).astype(np.uint8)
+            b = J.decode_jpeg(J.encode_jpeg(px, quant=1, subsample=sub))
+            p = J.decode_jpeg(J.encode_jpeg_progressive(
+                px, quant=1, subsample=sub, **kw))
+            assert b[:3] == p[:3], (shape, sub)
+            assert np.array_equal(b[3], p[3]), (shape, sub, kw)
+
+    def test_progressive_mutation_fuzz(self):
+        """Hostile progressive streams must raise JpegError only (the
+        permissive-parsing contract) — never crash, hang, or IndexError."""
+        import random
+        import numpy as np
+        from zpdfspark.kernel import jpeg as J
+        rng = np.random.default_rng(5)
+        base = J.encode_jpeg_progressive(
+            rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8),
+            quant=1, subsample=True)
+        rnd = random.Random(13)
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(rnd.randint(1, 12)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+            raw = bytes(b[:rnd.randrange(2, len(b))]
+                        if rnd.random() < 0.3 else b)
+            try:
+                J.decode_jpeg(raw)
+            except J.JpegError:
+                pass  # the only acceptable failure mode
 
     def test_image_expected_matches_decoder(self):
         # the fixtures-side header read (independent ground truth) must

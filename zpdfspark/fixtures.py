@@ -737,6 +737,32 @@ def jpeg_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
                        restart_interval=(1 if i % 2 else 0)), None
 
 
+def jpeg_progressive_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic progressive (SOF2) JPEG — the majority encoding of
+    real crawl JPEGs (r3-verdict ask #8): spectral-selection bands +
+    successive approximation, grayscale/RGB/4:2:0 by i. Dims ground
+    truth carried via the SOF header re-read (_image_expected), and the
+    decode path is pinned bit-identical to baseline in test_kernel."""
+    import numpy as np
+
+    from .kernel.jpeg import encode_jpeg_progressive
+
+    w, h = 10 + i % 7, 8 + i % 5
+    y, x = np.mgrid[0:h, 0:w]
+    if i % 3 == 0:  # grayscale, multi-bit successive approximation
+        px = ((x * 19 + y * 5 + i) % 256).astype(np.uint8)
+        return encode_jpeg_progressive(px, dc_al=2, ac_al=2), None
+    if i % 3 == 1:  # RGB 4:4:4, three spectral bands
+        px = np.stack([
+            (x * 29 + i) % 256, (y * 13 + 2 * i) % 256,
+            (x + y + 3 * i) % 256], axis=-1).astype(np.uint8)
+        return encode_jpeg_progressive(
+            px, bands=((1, 2), (3, 20), (21, 63))), None
+    # RGB 4:2:0
+    px = np.stack([(y * 7 + i) % 256] * 3, axis=-1).astype(np.uint8)
+    return encode_jpeg_progressive(px, subsample=True), None
+
+
 def wav_audio(i: int = 0) -> Tuple[bytes, Optional[str]]:
     """Deterministic 16-bit PCM WAV (multimodal audio payload row):
     quantized sine + ramp waveform seeded by i, mono/stereo by parity,
@@ -1180,6 +1206,10 @@ def _register():
     def g_jpeg(i):
         return jpeg_image(i)
 
+    @var("jpeg_prog")
+    def g_jpeg_prog(i):
+        return jpeg_progressive_image(i)
+
     @var("wav")
     def g_wav(i):
         return wav_audio(i)
@@ -1232,7 +1262,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v19"
+CORPUS_VERSION = "v20"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -1580,19 +1610,19 @@ def _image_expected(raw: bytes, kind: str):
         color_type = raw[25]
         channels = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}[color_type]
         return w, h, channels
-    # jpeg: walk markers to SOF0 (the layout our encoder emits has no
-    # entropy data before SOF0, so a plain marker walk suffices)
+    # jpeg: walk markers to SOF0/SOF2 (the layout our encoders emit has
+    # no entropy data before the SOF, so a plain marker walk suffices)
     pos = 2
     while pos + 4 <= len(raw):
         assert raw[pos] == 0xFF
         marker = raw[pos + 1]
         (seglen,) = struct.unpack(">H", raw[pos + 2:pos + 4])
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC2):
             h, w = struct.unpack(">HH", raw[pos + 5:pos + 9])
             nc = raw[pos + 9]
             return w, h, nc
         pos += 2 + seglen
-    raise AssertionError("fixture jpeg without SOF0")
+    raise AssertionError("fixture jpeg without SOF")
 
 
 # GENERATOR-SIDE ground truth for the X-family columns (round-2 verdict

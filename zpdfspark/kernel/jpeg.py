@@ -159,18 +159,259 @@ def _split_entropy(raw: bytes, pos: int) -> Tuple[List[bytes], int]:
     return segments, i
 
 
+def _frame_geometry(frame):
+    """Validate frame dims/sampling and return per-component geometry
+    tuples (hs, vs, bx_pad, by_pad, nbw, nbh): MCU-padded block grid for
+    interleaved scans, true block grid (T.81 A.1.1: ceil(ceil(dim *
+    s/smax)/8)) for non-interleaved single-component scans."""
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise JpegError("zero dimension")
+    if h * w * len(comps) > MAX_PIXEL_BYTES:
+        raise JpegError("image too large")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        raise JpegError("unsupported sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geom = []
+    for _cid, hs, vs, _tq in comps:
+        if hs not in (1, 2) or vs not in (1, 2):
+            raise JpegError("unsupported sampling factors")
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        geom.append((hs, vs, mcux * hs, mcuy * vs,
+                     -(-cw // 8), -(-ch // 8)))
+    return geom
+
+
+def _decode_scan(frame, geom, coefs, huff, order, tables, segments,
+                 restart_interval, progressive, ss, se, ah, al):
+    """Decode one entropy-coded scan into the coefficient store.
+    Baseline: DC+AC per block, interleaved (or single-component grid
+    when ns == 1). Progressive: the four T.81 G.1.2 scan kinds — DC
+    first / DC refine (1 bit per block) / AC first (EOB runs) / AC
+    refine (correction bits). Restart segments reset DC predictors and
+    the EOB run."""
+    h, w, comps = frame
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    if not order:
+        raise JpegError("empty scan")
+    try:
+        sel = [cid_to_ci[cs] for cs in order]
+    except KeyError:
+        raise JpegError("scan references unknown component")
+    if len(set(sel)) != len(sel):
+        raise JpegError("duplicate component in scan")
+    if ss > se or se > 63:
+        raise JpegError("bad spectral selection")
+    if progressive and ss == 0 and se != 0:
+        raise JpegError("progressive DC scan must have Se=0")
+    if ss > 0 and len(sel) != 1:
+        raise JpegError("AC scan must be single-component")
+    if al > 13 or ah > 13:
+        raise JpegError("bad successive approximation")
+
+    dc_tabs = {}
+    ac_tabs = {}
+    for cs, ci in zip(order, sel):
+        td, ta = tables[cs]
+        if ss == 0 and ah == 0:  # DC first / baseline need a DC table
+            if (0, td) not in huff:
+                raise JpegError("missing Huffman table")
+            dc_tabs[ci] = huff[(0, td)]
+        if (not progressive) or ss > 0:  # baseline AC / AC scans
+            if ah == 0 or ss > 0:
+                if (1, ta) not in huff:
+                    raise JpegError("missing Huffman table")
+                ac_tabs[ci] = huff[(1, ta)]
+
+    interleaved = len(sel) > 1
+    if interleaved:
+        hmax = max(c[1] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        vmax = max(c[2] for c in comps)
+        mcuy = -(-h // (8 * vmax))
+        units_total = mcux * mcuy
+    else:
+        ci0 = sel[0]
+        nbw, nbh = geom[ci0][4], geom[ci0][5]
+        units_total = nbw * nbh
+    per_segment = restart_interval if restart_interval else units_total
+
+    ac_first = progressive and ss > 0 and ah == 0
+    ac_refine = progressive and ss > 0 and ah > 0
+    dc_refine = progressive and ss == 0 and ah > 0
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def decode_baseline_block(br, blk, by, bx, ci, preds):
+        dc_tab, ac_tab = dc_tabs[ci], ac_tabs[ci]
+        s = br.read_symbol(dc_tab)
+        if s > 11:
+            raise JpegError("bad DC category")
+        preds[ci] += _extend(br.read_bits(s), s)
+        blk[by, bx, 0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = br.read_symbol(ac_tab)
+            r, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise JpegError("AC index overflow")
+            blk[by, bx, k] = _extend(br.read_bits(sz), sz)
+            k += 1
+
+    def decode_ac_first_block(br, blk, by, bx, ci, state):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        ac_tab = ac_tabs[ci]
+        k = ss
+        while k <= se:
+            rs = br.read_symbol(ac_tab)
+            r, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    state["eobrun"] = eobrun - 1
+                    return
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise JpegError("AC index overflow")
+            blk[by, bx, k] = _extend(br.read_bits(sz), sz) << al
+            k += 1
+
+    def refine_nonzero(br, blk, by, bx, k):
+        v = int(blk[by, bx, k])
+        if br.read_bit() and (v & p1) == 0:
+            blk[by, bx, k] = v + (p1 if v >= 0 else m1)
+
+    def decode_ac_refine_block(br, blk, by, bx, ci, state):
+        # T.81 G.1.2.3 correction-bit procedure (the libjpeg
+        # decode_mcu_AC_refine control flow)
+        ac_tab = ac_tabs[ci]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = br.read_symbol(ac_tab)
+                r, sz = rs >> 4, rs & 15
+                newval = 0
+                if sz:
+                    if sz != 1:
+                        raise JpegError("bad refinement magnitude")
+                    newval = p1 if br.read_bit() else m1
+                else:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        state["eobrun"] = eobrun
+                        break
+                # advance over r zero-history coefficients, emitting
+                # correction bits for intervening nonzeros
+                while k <= se:
+                    if blk[by, bx, k] != 0:
+                        refine_nonzero(br, blk, by, bx, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if sz and k <= se:
+                    blk[by, bx, k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[by, bx, k] != 0:
+                    refine_nonzero(br, blk, by, bx, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    unit = 0
+    seg_idx = 0
+    br = None
+    preds = [0] * len(comps)
+    state = {"eobrun": 0}
+    while unit < units_total:
+        if unit % per_segment == 0:
+            if seg_idx >= len(segments):
+                raise JpegError("missing restart segment")
+            br = _BitReader(segments[seg_idx])
+            seg_idx += 1
+            preds = [0] * len(comps)
+            state["eobrun"] = 0
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for ci in sel:
+                hs, vs = geom[ci][0], geom[ci][1]
+                blk = coefs[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        yy, xx = my * vs + by, mx * hs + bx
+                        if not progressive:
+                            decode_baseline_block(br, blk, yy, xx, ci,
+                                                  preds)
+                        elif dc_refine:
+                            if br.read_bit():
+                                blk[yy, xx, 0] = int(blk[yy, xx, 0]) | p1
+                        else:  # DC first
+                            s = br.read_symbol(dc_tabs[ci])
+                            if s > 11:
+                                raise JpegError("bad DC category")
+                            preds[ci] += _extend(br.read_bits(s), s)
+                            blk[yy, xx, 0] = preds[ci] << al
+        else:
+            ci = sel[0]
+            blk = coefs[ci]
+            yy, xx = divmod(unit, nbw)
+            if not progressive:
+                decode_baseline_block(br, blk, yy, xx, ci, preds)
+            elif ac_first:
+                decode_ac_first_block(br, blk, yy, xx, ci, state)
+            elif ac_refine:
+                decode_ac_refine_block(br, blk, yy, xx, ci, state)
+            elif dc_refine:
+                if br.read_bit():
+                    blk[yy, xx, 0] = int(blk[yy, xx, 0]) | p1
+            else:  # DC first, single component
+                s = br.read_symbol(dc_tabs[ci])
+                if s > 11:
+                    raise JpegError("bad DC category")
+                preds[ci] += _extend(br.read_bits(s), s)
+                blk[yy, xx, 0] = preds[ci] << al
+        unit += 1
+
+
 def decode_jpeg(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
     """raw JPEG bytes -> (width, height, channels, pixels[h, w, c] uint8).
 
-    3-component scans are converted JFIF YCbCr -> RGB; 1-component
-    scans return grayscale (channels == 1)."""
+    Baseline (SOF0/1) and progressive (SOF2: spectral selection +
+    successive approximation, ITU T.81 G.1.2) both decode through the
+    same per-component coefficient store; every scan accumulates into
+    it and reconstruction (dequant + batched IDCT + upsample + color
+    convert) runs once at EOI. 3-component images convert JFIF
+    YCbCr -> RGB; 1-component images return grayscale."""
     if len(raw) < 4 or raw[0] != 0xFF or raw[1] != 0xD8:
         raise JpegError("bad SOI")
     qt: Dict[int, np.ndarray] = {}
     huff: Dict[Tuple[int, int], _Huff] = {}  # (class, id) -> table
     frame = None  # (h, w, comps) where comps = [(id, hs, vs, tq)]
+    progressive = False
     restart_interval = 0
-    scan = None
+    coefs = None  # per component: int32 [blocks_y, blocks_x, 64] zigzag
+    geom = None
+    n_scans = 0
     pos = 2
     n = len(raw)
     while pos + 4 <= n:
@@ -216,7 +457,9 @@ def decode_jpeg(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
                     raise JpegError("short DHT")
                 huff[(tc, th)] = _Huff(counts, seg[i + 17:i + 17 + total])
                 i += 17 + total
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            if frame is not None:
+                raise JpegError("multiple SOF")
             if len(seg) < 6:
                 raise JpegError("short SOF")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
@@ -232,9 +475,13 @@ def decode_jpeg(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * c]))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+            geom = _frame_geometry(frame)
+            coefs = [np.zeros((g[3], g[2], 64), dtype=np.int64)
+                     for g in geom]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError("only baseline sequential DCT supported")
+            raise JpegError("only baseline/progressive DCT supported")
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise JpegError("short DRI")
@@ -242,98 +489,51 @@ def decode_jpeg(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
+            n_scans += 1
+            if n_scans > 64:  # hostile-input scan-count bound
+                raise JpegError("too many scans")
             ns = seg[0]
             if len(seg) < 1 + 2 * ns + 3:
                 raise JpegError("short SOS")
             tables = {}
+            order = []
             for c in range(ns):
                 cs = seg[1 + 2 * c]
                 td_ta = seg[2 + 2 * c]
                 tables[cs] = (td_ta >> 4, td_ta & 15)
+                order.append(cs)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
             segments, pos = _split_entropy(raw, pos)
-            scan = (tables, segments)
-            break  # single-scan baseline: decode below
+            _decode_scan(frame, geom, coefs, huff, order, tables,
+                         segments, restart_interval, progressive,
+                         ss, se, ah, al)
+            if not progressive:
+                break  # single-scan baseline
         # else: APPn/COM/unknown — skipped via seglen
-    if frame is None or scan is None:
+    if frame is None or n_scans == 0:
         raise JpegError("missing SOF/SOS")
     h, w, comps = frame
-    if h == 0 or w == 0:
-        raise JpegError("zero dimension")
-    if h * w * len(comps) > MAX_PIXEL_BYTES:
-        raise JpegError("image too large")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
-        raise JpegError("unsupported sampling factors")
-    for _, hs, vs, _ in comps:
-        if hs not in (1, 2) or vs not in (1, 2):
-            raise JpegError("unsupported sampling factors")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    tables, segments = scan
-    planes = []
-    for cid, hs, vs, tq in comps:
-        if tq not in qt:
-            raise JpegError("missing quant table")
-        if cid not in tables:
-            raise JpegError("scan missing component")
-        td, ta = tables[cid]
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise JpegError("missing Huffman table")
-        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8),
-                               dtype=np.float64))
-
-    mcus_total = mcux * mcuy
-    per_segment = restart_interval if restart_interval else mcus_total
-    mcu = 0
-    seg_idx = 0
-    br = None
-    preds = [0] * len(comps)
-    while mcu < mcus_total:
-        if mcu % per_segment == 0:
-            if seg_idx >= len(segments):
-                raise JpegError("missing restart segment")
-            br = _BitReader(segments[seg_idx])
-            seg_idx += 1
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcux)
-        for ci, (cid, hs, vs, tq) in enumerate(comps):
-            td, ta = tables[cid]
-            dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
-            q = qt[tq]
-            for by in range(vs):
-                for bx in range(hs):
-                    coef = np.zeros(64, dtype=np.float64)
-                    s = br.read_symbol(dc_tab)
-                    if s > 11:
-                        raise JpegError("bad DC category")
-                    preds[ci] += _extend(br.read_bits(s), s)
-                    coef[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = br.read_symbol(ac_tab)
-                        r, sz = rs >> 4, rs & 15
-                        if sz == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise JpegError("AC index overflow")
-                        coef[k] = _extend(br.read_bits(sz), sz)
-                        k += 1
-                    blk = np.zeros(64, dtype=np.float64)
-                    blk[ZIGZAG] = coef * q
-                    spatial = _A.T @ blk.reshape(8, 8) @ _A
-                    y0 = (my * vs + by) * 8
-                    x0 = (mx * hs + bx) * 8
-                    planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
-        mcu += 1
 
     out = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
-        p = planes[ci] + 128.0
+        if tq not in qt:
+            raise JpegError("missing quant table")
+        q = qt[tq]
+        cf = coefs[ci].reshape(-1, 64).astype(np.float64)
+        raster = np.zeros_like(cf)
+        raster[:, ZIGZAG] = cf * q[None, :]
+        spatial = np.einsum(
+            "ij,bjk,kl->bil", _A.T, raster.reshape(-1, 8, 8), _A)
+        nbh, nbw = coefs[ci].shape[0], coefs[ci].shape[1]
+        plane = (spatial.reshape(nbh, nbw, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(nbh * 8, nbw * 8))
+        p = plane + 128.0
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out.append(p[:h, :w])
     if len(out) == 1:
@@ -551,5 +751,295 @@ def encode_jpeg(pixels: np.ndarray, quant: int = 1,
         + bytes([0, 63, 0])
     out += marker(0xDA, sos)
     out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _quantize_components(pixels: np.ndarray, quant: int,
+                         subsample: bool):
+    """Shared encoder front half: color convert, (optionally)
+    subsample, pad, FDCT, quantize. Returns (h, w, c, samp,
+    [per-comp zigzag coef arrays [by_pad, bx_pad, 64] int64],
+    [per-comp true block grid (nbw, nbh)], qtab)."""
+    arr = np.asarray(pixels, dtype=np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError("supports 1 or 3 channels")
+    if c == 3:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        chans = [y, cb, cr]
+    else:
+        chans = [arr[:, :, 0]]
+        subsample = False
+    a = _enc_dct_matrix()
+    qtab = np.full(64, quant, dtype=np.float64)
+    samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * c
+    hmax = max(s[0] for s in samp[:c])
+    vmax = max(s[1] for s in samp[:c])
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    inv_zz = np.empty(64, dtype=np.int64)
+    inv_zz[ZIGZAG] = np.arange(64)
+    coefs = []
+    grids = []
+    for ci in range(c):
+        hs, vs = samp[ci]
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        ch = chans[ci]
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            padded = np.empty((math.ceil(h / fy) * fy,
+                               math.ceil(w / fx) * fx))
+            padded[:h, :w] = ch
+            padded[h:, :w] = ch[h - 1:h, :]
+            padded[:, w:] = padded[:, w - 1:w]
+            ch = padded.reshape(padded.shape[0] // fy, fy,
+                                padded.shape[1] // fx, fx).mean(axis=(1, 3))
+        plane = np.empty((ph, pw))
+        ch_h, ch_w = ch.shape
+        plane[:ch_h, :ch_w] = ch
+        plane[ch_h:, :ch_w] = ch[ch_h - 1:ch_h, :]
+        plane[:, ch_w:] = plane[:, ch_w - 1:ch_w]
+        plane = plane - 128.0
+        nbh, nbw = ph // 8, pw // 8
+        # per-block matmul with the exact op order of encode_jpeg's
+        # inner loop: a batched einsum differs in the last ulp, which
+        # flips np.round on knife-edge coefficients — the progressive
+        # and baseline encoders must quantize bit-identically for the
+        # decode(progressive) == decode(baseline) differential to hold
+        cz = np.empty((nbh, nbw, 64), dtype=np.int64)
+        for by in range(nbh):
+            for bx in range(nbw):
+                block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coef = a @ block @ a.T
+                q = np.round(coef.reshape(64) / qtab[inv_zz])
+                cz[by, bx] = q[ZIGZAG].astype(np.int64)
+        coefs.append(cz)
+        grids.append((-(-ch_w // 8), -(-ch_h // 8)))
+    return h, w, c, samp, coefs, grids, qtab
+
+
+def _prog_ac_table():
+    """AC table for progressive scans: every (run<<4)|size symbol for
+    size 0..10 — includes the EOBn codes (size 0, run < 15) baseline
+    never uses. 176 nine-bit codes, Kraft-valid by construction."""
+    syms = bytearray()
+    for r in range(16):
+        for s in range(0, 11):
+            syms.append((r << 4) | s)
+    counts = [0] * 16
+    counts[8] = len(syms)
+    codes = {sym: (9, i) for i, sym in enumerate(syms)}
+    return counts, bytes(syms), codes
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quant: int = 1,
+                            subsample: bool = False,
+                            dc_al: int = 1, ac_al: int = 1,
+                            bands: Tuple = ((1, 5), (6, 63))) -> bytes:
+    """Progressive (SOF2) encoder — the independent fixtures/tests
+    direction for the decoder's T.81 G.1.2 scan kinds. Emits: one
+    interleaved DC-first scan at Al=dc_al, DC-refine bit-plane scans
+    down to Al=0, then per component and per spectral band an AC-first
+    scan at Al=ac_al followed by AC-refine scans down to Al=0 (the
+    jcphuff correction-bit discipline: buffered bits ride the EOB
+    run). With successive approximation completing at Al=0 the
+    coefficients are bit-identical to the baseline encoder's, so
+    decode(progressive) must equal decode(baseline) EXACTLY."""
+    h, w, c, samp, coefs, grids, qtab = _quantize_components(
+        pixels, quant, subsample)
+    hmax = max(s[0] for s in samp[:c])
+    vmax = max(s[1] for s in samp[:c])
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    (dc_counts, dc_syms, dc_codes, *_rest) = _enc_tables()
+    ac_counts, ac_syms, ac_codes = _prog_ac_table()
+
+    def marker(m: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, m, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += marker(0xDB, bytes([0x00])
+                  + bytes(int(qtab[i]) for i in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, c)
+    for ci in range(c):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += marker(0xC2, sof)
+    out += marker(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_syms)
+    out += marker(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_syms)
+
+    def sos(comps_ids, ss, se, ah, al, body):
+        hdr = bytes([len(comps_ids)]) + b"".join(
+            bytes([cid, 0x00]) for cid in comps_ids) + bytes([ss, se,
+                                                             (ah << 4) | al])
+        return marker(0xDA, hdr) + body
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(c):
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, my * vs + by, mx * hs + bx
+
+    # ---- DC first scan (interleaved, point transform dc_al) ----
+    bw = _BitWriter()
+    preds = [0] * c
+    for ci, yy, xx in mcu_blocks():
+        v = int(coefs[ci][yy, xx, 0]) >> dc_al
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = _category(diff)
+        length, code = dc_codes[s]
+        bw.write(code, length)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += sos(list(range(1, c + 1)), 0, 0, 0, dc_al, bw.flush())
+
+    # ---- DC refine scans: one bit plane per scan ----
+    for al in range(dc_al - 1, -1, -1):
+        bw = _BitWriter()
+        for ci, yy, xx in mcu_blocks():
+            bw.write((int(coefs[ci][yy, xx, 0]) >> al) & 1, 1)
+        out += sos(list(range(1, c + 1)), 0, 0, al + 1, al, bw.flush())
+
+    # ---- AC scans: per component, per band ----
+    for ci in range(c):
+        nbw, nbh = grids[ci]
+
+        def blocks():
+            for yy in range(nbh):
+                for xx in range(nbw):
+                    yield coefs[ci][yy, xx]
+
+        for (ss, se) in bands:
+            # first scan at Al=ac_al
+            bw = _BitWriter()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    length, code = ac_codes[r << 4]
+                    bw.write(code, length)
+                    if r:
+                        bw.write(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for blk in blocks():
+                tvs = [(int(v) >> ac_al if v >= 0
+                        else -((-int(v)) >> ac_al))
+                       for v in blk[ss:se + 1]]
+                last = -1
+                for i, tv in enumerate(tvs):
+                    if tv:
+                        last = i
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(last + 1):
+                    tv = tvs[i]
+                    if tv == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        length, code = ac_codes[0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    s = _category(tv)
+                    length, code = ac_codes[(run << 4) | s]
+                    bw.write(code, length)
+                    bw.write(tv if tv >= 0 else tv + (1 << s) - 1, s)
+                    run = 0
+                if last < se - ss:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+            out += sos([ci + 1], ss, se, 0, ac_al, bw.flush())
+
+        for (ss, se) in bands:
+            # refine scans down to Al=0 (jcphuff encode_mcu_AC_refine)
+            for al in range(ac_al - 1, -1, -1):
+                bw = _BitWriter()
+                eobrun = 0
+                pend: List[int] = []  # correction bits riding the EOB run
+
+                def flush_eob_br():
+                    nonlocal eobrun
+                    if eobrun:
+                        r = eobrun.bit_length() - 1
+                        length, code = ac_codes[r << 4]
+                        bw.write(code, length)
+                        if r:
+                            bw.write(eobrun - (1 << r), r)
+                        eobrun = 0
+                    for bit in pend:
+                        bw.write(bit, 1)
+                    pend.clear()
+
+                for blk in blocks():
+                    vals = [int(v) for v in blk[ss:se + 1]]
+                    t = [abs(v) >> al for v in vals]
+                    eob = -1
+                    for i, tv in enumerate(t):
+                        if tv == 1:
+                            eob = i
+                    run = 0
+                    loc: List[int] = []
+                    emitted = False
+                    for i, tv in enumerate(t):
+                        if tv == 0:
+                            run += 1
+                            continue
+                        while run > 15 and i <= eob:
+                            flush_eob_br()
+                            length, code = ac_codes[0xF0]
+                            bw.write(code, length)
+                            run -= 16
+                            for bit in loc:
+                                bw.write(bit, 1)
+                            loc = []
+                            emitted = True
+                        if tv > 1:
+                            loc.append(tv & 1)
+                            continue
+                        # newly significant (tv == 1)
+                        flush_eob_br()
+                        length, code = ac_codes[(run << 4) | 1]
+                        bw.write(code, length)
+                        bw.write(1 if vals[i] >= 0 else 0, 1)
+                        for bit in loc:
+                            bw.write(bit, 1)
+                        loc = []
+                        run = 0
+                        emitted = True
+                    if run > 0 or loc:
+                        eobrun += 1
+                        pend.extend(loc)
+                        if eobrun == 0x7FFF or len(pend) > 900:
+                            flush_eob_br()
+                    elif not emitted:
+                        # band all-zero at this bit plane with no
+                        # correction bits: pure EOB-run member
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob_br()
+                flush_eob_br()
+                out += sos([ci + 1], ss, se, al + 1, al, bw.flush())
+
     out += b"\xff\xd9"
     return bytes(out)
