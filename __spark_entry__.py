@@ -1045,20 +1045,22 @@ def _q_tokenize_ids(spark: SparkSession, sf_dir: str,
     )
 
 
-def _bpe_expected(sf_dir: str) -> str:
+def _bpe_expected(sf_dir: str) -> tuple:
     """Materialize (cached) the eager BPE reference's answer for this
-    sf's documents table — the oracle side of bpe_tokenize_ids."""
+    sf's documents table — the oracle side of bpe_tokenize_ids and
+    bpe_vocab. Returns (tokenized_parquet, merges_parquet)."""
     from zpdfspark.bpe_ref import (BPE_REF_VERSION, DEFAULT_MERGES,
                                    write_expected_bpe)
 
     sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.001"
-    p = (f"/tmp/zpdfspark_bpe_{BPE_REF_VERSION}_{sf}_"
-         f"{DEFAULT_MERGES}.parquet")
-    if not os.path.exists(p):
+    base = f"/tmp/zpdfspark_bpe_{BPE_REF_VERSION}_{sf}_{DEFAULT_MERGES}"
+    p, mp = base + ".parquet", base + "_merges.parquet"
+    if not (os.path.exists(p) and os.path.exists(mp)):
         write_expected_bpe(os.path.join(sf_dir, "documents.parquet"),
-                           p + ".tmp")
+                           p + ".tmp", merges_path=mp + ".tmp")
+        os.replace(mp + ".tmp", mp)
         os.replace(p + ".tmp", p)
-    return p
+    return p, mp
 
 
 def _q_bpe_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,6 +1077,27 @@ def _q_bpe_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zpdfspark.spark.bpe import bpe_tokenize
 
     return bpe_tokenize(_docs(spark, sf_dir))
+
+
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table itself as a queryable artifact
+    (merge_idx, a, b) — pins the distributed learning loop's argmax
+    and tie-break sequence DIRECTLY (bpe_tokenize_ids pins it only
+    transitively through the tokenized ids). The 32-row result is the
+    driver-side artifact a tokenizer farm ships; the learning ran
+    distributed (see spark/bpe.py's scale notes). Oracle: the eager
+    reference's merges parquet."""
+    from zpdfspark.spark.bpe import learn_bpe
+
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    wc = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    merges, _segs = learn_bpe(wc)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_idx long, a string, b string").orderBy("merge_idx")
 
 
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1726,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": _q_html_meta,
         "tokenize_ids": _q_tokenize_ids,
         "bpe_tokenize_ids": _q_bpe_tokenize_ids,
+        "bpe_vocab": _q_bpe_vocab,
         "media_frames": _q_media_frames,
         "media_embed": _q_media_embed,
     }
@@ -1771,7 +1795,7 @@ def oracle_sql() -> dict[str, str]:
     _, _warc_expected = _warc_paths("/root/testdata/sf0.01")
     _warc_revisits_expected = os.path.join(
         os.path.dirname(_warc_expected), "expected_revisits.parquet")
-    _bpe_exp = _bpe_expected("/root/testdata/sf0.01")
+    _bpe_exp, _bpe_merges = _bpe_expected("/root/testdata/sf0.01")
     return {
         "extract_parity": (
             # byte-parity value oracle: the corpus text column IS the
@@ -2242,6 +2266,11 @@ def oracle_sql() -> dict[str, str]:
             # from its ordered ids_str — two-implementation differential
             f"SELECT doc_id, n_tokens, md5(ids_str) AS ids_md5 "
             f"FROM read_parquet('{_bpe_exp}') ORDER BY doc_id"
+        ),
+        "bpe_vocab": (
+            # the merge table the eager reference learned independently
+            f"SELECT merge_idx, a, b "
+            f"FROM read_parquet('{_bpe_merges}') ORDER BY merge_idx"
         ),
         "lang_guess": (
             "SELECT doc_id, lang, "

@@ -24,7 +24,7 @@ from __future__ import annotations
 from typing import Dict, Iterable, List, Tuple
 
 # bump when the reference definition changes — oracle caches key on it
-BPE_REF_VERSION = "b1"
+BPE_REF_VERSION = "b2"
 
 DEFAULT_MERGES = 32
 
@@ -112,20 +112,42 @@ def tokenize_docs(doc_texts: List[Tuple[int, str]],
 
 
 def write_expected_bpe(documents_parquet: str, out_path: str,
-                       n_merges: int = DEFAULT_MERGES) -> str:
+                       n_merges: int = DEFAULT_MERGES,
+                       merges_path: str = None) -> str:
     """Materialize the eager reference's answer for a documents table
     as parquet (doc_id, n_tokens, ids_str) — the DuckDB oracle reads
-    this and recomputes the md5 itself."""
+    this and recomputes the md5 itself. When ``merges_path`` is given,
+    the learned merge table (merge_idx, a, b) is written there too, so
+    the oracle can pin the learning step directly, not just through
+    the tokenized ids."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     t = pq.read_table(documents_parquet, columns=["doc_id", "text"])
     docs = sorted(zip(t.column("doc_id").to_pylist(),
                       t.column("text").to_pylist()))
-    rows = tokenize_docs(docs, n_merges)
+    wc = word_counts(txt for _, txt in docs)
+    merges, segs = learn_merges(wc, n_merges)
+    ids = symbol_ids(segs, wc)
+    word_to_ids = {w: [ids[s] for s in segs[w]] for w in segs}
+    rows: List[Tuple[int, int, str]] = []
+    for doc_id, text in docs:
+        seq: List[int] = []
+        for w in (text or "").split(" "):
+            if w:
+                seq.extend(word_to_ids[w])
+        if seq:
+            rows.append((doc_id, len(seq),
+                         ",".join(str(i) for i in seq)))
     pq.write_table(pa.table({
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
         "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
         "ids_str": pa.array([r[2] for r in rows], pa.string()),
     }), out_path)
+    if merges_path:
+        pq.write_table(pa.table({
+            "merge_idx": pa.array(range(len(merges)), pa.int64()),
+            "a": pa.array([m[0] for m in merges], pa.string()),
+            "b": pa.array([m[1] for m in merges], pa.string()),
+        }), merges_path)
     return out_path
