@@ -87,6 +87,38 @@ def _headline_interleaved(n_rounds: int, cores: int, sf_dir: str,
     return best, n_docs, trials, hw_best, len(blobs or [])
 
 
+def _pin_tree(cpus: set) -> None:
+    """Pin EVERY thread of this process and every descendant (the py4j
+    gateway JVM + pyspark worker daemons) to `cpus`.
+
+    Setting only the parent's affinity before SparkSession creation is
+    NOT enough: the gateway JVM persists across spark.stop()/getOrCreate
+    cycles, so it keeps the affinity it inherited at first launch. In
+    the round-4 scaling-first bench order the first leg was cores=4 and
+    every later leg — local[16], the local[32] headline — silently ran
+    on 4 CPUs (7x headline regression, scaling 0.22, while the same-
+    window hw co-measure stayed normal; BASELINE.md episode I).
+    sched_setaffinity is per-THREAD on Linux, so walk /proc/<pid>/task;
+    threads spawned later inherit from their (pinned) creator."""
+    stack = [os.getpid()]
+    while stack:
+        pid = stack.pop()
+        try:
+            tids = os.listdir(f"/proc/{pid}/task")
+        except OSError:
+            continue
+        for tid in tids:
+            try:
+                os.sched_setaffinity(int(tid), cpus)
+            except (OSError, ValueError):
+                pass
+            try:
+                with open(f"/proc/{pid}/task/{tid}/children") as f:
+                    stack.extend(int(c) for c in f.read().split())
+            except (OSError, ValueError):
+                pass
+
+
 def _run_extraction(cores: int, sf_dir: str, shuffle_partitions: int) -> tuple[float, int]:
     """One extraction job at the given parallelism (workers pre-warmed).
 
@@ -98,11 +130,12 @@ def _run_extraction(cores: int, sf_dir: str, shuffle_partitions: int) -> tuple[f
     docs per Arrow batch suits the small-doc corpus (a real crawl job
     sizes batches by bytes — session.py defaults to a blob-safe 256).
 
-    The process tree (driver JVM + Python workers) is pinned to exactly
-    `cores` CPUs via sched_setaffinity so "local[N]" really means N
-    cores — otherwise the JVM's scan/Arrow/GC threads run free on idle
-    cores and flatter the low-parallelism configuration, corrupting the
-    N-vs-4N scaling measurement.
+    The FULL process tree (driver JVM + Python workers, every thread)
+    is pinned to exactly `cores` CPUs via _pin_tree so "local[N]"
+    really means N cores — otherwise the JVM's scan/Arrow/GC threads
+    run free on idle cores and flatter the low-parallelism
+    configuration, corrupting the N-vs-4N scaling measurement; and the
+    persistent gateway JVM must be RE-pinned every leg (see _pin_tree).
     Returns (wall_secs, n_docs).
     """
     from zpdfspark.spark.session import get_spark
@@ -122,6 +155,10 @@ def _run_extraction(cores: int, sf_dir: str, shuffle_partitions: int) -> tuple[f
         df = spark.read.parquet(path).select("url", "html")
         n_docs = df.count()
         _warm_workers(spark, cores)
+        # pin AFTER warm-up: the worker daemon now exists, so the whole
+        # tree (JVM threads incl. any born with stale affinity, daemon,
+        # workers) lands on exactly `cores` CPUs before the timed region
+        _pin_tree(set(range(cores)))
         t0 = time.perf_counter()
         res = df.mapInArrow(extract_arrow_batches("accuracy"), EXTRACT_SCHEMA)
         res.select("n_chars").agg({"n_chars": "sum"}).collect()
@@ -129,6 +166,7 @@ def _run_extraction(cores: int, sf_dir: str, shuffle_partitions: int) -> tuple[f
     finally:
         spark.stop()
         os.sched_setaffinity(0, prev_affinity)
+        _pin_tree(prev_affinity)
     return wall, n_docs
 
 
@@ -295,6 +333,30 @@ def main() -> None:
             t0 = time.perf_counter()
             df.collect()
             queries[name + "_warm"] = round(time.perf_counter() - t0, 3)
+
+        # adversarial-scale connected components (r3-verdict #6 bench
+        # line): 10^5-node chain/star mix generated executor-side; the
+        # chain maximizes diameter, the stars maximize degree skew
+        import pyspark.sql.functions as F
+
+        from zpdfspark.spark.cc import connected_components
+
+        chain_n, n_stars, spokes, base = 50_000, 50, 1_000, 1_000_000
+        chain = spark.range(chain_n).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        stars = spark.range(n_stars * spokes).select(
+            (F.lit(base) + (F.col("id") / spokes).cast("long")
+             * (spokes + 1)).alias("src"),
+            (F.lit(base) + (F.col("id") / spokes).cast("long")
+             * (spokes + 1) + 1 + F.col("id") % spokes).alias("dst"))
+        rc: list = []
+        t0 = time.perf_counter()
+        n_comp = (connected_components(chain.unionByName(stars),
+                                       _round_counter=rc)
+                  .select("rep").distinct().count())
+        queries["cc_chain_star_1e5"] = round(time.perf_counter() - t0, 3)
+        queries["cc_chain_star_rounds"] = rc[0]
+        assert n_comp == 1 + n_stars
     finally:
         spark.stop()
 
