@@ -1100,6 +1100,76 @@ def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_idx long, a string, b string").orderBy("merge_idx")
 
 
+def _q_url_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter URL seen-set — the crawl-frontier membership test:
+    "has this URL been crawled before?" asked 10^12 times per crawl
+    cannot afford a join against the full seen-set; every production
+    frontier (Heritrix's already-seen module, the Mercator design)
+    answers it with a fixed-size bit-array summary instead.
+
+    Scale shape: the seen-set COLLAPSES to m bits via one map-side-
+    combining aggregation (explode k positions/url -> word-index
+    groupBy bit_or; partial aggregation caps every partition's output
+    at m/32 rows, so 10^12 urls shuffle at most n_partitions * m/32
+    tiny rows); the resulting <=m/32-row bitmap is THE broadcast
+    artifact — bounded by the filter geometry, never by corpus size —
+    and candidates probe it map-only (k broadcast-joined word lookups,
+    no candidate shuffle until the per-url AND). No false negatives by
+    construction; false positives are deterministic given (m, k, hash)
+    and the oracle replays them EXACTLY — DuckDB recomputes the same
+    md5-derived double-hashing positions (Kirsch-Mitzenmacher
+    h1 + i*h2) and the same bit arithmetic. m is kept small here
+    (1024 bits) so the false-positive branch is observable at test
+    scale; production sizes ~10 bits/key (10^12 urls -> ~1.25 TB
+    sharded, or per-host shards)."""
+    M, K, W = 1024, 2, 32
+    d = _docs(spark, sf_dir)
+    url = F.concat(F.lit("https://site"),
+                   (F.col("doc_id") % 97).cast("string"),
+                   F.lit(".com/page/"), F.col("doc_id").cast("string"))
+    seen = d.where(F.col("doc_id") % 2 == 0).select(url.alias("url"))
+    cand = d.where(F.col("doc_id") % 3 == 0).select(
+        url.alias("url"),
+        (F.col("doc_id") % 2 == 0).cast("int").alias("truly_seen"))
+
+    def h1(c):
+        return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+    def h2(c):
+        return F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long")
+
+    def positions(c):
+        return F.array(*[(h1(c) + F.lit(i) * h2(c)) % M for i in range(K)])
+
+    bitmap = (
+        seen.select(F.explode(positions(F.col("url"))).alias("pos"))
+        .select((F.col("pos") / W).cast("long").alias("widx"),
+                F.expr(f"shiftleft(1L, int(pos % {W}))").alias("mask"))
+        .groupBy("widx").agg(F.bit_or("mask").alias("bits"))
+    )
+    probes = (
+        cand.select("url", "truly_seen",
+                    F.explode(positions(F.col("url"))).alias("pos"))
+        .select("url", "truly_seen",
+                (F.col("pos") / W).cast("long").alias("widx"),
+                F.expr(f"shiftleft(1L, int(pos % {W}))").alias("mask"))
+        .join(F.broadcast(bitmap), "widx", "left")
+        .select("url", "truly_seen",
+                F.when(F.col("bits").isNotNull()
+                       & ((F.col("bits").bitwiseAND(F.col("mask"))) != 0),
+                       F.lit(1)).otherwise(F.lit(0)).alias("hit"))
+    )
+    return (
+        probes.groupBy("url", "truly_seen")
+        .agg(F.min("hit").alias("bloom_hit"))
+        .select(
+            "url", "truly_seen", "bloom_hit",
+            ((F.col("bloom_hit") == 1) & (F.col("truly_seen") == 0))
+            .cast("int").alias("false_positive"))
+        .orderBy("url")
+    )
+
+
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID heuristic (deterministic SQL both sides)."""
     d = _docs(spark, sf_dir)
@@ -1745,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_revisit": _q_warc_revisit,
         "webp_meta": _q_webp_meta,
         "url_canonicalize": _q_url_canonicalize,
+        "url_bloom": _q_url_bloom,
         "dataset_split": _q_dataset_split,
         "html_meta": _q_html_meta,
         "tokenize_ids": _q_tokenize_ids,
@@ -2178,6 +2249,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(g.grams) AS BIGINT) AS n_grams, "
             "(g.doc_id IN (SELECT doc_id FROM c)) AS contaminated "
             "FROM g ORDER BY g.doc_id"
+        ),
+        "url_bloom": (
+            # identical md5 double-hashing + bit arithmetic replay —
+            # the deterministic false positives must match exactly
+            "WITH su AS (SELECT 'https://site' || (doc_id % 97) || "
+            "'.com/page/' || doc_id AS url FROM documents "
+            "WHERE doc_id % 2 = 0), "
+            "sp AS (SELECT ((CAST(('0x' || substr(md5(url), 1, 8)) AS "
+            "UBIGINT)::BIGINT + i * CAST(('0x' || substr(md5(url), 9, 8)) "
+            "AS UBIGINT)::BIGINT) % 1024) AS pos "
+            "FROM su CROSS JOIN range(2) t(i)), "
+            "w AS (SELECT pos // 32 AS widx, "
+            "bit_or(1::BIGINT << (pos % 32)::INT) AS bits "
+            "FROM sp GROUP BY 1), "
+            "cu AS (SELECT 'https://site' || (doc_id % 97) || "
+            "'.com/page/' || doc_id AS url, "
+            "CAST(doc_id % 2 = 0 AS INT) AS truly_seen FROM documents "
+            "WHERE doc_id % 3 = 0), "
+            "cp AS (SELECT url, truly_seen, "
+            "((CAST(('0x' || substr(md5(url), 1, 8)) AS UBIGINT)::BIGINT "
+            "+ i * CAST(('0x' || substr(md5(url), 9, 8)) AS "
+            "UBIGINT)::BIGINT) % 1024) AS pos "
+            "FROM cu CROSS JOIN range(2) t(i)), "
+            "hits AS (SELECT url, truly_seen, "
+            "min(CASE WHEN w.bits IS NOT NULL AND "
+            "(w.bits & (1::BIGINT << (cp.pos % 32)::INT)) != 0 "
+            "THEN 1 ELSE 0 END) AS bloom_hit "
+            "FROM cp LEFT JOIN w ON cp.pos // 32 = w.widx GROUP BY 1, 2) "
+            "SELECT url, truly_seen, bloom_hit, "
+            "CAST(bloom_hit = 1 AND truly_seen = 0 AS INT) "
+            "AS false_positive FROM hits ORDER BY url"
         ),
         "url_canonicalize": (
             # identical regex/filter/sort pipeline in DuckDB

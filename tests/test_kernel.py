@@ -221,6 +221,70 @@ class TestFilters:
         data += b"\x00\x00\x00"
         assert filters.decode_lzw(data) == b"AB"
 
+    @staticmethod
+    def _lzw_encode(data: bytes, early: int) -> bytes:
+        """Independent test-side LZW encoder with selectable
+        /EarlyChange width timing."""
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        bits = []
+
+        def emit(code):
+            bits.append(format(code, f"0{width}b"))
+
+        emit(256)  # clear
+        w = b""
+        for ch in data:
+            c = bytes([ch])
+            if w + c in table:
+                w += c
+                continue
+            emit(table[w])
+            if next_code < 4096:
+                table[w + c] = next_code
+                next_code += 1
+                if next_code + early > (1 << width) and width < 12:
+                    width += 1
+            w = c
+        if w:
+            emit(table[w])
+        emit(257)  # EOD
+        s = "".join(bits)
+        s += "0" * ((8 - len(s) % 8) % 8)
+        return bytes(int(s[i:i + 8], 2)
+                     for i in range(0, len(s), 8)) + b"\x00\x00\x00"
+
+    def test_lzw_early_change_both_modes(self):
+        """/EarlyChange support (the reference's own TODO,
+        decompress.zig:467): payloads long enough to cross the 9->10
+        and 10->11 bit width boundaries must round-trip in BOTH width
+        timings, and decoding with the wrong timing must NOT equal the
+        input (the boundary is observable)."""
+        import random
+        rnd = random.Random(3)
+        data = bytes(rnd.randrange(256) for _ in range(2000))
+        for early in (0, 1):
+            enc = self._lzw_encode(data, early)
+            assert filters.decode_lzw(enc, early_change=early) == data
+        enc1 = self._lzw_encode(data, 1)
+        assert filters.decode_lzw(enc1, early_change=0) != data
+
+    def test_lzw_early_change_param_honored(self):
+        """decompress_stream must route /EarlyChange from DecodeParms
+        to the decoder (default stays 0 = the reference's hardcoded
+        behavior, so param-less byte parity holds)."""
+        import random
+        from zpdfspark.kernel.objects import Name
+        rnd = random.Random(5)
+        data = bytes(rnd.randrange(256) for _ in range(1500))
+        enc1 = self._lzw_encode(data, 1)
+        assert filters.decompress_stream(
+            enc1, Name(b"LZWDecode"), {"EarlyChange": 1}) == data
+        enc0 = self._lzw_encode(data, 0)
+        assert filters.decompress_stream(
+            enc0, Name(b"LZWDecode"), None) == data
+
 
 # -- level 2: end-to-end fixture extraction -------------------------------
 

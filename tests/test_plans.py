@@ -208,6 +208,21 @@ def test_tokenize_ids_window_input_is_topk(spark, sf_dir):
     assert first_limit >= 0, plan
 
 
+def test_url_bloom_probe_is_broadcast_only(spark, sf_dir):
+    """The Bloom seen-set probe must join candidates against the
+    bitmap via BROADCAST only (the bitmap is bounded by the filter
+    geometry — m/32 rows — never by corpus size); a sort-merge join
+    here would shuffle 10^12 candidate probes. All bit arithmetic must
+    stay JVM-side."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["url_bloom"](spark, sf_dir), spark)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_unigram_logprob_no_forced_vocab_broadcast(spark, sf_dir):
     """r3-verdict scale fix: the vocab scoring join must NOT carry a
     planner-forced broadcast hint (a crawl-scale vocabulary would OOM

@@ -84,7 +84,8 @@ def _apply_filter(data: bytes, fname: bytes, param: Optional[dict]) -> bytes:
     if fname in (b"ASCIIHexDecode", b"AHx"):
         return decode_asciihex(data)
     if fname in (b"LZWDecode", b"LZW"):
-        return decode_lzw(data)
+        early = dict_get_int(param, "EarlyChange") if param else None
+        return decode_lzw(data, early_change=early if early in (0, 1) else 0)
     if fname in (b"RunLengthDecode", b"RL"):
         return decode_runlength(data)
     if fname in _PASSTHROUGH:
@@ -262,9 +263,18 @@ def decode_asciihex(data: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_lzw(data: bytes) -> bytes:
+def decode_lzw(data: bytes, early_change: int = 0) -> bytes:
     """LZW with the reference's exact bit-reader boundary behavior
-    (decompress.zig:559-574: stops when < 3 bytes remain)."""
+    (decompress.zig:559-574: stops when < 3 bytes remain).
+
+    ``early_change`` implements the /EarlyChange DecodeParm the
+    reference leaves as a TODO (decompress.zig:467): with 1, the code
+    width increments one code early (table size (1<<width)-1 — how the
+    PDF spec's default encoders emit); with 0 at the exact power of
+    two. The DEFAULT here stays 0 — the reference's hardcoded behavior
+    — so byte parity with the reference holds on param-less streams;
+    an explicit /EarlyChange in DecodeParms is honored (exceeding the
+    reference, which ignores it)."""
     out = bytearray()
     # table entries 0-255 are single bytes; 256=clear, 257=EOD
     single = [bytes((i,)) for i in range(256)]
@@ -311,7 +321,7 @@ def decode_lzw(data: bytes) -> bytes:
             if len(table) < 4096:
                 table.append(new_entry)
         prev_code = code
-        if len(table) >= (1 << code_size) and code_size < 12:
+        if len(table) + early_change >= (1 << code_size) and code_size < 12:
             code_size += 1
     return bytes(out)
 
