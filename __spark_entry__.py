@@ -1270,6 +1270,127 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str,
+                  topk: int = 3) -> DataFrame:
+    """Per-document keyword extraction by tf-idf — the classic
+    data-curation signal (topic balancing, quality heuristics, and the
+    per-doc keywords a training-mix report aggregates).
+
+    Scale shape: term frequencies are a (doc, word) aggregation with
+    map-side combine; document frequencies a word aggregation of the
+    DISTINCT (doc, word) pairs (same exchange); the df re-join carries
+    NO broadcast hint (crawl vocab can exceed the driver budget — the
+    unigram_logprob rule); the per-doc top-k window partitions by
+    doc_id, so it splits across executors (never a global sort).
+    Determinism across engines: score = (tf/n)*ln(N/df) from integer
+    inputs, QUANTIZED to the integer micro-score round(score*1e6) —
+    ranking and output both use the integer, so a last-ulp ln()
+    difference between engines can neither flip ranks nor change a
+    rendered value (float-to-string formatting differs across
+    engines; integers do not)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    n_words = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.countDistinct("doc_id").alias("nd"))
+    scored = (
+        tf.join(df_, "word")
+        .join(n_words, "doc_id")
+        .join(F.broadcast(n_docs))
+        .withColumn("score_e6", F.round(
+            (F.col("cnt") / F.col("n"))
+            * F.log(F.col("nd") / F.col("df")) * 1e6, 0).cast("long"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_e6"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= topk)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(",", F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "word"))),
+                lambda x: x["word"])).alias("top_terms"),
+            F.concat_ws(",", F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "score_e6"))),
+                lambda x: x["score_e6"].cast("string"))).alias(
+                    "top_scores_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_kmeans_semdedup(spark: SparkSession, sf_dir: str,
+                       k: int = 8, iters: int = 2) -> DataFrame:
+    """Distributed k-means over the embedding table — the clustering
+    stage of SemDeDup (Abbas et al. 2023: cluster embeddings, then
+    near-dedup WITHIN clusters so the pairwise search never goes
+    corpus-wide) and of IVF index training (ann_ivf's cell list is
+    exactly a trained centroid set).
+
+    Scale shape: Lloyd iterations as aggregations — assignment is a
+    map-only distance fold against a BROADCAST k x dim centroid array
+    (k*dim doubles, bounded by the model not the corpus), update is
+    one posexplode + (cluster, dim) map-side-combining avg (the
+    standard 100 TB k-means; dim*k cells shuffle, never vectors).
+    Determinism: initial centroids are the vec_id 0..k-1 embeddings;
+    in-row distance folds are sequential (bit-identical across engines
+    and partitionings), and recomputed centroid coordinates are
+    ROUNDED (1e-4) before re-use — cross-partition float-sum order is
+    nondeterministic, so an unrounded centroid would make cluster
+    assignment depend on partitioning; rounding restores run-to-run
+    AND engine-to-engine determinism. Oracle: DuckDB replays the same
+    iterations with 1-based list lambdas."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    cent = [r["v"] for r in
+            e.where(F.col("vec_id") < k).orderBy("vec_id").collect()]
+
+    def dist_to(c_arr):
+        lit = F.array(*[F.lit(float(x)) for x in c_arr])
+        return F.aggregate(
+            F.zip_with("v", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    def assign(cents):
+        d = F.array(*[dist_to(c) for c in cents])
+        best = F.array_min(d)
+        return d, F.array_position(d, best) - 1  # first (smallest id) wins ties
+
+    for it in range(iters):
+        d, cluster = assign(cent)
+        if it == iters - 1:
+            break
+        upd = (
+            e.select(cluster.alias("cluster"),
+                     F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("val"), 4).alias("c"))
+            .groupBy("cluster")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x["c"]).alias("centroid"))
+            .orderBy("cluster").collect()
+        )
+        new_cent = list(cent)
+        for r in upd:  # empty clusters keep their previous centroid
+            new_cent[r["cluster"]] = list(r["centroid"])
+        cent = new_cent
+    d, cluster = assign(cent)
+    return (
+        e.select(
+            "vec_id", "label", cluster.cast("long").alias("cluster"),
+            F.round(F.array_min(d), 3).alias("dist_r3"))
+        .orderBy("vec_id")
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH bucketing (sign bits of
     projections onto 4 deterministic pseudo-random directions derived
@@ -1816,6 +1937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_meta": _q_webp_meta,
         "url_canonicalize": _q_url_canonicalize,
         "url_bloom": _q_url_bloom,
+        "kmeans_semdedup": _q_kmeans_semdedup,
+        "tfidf_topk": _q_tfidf_topk,
         "dataset_split": _q_dataset_split,
         "html_meta": _q_html_meta,
         "tokenize_ids": _q_tokenize_ids,
@@ -2249,6 +2372,68 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(g.grams) AS BIGINT) AS n_grams, "
             "(g.doc_id IN (SELECT doc_id FROM c)) AS contaminated "
             "FROM g ORDER BY g.doc_id"
+        ),
+        "tfidf_topk": (
+            # identical integer micro-score quantization + (score_e6
+            # DESC, word ASC) ranking
+            "WITH w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS word FROM documents), "
+            "w AS (SELECT doc_id, word FROM w0 WHERE word != ''), "
+            "tf AS (SELECT doc_id, word, count(*) AS cnt FROM w "
+            "GROUP BY 1, 2), "
+            "nw AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1), "
+            "df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), "
+            "nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.word, "
+            "CAST(round((tf.cnt / CAST(nw.n AS DOUBLE)) * "
+            "ln(nd.nd / CAST(df.df AS DOUBLE)) * 1e6, 0) AS BIGINT) "
+            "AS score_e6 "
+            "FROM tf JOIN df USING (word) JOIN nw USING (doc_id) "
+            "CROSS JOIN nd), "
+            "r AS (SELECT doc_id, word, score_e6, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY score_e6 DESC, word ASC) "
+            "AS rn FROM s) "
+            "SELECT doc_id, "
+            "string_agg(word, ',' ORDER BY rn) AS top_terms, "
+            "string_agg(CAST(score_e6 AS VARCHAR), ',' ORDER BY rn) "
+            "AS top_scores_e6 "
+            "FROM r WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "kmeans_semdedup": (
+            # identical Lloyd replay: seed centroids = vec_id 0..7,
+            # in-row distance folds bit-identical (sequential sums of
+            # double-cast terms), recomputed centroids rounded 1e-4
+            # before re-use exactly as the Spark side does
+            "WITH e AS (SELECT vec_id, label, embedding AS v "
+            "FROM embeddings), "
+            "c0 AS (SELECT vec_id AS cl, embedding AS c FROM embeddings "
+            "WHERE vec_id < 8), "
+            "d1 AS (SELECT e.vec_id, e.label, e.v, c0.cl, "
+            "list_sum(list_transform(range(1, 65), i -> "
+            "(CAST(e.v[i] AS DOUBLE) - CAST(c0.c[i] AS DOUBLE)) * "
+            "(CAST(e.v[i] AS DOUBLE) - CAST(c0.c[i] AS DOUBLE)))) AS dist "
+            "FROM e CROSS JOIN c0), "
+            "a1 AS (SELECT vec_id, label, v, cl AS cluster FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dist, cl) AS rn FROM d1) WHERE rn = 1), "
+            "u AS (SELECT cluster, i AS dim, "
+            "round(avg(CAST(v[i] AS DOUBLE)), 4) AS c "
+            "FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2), "
+            "c1 AS (SELECT cluster AS cl, "
+            "array_agg(c ORDER BY dim) AS c FROM u GROUP BY 1), "
+            "cc AS (SELECT c0.cl, COALESCE(c1.c, list_transform(c0.c, "
+            "x -> CAST(x AS DOUBLE))) AS c FROM c0 LEFT JOIN c1 "
+            "ON c0.cl = c1.cl), "
+            "d2 AS (SELECT e.vec_id, e.label, cc.cl, "
+            "list_sum(list_transform(range(1, 65), i -> "
+            "(CAST(e.v[i] AS DOUBLE) - cc.c[i]) * "
+            "(CAST(e.v[i] AS DOUBLE) - cc.c[i]))) AS dist "
+            "FROM e CROSS JOIN cc) "
+            "SELECT vec_id, label, cl AS cluster, "
+            "round(dist, 3) AS dist_r3 FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dist, cl) AS rn FROM d2) WHERE rn = 1 "
+            "ORDER BY vec_id"
         ),
         "url_bloom": (
             # identical md5 double-hashing + bit arithmetic replay —

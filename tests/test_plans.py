@@ -208,6 +208,37 @@ def test_tokenize_ids_window_input_is_topk(spark, sf_dir):
     assert first_limit >= 0, plan
 
 
+def test_kmeans_assignment_is_joinless(spark, sf_dir):
+    """k-means cluster assignment must be a map-only distance fold
+    against plan-embedded centroid constants (the broadcast-model
+    shape): no join of the vector table against anything, no Python
+    evaluation — at crawl scale the vectors never shuffle for
+    assignment."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["kmeans_semdedup"](spark, sf_dir), spark)
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_tfidf_no_forced_df_broadcast(spark, sf_dir):
+    """The document-frequency re-join must NOT carry a broadcast hint
+    (crawl vocab can exceed the driver budget — the unigram_logprob
+    rule); only the 1-row corpus-size aggregate may be hinted."""
+    import __spark_entry__ as E
+
+    df = E.queries()["tfidf_topk"](spark, sf_dir)
+    logical = str(df._jdf.queryExecution().analyzed())
+    assert logical.count("ResolvedHint") <= 1, logical
+    if "ResolvedHint" in logical:
+        hinted_tail = logical.split("ResolvedHint", 1)[1]
+        first_agg = hinted_tail.split("Aggregate", 1)[1][:200]
+        assert "AS nd" in first_agg, logical
+    plan = _formatted(df, spark)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_url_bloom_probe_is_broadcast_only(spark, sf_dir):
     """The Bloom seen-set probe must join candidates against the
     bitmap via BROADCAST only (the bitmap is bounded by the filter
