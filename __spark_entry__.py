@@ -981,7 +981,13 @@ def _q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     html = F.col("html").cast("string")
     return (
-        corpus.where(F.col("media_kind") == "html")
+        # html_charset fixtures are deliberately non-UTF8 (cp1252/gbk);
+        # this op's two-engine replay is utf-8-scoped (DuckDB's decode()
+        # rejects invalid utf-8), so they're excluded BY URL on both
+        # sides — charset handling itself is the extraction kernel's
+        # job (htmltext.sniff_charset) and oracled via extract parity
+        corpus.where((F.col("media_kind") == "html")
+                     & ~F.col("url").like("%/html_charset/%"))
         .select(
             "url",
             F.regexp_extract(html, "<title>([^<]*)</title>", 1)
@@ -2526,7 +2532,8 @@ def oracle_sql() -> dict[str, str]:
             "regexp_extract(decode(html), "
             "'<link rel=\"canonical\" href=\"([^\"]*)\"', 1) AS canonical, "
             "CAST(len(regexp_extract_all(decode(html), '<a[ >\n]')) AS BIGINT) AS n_anchors "
-            f"FROM {corpus} WHERE media_kind = 'html' ORDER BY url"
+            f"FROM {corpus} WHERE media_kind = 'html' "
+            f"AND url NOT LIKE '%/html_charset/%' ORDER BY url"
         ),
         "tokenize_ids": (
             # identical vocab ranking + OOV bucketing + ordered-id md5

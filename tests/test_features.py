@@ -225,6 +225,36 @@ def test_html_main_content_extraction():
     assert kind == "pdf" and text == exp and doc is not None
 
 
+def test_html_charset_sniffing():
+    """Spec rule 6 (round 4): BOM > meta charset (WHATWG aliases:
+    iso-8859-1 label means cp1252) > utf-8 default; utf-16 pages
+    transcode before tag processing; fixtures round-trip exactly."""
+    from zpdfspark.kernel import htmltext
+
+    assert htmltext.sniff_charset(b'<meta charset="ISO-8859-1">') == \
+        "windows-1252"
+    assert htmltext.sniff_charset(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=gb2312">') == "gbk"
+    assert htmltext.sniff_charset(b"\xef\xbb\xbf<html>") == "utf-8"
+    assert htmltext.sniff_charset(b"\xff\xfe<\x00h\x00") == "utf-16-le"
+    assert htmltext.sniff_charset(b"<html>plain") == "utf-8"
+    # declaration outside the 1024-byte prescan window is ignored
+    far = b"<html>" + b" " * 1100 + b'<meta charset="gbk">'
+    assert htmltext.sniff_charset(far) == "utf-8"
+
+    for i in range(6):
+        raw, exp = fixtures.html_charset_page(i)
+        assert htmltext.extract_main_text(raw) == exp, i
+
+    # utf-16 end to end (not a corpus generator; kernel-only path)
+    u16 = ("<html><body><main><p>Unicode ☃ text</p></main></body></html>"
+           ).encode("utf-16-le")
+    raw16 = b"\xff\xfe" + u16
+    assert htmltext.looks_like_html(raw16)
+    assert htmltext.extract_main_text(raw16) == "Unicode ☃ text"
+
+
 def test_html_link_density_pruning():
     """Link-density boilerplate rule (htmltext spec rule 5): lines that
     are mostly anchor text are dropped; prose with inline links stays."""

@@ -872,6 +872,33 @@ def html_page(i: int = 0) -> Tuple[bytes, str]:
     return doc.encode("utf-8"), expected
 
 
+def html_charset_page(i: int = 0) -> Tuple[bytes, str]:
+    """Non-UTF8 crawl pages (round 4 — real crawls are full of them):
+    cp1252 and gbk bodies declared via <meta charset> (the WHATWG
+    alias table maps the iso-8859-1 label to windows-1252), plus a
+    utf-8+BOM variant. Heads stay ASCII-only; the non-ASCII body pins
+    the decode path (htmltext.sniff_charset spec rule 6). Oracled via
+    the corpus-carried expected text like every html fixture."""
+    variant = i % 3
+    if variant == 0:  # windows-1252 declared as iso-8859-1
+        body = f"Café naïve résumé — entry {i} with smart “quotes”."
+        doc = ("<!DOCTYPE html><html><head>"
+               '<meta charset="iso-8859-1"><title>CP</title></head>'
+               f"<body><main><p>{body}</p></main></body></html>")
+        return doc.encode("cp1252"), body
+    if variant == 1:  # gbk via http-equiv
+        body = f"中文正文第 {i} 段，编码为国标。"
+        doc = ("<!DOCTYPE html><html><head><meta http-equiv="
+               '"Content-Type" content="text/html; charset=gb2312">'
+               "<title>GB</title></head>"
+               f"<body><main><p>{body}</p></main></body></html>")
+        return doc.encode("gbk"), body
+    body = f"BOM page {i} with emoji ☃ and accents é."
+    doc = ("<!DOCTYPE html><html><head><title>B</title></head>"
+           f"<body><main><p>{body}</p></main></body></html>")
+    return b"\xef\xbb\xbf" + doc.encode("utf-8"), body
+
+
 def html_linkfarm(i: int = 0) -> Tuple[bytes, str]:
     """A page WITHOUT <main>/<article>: a related-links farm (every
     line >2/3 anchor text -> dropped by link-density pruning,
@@ -1234,6 +1261,10 @@ def _register():
     def g_html(i):
         return html_page(i)
 
+    @var("html_charset")
+    def g_html_cs(i):
+        return html_charset_page(i)
+
     @var("html_linkfarm")
     def g_html_lf(i):
         return html_linkfarm(i)
@@ -1262,7 +1293,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v20"
+CORPUS_VERSION = "v21"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without

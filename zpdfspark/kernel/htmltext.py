@@ -24,6 +24,11 @@ semantics (the spec for the fixture oracles):
    visible characters (measured after entity unescape) is
    navigation/related-links boilerplate and is dropped; anchors that
    span block boundaries don't count as links
+6. charset sniffing (round 4 — crawl pages are NOT all UTF-8): BOM
+   first (utf-8/utf-16le/utf-16be; utf-16 transcodes to utf-8 before
+   byte-domain tag processing), then <meta charset> in the spec's
+   1024-byte prescan window via the WHATWG alias table (the iso-8859-1
+   label MEANS windows-1252 on the web), else utf-8 with replacement
 """
 
 from __future__ import annotations
@@ -56,14 +61,71 @@ _WS_RE = re.compile(r"[ \t\r\f\v]+")
 _LINK_DENSITY_MAX = 2 / 3
 
 
+_META_CHARSET_RE = re.compile(
+    rb"<meta\b[^>]*charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", re.IGNORECASE)
+# label -> python codec, per the WHATWG encoding registry's common web
+# aliases; everything else falls through to utf-8/replace
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "windows-1252",  # WHATWG: latin-1 label MEANS cp1252
+    "latin-1": "windows-1252", "latin1": "windows-1252",
+    "windows-1252": "windows-1252", "cp1252": "windows-1252",
+    "iso-8859-2": "iso-8859-2", "iso-8859-15": "iso-8859-15",
+    "windows-1251": "windows-1251", "koi8-r": "koi8-r",
+    "gbk": "gbk", "gb2312": "gbk", "gb18030": "gb18030",
+    "big5": "big5", "shift_jis": "shift_jis", "shift-jis": "shift_jis",
+    "sjis": "shift_jis", "euc-jp": "euc_jp", "euc-kr": "euc_kr",
+}
+
+
+def sniff_charset(raw: bytes) -> str:
+    """Crawl pages are NOT all UTF-8: sniff BOM first, then a <meta
+    charset> / http-equiv declaration in the first 1024 bytes (the
+    HTML spec's prescan window), else default utf-8. Returns a Python
+    codec name; utf-16 callers must transcode before byte-domain tag
+    processing (utf-16 is not ASCII-compatible)."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if raw[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if raw[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    m = _META_CHARSET_RE.search(raw[:1024])
+    if m:
+        label = m.group(1).decode("ascii", "replace").lower()
+        return _CHARSET_ALIASES.get(label, "utf-8")
+    return "utf-8"
+
+
 def looks_like_html(raw: bytes) -> bool:
-    head = raw[:256].lstrip()
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        # utf-16 BOM: check the transcoded head
+        try:
+            raw = raw.decode(
+                "utf-16-le" if raw[:2] == b"\xff\xfe" else "utf-16-be",
+                "replace").encode("utf-8", "replace")
+        except Exception:
+            return False
+    head = raw[:256].lstrip(b"\xef\xbb\xbf \t\r\n")
     return head[:1] == b"<" or b"<html" in head.lower() or b"<!doctype" in head.lower()
 
 
 def extract_main_text(raw: bytes) -> str:
     """Boilerplate-stripped main content; never raises."""
     try:
+        codec = sniff_charset(raw)
+        if codec.startswith("utf-16"):
+            # transcode to utf-8 so the byte-domain tag regexes work
+            # (utf-16 is not ASCII-compatible); drop the BOM
+            raw = raw.decode(codec, "replace").lstrip("﻿").encode(
+                "utf-8", "replace")
+            codec = "utf-8"
+        elif raw[:3] == b"\xef\xbb\xbf":
+            raw = raw[3:]
+
+        def to_text(bs: bytes) -> str:
+            return html_mod.unescape(bs.decode(codec, "replace"))
+
         data = _COMMENT_RE.sub(b"", raw)
         for rx in _DROP_RES:
             data = rx.sub(b"", data)
@@ -82,15 +144,13 @@ def extract_main_text(raw: bytes) -> str:
         lines = []
         for raw_line in data.split(b"\n"):
             stripped = _TAG_RE.sub(b"", raw_line)
-            visible = html_mod.unescape(
-                stripped.decode("utf-8", "replace")).strip()
+            visible = to_text(stripped).strip()
             if not visible:
                 continue
             # link-density pruning on UNESCAPED characters: anchors
             # fully contained in the line vs the line's visible text
             link_chars = sum(
-                len(html_mod.unescape(
-                    _TAG_RE.sub(b"", m).decode("utf-8", "replace")).strip())
+                len(to_text(_TAG_RE.sub(b"", m)).strip())
                 for m in _A_RE.findall(raw_line))
             if link_chars / len(visible) > _LINK_DENSITY_MAX:
                 continue
