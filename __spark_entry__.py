@@ -816,6 +816,55 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str,
     return scored
 
 
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str,
+                      min_count: int = 2) -> DataFrame:
+    """Conditional bigram LM quality scoring — the next rung above
+    unigram_logprob on the CCNet ladder (KenLM is an n-gram model;
+    the bigram is its first conditional term): score each doc by the
+    mean -ln P(w2|w1) of its adjacent word pairs, with the same
+    min-count floor discipline as unigram_logprob — bigrams seen
+    < min_count times fall back to the smoothed default 1/cnt(w1)
+    (one pseudo-count on the context), so the model table carries
+    only the head of the Zipf curve.
+
+    Scale shape: adjacent pairs come from a map-only zip_with over the
+    split array (NO self-join on position — a 10^12-doc positional
+    self-join would shuffle the corpus twice); the bigram and context
+    tables are map-side-combining aggregations; both scoring joins are
+    hint-free (AQE sizes them — crawl-scale n-gram tables exceed any
+    broadcast budget)."""
+    d = _docs(spark, sf_dir)
+    arr = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    pairs_col = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.expr("slice(filter(split(text, ' '), w -> w != ''), 2, "
+               "size(filter(split(text, ' '), w -> w != '')) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        d.where(F.size(arr) >= 2)
+        .select("doc_id", F.explode(pairs_col).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2"))
+    )
+    ctx = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    big = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+           .where(F.col("c2") >= int(min_count)))
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(ctx, "w1")
+        .withColumn("p", F.coalesce(F.col("c2"), F.lit(1)) / F.col("c1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("p"))), 3)
+            .alias("avg_neg_logprob_r3"),
+        )
+        .orderBy("doc_id")
+    )
+    return scored
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (the GPT-3/PaLM appendix recipe):
     flag any training doc sharing an 8-gram with a held-out benchmark
@@ -1922,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "span_dedup": _q_span_dedup,
         "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
         "decontaminate": _q_decontaminate,
         "lang_guess": _q_lang_guess,
         "lang_id_ngram": _q_lang_id_ngram,
@@ -2360,6 +2410,28 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(-ln(coalesce(cnt, 1) / total)), 3) "
             "AS avg_neg_logprob_r3 "
             "FROM w LEFT JOIN f USING (word) CROSS JOIN t "
+            "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "bigram_logprob": (
+            # conditional-bigram replay: adjacent pairs from the same
+            # empty-filtered split, context counts c1 = count(w1 in
+            # pair position 1), floored bigram table (HAVING >= 2),
+            # fallback 1/c1 pseudo-count — identical arithmetic to the
+            # Spark query
+            "WITH a AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), w -> w <> '') AS ws "
+            "FROM documents), "
+            "ix AS (SELECT doc_id, ws, "
+            "unnest(generate_series(1, len(ws) - 1)) AS i "
+            "FROM a WHERE len(ws) >= 2), "
+            "p AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM ix), "
+            "c AS (SELECT w1, count(*) AS c1 FROM p GROUP BY w1), "
+            "b AS (SELECT w1, w2, count(*) AS c2 FROM p "
+            "GROUP BY w1, w2 HAVING count(*) >= 2) "
+            "SELECT doc_id, count(*) AS n_bigrams, "
+            "round(avg(-ln(coalesce(c2, 1) / c1)), 3) "
+            "AS avg_neg_logprob_r3 "
+            "FROM p LEFT JOIN b USING (w1, w2) JOIN c USING (w1) "
             "GROUP BY doc_id ORDER BY doc_id"
         ),
         "decontaminate": (

@@ -184,6 +184,24 @@ def test_unigram_logprob_jvm_side(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_bigram_logprob_hint_free_and_jvm_side(spark, sf_dir):
+    """The conditional-bigram LM query must (a) stay JVM-side, (b) never
+    cartesian, (c) carry NO broadcast hints at all — both n-gram tables
+    are unbounded at crawl scale, so only AQE may pick broadcast from
+    actual runtime sizes — and (d) derive adjacent pairs map-only (no
+    positional self-join: the explode is of a zip_with array)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["bigram_logprob"](spark, sf_dir)
+    plan = _formatted(df, spark)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    logical = str(df._jdf.queryExecution().analyzed())
+    assert "ResolvedHint" not in logical, logical
+    assert "UnresolvedHint" not in logical, logical
+
+
 def test_tokenize_ids_window_input_is_topk(spark, sf_dir):
     """r3-verdict ask: at vocab_k=50000 the single-partition ranking
     window must take its input from the DISTRIBUTED TakeOrdered top-K
