@@ -1018,6 +1018,28 @@ def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style DOM block classification (Pomikalek 2011) over the
+    crawl corpus's HTML rows: one row per block with its length,
+    link-density and stopword-density features plus the context-free
+    and context-sensitive labels (kernel/htmlblocks.py — the north
+    rule's 'DOM heuristics' at full published-algorithm depth, beyond
+    the single line-level link-density rule of extract_main_text).
+
+    Scale shape: map-only mapInPandas on scan splits (the classifier
+    runs inside the same task that reads the blob; block rows — tiny —
+    are all that cross the Arrow boundary); the only exchange is the
+    determinism orderBy. Oracle: the corpus-carried `blocks` expected
+    column (eager-twin differential), ANCHORED at corpus build time to
+    the generator-authored html_boilerplate label plan
+    (fixtures.GENERATOR_TRUTH) and to hand-written literals in
+    tests/test_htmlblocks.py."""
+    from zpdfspark.spark.udfs import html_blocks_dataframe
+
+    return html_blocks_dataframe(_corpus(spark, sf_dir)).orderBy(
+        "url", "block_idx")
+
+
 def _q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML head-metadata extraction over the crawl corpus's html rows:
     <title>, meta description, canonical link, anchor count — the
@@ -1997,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "dataset_split": _q_dataset_split,
         "html_meta": _q_html_meta,
+        "html_blocks": _q_html_blocks,
         "tokenize_ids": _q_tokenize_ids,
         "bpe_tokenize_ids": _q_bpe_tokenize_ids,
         "bpe_vocab": _q_bpe_vocab,
@@ -2593,6 +2616,16 @@ def oracle_sql() -> dict[str, str]:
             "WHEN source IN ('src5','src6','src7','src8','src9') "
             "THEN mh < 'c0000000' ELSE true END AS sampled "
             "FROM h ORDER BY doc_id"
+        ),
+        "html_blocks": (
+            # replay of the corpus-carried `blocks` expected column
+            # (anchored to GENERATOR_TRUTH literals at corpus build)
+            f"SELECT url, b.idx AS block_idx, b.n_chars AS n_chars, "
+            f"b.n_words AS n_words, b.ld_x1000 AS ld_x1000, "
+            f"b.sd_x1000 AS sd_x1000, b.label_cf AS label_cf, "
+            f"b.label AS label "
+            f"FROM (SELECT url, unnest(blocks) AS b FROM {corpus} "
+            f"WHERE blocks IS NOT NULL) ORDER BY url, block_idx"
         ),
         "html_meta": (
             # the IDENTICAL regex set over the same bytes in DuckDB —

@@ -145,6 +145,21 @@ def test_repetition_signals_map_only(spark, sf_dir):
     assert "Generate explode" not in plan, plan
 
 
+def test_html_blocks_map_only(spark, sf_dir):
+    """The jusText block classifier must run inside the scan task
+    (mapInPandas) with the determinism orderBy as the ONLY exchange:
+    no shuffle of blobs, no join, no aggregate — block rows are the
+    only thing that crosses the Arrow boundary."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["html_blocks"](spark, sf_dir), spark)
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # range-partition pair only
+
+
 def test_span_dedup_has_no_window(spark, sf_dir):
     """Cross-doc span dedup picks keepers with min(struct) aggregation
     + equi-join, NOT a per-span row_number window: a boilerplate span

@@ -57,6 +57,7 @@ NOTES = {
     "media_frames": "1-to-N frame explode inside the kernel task.",
     "media_embed": "map-only deterministic embedding kernel.",
     "audio_stats": "map-only REAL WAV decode (kernel/wav.py) with kernel-side magic filtering; emits rows only for decodable audio payloads.",
+    "html_blocks": "jusText DOM block classification inside the scan task (mapInPandas); only tiny block rows cross the Arrow boundary; single range exchange for the determinism orderBy.",
     "bigram_logprob": "adjacent pairs via map-only zip_with (no positional self-join); context + bigram tables are map-side-combining aggs; both scoring joins HINT-FREE (AQE sizes them — crawl-scale n-gram tables exceed any broadcast budget).",
 }
 

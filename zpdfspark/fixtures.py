@@ -932,6 +932,58 @@ def html_linkfarm(i: int = 0) -> Tuple[bytes, str]:
     return doc.encode("utf-8"), expected
 
 
+# html_boilerplate building blocks — texts tuned so every block sits
+# squarely inside one region of the jusText parameter space
+# (kernel/htmlblocks.py): the GENERATOR_TRUTH label sequence below is
+# authored from these constants, not from running the classifier.
+_HB_LONG_GOOD = (
+    "It was the best of times and it was the worst of times, and we "
+    "were all going to the same place in the end of the day. The "
+    "story that follows is about the things that we did when the "
+    "world was young and the days were long.")
+_HB_LONG_GOOD2 = (
+    "There are many things that could be said about the road and "
+    "the river, but the one that matters is that they were both "
+    "there when we needed them, and they will be there again when "
+    "the time comes for us to go back down to the water.")
+_HB_TINY = "A quiet pause."
+_HB_NEARGOOD = ("This is the part of the story where we stop for a "
+                "while and look at the hills.")
+_HB_NEARGOOD2 = ("And so it was that they came back down to the place "
+                 "where they had all been before.")
+_HB_GIBBERISH = (
+    "Lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+    "eiusmod tempor incididunt labore dolore magna aliqua.")
+_HB_FOOTER = "© 2026 Example Corporation. All rights reserved."
+
+
+def html_boilerplate(i: int = 0) -> Tuple[bytes, str]:
+    """A page WITHOUT <main>: block-classifier ground truth. Each block
+    is constructed inside one region of the jusText parameter space —
+    all-anchor nav (link_density 8/9 > 0.2 -> bad), a short heading
+    between bad and good (-> bad), a >200-char high-stopword paragraph
+    (-> good), a tiny sentence between two goods (short -> good), a
+    70-200-char high-stopword paragraph next to good (neargood ->
+    good), a long zero-stopword block (-> bad), a neargood stranded
+    between bads (-> bad), a copyright footer (-> bad). The expected
+    TEXT column follows the extract_main_text spec (only the nav line
+    exceeds the 2/3 line link-density rule)."""
+    doc = (
+        f"<!DOCTYPE html><html><head><title>B {i}</title></head><body>"
+        '<div class="topnav"><a href="/">Home</a> <a href="/about">'
+        'About</a> <a href="/contact">Contact</a></div>'
+        f"<h1>Story {i}</h1>"
+        f"<p>{_HB_LONG_GOOD}</p><p>{_HB_TINY}</p><p>{_HB_LONG_GOOD2}</p>"
+        f"<p>{_HB_NEARGOOD}</p><p>{_HB_GIBBERISH}</p><p>{_HB_NEARGOOD2}</p>"
+        f'<div class="footer">{_HB_FOOTER}</div>'
+        "</body></html>"
+    )
+    expected = "\n".join([
+        f"Story {i}", _HB_LONG_GOOD, _HB_TINY, _HB_LONG_GOOD2,
+        _HB_NEARGOOD, _HB_GIBBERISH, _HB_NEARGOOD2, _HB_FOOTER])
+    return doc.encode("utf-8"), expected
+
+
 def contents_array() -> Tuple[bytes, str]:
     """/Contents as an ARRAY of two streams, concatenated with a newline
     separator after each (pagetree.zig:344-356)."""
@@ -1269,6 +1321,10 @@ def _register():
     def g_html_lf(i):
         return html_linkfarm(i)
 
+    @var("html_boilerplate")
+    def g_html_bp(i):
+        return html_boilerplate(i)
+
     @var("contents_array")
     def g_ca(i):
         return contents_array()
@@ -1293,7 +1349,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v21"
+CORPUS_VERSION = "v22"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -1516,6 +1572,7 @@ EXPECTED_COLUMNS = (
     "mp3_n_frames", "mp3_sr", "mp3_channels", "mp3_duration_ms",
     "mp3_kbps",
     "img_width", "img_height", "img_channels",
+    "blocks", "block_labels",
 )
 
 
@@ -1690,6 +1747,14 @@ GENERATOR_TRUTH = {
     "utf16be": {"meta_title": "Unicode Título 中", "n_outline": 1,
                 "n_pages": 1},
     "malformed_encrypted": {"is_enc": True},
+    # authored from the html_boilerplate block plan (docstring), NOT by
+    # running the classifier: nav(bad), heading(short->bad),
+    # long-good, tiny(short->good), long-good, neargood->good,
+    # gibberish(bad), stranded neargood->bad, copyright(bad)
+    "html_boilerplate": {"block_labels": [
+        "bad>bad", "short>bad", "good>good", "short>good", "good>good",
+        "neargood>good", "bad>bad", "neargood>bad", "bad>bad",
+    ]},
 }
 
 
@@ -1708,7 +1773,7 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     """Compute every EXPECTED_COLUMNS value for one document."""
     from .kernel import Document
     from .kernel.document import document_json
-    from .kernel.htmltext import extract_any
+    from .kernel.htmltext import extract_any, looks_like_html
 
     text_a, _, doc_a = extract_any(raw, "accuracy")
     text_f, _, doc_f = extract_any(raw, "fast")
@@ -1790,6 +1855,24 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
         row.update({"mp3_n_frames": None, "mp3_sr": None,
                     "mp3_channels": None, "mp3_duration_ms": None,
                     "mp3_kbps": None})
+    if looks_like_html(raw):
+        from .kernel.htmlblocks import classify_blocks
+
+        blocks = classify_blocks(raw)
+        row["blocks"] = [
+            {"idx": b["idx"], "n_chars": b["n_chars"],
+             "n_words": b["n_words"],
+             "ld_x1000": int(round(b["link_density"] * 1000)),
+             "sd_x1000": int(round(b["stopword_density"] * 1000)),
+             "label_cf": b["label_cf"], "label": b["label"]}
+            for b in blocks]
+        # the GENERATOR_TRUTH anchor: i-invariant "cf>final" strings,
+        # authored from the html_boilerplate block plan
+        row["block_labels"] = [
+            f"{b['label_cf']}>{b['label']}" for b in blocks]
+    else:
+        row["blocks"] = None
+        row["block_labels"] = None
     return row
 
 
@@ -1865,6 +1948,13 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "mp3_n_frames": pa.int32(), "mp3_sr": pa.int32(),
         "mp3_channels": pa.int32(), "mp3_duration_ms": pa.int64(),
         "mp3_kbps": pa.int32(),
+        "blocks": pa.list_(pa.struct([
+            ("idx", pa.int32()), ("n_chars", pa.int32()),
+            ("n_words", pa.int32()), ("ld_x1000", pa.int32()),
+            ("sd_x1000", pa.int32()), ("label_cf", pa.string()),
+            ("label", pa.string()),
+        ])),
+        "block_labels": pa.list_(pa.string()),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

@@ -301,6 +301,59 @@ def spans_dataframe(df: DataFrame) -> DataFrame:
     return df.select("url", "html").mapInPandas(spans_batches(), SPANS_SCHEMA)
 
 
+HTML_BLOCKS_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("block_idx", IntegerType()),
+    StructField("n_chars", IntegerType()),
+    StructField("n_words", IntegerType()),
+    StructField("ld_x1000", IntegerType()),
+    StructField("sd_x1000", IntegerType()),
+    StructField("label_cf", StringType()),
+    StructField("label", StringType()),
+])
+
+
+def html_blocks_batches(html_col: str = "html", url_col: str = "url"):
+    """mapInPandas kernel -> jusText block-classification rows
+    (kernel/htmlblocks.py): one row per DOM block of each HTML payload
+    with its features and context-free/final labels. Non-HTML rows
+    (PDF/media) emit nothing — the gate is the same magic sniff the
+    extraction dispatch uses. Map-only at any scale: the per-document
+    block list never leaves the scan task unexploded."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zpdfspark.kernel.htmlblocks import classify_blocks
+        from zpdfspark.kernel.htmltext import looks_like_html
+
+        for batch in batches:
+            out = {k: [] for k in ("url", "block_idx", "n_chars", "n_words",
+                                   "ld_x1000", "sd_x1000", "label_cf",
+                                   "label")}
+            for url, blob in zip(batch[url_col], batch[html_col]):
+                raw = bytes(blob) if blob is not None else b""
+                if not looks_like_html(raw):
+                    continue
+                for b in classify_blocks(raw):
+                    out["url"].append(url)
+                    out["block_idx"].append(b["idx"])
+                    out["n_chars"].append(b["n_chars"])
+                    out["n_words"].append(b["n_words"])
+                    out["ld_x1000"].append(
+                        int(round(b["link_density"] * 1000)))
+                    out["sd_x1000"].append(
+                        int(round(b["stopword_density"] * 1000)))
+                    out["label_cf"].append(b["label_cf"])
+                    out["label"].append(b["label"])
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def html_blocks_dataframe(df: DataFrame) -> DataFrame:
+    return df.select("url", "html").mapInPandas(
+        html_blocks_batches(), HTML_BLOCKS_SCHEMA)
+
+
 # -- metadata / document features -----------------------------------------
 
 METADATA_SCHEMA = StructType([
