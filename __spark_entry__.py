@@ -795,13 +795,20 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str,
     vocabulary. The 1-row corpus total crosses in via broadcast, never
     a driver collect.
     """
+    return _unigram_scored(spark, sf_dir, min_count).orderBy("doc_id")
+
+
+def _unigram_scored(spark: SparkSession, sf_dir: str,
+                    min_count: int = 2) -> DataFrame:
+    """(doc_id, n_words, avg_neg_logprob_r3) without the determinism
+    orderBy — shared by unigram_logprob and ppl_buckets."""
     d = _docs(spark, sf_dir)
     words = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
     vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     floored = vocab.where(F.col("cnt") >= int(min_count))
-    scored = (
+    return (
         words.join(floored, "word", "left")
         .join(F.broadcast(total))
         .withColumn("p", F.coalesce(F.col("cnt"), F.lit(1)) / F.col("total"))
@@ -811,9 +818,53 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str,
             F.round(F.avg(-F.log(F.col("p"))), 3)
             .alias("avg_neg_logprob_r3"),
         )
+    )
+
+
+def _q_ppl_buckets(spark: SparkSession, sf_dir: str,
+                   min_count: int = 2) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2019
+    §4.3: the corpus is split into three equal-mass buckets by LM
+    score; 'head' = most fluent third, and downstream training mixes
+    buckets deliberately). Thresholds are EXACT tertiles computed
+    without ever globally sorting the corpus: scores are rounded to 3
+    decimals (by _unigram_scored), so the distinct-score histogram is
+    cardinality-bounded (avg -ln p of a corpus LM lives in [0, ~35] →
+    ≤ 35k distinct values at any corpus size); the cumulative-count
+    window runs over that tiny histogram, never over docs — the same
+    bounded-window-input discipline as tokenize_ids. Threshold rule,
+    identical integer arithmetic on both engines: t_k = min score whose
+    cumulative doc count reaches ceil(k*n/3) = (k*n + 2) div 3; bucket
+    = head if score <= t1, middle if <= t2, else tail. The 1-row
+    total and 1-row threshold tables broadcast back; the corpus-side
+    join is map-only."""
+    from pyspark.sql import Window
+
+    s = _unigram_scored(spark, sf_dir, min_count)
+    hist = s.groupBy("avg_neg_logprob_r3").agg(F.count("*").alias("c"))
+    w = Window.orderBy("avg_neg_logprob_r3").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    totals = hist.agg(F.sum("c").alias("n"))
+    thr = (
+        cum.join(F.broadcast(totals))
+        .agg(
+            F.min(F.when(F.col("cum") >= F.expr("(n + 2) div 3"),
+                         F.col("avg_neg_logprob_r3"))).alias("t1"),
+            F.min(F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"),
+                         F.col("avg_neg_logprob_r3"))).alias("t2"),
+        )
+    )
+    return (
+        s.join(F.broadcast(thr))
+        .select(
+            "doc_id", "n_words", "avg_neg_logprob_r3",
+            F.when(F.col("avg_neg_logprob_r3") <= F.col("t1"), "head")
+            .when(F.col("avg_neg_logprob_r3") <= F.col("t2"), "middle")
+            .otherwise("tail").alias("bucket"),
+        )
         .orderBy("doc_id")
     )
-    return scored
 
 
 def _q_bigram_logprob(spark: SparkSession, sf_dir: str,
@@ -977,6 +1028,53 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sharing")
         .orderBy("doc_id")
     )
+
+
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level aggregation + spam filtering (the C4/RefinedWeb
+    host-blocklist step is applied per registered domain, and crawl
+    curation drops whole hosts whose content is short/duplicated):
+    per-host doc count, corpus share, mean words/doc, distinct-text
+    ratio — flag hosts that are high-volume yet low-diversity or
+    low-content (the SEO-farm signature). Hosts are seeded
+    deterministically from doc_id with a Zipf-ish twist (host 0
+    absorbs every doc_id divisible by 4 on top of its modular share)
+    so one host is genuinely skewed, as crawl hosts are.
+
+    Scale shape: ONE exchange on host; all four metrics come from a
+    single map-side-combining aggregate (count, sum, approx-free
+    distinct via count(distinct md5) grouped per host — Spark plans
+    a two-stage partial_count_distinct under one logical agg); no
+    window, no self-join. The flag thresholds are constants, so the
+    filter is free."""
+    d = _docs(spark, sf_dir)
+    host = F.concat(
+        F.lit("host"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(0))
+        .otherwise(F.col("doc_id") % 23).cast("string"),
+        F.lit(".example.com"))
+    base = d.select(
+        host.alias("host"),
+        F.size(F.filter(F.split(F.col("text"), " "),
+                        lambda w: w != "")).alias("n_words"),
+        F.md5(F.col("text")).alias("h"))
+    stats = (
+        base.groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_words"), 2).alias("mean_words"),
+            F.countDistinct("h").alias("n_distinct"),
+        )
+        .select(
+            "host", "n_docs", "mean_words",
+            F.round(F.col("n_distinct") / F.col("n_docs"), 3)
+            .alias("distinct_ratio"),
+            ((F.col("n_distinct") / F.col("n_docs") < 0.5)
+             | (F.col("mean_words") < 5)).alias("spam_flag"),
+        )
+        .orderBy("host")
+    )
+    return stats
 
 
 def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1993,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "span_dedup": _q_span_dedup,
         "unigram_logprob": _q_unigram_logprob,
+        "ppl_buckets": _q_ppl_buckets,
         "bigram_logprob": _q_bigram_logprob,
         "decontaminate": _q_decontaminate,
         "lang_guess": _q_lang_guess,
@@ -2018,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_semdedup": _q_kmeans_semdedup,
         "tfidf_topk": _q_tfidf_topk,
         "dataset_split": _q_dataset_split,
+        "host_stats": _q_host_stats,
         "html_meta": _q_html_meta,
         "html_blocks": _q_html_blocks,
         "tokenize_ids": _q_tokenize_ids,
@@ -2435,6 +2535,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM w LEFT JOIN f USING (word) CROSS JOIN t "
             "GROUP BY doc_id ORDER BY doc_id"
         ),
+        "ppl_buckets": (
+            # identical tertile arithmetic over the same rounded-score
+            # histogram: cumulative count ordered by score (scores are
+            # distinct after GROUP BY, so ROWS == RANGE framing),
+            # thresholds at (k*n + 2) // 3
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+            "FROM documents), "
+            "v AS (SELECT word, count(*) AS cnt FROM w GROUP BY word), "
+            "t AS (SELECT sum(cnt) AS total FROM v), "
+            "f AS (SELECT word, cnt FROM v WHERE cnt >= 2), "
+            "s AS (SELECT doc_id, count(*) AS n_words, "
+            "round(avg(-ln(coalesce(cnt, 1) / total)), 3) AS score "
+            "FROM w LEFT JOIN f USING (word) CROSS JOIN t GROUP BY doc_id), "
+            "h AS (SELECT score, count(*) AS c FROM s GROUP BY score), "
+            "cm AS (SELECT score, sum(c) OVER (ORDER BY score) AS cum FROM h), "
+            "tot AS (SELECT sum(c) AS n FROM h), "
+            "thr AS (SELECT min(CASE WHEN cum >= (n + 2) // 3 "
+            "THEN score END) AS t1, "
+            "min(CASE WHEN cum >= (2 * n + 2) // 3 THEN score END) AS t2 "
+            "FROM cm CROSS JOIN tot) "
+            "SELECT doc_id, n_words, score AS avg_neg_logprob_r3, "
+            "CASE WHEN score <= t1 THEN 'head' "
+            "WHEN score <= t2 THEN 'middle' ELSE 'tail' END AS bucket "
+            "FROM s CROSS JOIN thr ORDER BY doc_id"
+        ),
         "bigram_logprob": (
             # conditional-bigram replay: adjacent pairs from the same
             # empty-filtered split, context counts c1 = count(w1 in
@@ -2599,6 +2724,21 @@ def oracle_sql() -> dict[str, str]:
             "raw_url <> canonical_url AS changed, "
             "CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) "
             "AS n_sharing FROM canon ORDER BY doc_id"
+        ),
+        "host_stats": (
+            # identical host seeding + metric arithmetic
+            "WITH b AS (SELECT CASE WHEN doc_id % 4 = 0 "
+            "THEN 'host0.example.com' "
+            "ELSE 'host' || CAST(doc_id % 23 AS VARCHAR) || '.example.com' "
+            "END AS host, "
+            "len(list_filter(string_split(text, ' '), w -> w <> '')) "
+            "AS n_words, md5(text) AS h FROM documents) "
+            "SELECT host, count(*) AS n_docs, "
+            "round(avg(n_words), 2) AS mean_words, "
+            "round(count(DISTINCT h) / count(*), 3) AS distinct_ratio, "
+            "(count(DISTINCT h) / count(*) < 0.5 OR "
+            "round(avg(n_words), 2) < 5) AS spam_flag "
+            "FROM b GROUP BY host ORDER BY host"
         ),
         "dataset_split": (
             # identical md5-hex prefix with LEXICOGRAPHIC threshold

@@ -550,6 +550,65 @@ class TestPng:
         for c in (1, 2, 3, 4):
             self._round((11, 5, c))
 
+    def test_adam7_roundtrip_and_agreement(self):
+        """Interlaced encode -> decode must reproduce pixels exactly
+        AND agree with the non-interlaced decode of the same pixels,
+        across sizes that exercise empty passes (w or h < 5 leaves
+        some Adam7 passes pixel-less) and every channel count."""
+        import numpy as np
+        from zpdfspark.kernel import png as P
+        rng = np.random.default_rng(7)
+        for h, w in ((1, 1), (1, 9), (9, 1), (3, 4), (7, 7), (8, 8),
+                     (17, 23), (31, 2)):
+            for c in (1, 2, 3, 4):
+                px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+                W, H, C, out = P.decode_png(P.encode_png(px, interlace=True))
+                assert (W, H, C) == (w, h, c)
+                assert (out == px).all(), (h, w, c)
+                _, _, _, plain = P.decode_png(P.encode_png(px))
+                assert (out == plain).all()
+
+    def test_adam7_short_idat_rejected(self):
+        """An interlaced stream whose IDAT carries fewer bytes than the
+        pass layout requires must fail loudly, not scatter garbage."""
+        import struct, zlib
+        import numpy as np
+        from zpdfspark.kernel import png as P
+        raw = bytearray(P.encode_png(
+            np.zeros((10, 10, 3), dtype=np.uint8), interlace=True))
+        # rebuild with IDAT truncated pre-compression
+        ihdr = struct.pack(">IIBBBBB", 10, 10, 8, 2, 0, 0, 1)
+        idat = zlib.compress(b"\x00" * 50)
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+        doc = (P.SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+               + chunk(b"IEND", b""))
+        try:
+            P.decode_png(doc)
+            assert False, "short interlaced IDAT accepted"
+        except P.PngError:
+            pass
+
+    def test_adam7_hostile_mutations(self):
+        import random
+        import numpy as np
+        from zpdfspark.kernel import png as P
+        base = P.encode_png(
+            (np.arange(675, dtype=np.uint8) % 256).reshape(15, 15, 3),
+            interlace=True)
+        rnd = random.Random(11)
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rnd.randint(1, 8)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+            try:
+                P.decode_png(bytes(b))
+            except P.PngError:
+                pass  # the only acceptable failure mode
+
     def test_palette_expansion(self):
         import struct, zlib
         import numpy as np

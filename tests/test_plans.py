@@ -2,6 +2,8 @@
 keep column pruning and predicate pushdown at the parquet scan
 (SURVEY.md §4 Z1: pruning is the engine's lazy-parsing analog)."""
 
+import re
+
 import pytest
 
 pyspark = pytest.importorskip("pyspark")
@@ -197,6 +199,38 @@ def test_unigram_logprob_jvm_side(spark, sf_dir):
     plan = _formatted(E.queries()["unigram_logprob"](spark, sf_dir), spark)
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_host_stats_single_exchange_no_window(spark, sf_dir):
+    """Domain-level stats must be ONE hash exchange on host with
+    map-side partial aggregation (count-distinct plans as a two-stage
+    partial under the same grouping) — no window, no self-join, no
+    Python."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["host_stats"](spark, sf_dir), spark)
+    assert "EvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning") <= 2, plan  # host + distinct stage
+
+
+def test_ppl_buckets_window_input_is_histogram(spark, sf_dir):
+    """The tertile window must run over the rounded-score HISTOGRAM
+    (cardinality-bounded by the 3-decimal rounding), never over docs:
+    in the formatted tree the Window's subtree must contain a
+    HashAggregate keyed on the score — the same bounded-window-input
+    discipline as tokenize_ids. The only broadcasts are the 1-row
+    total and 1-row threshold tables."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["ppl_buckets"](spark, sf_dir), spark)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window") >= 1, plan
+    # window sits directly above the score-histogram aggregate
+    m = re.search(r"Window[\s\S]{0,400}?HashAggregate", plan)
+    assert m, plan
 
 
 def test_bigram_logprob_hint_free_and_jvm_side(spark, sf_dir):

@@ -57,6 +57,8 @@ NOTES = {
     "media_frames": "1-to-N frame explode inside the kernel task.",
     "media_embed": "map-only deterministic embedding kernel.",
     "audio_stats": "map-only REAL WAV decode (kernel/wav.py) with kernel-side magic filtering; emits rows only for decodable audio payloads.",
+    "host_stats": "domain-level spam filtering: ONE host exchange, map-side-combining aggregate (count-distinct partials under the same grouping); no window/self-join — a skewed host stays splittable.",
+    "ppl_buckets": "CCNet head/middle/tail tertiles: the cumulative window runs over the rounded-score HISTOGRAM (<=35k rows at any corpus size), never over docs; 1-row total + 1-row thresholds broadcast back; corpus-side join map-only.",
     "html_blocks": "jusText DOM block classification inside the scan task (mapInPandas); only tiny block rows cross the Arrow boundary; single range exchange for the determinism orderBy.",
     "bigram_logprob": "adjacent pairs via map-only zip_with (no positional self-join); context + bigram tables are map-side-combining aggs; both scoring joins HINT-FREE (AQE sizes them — crawl-scale n-gram tables exceed any broadcast budget).",
 }

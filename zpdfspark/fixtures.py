@@ -705,7 +705,9 @@ def png_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
     px = np.stack([
         (x * 31 + i) % 256, (y * 17 + 2 * i) % 256, (x * y + 3 * i) % 256,
     ], axis=-1).astype(np.uint8)
-    return encode_png(px), None
+    # every third png is Adam7-interlaced (v23): real crawls carry
+    # interlaced PNGs; dims/channels oracles read the IHDR either way
+    return encode_png(px, interlace=(i % 3 == 2)), None
 
 
 def jpeg_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
@@ -1349,7 +1351,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v22"
+CORPUS_VERSION = "v23"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without

@@ -10,9 +10,12 @@ inflate -> row unfiltering -> numpy pixel array. JPEG/video remain
 honestly stubbed (media.py).
 
 Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette,
-expanded to RGB), 4 (gray+alpha), 6 (RGBA), interlace 0. Anything else
-raises PngError — callers treat a failed decode as data, never as a
-task failure (the same permissive contract as the PDF kernel).
+expanded to RGB), 4 (gray+alpha), 6 (RGBA), interlace 0 and 1 (Adam7 —
+round 4: real crawls carry interlaced PNGs; each of the 7 passes is an
+independently filtered sub-image scattered back on the pass grid).
+Anything else raises PngError — callers treat a failed decode as data,
+never as a task failure (the same permissive contract as the PDF
+kernel).
 """
 
 from __future__ import annotations
@@ -29,6 +32,22 @@ SIGNATURE = b"\x89PNG\r\n\x1a\n"
 MAX_PIXEL_BYTES = 64 * 1024 * 1024  # decoded-size DoS cap (Z12 spirit)
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _adam7_passes(width: int, height: int):
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pass_w, pass_h); a
+    pass with no pixels contributes no scanlines at all."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
 
 
 class PngError(Exception):
@@ -76,8 +95,8 @@ def decode_png(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
         raise PngError(f"unsupported bit depth {bit_depth}")
     if color_type not in _CHANNELS:
         raise PngError(f"unsupported color type {color_type}")
-    if interlace != 0:
-        raise PngError("interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise PngError(f"unknown interlace method {interlace}")
     if width == 0 or height == 0:
         raise PngError("zero dimension")
     channels = _CHANNELS[color_type]
@@ -85,7 +104,12 @@ def decode_png(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
         raise PngError("image too large")
     if not idat:
         raise PngError("missing IDAT")
-    expected = height * (width * channels + 1)
+    if interlace:
+        passes = _adam7_passes(width, height)
+        expected = sum(ph * (pw * channels + 1)
+                       for _, _, _, _, pw, ph in passes)
+    else:
+        expected = height * (width * channels + 1)
     # Bounded inflate (mirrors filters.py's incremental flate cap): never
     # allocate more than the IHDR-declared scanline bytes, so a tiny-IHDR
     # high-ratio IDAT bomb cannot OOM an executor before the size check.
@@ -109,12 +133,30 @@ def decode_png(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
     # per-row filter bytes: exactly the PDF PNG predictor layout — reuse
     # it (predictor=15 means "per-row filter byte chooses the filter")
     try:
-        unfiltered = apply_predictor(
-            decompressed[:expected], 15, width, channels, 8)
+        if interlace:
+            # each Adam7 pass is an independently filtered sub-image
+            # (filters reference the previous row OF THE SAME PASS);
+            # unfilter each, then scatter back onto the pass grid
+            pixels = np.zeros((height, width, channels), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy, pw, ph in passes:
+                seg_len = ph * (pw * channels + 1)
+                sub = np.frombuffer(
+                    apply_predictor(
+                        decompressed[off:off + seg_len], 15, pw,
+                        channels, 8),
+                    dtype=np.uint8).reshape(ph, pw, channels)
+                pixels[y0::dy, x0::dx] = sub
+                off += seg_len
+        else:
+            unfiltered = apply_predictor(
+                decompressed[:expected], 15, width, channels, 8)
+            pixels = np.frombuffer(unfiltered, dtype=np.uint8).reshape(
+                height, width, channels)
+    except PngError:
+        raise
     except Exception as e:
         raise PngError(f"unfilter failed: {e}")
-    pixels = np.frombuffer(unfiltered, dtype=np.uint8).reshape(
-        height, width, channels)
     if color_type == 3:
         if palette is None:
             raise PngError("palette image without PLTE")
@@ -135,16 +177,25 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return pixels[ys][:, xs]
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """Minimal encoder (filter type 0 rows) for fixtures/tests — the
-    independent direction against decode_png's differential tests."""
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal encoder (filter type 0 rows; optional Adam7 pass order)
+    for fixtures/tests — the independent direction against decode_png's
+    differential tests (pass extraction here is plain slicing on the
+    spec grid, NOT the decoder's scatter loop)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    scanlines = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
+    if interlace:
+        scanlines = b"".join(
+            b"\x00" + row.tobytes()
+            for x0, y0, dx, dy, _, _ in _adam7_passes(w, h)
+            for row in arr[y0::dy, x0::dx])
+    else:
+        scanlines = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
     idat = zlib.compress(scanlines)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
