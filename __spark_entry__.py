@@ -1030,6 +1030,178 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_robots_eval(spark: SparkSession, sf_dir: str,
+                   agent: str = "trainingbot") -> DataFrame:
+    """Robots-exclusion evaluation (RFC 9309 — the crawl pipeline's
+    politeness gate): parse each host's robots.txt into per-agent
+    rule groups and evaluate one crawler agent against every URL with
+    the standard longest-match precedence (most-specific user-agent
+    group only, longest path prefix wins, Allow beats Disallow on
+    ties, default allow).
+
+    The parser is PURE JVM: a higher-order fold over the file's lines
+    builds the (agent, allow, path) rule array per host in-row —
+    grouped-format state (consecutive User-agent lines share the next
+    directives; a directive closes the agent list) lives in the fold
+    accumulator, and evaluation is array filter/max over structs
+    (struct ordering gives len-then-allow precedence for free). No
+    Python, no explode, no shuffle beyond the tiny host join.
+
+    Oracle: GENERATOR TRUTH — robots bodies and URL paths are seeded
+    from doc_id (even hosts carry a specific agent group, odd hosts
+    only '*', paths hit disallowed/allowed/longest-tie regions), and
+    DuckDB replays the VERDICT arithmetic straight from the seeding
+    formula without ever parsing — the Spark side must parse its way
+    back to the analytically known answers. At crawl scale the parsed
+    per-host rule table is ~10^7 rows (hosts, not pages): the
+    URL-side join is one AQE-sized exchange on host; robots parsing
+    itself is map-only on the host table."""
+    d = _docs(spark, sf_dir)
+    h = F.col("doc_id") % 7
+    host = F.concat(F.lit("host"), h.cast("string"), F.lit(".example.com"))
+    v = F.col("doc_id") % 4
+    path = (
+        F.when(v == 0, F.concat(F.lit("/p"),
+                                (F.col("doc_id") % 9).cast("string"),
+                                F.lit("/page"),
+                                (F.col("doc_id") % 50).cast("string")))
+        .when(v == 1, F.concat(F.lit("/private/data"),
+                               F.col("doc_id").cast("string")))
+        .when(v == 2, F.concat(F.lit("/private/pub/item"),
+                               F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/p"),
+                            (F.col("doc_id") % 9).cast("string"),
+                            F.lit("/open/x"), F.col("doc_id").cast("string")))
+    )
+    urls = d.select("doc_id", host.alias("host"), path.alias("path"))
+
+    # one robots.txt per host: '*' group always; a specific group for
+    # even hosts (comment + blank lines exercise the parser's skips)
+    hosts = urls.select("host").distinct()
+    hh = F.regexp_extract(F.col("host"), r"^host(\d+)", 1)
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("# robots fixture\nUser-agent: *\n"
+                  "Disallow: /private/\nAllow: /private/pub/\n\n"),
+            F.when(hh.cast("int") % 2 == 0, F.concat(
+                F.lit("User-agent: trainingbot\nDisallow: /p"), hh,
+                F.lit("/\nAllow: /p"), hh, F.lit("/open/\n")))
+            .otherwise(F.lit("")),
+        ).alias("robots_txt"))
+
+    # ---- generic REP parse: fold lines -> array<struct<agent,allow,path>>
+    lines = F.split(F.col("robots_txt"), "\n")
+    rule_t = ("array<struct<agent:string,allow:boolean,path:string>>")
+    init = F.struct(
+        F.array().cast("array<string>").alias("agents"),
+        F.lit(True).alias("closed"),
+        F.array().cast(rule_t).alias("rules"))
+
+    def _step(acc, raw_line):
+        line = F.trim(raw_line)
+        ua = F.regexp_extract(line, r"(?i)^User-agent:\s*(\S+)", 1)
+        dis = F.regexp_extract(line, r"(?i)^Disallow:\s*(\S+)", 1)
+        alw = F.regexp_extract(line, r"(?i)^Allow:\s*(\S+)", 1)
+        is_ua = ua != ""
+        # a directive after directives re-opens a fresh group on the
+        # next User-agent line (RFC 9309 grouped format)
+        agents = (
+            F.when(is_ua & acc["closed"], F.array(ua))
+            .when(is_ua, F.array_union(acc["agents"], F.array(ua)))
+            .otherwise(acc["agents"]))
+        new_rule = F.when(
+            dis != "", F.transform(
+                acc["agents"],
+                lambda a: F.struct(a.alias("agent"),
+                                   F.lit(False).alias("allow"),
+                                   dis.alias("path")))
+        ).when(
+            alw != "", F.transform(
+                acc["agents"],
+                lambda a: F.struct(a.alias("agent"),
+                                   F.lit(True).alias("allow"),
+                                   alw.alias("path")))
+        ).otherwise(F.array().cast(rule_t))
+        return F.struct(
+            agents.alias("agents"),
+            F.when(is_ua, F.lit(False))
+            .when((dis != "") | (alw != ""), F.lit(True))
+            .otherwise(acc["closed"]).alias("closed"),
+            F.concat(acc["rules"], new_rule).alias("rules"))
+
+    parsed = robots.select(
+        "host",
+        F.aggregate(lines, init, _step, lambda acc: acc["rules"])
+        .alias("rules"))
+
+    # ---- evaluation: most-specific group, longest match, Allow ties
+    joined = urls.join(parsed, "host")
+    has_specific = F.exists(
+        F.col("rules"), lambda r: r["agent"] == F.lit(agent))
+    grp = F.filter(
+        F.col("rules"),
+        lambda r: r["agent"] == F.when(has_specific, F.lit(agent))
+        .otherwise(F.lit("*")))
+    applicable = F.filter(
+        grp, lambda r: F.col("path").startswith(r["path"]))
+    winner = F.array_max(F.transform(
+        applicable,
+        lambda r: F.struct(F.length(r["path"]).alias("len"),
+                           r["allow"].alias("allow"),
+                           r["path"].alias("path"))))
+    return joined.select(
+        "doc_id", "host", "path",
+        winner["path"].alias("matched_path"),
+        F.coalesce(~winner["allow"], F.lit(False)).alias("disallowed"),
+    ).orderBy("doc_id")
+
+
+def _q_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity (Gopher-family quality signals):
+    type count, type-token ratio, and word-distribution Shannon
+    entropy. Entropy uses the identity H = ln(n) - (sum c_i ln c_i)/n
+    over the per-word counts c_i, computed MAP-ONLY as a run-length
+    fold over the doc's sorted word array (the repetition_signals
+    discipline: a naive explode + per-word groupBy would shuffle every
+    token of every document; this never leaves the scan task). The
+    DuckDB oracle computes the same identity from an unnest+GROUP BY —
+    an independent aggregation path over the same counts."""
+    d = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n = F.size(words).cast("long")
+    n_types = F.size(F.array_distinct(words)).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("acc"))
+
+    def _merge(acc, w):
+        same = w == acc["prev"]
+        run = F.when(same, acc["run"] + F.lit(1)).otherwise(
+            F.lit(1)).cast("long")
+        # flush the finished run's c*ln(c) when the word changes
+        flushed = F.when(
+            same | (acc["run"] == 0), acc["acc"]
+        ).otherwise(acc["acc"] + acc["run"] * F.log(acc["run"]))
+        return F.struct(w.alias("prev"), run.alias("run"),
+                        flushed.alias("acc"))
+
+    sum_clnc = F.aggregate(
+        F.array_sort(words), init, _merge,
+        lambda acc: F.when(acc["run"] > 0,
+                           acc["acc"] + acc["run"] * F.log(acc["run"]))
+        .otherwise(acc["acc"]))
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        n_types.alias("n_types"),
+        F.when(n > 0, F.round(n_types / n, 3)).otherwise(F.lit(None))
+        .alias("type_token_ratio"),
+        F.when(n > 0, F.round(F.log(n) - sum_clnc / n, 3))
+        .otherwise(F.lit(None)).alias("word_entropy"),
+    ).orderBy("doc_id")
+
+
 def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level aggregation + spam filtering (the C4/RefinedWeb
     host-blocklist step is applied per registered domain, and crawl
@@ -1136,6 +1308,42 @@ def _q_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return html_blocks_dataframe(_corpus(spark, sf_dir)).orderBy(
         "url", "block_idx")
+
+
+def _q_html_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense main-content extraction (htmlblocks.extract_dense_text =
+    concatenation of jusText-good blocks) summarized per page: good
+    block count and the exact character length of the joined dense
+    text. The oracle derives the SAME two numbers from the
+    corpus-carried per-block feature column (sum of good n_chars plus
+    the join newlines) — so the kernel's extraction and the carried
+    features must agree through two independent code paths. Map-only
+    mapInPandas; one range exchange."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def fn(batches):
+        from zpdfspark.kernel.htmlblocks import classify_blocks
+        from zpdfspark.kernel.htmltext import looks_like_html
+
+        for b in batches:
+            out = {"url": [], "n_good_blocks": [], "n_dense_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if not looks_like_html(raw):
+                    continue
+                good = [x for x in classify_blocks(raw)
+                        if x["label"] == "good"]
+                dense = "\n".join(x["text"] for x in good)
+                out["url"].append(url)
+                out["n_good_blocks"].append(len(good))
+                out["n_dense_chars"].append(len(dense))
+            yield pd.DataFrame(out)
+
+    return corpus.select("url", "html").mapInPandas(
+        fn, "url string, n_good_blocks int, n_dense_chars long"
+    ).orderBy("url")
 
 
 def _q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2118,8 +2326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "dataset_split": _q_dataset_split,
         "host_stats": _q_host_stats,
+        "lexical_stats": _q_lexical_stats,
+        "robots_eval": _q_robots_eval,
         "html_meta": _q_html_meta,
         "html_blocks": _q_html_blocks,
+        "html_dense": _q_html_dense,
         "tokenize_ids": _q_tokenize_ids,
         "bpe_tokenize_ids": _q_bpe_tokenize_ids,
         "bpe_vocab": _q_bpe_vocab,
@@ -2725,6 +2936,52 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) "
             "AS n_sharing FROM canon ORDER BY doc_id"
         ),
+        "robots_eval": (
+            # GENERATOR TRUTH: the verdict arithmetic straight from
+            # the seeding formula — no parsing on this side, so the
+            # Spark parser must recover the analytically known answer
+            "SELECT doc_id, "
+            "'host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host, "
+            "CASE doc_id % 4 "
+            "WHEN 0 THEN '/p' || CAST(doc_id % 9 AS VARCHAR) || '/page' || "
+            "CAST(doc_id % 50 AS VARCHAR) "
+            "WHEN 1 THEN '/private/data' || CAST(doc_id AS VARCHAR) "
+            "WHEN 2 THEN '/private/pub/item' || CAST(doc_id AS VARCHAR) "
+            "ELSE '/p' || CAST(doc_id % 9 AS VARCHAR) || '/open/x' || "
+            "CAST(doc_id AS VARCHAR) END AS path, "
+            "CASE WHEN doc_id % 7 % 2 = 0 AND doc_id % 4 = 0 "
+            "AND doc_id % 9 = doc_id % 7 "
+            "THEN '/p' || CAST(doc_id % 7 AS VARCHAR) || '/' "
+            "WHEN doc_id % 7 % 2 = 0 AND doc_id % 4 = 3 "
+            "AND doc_id % 9 = doc_id % 7 "
+            "THEN '/p' || CAST(doc_id % 7 AS VARCHAR) || '/open/' "
+            "WHEN doc_id % 7 % 2 = 1 AND doc_id % 4 = 1 THEN '/private/' "
+            "WHEN doc_id % 7 % 2 = 1 AND doc_id % 4 = 2 "
+            "THEN '/private/pub/' END AS matched_path, "
+            "(doc_id % 7 % 2 = 0 AND doc_id % 4 = 0 "
+            "AND doc_id % 9 = doc_id % 7) "
+            "OR (doc_id % 7 % 2 = 1 AND doc_id % 4 = 1) AS disallowed "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "lexical_stats": (
+            # same H = ln(n) - sum(c ln c)/n identity from an
+            # unnest+GROUP BY count path (independent aggregation
+            # order from the kernel's sorted run-length fold)
+            "WITH w AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS word "
+            "FROM documents), "
+            "c AS (SELECT doc_id, word, count(*) AS cnt FROM w "
+            "GROUP BY doc_id, word), "
+            "s AS (SELECT doc_id, sum(cnt) AS n, count(*) AS n_types, "
+            "sum(cnt * ln(cnt)) AS sum_clnc FROM c GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_words, "
+            "CAST(coalesce(s.n_types, 0) AS BIGINT) AS n_types, "
+            "CASE WHEN s.n > 0 THEN round(s.n_types / s.n, 3) END "
+            "AS type_token_ratio, "
+            "CASE WHEN s.n > 0 THEN round(ln(s.n) - sum_clnc / s.n, 3) END "
+            "AS word_entropy "
+            "FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id"
+        ),
         "host_stats": (
             # identical host seeding + metric arithmetic
             "WITH b AS (SELECT CASE WHEN doc_id % 4 = 0 "
@@ -2766,6 +3023,20 @@ def oracle_sql() -> dict[str, str]:
             f"b.label AS label "
             f"FROM (SELECT url, unnest(blocks) AS b FROM {corpus} "
             f"WHERE blocks IS NOT NULL) ORDER BY url, block_idx"
+        ),
+        "html_dense": (
+            # derived from the carried per-block features, an
+            # INDEPENDENT path from the kernel's string concatenation:
+            # len("\n".join(goods)) == sum(good n_chars) + (k-1)
+            f"SELECT url, "
+            f"CAST(len(list_filter(blocks, b -> b.label = 'good')) AS INT) "
+            f"AS n_good_blocks, "
+            f"CAST(coalesce(list_sum(list_transform("
+            f"list_filter(blocks, b -> b.label = 'good'), "
+            f"b -> b.n_chars)), 0) "
+            f"+ greatest(len(list_filter(blocks, b -> b.label = 'good')) "
+            f"- 1, 0) AS BIGINT) AS n_dense_chars "
+            f"FROM {corpus} WHERE blocks IS NOT NULL ORDER BY url"
         ),
         "html_meta": (
             # the IDENTICAL regex set over the same bytes in DuckDB —

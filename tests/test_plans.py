@@ -201,6 +201,40 @@ def test_unigram_logprob_jvm_side(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_robots_eval_jvm_side_host_join_only(spark, sf_dir):
+    """The REP parse is a higher-order fold (no Python), and the only
+    joins are on host — never a cartesian or a per-rule explode of
+    the URL side."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["robots_eval"](spark, sf_dir), spark)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate explode" not in plan, plan
+
+
+def test_lexical_stats_map_only(spark, sf_dir):
+    """Lexical diversity (TTR + entropy) must be a pure projection —
+    the entropy run-length fold runs over the in-row sorted array,
+    never an explode + per-word shuffle."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["lexical_stats"](spark, sf_dir), spark)
+    assert "EvalPython" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "Generate explode" not in plan, plan
+
+
+def test_html_dense_map_only(spark, sf_dir):
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["html_dense"](spark, sf_dir), spark)
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_host_stats_single_exchange_no_window(spark, sf_dir):
     """Domain-level stats must be ONE hash exchange on host with
     map-side partial aggregation (count-distinct plans as a two-stage

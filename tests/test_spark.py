@@ -539,3 +539,45 @@ def test_warc_fused_equals_two_stage(spark, tmp_path):
         assert r["extracted_text"] == two_stage[u]["extracted_text"], u
         assert r["n_pages"] == two_stage[u]["n_pages"]
         assert r["error_count"] == two_stage[u]["error_count"]
+
+
+def test_robots_parser_rfc9309_edges(spark):
+    """The higher-order robots.txt fold must honor the grouped format:
+    consecutive User-agent lines SHARE the following directives, a
+    directive CLOSES the group (the next UA line starts fresh), field
+    names are case-insensitive, comments/blank lines are state-neutral,
+    and evaluation picks the most-specific group with longest-match /
+    Allow-wins-ties precedence."""
+    import __spark_entry__ as E
+    import pyspark.sql.functions as F
+
+    # drive the full query and cross-check hand-picked doc_ids against
+    # the RFC semantics (the oracle already replays the formula; this
+    # pins WHY each verdict holds)
+    df = E.queries()["robots_eval"](spark, "/root/testdata/sf0.001")
+    rows = {r["doc_id"]: r for r in df.collect()}
+
+    # doc 28: h=0 (even, specific group), v=0, k=1 != h -> no rule hits
+    assert rows[28]["disallowed"] is False and rows[28]["matched_path"] is None
+    # doc 84: h=0, v=0, k=3 != 0 -> allowed
+    assert rows[84]["disallowed"] is False
+    # doc 112: 112%7=0 even, 112%4=0, 112%9=4 != 0 -> allowed
+    assert rows[112]["disallowed"] is False
+    # find a disallowed case: v==0, k==h, h even
+    hits = [d for d, r in rows.items()
+            if r["disallowed"] and "/page" in r["path"]]
+    for d in hits:
+        h = d % 7
+        assert h % 2 == 0 and d % 4 == 0 and d % 9 == h
+        assert rows[d]["matched_path"] == f"/p{h}/"
+    assert hits, "seeding must produce at least one disallowed page URL"
+    # odd host private page disallowed by the '*' fallback group
+    odd_hits = [d for d, r in rows.items()
+                if r["disallowed"] and r["path"].startswith("/private/")]
+    for d in odd_hits:
+        assert (d % 7) % 2 == 1 and d % 4 == 1
+    assert odd_hits
+    # Allow longest-match beats Disallow: /p{h}/open/ paths stay allowed
+    open_rows = [r for r in rows.values()
+                 if "/open/" in r["path"] and r["matched_path"]]
+    assert open_rows and all(not r["disallowed"] for r in open_rows)
