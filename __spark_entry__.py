@@ -1030,6 +1030,57 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_shard_assign(spark: SparkSession, sf_dir: str,
+                    budget: int = 2048, n_buckets: int = 16) -> DataFrame:
+    """Token-budget training-shard assignment (the sequence-packing /
+    sharding step that turns a filtered corpus into fixed-size
+    pre-training shards): docs are laid out in a deterministic global
+    order and greedily packed so each shard holds ~`budget` tokens;
+    shard_id = floor(exclusive-prefix-token-sum / budget).
+
+    A global running sum is the textbook un-distributable op (one
+    window over a total order = one giant sort partition), so this is
+    the TWO-LEVEL PREFIX SUM: (1) bucket docs by doc_id % B — the
+    bucket-major order IS the global order; (2) in-bucket running sums
+    via a window partitioned by bucket (each partition ≈ corpus/B
+    rows; at scale B tracks the task count, e.g. 4096, so a window
+    partition is one task's data — here B=16 for a 500-doc oracle);
+    (3) an exclusive prefix over the B per-bucket totals (a B-row
+    single-partition window, bounded by construction like
+    tokenize_ids' top-K); (4) broadcast the B offsets back. The DuckDB
+    oracle replays the identical bucket-major arithmetic with its own
+    window engine."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % n_buckets).alias("b"),
+        F.size(F.filter(F.split(F.col("text"), " "),
+                        lambda w: w != "")).cast("long").alias("n_tokens"))
+    w_in = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = base.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    totals = base.groupBy("b").agg(F.sum("n_tokens").alias("btot"))
+    w_off = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "b", F.coalesce(F.sum("btot").over(w_off), F.lit(0))
+        .alias("offset"))
+    return (
+        cum.join(F.broadcast(offsets), "b")
+        .select(
+            "doc_id", "n_tokens",
+            F.floor((F.col("offset") + F.col("cum_in")
+                     - F.col("n_tokens")) / budget).cast("long")
+            .alias("shard_id"),
+            (F.col("offset") + F.col("cum_in") - F.col("n_tokens"))
+            .alias("global_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_robots_eval(spark: SparkSession, sf_dir: str,
                    agent: str = "trainingbot") -> DataFrame:
     """Robots-exclusion evaluation (RFC 9309 — the crawl pipeline's
@@ -2328,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": _q_host_stats,
         "lexical_stats": _q_lexical_stats,
         "robots_eval": _q_robots_eval,
+        "shard_assign": _q_shard_assign,
         "html_meta": _q_html_meta,
         "html_blocks": _q_html_blocks,
         "html_dense": _q_html_dense,
@@ -2935,6 +2987,26 @@ def oracle_sql() -> dict[str, str]:
             "raw_url <> canonical_url AS changed, "
             "CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) "
             "AS n_sharing FROM canon ORDER BY doc_id"
+        ),
+        "shard_assign": (
+            # identical bucket-major two-level prefix arithmetic,
+            # replayed on DuckDB's window engine
+            "WITH base AS (SELECT doc_id, doc_id % 16 AS b, "
+            "CAST(len(list_filter(string_split(text, ' '), "
+            "w -> w <> '')) AS BIGINT) AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, b, n_tokens, "
+            "sum(n_tokens) OVER (PARTITION BY b ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in "
+            "FROM base), "
+            "t AS (SELECT b, sum(n_tokens) AS btot FROM base GROUP BY b), "
+            "o AS (SELECT b, coalesce(sum(btot) OVER (ORDER BY b "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS off FROM t) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(floor((off + cum_in - n_tokens) / 2048.0) AS BIGINT) "
+            "AS shard_id, "
+            "(off + cum_in - n_tokens) AS global_offset "
+            "FROM c JOIN o USING (b) ORDER BY doc_id"
         ),
         "robots_eval": (
             # GENERATOR TRUTH: the verdict arithmetic straight from

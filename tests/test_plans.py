@@ -201,6 +201,25 @@ def test_unigram_logprob_jvm_side(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_shard_assign_two_level_prefix(spark, sf_dir):
+    """The global running sum must be the two-level shape: the per-doc
+    window is PARTITIONED (by bucket — splittable), and the only
+    unpartitioned window runs over the B-row per-bucket totals (its
+    subtree contains the bucket aggregate, so its input is <= B rows
+    by construction). Offsets come back via broadcast."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["shard_assign"](spark, sf_dir), spark)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+    # the unpartitioned offsets window must sit above the totals agg
+    m = re.search(r"Window \(\d+\)[\s\S]{0,500}?HashAggregate \(\d+\)",
+                  plan)
+    assert m, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_robots_eval_jvm_side_host_join_only(spark, sf_dir):
     """The REP parse is a higher-order fold (no Python), and the only
     joins are on host — never a cartesian or a per-rule explode of
