@@ -741,22 +741,41 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The keeper per span is computed as min(struct(doc_id, span_idx))
     via groupBy — NOT a row_number window: a boilerplate span occurring
     10^9 times corpus-wide would force a single window partition to
-    sort every occurrence (AQE cannot split a window), whereas the
-    aggregation collapses the hot span map-side (partial combine) and
-    the equi-join back IS skew-splittable by AQE. All exchanges carry
-    only (span, doc_id, idx) rows — never the original blobs — which
-    is the C4-at-scale shape.
+    sort every occurrence (AQE cannot split a window), and the
+    aggregation collapses the hot span map-side (partial combine).
+
+    The join back is EXPLICITLY SALTED (round 4): measured on this
+    Spark, AQE's OptimizeSkewedJoin only matches a sort-merge join
+    whose BOTH children are plain shuffle reads — a final aggregate
+    sitting between the keeper's shuffle and the join (exactly this
+    keeper shape) breaks the pattern, so the hot span's fact-side
+    partition would NOT be auto-split (tests/test_plans.py
+    test_aqe_skew_split_pattern_limits pins both directions). The
+    classic fix for a fact x 1-row-per-key dim join is salting: the
+    fact side carries salt = pmod(doc_id + span_idx, S), the keeper
+    (exactly one row per span) is replicated S times, and the join key
+    becomes (span, salt) — a 10^9-occurrence span now spreads over S
+    partitions by construction, at the cost of S x keeper rows. All
+    exchanges carry only (span, doc_id, idx) rows — never the original
+    blobs — which is the C4-at-scale shape.
     """
+    SALT = 8
     d = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     chunks = F.transform(
         F.sequence(F.lit(0), F.floor((n_words - 1) / 10).cast("int")),
         lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)))
-    spans = d.select("doc_id", F.posexplode(chunks).alias("span_idx", "span"))
-    keepers = spans.groupBy("span").agg(
-        F.min(F.struct("doc_id", "span_idx")).alias("k"))
-    flagged = spans.join(keepers, "span").withColumn(
+    spans = d.select(
+        "doc_id", F.posexplode(chunks).alias("span_idx", "span")
+    ).withColumn("salt", F.pmod(F.col("doc_id") + F.col("span_idx"), SALT))
+    keepers = (
+        spans.groupBy("span").agg(
+            F.min(F.struct("doc_id", "span_idx")).alias("k"))
+        .withColumn("salt", F.explode(
+            F.sequence(F.lit(0), F.lit(SALT - 1)).cast("array<bigint>")))
+    )
+    flagged = spans.join(keepers, ["span", "salt"]).withColumn(
         "keep", (F.col("doc_id") == F.col("k.doc_id"))
         & (F.col("span_idx") == F.col("k.span_idx")))
     kept_struct = F.when(F.col("keep"), F.struct("span_idx", "span"))
@@ -1016,12 +1035,20 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group size via aggregation + join, NOT a per-canonical window: a
     # boilerplate canonical shared by 10^9 raw urls would pin one
     # un-splittable window partition, while the aggregation collapses
-    # map-side and AQE can skew-split the join (the same rule as
-    # span_dedup's keeper selection)
-    counts = base.groupBy("canonical_url").agg(
-        F.count("*").alias("n_sharing"))
+    # map-side (partial combine). The join back is SALTED like
+    # span_dedup's keeper join (round 4): AQE's skew-join pattern
+    # does not match an agg-fed join side, so the hot canonical's
+    # fact partition must be spread explicitly — counts (1 row per
+    # canonical) replicate S=8 times, fact rows salt on doc_id.
+    SALT = 8
+    base = base.withColumn("salt", F.pmod(F.col("doc_id"), SALT))
+    counts = (
+        base.groupBy("canonical_url").agg(F.count("*").alias("n_sharing"))
+        .withColumn("salt", F.explode(
+            F.sequence(F.lit(0), F.lit(SALT - 1)).cast("array<bigint>")))
+    )
     return (
-        base.join(counts, "canonical_url")
+        base.join(counts, ["canonical_url", "salt"])
         .select(
             "doc_id", "raw_url", "canonical_url",
             (F.col("raw_url") != F.col("canonical_url")).alias("changed"),

@@ -394,3 +394,91 @@ def test_unigram_logprob_no_forced_vocab_broadcast(spark, sf_dir):
         hinted_tail = logical.split("ResolvedHint", 1)[1]
         first_agg = hinted_tail.split("Aggregate", 1)[1][:200]
         assert "AS total" in first_agg, logical
+
+
+def test_aqe_skew_split_pattern_limits(spark):
+    """Execution-time evidence for the round-4 skew analysis: AQE's
+    OptimizeSkewedJoin ONLY matches a sort-merge join whose both
+    children are plain shuffle reads. (a) A skewed plain-table join
+    IS auto-split (skew=true in the final plan) — the band-candidate
+    equi-joins have this shape. (b) The SAME data joined against its
+    own per-key aggregate (the keeper shape of span_dedup /
+    url_canonicalize) is NOT split, even when forced — the final
+    aggregate between shuffle and join breaks the pattern. That is
+    why those queries salt the join explicitly; (c) asserts the salt
+    actually spreads the hot key across shuffle partitions."""
+    saved = {}
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "8192",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        # scenario (c) flips this off mid-test; list it here so the
+        # finally-restore covers it for the rest of the module
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    }
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # high-entropy payload: shuffle sizes are post-compression, so
+        # a constant filler would compress away the skew signal
+        fact = spark.range(0, 120000).select(
+            F.when(F.col("id") < 114000, F.lit(0))
+            .otherwise(F.col("id") % 64).alias("k"),
+            F.concat(F.sha2(F.col("id").cast("string"), 256),
+                     F.sha2((F.col("id") + 1).cast("string"), 256),
+                     F.sha2((F.col("id") + 2).cast("string"), 256))
+            .alias("payload"))
+
+        def final_plan(df):
+            it = df.toLocalIterator()
+            next(it); next(it)  # force df's own query execution
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        # (a) plain-table right side: the skew split fires
+        dim = spark.range(0, 64).select(
+            F.col("id").alias("k"), F.lit("d").alias("d"))
+        plan_a = final_plan(fact.join(dim, "k").select("k", "payload"))
+        assert "isFinalPlan=true" in plan_a, plan_a
+        assert "skew=true" in plan_a, plan_a
+
+        # (b) agg-fed right side (the keeper shape): pattern mismatch,
+        # NO split even with forceOptimizeSkewedJoin
+        keeper = fact.groupBy("k").agg(F.min("payload").alias("keep"))
+        plan_b = final_plan(
+            fact.join(keeper, "k").select("k", "payload", "keep"))
+        assert "isFinalPlan=true" in plan_b, plan_b
+        assert "skew=true" not in plan_b, plan_b
+
+        # (c) the explicit salt DOES spread the hot key: with salt in
+        # the join key, hot-key rows land on > 1 shuffle partition
+        # (coalescing off: at fixture scale AQE would merge the tiny
+        # partitions back together and mask the spread)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false")
+        S = 8
+        salted_fact = fact.withColumn(
+            "salt", F.pmod(F.monotonically_increasing_id(), F.lit(S)))
+        salted_keeper = keeper.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))
+                              .cast("array<bigint>")))
+        j = salted_fact.join(salted_keeper, ["k", "salt"])
+        n_parts = (j.where(F.col("k") == 0)
+                   .select(F.spark_partition_id().alias("p"))
+                   .distinct().count())
+        assert n_parts > 1, f"hot key stayed on {n_parts} partition(s)"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
