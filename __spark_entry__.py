@@ -821,14 +821,22 @@ def _unigram_scored(spark: SparkSession, sf_dir: str,
                     min_count: int = 2) -> DataFrame:
     """(doc_id, n_words, avg_neg_logprob_r3) without the determinism
     orderBy — shared by unigram_logprob and ppl_buckets."""
+    SALT = 8  # round 4: "the" is ~5% of any corpus's tokens, and AQE
+    # cannot skew-split an agg-fed join side (see span_dedup) — salt
+    # the scoring join so a hot word spreads by construction; the
+    # floored-vocab side (1 row per word) replicates S times, which is
+    # cheap next to a 5%-of-corpus single partition
     d = _docs(spark, sf_dir)
     words = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).withColumn("salt", F.pmod(F.col("doc_id"), SALT))
     vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
-    floored = vocab.where(F.col("cnt") >= int(min_count))
+    floored = vocab.where(F.col("cnt") >= int(min_count)).withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))
+                          .cast("array<bigint>")))
     return (
-        words.join(floored, "word", "left")
+        words.join(floored, ["word", "salt"], "left")
         .join(F.broadcast(total))
         .withColumn("p", F.coalesce(F.col("cnt"), F.lit(1)) / F.col("total"))
         .groupBy("doc_id")
@@ -911,18 +919,24 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str,
                "size(filter(split(text, ' '), w -> w != '')) - 1)"),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    SALT = 8  # hot-context salt, same round-4 rule as unigram_logprob
     pairs = (
         d.where(F.size(arr) >= 2)
         .select("doc_id", F.explode(pairs_col).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"),
                 F.col("p.w2").alias("w2"))
+        .withColumn("salt", F.pmod(F.col("doc_id"), SALT))
     )
-    ctx = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    _salts = F.explode(
+        F.sequence(F.lit(0), F.lit(SALT - 1)).cast("array<bigint>"))
+    ctx = (pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+           .withColumn("salt", _salts))
     big = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-           .where(F.col("c2") >= int(min_count)))
+           .where(F.col("c2") >= int(min_count))
+           .withColumn("salt", _salts))
     scored = (
-        pairs.join(big, ["w1", "w2"], "left")
-        .join(ctx, "w1")
+        pairs.join(big, ["w1", "w2", "salt"], "left")
+        .join(ctx, ["w1", "salt"])
         .withColumn("p", F.coalesce(F.col("c2"), F.lit(1)) / F.col("c1"))
         .groupBy("doc_id")
         .agg(

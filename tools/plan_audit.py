@@ -35,7 +35,6 @@ NOTES = {
     "recrawl_latest": "one url hash exchange, window row_number inside the partition, rank-1 filter — the standard incremental-crawl upsert shape.",
     "event_windows": "partial agg -> one exchange on (window,type) -> final agg; integer cent-sums; JSON prop extraction JVM-side.",
     "event_sessions": "ONE exchange on user_id; lag + running-sum + session agg all within the partition (sort-based windows).",
-    "dedup_exact": "single hash exchange on md5(text), window row_number inside partition — the dedup shuffle is the one unavoidable exchange.",
     "dedup_summary": "partial distinct-agg then single-partition final: map-side combine keeps the exchange tiny.",
     "minhash_signatures": "MAP-ONLY signatures: array_min(transform(split())) — no explode, no HashAggregate, no hash exchange (plan-guarded).",
     "lsh_buckets": "map-only signatures + ONE exchange on the band key (inherent to bucketing).",
@@ -57,6 +56,9 @@ NOTES = {
     "media_frames": "1-to-N frame explode inside the kernel task.",
     "media_embed": "map-only deterministic embedding kernel.",
     "audio_stats": "map-only REAL WAV decode (kernel/wav.py) with kernel-side magic filtering; emits rows only for decodable audio payloads.",
+    "dedup_exact": "md5 + per-hash row_number window: RANK semantics inherently order within the key, so the window stays — consumers needing only keeper/is_dup at crawl scale should use the salted agg-join pattern (span_dedup), which a 10^9-copy boilerplate page cannot pin.",
+    "unigram_logprob": "min-count floored vocab, hint-free join (AQE sizes it), 1-row total broadcast; scoring join SALTED (round 4: 'the' is ~5% of tokens and AQE cannot split an agg-fed join side).",
+    "bigram_logprob": "adjacent pairs map-only via zip_with; bigram/context tables are map-side-combining aggs; both scoring joins hint-free AND salted (hot contexts spread by construction).",
     "span_dedup": "keeper = min(struct) aggregation (map-side combine absorbs hot spans), join back SALTED (round 4): AQE's skew split cannot match an agg-fed join side, so the fact rows carry salt and the 1-row-per-span keeper replicates S=8x — a 10^9-occurrence span spreads by construction.",
     "url_canonicalize": "pure-JVM normalization; group count via agg + SALTED join back (same round-4 skew fix as span_dedup — AQE cannot split an agg-fed join side).",
     "shard_assign": "token-budget sharding via TWO-LEVEL prefix sum: in-bucket windows (splittable, ~corpus/B rows each), a B-row offsets window over the totals agg, offsets broadcast back — never one global sort partition.",
@@ -66,7 +68,6 @@ NOTES = {
     "host_stats": "domain-level spam filtering: ONE host exchange, map-side-combining aggregate (count-distinct partials under the same grouping); no window/self-join — a skewed host stays splittable.",
     "ppl_buckets": "CCNet head/middle/tail tertiles: the cumulative window runs over the rounded-score HISTOGRAM (<=35k rows at any corpus size), never over docs; 1-row total + 1-row thresholds broadcast back; corpus-side join map-only.",
     "html_blocks": "jusText DOM block classification inside the scan task (mapInPandas); only tiny block rows cross the Arrow boundary; single range exchange for the determinism orderBy.",
-    "bigram_logprob": "adjacent pairs via map-only zip_with (no positional self-join); context + bigram tables are map-side-combining aggs; both scoring joins HINT-FREE (AQE sizes them — crawl-scale n-gram tables exceed any broadcast budget).",
 }
 
 
