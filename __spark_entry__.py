@@ -643,6 +643,46 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's one-row report card (every real pipeline
+    run emits this): corpus totals plus survivor counts through the
+    filter cascade — Gopher quality gate, exact-dup removal, PII
+    incidence — and the token mass before/after. ONE pass over the
+    corpus: every metric is a conditional aggregate under a single
+    map-side-combining aggregation (the distinct-text count plans as
+    a two-stage partial under the same job), final reduce is one row.
+    No joins, no windows, no second scan."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    n_chars_nospace = F.length(F.regexp_replace("text", " ", ""))
+    mean_wl_x100 = F.floor(n_chars_nospace * 100 / n_words)
+    n_symbols = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^A-Za-z0-9 ]", ""))
+    symbol_ratio_x1000 = F.floor(n_symbols * 1000 / F.length("text"))
+    has_stopword = (F.col("text").like("% the %") | F.col("text").like("% a %")
+                    | F.col("text").like("% and %"))
+    keep = ((n_words >= 10) & (n_words <= 100000)
+            & (mean_wl_x100 >= 200) & (mean_wl_x100 <= 1000)
+            & (symbol_ratio_x1000 <= 100) & has_stopword)
+    has_email = F.col("text").rlike(
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    return d.select(
+        n_words.alias("w"), keep.alias("keep"),
+        has_email.alias("pii"), F.md5("text").alias("h"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("total_tokens"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long")
+        .alias("n_pass_quality"),
+        F.sum(F.when(F.col("keep"), F.col("w")).otherwise(0))
+        .cast("long").alias("tokens_pass_quality"),
+        F.countDistinct("h").alias("n_unique_text"),
+        F.sum(F.when(F.col("pii"), 1).otherwise(0)).cast("long")
+        .alias("n_with_pii"),
+    )
+
+
 def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText repetition filters (Rae et al. 2021, app. A1.1)
     as map-only JVM higher-order expressions — no shuffle, no explode,
@@ -2388,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "pii_scrub": _q_pii_scrub,
         "gopher_quality": _q_gopher_quality,
+        "curation_funnel": _q_curation_funnel,
         "repetition_signals": _q_repetition_signals,
         "span_dedup": _q_span_dedup,
         "unigram_logprob": _q_unigram_logprob,
@@ -2759,6 +2800,30 @@ def oracle_sql() -> dict[str, str]:
             "((n_words >= 10 AND n_words <= 100000) AND (mwl >= 200 AND mwl <= 1000) "
             "AND sym <= 100 AND stop) AS keep "
             "FROM m ORDER BY doc_id"
+        ),
+        "curation_funnel": (
+            # identical conditional-aggregate arithmetic in one pass
+            "WITH b AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) "
+            "AS w, length(replace(text, ' ', '')) AS cns, "
+            "length(text) - length(regexp_replace(text, "
+            "'[^A-Za-z0-9 ]', '', 'g')) AS nsym, length(text) AS nc, "
+            "(text LIKE '% the %' OR text LIKE '% a %' "
+            "OR text LIKE '% and %') AS stop, "
+            "regexp_matches(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS pii, "
+            "md5(text) AS h FROM documents), "
+            "k AS (SELECT w, (w >= 10 AND w <= 100000 "
+            "AND floor(cns * 100 / w) >= 200 AND floor(cns * 100 / w) <= 1000 "
+            "AND floor(nsym * 1000 / nc) <= 100 AND stop) AS keep, pii, h "
+            "FROM b) "
+            "SELECT count(*) AS n_docs, sum(w) AS total_tokens, "
+            "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_pass_quality, "
+            "CAST(sum(CASE WHEN keep THEN w ELSE 0 END) AS BIGINT) "
+            "AS tokens_pass_quality, "
+            "count(DISTINCT h) AS n_unique_text, "
+            "CAST(sum(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_with_pii FROM k"
         ),
         "repetition_signals": (
             # same signals via unnest + group-by + window — the oracle

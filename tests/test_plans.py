@@ -254,6 +254,18 @@ def test_html_dense_map_only(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
+def test_curation_funnel_single_pass(spark, sf_dir):
+    """The report card must be ONE scan + one aggregation tree: no
+    join, no window, no second Scan of documents."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["curation_funnel"](spark, sf_dir), spark)
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
 def test_host_stats_single_exchange_no_window(spark, sf_dir):
     """Domain-level stats must be ONE hash exchange on host with
     map-side partial aggregation (count-distinct plans as a two-stage

@@ -271,3 +271,41 @@ def test_streaming_warc_ingest(spark, tmp_path):
     checked = sum(1 for u, t in truth.items()
                   if t is not None and texts[u] == t)
     assert checked > 20
+
+
+def test_streaming_curation_split_matches_batch_predicate(spark, tmp_path):
+    """The streaming curation twin must (a) partition extraction output
+    into keep/reject exactly as the batch gopher predicate would, (b)
+    cover every input row exactly once across the two sinks, and (c)
+    survive a restart without duplicating either stream."""
+    from zpdfspark.spark.streaming import (gopher_keep_expr,
+                                           start_streaming_curation)
+
+    input_dir = str(tmp_path / "cin")
+    output_dir = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    _write_drop(input_dir, 60, seed=21)
+
+    q = start_streaming_curation(spark, input_dir, output_dir, ckpt)
+    q.awaitTermination(120)
+    kept = spark.read.parquet(os.path.join(output_dir, "data"))
+    rejected = spark.read.parquet(
+        os.path.join(output_dir, "rejected_root", "data"))
+    assert kept.count() + rejected.count() == 60
+    assert kept.select("url").union(
+        rejected.select("url")).distinct().count() == 60
+    # every kept row satisfies the predicate; every rejected row fails
+    assert kept.where(~gopher_keep_expr()).count() == 0
+    assert rejected.where(gopher_keep_expr()).count() == 0
+    assert kept.count() > 0 and rejected.count() > 0
+
+    # restart with a new drop: only the new file drains, no dupes
+    _write_drop(input_dir, 30, seed=22)
+    q2 = start_streaming_curation(spark, input_dir, output_dir, ckpt)
+    q2.awaitTermination(120)
+    kept2 = spark.read.parquet(os.path.join(output_dir, "data"))
+    rejected2 = spark.read.parquet(
+        os.path.join(output_dir, "rejected_root", "data"))
+    assert kept2.count() + rejected2.count() == 90
+    assert kept2.select("url").union(
+        rejected2.select("url")).distinct().count() == 90

@@ -57,6 +57,7 @@ NOTES = {
     "media_embed": "map-only deterministic embedding kernel.",
     "audio_stats": "map-only REAL WAV decode (kernel/wav.py) with kernel-side magic filtering; emits rows only for decodable audio payloads.",
     "dedup_exact": "md5 + per-hash row_number window: RANK semantics inherently order within the key, so the window stays — consumers needing only keeper/is_dup at crawl scale should use the salted agg-join pattern (span_dedup), which a 10^9-copy boilerplate page cannot pin.",
+    "curation_funnel": "one-row pipeline report card: every metric a conditional aggregate under ONE map-side-combining aggregation over ONE scan — no joins, no windows, no second pass.",
     "unigram_logprob": "min-count floored vocab, hint-free join (AQE sizes it), 1-row total broadcast; scoring join SALTED (round 4: 'the' is ~5% of tokens and AQE cannot split an agg-fed join side).",
     "bigram_logprob": "adjacent pairs map-only via zip_with; bigram/context tables are map-side-combining aggs; both scoring joins hint-free AND salted (hot contexts spread by construction).",
     "span_dedup": "keeper = min(struct) aggregation (map-side combine absorbs hot spans), join back SALTED (round 4): AQE's skew split cannot match an agg-fed join side, so the fact rows carry salt and the 1-row-per-span keeper replicates S=8x — a 10^9-occurrence span spreads by construction.",

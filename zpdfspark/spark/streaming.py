@@ -99,6 +99,74 @@ def start_streaming_extraction(
     return writer.start()
 
 
+def gopher_keep_expr(text_col: str = "extracted_text"):
+    """The Gopher/MassiveText quality gate as a pure-JVM boolean
+    expression over an extracted-text column (same thresholds as the
+    batch gopher_quality query: word-count bounds, mean-word-length
+    band, symbol ratio, stopword evidence). Exposed so batch and
+    streaming curation share one predicate definition."""
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words).cast("long")
+    n_chars_nospace = F.length(F.regexp_replace(t, " ", ""))
+    mean_wl_x100 = F.floor(n_chars_nospace * 100 / n_words)
+    n_symbols = F.length(t) - F.length(
+        F.regexp_replace(t, r"[^A-Za-z0-9 ]", ""))
+    symbol_ratio_x1000 = F.floor(n_symbols * 1000 / F.length(t))
+    has_stopword = (t.like("% the %") | t.like("% a %")
+                    | t.like("% and %"))
+    return ((n_words >= 10) & (n_words <= 100000)
+            & (mean_wl_x100 >= 200) & (mean_wl_x100 <= 1000)
+            & (symbol_ratio_x1000 <= 100) & has_stopword)
+
+
+def start_streaming_curation(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    mode: str = "accuracy",
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Streaming curation twin of the batch pipeline: readStream ->
+    fused extraction kernel -> Gopher quality gate, keepers to
+    ``output_dir/data`` and rejects (with the keep flag's inputs
+    preserved for auditing — real pipelines keep the reject stream) to
+    ``output_dir/rejected``. Both sinks are the same batch_id-scoped
+    idempotent writers as start_streaming_extraction, so a restart
+    replays no batch twice; the extraction and the gate run inside the
+    SAME foreachBatch (no second pass over the blobs)."""
+    reader = (
+        spark.readStream.schema(INPUT_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger or 16))
+        .parquet(input_dir)
+    )
+    keep_sink = _idempotent_batch_writer(spark, output_dir)
+    reject_dir = os.path.join(output_dir, "rejected_root")
+    reject_sink = _idempotent_batch_writer(spark, reject_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = batch_df.select("url", "html").mapInArrow(
+            extract_arrow_batches(mode), EXTRACT_SCHEMA
+        ).withColumn("keep", gopher_keep_expr())
+        # one materialization serves both splits: at scale this is a
+        # per-batch cache of extraction output (rows, not blobs)
+        extracted = extracted.persist()
+        try:
+            keep_sink(extracted.where("keep").drop("keep"), batch_id)
+            reject_sink(extracted.where("NOT keep").drop("keep"), batch_id)
+        finally:
+            extracted.unpersist()
+
+    writer = reader.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_streaming_warc_ingest(
     spark: SparkSession,
     input_dir: str,
