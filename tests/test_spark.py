@@ -581,3 +581,32 @@ def test_robots_parser_rfc9309_edges(spark):
     open_rows = [r for r in rows.values()
                  if "/open/" in r["path"] and r["matched_path"]]
     assert open_rows and all(not r["disallowed"] for r in open_rows)
+
+
+def test_pipeline_quality_gate_column(spark, tmp_path, corpus_path):
+    """--quality-gate must append the quality_keep column to BOTH the
+    per-bucket and single-pass batch paths, agreeing exactly with the
+    shared predicate (gopher_keep_expr over extracted_text), without
+    touching row counts or resume semantics."""
+    from zpdfspark.spark.pipeline import run_extraction_job
+    from zpdfspark.spark.streaming import gopher_keep_expr
+
+    for single_pass in (False, True):
+        out = str(tmp_path / f"qg_{int(single_pass)}")
+        summary = run_extraction_job(
+            spark, corpus_path, out, n_buckets=3,
+            single_pass=single_pass, quality_gate=True)
+        assert summary["buckets_run"] == 3
+        res = spark.read.parquet(os.path.join(out, "data"))
+        assert "quality_keep" in res.columns
+        n = res.count()
+        assert n == summary["docs"] > 0
+        mismatch = res.where(
+            F.col("quality_keep") != gopher_keep_expr()).count()
+        assert mismatch == 0
+        assert 0 < res.where("quality_keep").count() < n
+        # resume untouched: a re-run skips everything
+        again = run_extraction_job(
+            spark, corpus_path, out, n_buckets=3,
+            single_pass=single_pass, quality_gate=True)
+        assert again["buckets_run"] == 0 and again["buckets_skipped"] == 3

@@ -316,8 +316,16 @@ def run_extraction_job(
     single_pass: bool = False,
     repartition_blobs: bool = False,
     writer_tasks: Optional[int] = None,
+    quality_gate: bool = False,
 ) -> dict:
     """Checkpoint-resumable extraction. Returns a summary dict.
+
+    quality_gate=True appends a pure-JVM ``quality_keep`` boolean (the
+    Gopher/MassiveText gate, streaming.gopher_keep_expr — the SAME
+    predicate the streaming curation twin applies) to every output row.
+    A column, not a row drop: resume/lineage idempotence is untouched,
+    downstream picks the survivor set with a pushed-down filter on the
+    parquet column, and the reject rows stay auditable in place.
 
     input_format="iceberg" loads an Iceberg table name instead of a
     parquet path (same code path at scale: the warc_ts predicate then
@@ -398,7 +406,8 @@ def run_extraction_job(
         return _run_buckets(spark, df, n_buckets, partitions, salt, resume,
                             mode, max_doc_bytes, big_doc_bytes, single_pass,
                             repartition_blobs, writer_tasks, data_path,
-                            lineage_path, prebuilt_result=prebuilt_result)
+                            lineage_path, prebuilt_result=prebuilt_result,
+                            quality_gate=quality_gate)
     finally:
         if prev_split_conf is not None:
             spark.conf.set("spark.sql.files.maxPartitionBytes",
@@ -408,7 +417,8 @@ def run_extraction_job(
 def _run_buckets(spark, df, n_buckets, partitions, salt, resume, mode,
                  max_doc_bytes, big_doc_bytes, single_pass,
                  repartition_blobs, writer_tasks, data_path,
-                 lineage_path, prebuilt_result=None) -> dict:
+                 lineage_path, prebuilt_result=None,
+                 quality_gate=False) -> dict:
     done = set(completed_buckets(spark, lineage_path)) if resume else set()
     todo = [b for b in range(n_buckets) if b not in done]
     summary = {"buckets_total": n_buckets, "buckets_skipped": len(done),
@@ -418,7 +428,8 @@ def _run_buckets(spark, df, n_buckets, partitions, salt, resume, mode,
         return _run_single_pass(spark, df, todo, n_buckets, partitions, salt,
                                 mode, max_doc_bytes, big_doc_bytes, data_path,
                                 lineage_path, summary, repartition_blobs,
-                                writer_tasks, prebuilt_result=prebuilt_result)
+                                writer_tasks, prebuilt_result=prebuilt_result,
+                                quality_gate=quality_gate)
 
     for bucket in todo:
         t0 = time.time()
@@ -428,6 +439,9 @@ def _run_buckets(spark, df, n_buckets, partitions, salt, resume, mode,
         result = part.mapInArrow(
             extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes), EXTRACT_SCHEMA
         ).withColumn("bucket", F.lit(bucket))
+        if quality_gate:
+            from zpdfspark.spark.streaming import gopher_keep_expr
+            result = result.withColumn("quality_keep", gopher_keep_expr())
         out_dir = os.path.join(data_path, f"bucket={bucket}")
         result = result.drop("bucket")
         if writer_tasks:
@@ -469,7 +483,8 @@ def _run_buckets(spark, df, n_buckets, partitions, salt, resume, mode,
 def _run_single_pass(spark, df, todo, n_buckets, partitions, salt, mode,
                      max_doc_bytes, big_doc_bytes, data_path, lineage_path,
                      summary, repartition_blobs: bool = False,
-                     writer_tasks: int = 0, prebuilt_result=None) -> dict:
+                     writer_tasks: int = 0, prebuilt_result=None,
+                     quality_gate=False) -> dict:
     """One job over all pending buckets: a single source scan, output
     partitioned by bucket, lineage appended per bucket afterwards.
     `prebuilt_result` (fused-source kernels, e.g. WARC parse+extract)
@@ -489,6 +504,9 @@ def _run_single_pass(spark, df, todo, n_buckets, partitions, salt, mode,
             extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes),
             EXTRACT_SCHEMA
         ).withColumn("bucket", bucket_of(F.col("url"), n_buckets))
+    if quality_gate:
+        from zpdfspark.spark.streaming import gopher_keep_expr
+        result = result.withColumn("quality_keep", gopher_keep_expr())
     if writer_tasks:
         # shuffle the EXTRACTED rows (text — ~10x smaller than the raw
         # blobs, which stay map-only) into writer_tasks hash partitions
@@ -615,6 +633,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--quality-gate", action="store_true",
+                    help="append the pure-JVM Gopher quality_keep column "
+                         "(same predicate as the streaming curation twin)")
     ap.add_argument("--since", default=None, help="warc_ts lower bound")
     ap.add_argument("--until", default=None, help="warc_ts upper bound")
     ap.add_argument("--input-format", choices=("parquet", "iceberg", "warc"),
@@ -657,6 +678,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         big_doc_bytes=args.big_doc_bytes, single_pass=args.single_pass,
         repartition_blobs=args.repartition_blobs,
         writer_tasks=args.writer_tasks,
+        quality_gate=args.quality_gate,
     )
     print(json.dumps(summary))
     spark.stop()
