@@ -1289,6 +1289,56 @@ def _q_robots_eval(spark: SparkSession, sf_dir: str,
     ).orderBy("doc_id")
 
 
+def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sitemaps.org protocol — the frontier's other
+    half next to robots_eval): parse <urlset> sitemap XML payloads
+    into (loc, lastmod, changefreq, priority) rows, entirely JVM-side
+    (regexp_extract_all over the xml string + per-entry field
+    extraction inside array lambdas — no Python, no explode of
+    anything but the final bounded per-sitemap entry list; a sitemap
+    is capped at 50k entries by the protocol, so the explode is
+    bounded per row by spec).
+
+    Sitemap bodies are seeded deterministically from doc_id (one
+    sitemap per host, entries with varying optional fields); the
+    oracle is GENERATOR TRUTH — it rebuilds the expected rows from the
+    seeding arithmetic without parsing any XML, so the Spark parser
+    must recover the analytically known answers."""
+    d = _docs(spark, sf_dir)
+    h = (F.col("doc_id") % 5)
+    n_entries = (F.col("doc_id") % 3) + 1
+    # one synthetic sitemap per doc: n_entries <url> blocks; lastmod on
+    # even entries, priority on entries divisible by 3
+    entry = (
+        "concat('<url><loc>https://s', CAST(doc_id % 5 AS STRING), "
+        "'.example.com/page/', CAST(x AS STRING), '</loc>', "
+        "IF(x % 2 = 0, concat('<lastmod>2026-0', "
+        "CAST(x % 9 + 1 AS STRING), '-01</lastmod>'), ''), "
+        "IF(x % 3 = 0, '<priority>0.8</priority>', ''), '</url>')")
+    xml = F.expr(
+        "concat('<?xml version=\"1.0\"?><urlset>', "
+        f"concat_ws('', transform(sequence(0, doc_id % 3), x -> {entry})), "
+        "'</urlset>')")
+    sm = d.select("doc_id", h.alias("host_id"), xml.alias("xml"),
+                  n_entries.alias("n_entries"))
+    entries = F.expr(
+        r"regexp_extract_all(xml, '<url>(.*?)</url>', 1)")
+    parsed = sm.select(
+        "doc_id",
+        F.posexplode(entries).alias("entry_idx", "e"),
+    ).select(
+        "doc_id", "entry_idx",
+        F.regexp_extract("e", "<loc>([^<]*)</loc>", 1).alias("loc"),
+        F.nullif(F.regexp_extract(
+            "e", "<lastmod>([^<]*)</lastmod>", 1), F.lit(""))
+        .alias("lastmod"),
+        F.nullif(F.regexp_extract(
+            "e", "<priority>([^<]*)</priority>", 1), F.lit(""))
+        .alias("priority"),
+    )
+    return parsed.orderBy("doc_id", "entry_idx")
+
+
 def _q_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document lexical diversity (Gopher-family quality signals):
     type count, type-token ratio, and word-distribution Shannon
@@ -2023,7 +2073,8 @@ def _q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for b in it:
             rows = {"url": [], "n_frames": [], "sample_rate": [],
-                    "n_channels": [], "duration_ms": [], "kbps": []}
+                    "n_channels": [], "duration_ms": [], "kbps": [],
+                    "title": [], "artist": []}
             for url, blob in zip(b["url"], b["html"]):
                 raw = bytes(blob) if blob is not None else b""
                 is_mp3 = raw[:3] == b"ID3" or (
@@ -2041,12 +2092,14 @@ def _q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["n_channels"].append(meta["channels"])
                 rows["duration_ms"].append(meta["duration_ms"])
                 rows["kbps"].append(meta["mean_bitrate_kbps"])
+                rows["title"].append(meta["title"])
+                rows["artist"].append(meta["artist"])
             yield pd.DataFrame(rows)
 
     return corpus.select("url", "html").mapInPandas(
         batches,
         "url string, n_frames int, sample_rate int, n_channels int, "
-        "duration_ms long, kbps int"
+        "duration_ms long, kbps int, title string, artist string"
     ).orderBy("url")
 
 
@@ -2461,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": _q_host_stats,
         "lexical_stats": _q_lexical_stats,
         "robots_eval": _q_robots_eval,
+        "sitemap_urls": _q_sitemap_urls,
         "shard_assign": _q_shard_assign,
         "html_meta": _q_html_meta,
         "html_blocks": _q_html_blocks,
@@ -2653,7 +2707,8 @@ def oracle_sql() -> dict[str, str]:
             # frame-header walk (_mp3_expected) — NOT kernel/mp3.py
             f"SELECT url, mp3_n_frames AS n_frames, mp3_sr AS sample_rate, "
             f"mp3_channels AS n_channels, mp3_duration_ms AS duration_ms, "
-            f"mp3_kbps AS kbps "
+            f"mp3_kbps AS kbps, mp3_title AS title, "
+            f"mp3_artist AS artist "
             f"FROM {corpus} WHERE media_kind = 'mp3' ORDER BY url"
         ),
         "webp_meta": (
@@ -3113,6 +3168,19 @@ def oracle_sql() -> dict[str, str]:
             "AS shard_id, "
             "(off + cum_in - n_tokens) AS global_offset "
             "FROM c JOIN o USING (b) ORDER BY doc_id"
+        ),
+        "sitemap_urls": (
+            # GENERATOR TRUTH: expected rows rebuilt from the seeding
+            # arithmetic — no XML parsing on this side
+            "WITH e AS (SELECT doc_id, "
+            "unnest(generate_series(0, doc_id % 3)) AS x FROM documents) "
+            "SELECT doc_id, CAST(x AS INT) AS entry_idx, "
+            "'https://s' || CAST(doc_id % 5 AS VARCHAR) || "
+            "'.example.com/page/' || CAST(x AS VARCHAR) AS loc, "
+            "CASE WHEN x % 2 = 0 THEN '2026-0' || "
+            "CAST(x % 9 + 1 AS VARCHAR) || '-01' END AS lastmod, "
+            "CASE WHEN x % 3 = 0 THEN '0.8' END AS priority "
+            "FROM e ORDER BY doc_id, entry_idx"
         ),
         "robots_eval": (
             # GENERATOR TRUTH: the verdict arithmetic straight from

@@ -1272,3 +1272,48 @@ class TestWebp:
                 W.webp_dims(raw)
             except W.WebpError:
                 pass  # the only acceptable failure mode
+
+
+class TestId3v2:
+    """kernel/mp3.py ID3v2 text frames (round 4): title/artist/album
+    through all three text encodings, v2.4 syncsafe sizes, padding,
+    and hostile-tag behavior."""
+
+    def test_roundtrip_all_encodings(self):
+        from zpdfspark.kernel.mp3 import encode_mp3, parse_mp3
+        for enc, title in ((0, "Latin Title"), (1, "UTF16 Tïtle"),
+                           (3, "UTF8 Tïtle ☃")):
+            raw = encode_mp3([5, 6, 7], 0, id3_frames={
+                "TIT2": title, "TPE1": "The Band", "TALB": "LP"},
+                id3_encoding=enc)
+            m = parse_mp3(raw)
+            assert m["title"] == title and m["artist"] == "The Band"
+            assert m["album"] == "LP"
+
+    def test_v24_syncsafe_sizes(self):
+        import struct
+        from zpdfspark.kernel.mp3 import parse_id3v2_frames
+        body = b"\x03UTF8 Name"
+        frame = b"TIT2" + bytes((0, 0, 0, len(body))) + b"\x00\x00" + body
+        size = len(frame)
+        tag = (b"ID3\x04\x00\x00"
+               + bytes(((size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                        (size >> 7) & 0x7F, size & 0x7F)) + frame)
+        assert parse_id3v2_frames(tag)["title"] == "UTF8 Name"
+
+    def test_absent_and_padding_only(self):
+        from zpdfspark.kernel.mp3 import encode_mp3, parse_mp3
+        assert parse_mp3(encode_mp3([5, 6], 1))["title"] is None
+        assert parse_mp3(encode_mp3([5], 2, id3_bytes=64))["title"] is None
+
+    def test_hostile_tags_never_raise(self):
+        import random
+        from zpdfspark.kernel.mp3 import encode_mp3, parse_id3v2_frames
+        base = encode_mp3([5, 6, 7, 8], 0,
+                          id3_frames={"TIT2": "Fuzz", "TPE1": "Band"})
+        rng = random.Random(17)
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            parse_id3v2_frames(bytes(b))  # must not raise

@@ -849,8 +849,15 @@ def mp3_audio(i: int = 0) -> Tuple[bytes, Optional[str]]:
     from .kernel.mp3 import encode_mp3
 
     frame_brs = [((i * 7 + j) % 13) + 1 for j in range(20 + i % 40)]
+    # v24: every other stream carries real ID3v2.3 text frames (the
+    # crawl's audio metadata), cycling through the three text
+    # encodings; expected values come from an independent fixtures-side
+    # frame re-read (_id3_expected), not the kernel
+    frames = ({"TIT2": f"Track {i}", "TPE1": f"Band {i % 4}"}
+              if i % 2 == 0 else None)
     return encode_mp3(frame_brs, sr_idx=i % 3, stereo=(i % 2 == 0),
-                      id3_bytes=(90 if i % 3 == 1 else 0)), None
+                      id3_bytes=(90 if i % 3 == 1 else 0),
+                      id3_frames=frames, id3_encoding=(0, 1, 3)[i % 3]), None
 
 
 def html_page(i: int = 0) -> Tuple[bytes, str]:
@@ -1351,7 +1358,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v23"
+CORPUS_VERSION = "v24"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -1572,7 +1579,7 @@ EXPECTED_COLUMNS = (
     "audio_sr", "audio_channels", "audio_n_samples", "audio_rms_x1000",
     "video_duration_ms", "video_n_tracks", "video_width", "video_height",
     "mp3_n_frames", "mp3_sr", "mp3_channels", "mp3_duration_ms",
-    "mp3_kbps",
+    "mp3_kbps", "mp3_title", "mp3_artist",
     "img_width", "img_height", "img_channels",
     "blocks", "block_labels",
 )
@@ -1632,6 +1639,36 @@ def _mp4_expected(raw: bytes):
                         if w16 and not w:
                             w, h = w16 >> 16, h16 >> 16
     return dur_ms, n_tracks, w, h
+
+
+def _id3_expected(raw: bytes):
+    """INDEPENDENT ID3v2.3 text-frame re-read (title, artist) —
+    deliberately NOT kernel/mp3.py's walker: trusts only the fixture
+    encoder's v2.3 plain-size layout it was written with."""
+    import struct
+
+    title = artist = None
+    if raw[:3] != b"ID3":
+        return title, artist
+    b = raw[6:10]
+    end = 10 + ((b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3])
+    pos = 10
+    while pos + 10 <= end:
+        fid = raw[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break
+        size = struct.unpack(">I", raw[pos + 4:pos + 8])[0]
+        body = raw[pos + 10:pos + 10 + size]
+        if fid in (b"TIT2", b"TPE1") and size >= 1:
+            enc = body[0]
+            codec = {0: "latin-1", 1: "utf-16", 3: "utf-8"}.get(enc)
+            val = body[1:].decode(codec) if codec else None
+            if fid == b"TIT2":
+                title = val
+            else:
+                artist = val
+        pos += 10 + size
+    return title, artist
 
 
 def _mp3_expected(raw: bytes):
@@ -1851,12 +1888,15 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
                     "video_width": None, "video_height": None})
     if row["media_kind"] == "mp3":
         fr, sr, ch, dur, kbps = _mp3_expected(raw)
+        title, artist = _id3_expected(raw)
         row.update({"mp3_n_frames": fr, "mp3_sr": sr, "mp3_channels": ch,
-                    "mp3_duration_ms": dur, "mp3_kbps": kbps})
+                    "mp3_duration_ms": dur, "mp3_kbps": kbps,
+                    "mp3_title": title, "mp3_artist": artist})
     else:
         row.update({"mp3_n_frames": None, "mp3_sr": None,
                     "mp3_channels": None, "mp3_duration_ms": None,
-                    "mp3_kbps": None})
+                    "mp3_kbps": None, "mp3_title": None,
+                    "mp3_artist": None})
     if looks_like_html(raw):
         from .kernel.htmlblocks import classify_blocks
 
@@ -1949,7 +1989,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "video_width": pa.int32(), "video_height": pa.int32(),
         "mp3_n_frames": pa.int32(), "mp3_sr": pa.int32(),
         "mp3_channels": pa.int32(), "mp3_duration_ms": pa.int64(),
-        "mp3_kbps": pa.int32(),
+        "mp3_kbps": pa.int32(), "mp3_title": pa.string(),
+        "mp3_artist": pa.string(),
         "blocks": pa.list_(pa.struct([
             ("idx", pa.int32()), ("n_chars", pa.int32()),
             ("n_words", pa.int32()), ("ld_x1000", pa.int32()),

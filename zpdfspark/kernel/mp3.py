@@ -46,6 +46,62 @@ def _skip_id3v2(raw: bytes) -> int:
     return end
 
 
+def parse_id3v2_frames(raw: bytes) -> dict:
+    """ID3v2.3/2.4 TEXT frames (round 4 — the metadata a crawl keeps
+    for audio): walks the tag's frames and returns {title, artist,
+    album} from TIT2/TPE1/TALB (None when absent). Text-frame payload
+    = encoding byte + text: 0 latin-1, 1 utf-16 with BOM, 2 utf-16-be,
+    3 utf-8 (informal spec §4.2). v2.4 frame sizes are syncsafe,
+    v2.3 plain big-endian. Never raises on in-tag garbage — a
+    malformed frame ends the walk (tags are best-effort data); only a
+    truncated/absent tag header yields the empty dict."""
+    out = {"title": None, "artist": None, "album": None}
+    if raw[:3] != b"ID3" or len(raw) < 10:
+        return out
+    major = raw[3]
+    b = raw[6:10]
+    if any(x & 0x80 for x in b):
+        return out
+    tag_end = min(10 + ((b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]),
+                  len(raw))
+    pos = 10
+    want = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+    while pos + 10 <= tag_end:
+        fid = raw[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        sz = raw[pos + 4:pos + 8]
+        if major >= 4:
+            if any(x & 0x80 for x in sz):
+                break
+            size = (sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3]
+        else:
+            size = struct.unpack(">I", sz)[0]
+        body = raw[pos + 10:pos + 10 + size]
+        if len(body) < size:
+            break
+        key = want.get(fid)
+        if key is not None and size >= 1:
+            enc, text = body[0], body[1:]
+            try:
+                if enc == 0:
+                    val = text.decode("latin-1")
+                elif enc == 1:
+                    val = text.decode("utf-16")
+                elif enc == 2:
+                    val = text.decode("utf-16-be")
+                elif enc == 3:
+                    val = text.decode("utf-8")
+                else:
+                    val = None
+            except UnicodeDecodeError:
+                val = None
+            if val is not None:
+                out[key] = val.rstrip("\x00") or None
+        pos += 10 + size
+    return out
+
+
 def parse_mp3(raw: bytes) -> dict:
     """raw MP3 bytes -> {n_frames, sample_rate, channels, duration_ms,
     mean_bitrate_kbps}. MPEG-1 Layer III only (the overwhelming crawl
@@ -100,26 +156,46 @@ def parse_mp3(raw: bytes) -> dict:
     if not n_frames:
         raise Mp3Error("no MP3 frames")
     duration_ms = n_frames * _SAMPLES_PER_FRAME * 1000 // sample_rate
+    tags = parse_id3v2_frames(raw)
     return {
         "n_frames": n_frames, "sample_rate": sample_rate,
         "channels": channels, "duration_ms": duration_ms,
         "mean_bitrate_kbps": total_kbps // n_frames,
+        "title": tags["title"], "artist": tags["artist"],
+        "album": tags["album"],
     }
 
 
 def encode_mp3(frame_brs: list, sr_idx: int, stereo: bool = True,
-               id3_bytes: int = 0) -> bytes:
+               id3_bytes: int = 0, id3_frames: dict = None,
+               id3_encoding: int = 3) -> bytes:
     """Minimal muxer for fixtures/tests — valid MPEG-1 Layer III frame
     headers with zeroed (silent) payloads, one per entry of
     `frame_brs` (bitrate-table indices, so VBR streams are one list
     away), optionally prefixed with an ID3v2 tag of `id3_bytes`
-    payload. The independent direction against parse_mp3."""
+    padding payload and/or real v2.3 TEXT frames (`id3_frames` maps
+    frame ids like 'TIT2' to strings; `id3_encoding` 0 latin-1 /
+    1 utf-16 / 3 utf-8). The independent direction against
+    parse_mp3/parse_id3v2_frames."""
     out = bytearray()
-    if id3_bytes:
+    if id3_bytes or id3_frames:
+        payload = bytearray()
+        for fid, text in (id3_frames or {}).items():
+            if id3_encoding == 0:
+                enc = text.encode("latin-1")
+            elif id3_encoding == 1:
+                enc = text.encode("utf-16")  # BOM included
+            else:
+                enc = text.encode("utf-8")
+            body = bytes([id3_encoding]) + enc
+            payload += fid.encode("ascii") + struct.pack(">I", len(body))
+            payload += b"\x00\x00" + body
+        payload += bytes(id3_bytes)
+        size = len(payload)
         out += b"ID3\x03\x00\x00" + bytes((
-            (id3_bytes >> 21) & 0x7F, (id3_bytes >> 14) & 0x7F,
-            (id3_bytes >> 7) & 0x7F, id3_bytes & 0x7F))
-        out += bytes(id3_bytes)
+            (size >> 21) & 0x7F, (size >> 14) & 0x7F,
+            (size >> 7) & 0x7F, size & 0x7F))
+        out += payload
     sr = _SAMPLE_RATES[sr_idx]
     for i, br_idx in enumerate(frame_brs):
         padding = i % 2  # exercise the padding bit
