@@ -2057,6 +2057,44 @@ def _q_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata for JPEG payloads (kernel/exif.py APP1/TIFF IFD
+    walk): orientation (rotation-aware dedup needs it), camera make,
+    and the Exif-declared pixel dims — no pixel decode. Map-only,
+    magic-filtered in-kernel; rows emitted only for JPEGs that carry
+    an APP1/Exif segment. Oracle: the corpus-carried columns from an
+    INDEPENDENT fixtures-side IFD re-read (fixtures._exif_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.exif import parse_exif
+
+        for b in it:
+            rows = {"url": [], "orientation": [], "make": [],
+                    "exif_w": [], "exif_h": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:2] != b"\xff\xd8":
+                    continue
+                m = parse_exif(raw)
+                if m["orientation"] is None and m["make"] is None \
+                        and m["exif_width"] is None:
+                    continue
+                rows["url"].append(url)
+                rows["orientation"].append(m["orientation"])
+                rows["make"].append(m["make"])
+                rows["exif_w"].append(m["exif_width"])
+                rows["exif_h"].append(m["exif_height"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, orientation int, make string, exif_w int, exif_h int"
+    ).orderBy("url")
+
+
 def _q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio METADATA extraction for MP3 payloads (kernel/mp3.py
     frame-header walk): frames, rate, channels, duration, mean bitrate
@@ -2503,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": _q_audio_stats,
         "video_stats": _q_video_stats,
         "mp3_stats": _q_mp3_stats,
+        "exif_meta": _q_exif_meta,
         "warc_ingest": _q_warc_ingest,
         "warc_revisit": _q_warc_revisit,
         "webp_meta": _q_webp_meta,
@@ -2701,6 +2740,14 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN read_parquet('{_warc_expected}') e "
             f"ON r.refers_to_uri = e.url AND r.refers_to_date = e.warc_date "
             f"ORDER BY r.url, revisit_date"
+        ),
+        "exif_meta": (
+            # carried ground truth from the independent fixtures-side
+            # IFD re-read (_exif_expected) — NOT kernel/exif.py
+            f"SELECT url, exif_orientation AS orientation, "
+            f"exif_make AS make, exif_w, exif_h "
+            f"FROM {corpus} WHERE exif_orientation IS NOT NULL "
+            f"ORDER BY url"
         ),
         "mp3_stats": (
             # carried ground truth from the independent fixtures-side

@@ -1317,3 +1317,54 @@ class TestId3v2:
             for _ in range(rng.randint(1, 6)):
                 b[rng.randrange(len(b))] = rng.randrange(256)
             parse_id3v2_frames(bytes(b))  # must not raise
+
+
+class TestExif:
+    """kernel/exif.py: APP1/TIFF IFD walk (round 4) — both byte
+    orders, inline vs out-of-line values, ExifIFD pointer, hostile
+    structures."""
+
+    def _jpeg_with(self, **kw):
+        import numpy as np
+        from zpdfspark.kernel.exif import build_exif_app1
+        from zpdfspark.kernel.jpeg import encode_jpeg
+        base = encode_jpeg(
+            (np.arange(189, dtype=np.uint8) % 256).reshape(7, 9, 3))
+        return base[:2] + build_exif_app1(**kw) + base[2:]
+
+    def test_roundtrip_both_endians(self):
+        from zpdfspark.kernel.exif import parse_exif
+        for e in ("<", ">"):
+            m = parse_exif(self._jpeg_with(
+                orientation=6, make="FixtureCam", model="FC-1000",
+                exif_w=9, exif_h=7, endian=e))
+            assert m == {"orientation": 6, "make": "FixtureCam",
+                         "model": "FC-1000", "exif_width": 9,
+                         "exif_height": 7}, (e, m)
+
+    def test_partial_and_absent(self):
+        import numpy as np
+        from zpdfspark.kernel.exif import parse_exif
+        from zpdfspark.kernel.jpeg import encode_jpeg
+        m = parse_exif(self._jpeg_with(orientation=1))
+        assert m["orientation"] == 1 and m["make"] is None
+        plain = encode_jpeg(np.zeros((7, 9, 3), dtype=np.uint8))
+        assert parse_exif(plain)["orientation"] is None
+        assert parse_exif(b"")["orientation"] is None
+
+    def test_invalid_orientation_dropped(self):
+        from zpdfspark.kernel.exif import parse_exif
+        m = parse_exif(self._jpeg_with(orientation=9))
+        assert m["orientation"] is None  # out of the 1..8 domain
+
+    def test_hostile_mutations_never_raise(self):
+        import random
+        from zpdfspark.kernel.exif import parse_exif
+        base = self._jpeg_with(orientation=3, make="A", model="B",
+                               exif_w=9, exif_h=7)
+        rng = random.Random(6)
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            parse_exif(bytes(b))

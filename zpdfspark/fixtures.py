@@ -724,19 +724,36 @@ def jpeg_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
     from .kernel.jpeg import encode_jpeg
 
     w, h = 9 + i % 8, 7 + i % 6
+
+    def with_exif(jpg: bytes) -> bytes:
+        # v25: odd-i JPEGs carry an EXIF APP1 (orientation cycles all 8
+        # values, make/model + Exif pixel dims, both byte orders) —
+        # expected columns come from an independent fixtures-side IFD
+        # re-read (_exif_expected), not the kernel
+        if i % 2 == 0:
+            return jpg
+        from .kernel.exif import build_exif_app1
+
+        app1 = build_exif_app1(
+            orientation=(i % 8) + 1, make=f"Cam{i % 5}",
+            model=f"M-{i % 7}", exif_w=w, exif_h=h,
+            endian=("<" if i % 4 < 2 else ">"))
+        return jpg[:2] + app1 + jpg[2:]
+
     y, x = np.mgrid[0:h, 0:w]
     if i % 3 == 0:  # grayscale
         px = ((x * 13 + y * 7 + i) % 256).astype(np.uint8)
-        return encode_jpeg(px, restart_interval=(2 if i % 2 else 0)), None
+        return with_exif(
+            encode_jpeg(px, restart_interval=(2 if i % 2 else 0))), None
     if i % 3 == 1:  # RGB 4:4:4
         px = np.stack([
             (x * 31 + i) % 256, (y * 17 + 2 * i) % 256,
             (x * y + 3 * i) % 256], axis=-1).astype(np.uint8)
-        return encode_jpeg(px), None
+        return with_exif(encode_jpeg(px)), None
     # RGB 4:2:0 (constant chroma per 2x2 after the gradient's doubling)
     px = np.stack([(y * 11 + i) % 256] * 3, axis=-1).astype(np.uint8)
-    return encode_jpeg(px, subsample=True,
-                       restart_interval=(1 if i % 2 else 0)), None
+    return with_exif(encode_jpeg(px, subsample=True,
+                                 restart_interval=(1 if i % 2 else 0))), None
 
 
 def jpeg_progressive_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
@@ -1358,7 +1375,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v24"
+CORPUS_VERSION = "v25"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -1580,6 +1597,7 @@ EXPECTED_COLUMNS = (
     "video_duration_ms", "video_n_tracks", "video_width", "video_height",
     "mp3_n_frames", "mp3_sr", "mp3_channels", "mp3_duration_ms",
     "mp3_kbps", "mp3_title", "mp3_artist",
+    "exif_orientation", "exif_make", "exif_w", "exif_h",
     "img_width", "img_height", "img_channels",
     "blocks", "block_labels",
 )
@@ -1669,6 +1687,56 @@ def _id3_expected(raw: bytes):
                 artist = val
         pos += 10 + size
     return title, artist
+
+
+def _exif_expected(raw: bytes):
+    """INDEPENDENT EXIF re-read (orientation, make, exif dims) —
+    deliberately NOT kernel/exif.py: a standalone scan for the APP1
+    segment and a flat IFD entry loop trusting only the layout the
+    fixture writer emits."""
+    import struct
+
+    out = (None, None, None, None)
+    pos = 2
+    while pos + 4 <= len(raw) and raw[pos] == 0xFF:
+        marker = raw[pos + 1]
+        if marker == 0xDA:
+            return out
+        (seglen,) = struct.unpack(">H", raw[pos + 2:pos + 4])
+        if marker == 0xE1 and raw[pos + 4:pos + 10] == b"Exif\x00\x00":
+            tiff = raw[pos + 10:pos + 2 + seglen]
+            e = "<" if tiff[:2] == b"II" else ">"
+            orientation = make = ew = eh = None
+
+            def scan(off):
+                nonlocal orientation, make, ew, eh
+                (n,) = struct.unpack(e + "H", tiff[off:off + 2])
+                for k in range(n):
+                    ent = off + 2 + 12 * k
+                    tag, vt, cnt = struct.unpack(
+                        e + "HHI", tiff[ent:ent + 8])
+                    raw4 = tiff[ent + 8:ent + 12]
+                    if tag == 0x0112:
+                        orientation = struct.unpack(e + "H", raw4[:2])[0]
+                    elif tag == 0x010F:
+                        if cnt <= 4:
+                            make = raw4[:cnt].split(b"\x00")[0].decode()
+                        else:
+                            (o,) = struct.unpack(e + "I", raw4)
+                            make = tiff[o:o + cnt].split(b"\x00")[0].decode()
+                    elif tag == 0xA002:
+                        ew = struct.unpack(e + "I", raw4)[0]
+                    elif tag == 0xA003:
+                        eh = struct.unpack(e + "I", raw4)[0]
+                    elif tag == 0x8769:
+                        (o,) = struct.unpack(e + "I", raw4)
+                        scan(o)
+
+            (ifd0,) = struct.unpack(e + "I", tiff[4:8])
+            scan(ifd0)
+            return orientation, make, ew, eh
+        pos += 2 + seglen
+    return out
 
 
 def _mp3_expected(raw: bytes):
@@ -1879,6 +1947,13 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"img_width": None, "img_height": None,
                     "img_channels": None})
+    if row["media_kind"] == "jpeg":
+        eo, emk, ew, eh = _exif_expected(raw)
+        row.update({"exif_orientation": eo, "exif_make": emk,
+                    "exif_w": ew, "exif_h": eh})
+    else:
+        row.update({"exif_orientation": None, "exif_make": None,
+                    "exif_w": None, "exif_h": None})
     if row["media_kind"] == "mp4":
         dur, nt, vw, vh = _mp4_expected(raw)
         row.update({"video_duration_ms": dur, "video_n_tracks": nt,
@@ -1991,6 +2066,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "mp3_channels": pa.int32(), "mp3_duration_ms": pa.int64(),
         "mp3_kbps": pa.int32(), "mp3_title": pa.string(),
         "mp3_artist": pa.string(),
+        "exif_orientation": pa.int32(), "exif_make": pa.string(),
+        "exif_w": pa.int32(), "exif_h": pa.int32(),
         "blocks": pa.list_(pa.struct([
             ("idx", pa.int32()), ("n_chars", pa.int32()),
             ("n_words", pa.int32()), ("ld_x1000", pa.int32()),
