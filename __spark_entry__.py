@@ -2095,6 +2095,27 @@ def _q_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_warc_http_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP envelope metadata from WARC response records (round 4 —
+    the first thing a crawl pipeline filters on: status == 200 and a
+    text/* mime): status code and payload Content-Type surfaced by
+    the record reader (kernel/warc.py parses the envelope in the same
+    pass that strips it — zero extra scan). Oracle: the fixture's
+    expected_records parquet carries the generator-authored
+    status/mime per capture (GENERATOR TRUTH — the reader must parse
+    its way back to what the writer was told to emit)."""
+    from zpdfspark.spark.warc_source import read_warc
+
+    glob, _ = _warc_paths(sf_dir)
+    return (
+        read_warc(spark, glob)
+        .where(F.col("parse_error").isNull() & F.col("url").isNotNull())
+        .select("url", "http_status",
+                F.col("http_content_type").alias("mime"))
+        .orderBy("url")
+    )
+
+
 def _q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio METADATA extraction for MP3 payloads (kernel/mp3.py
     frame-header walk): frames, rate, channels, duration, mean bitrate
@@ -2544,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_meta": _q_exif_meta,
         "warc_ingest": _q_warc_ingest,
         "warc_revisit": _q_warc_revisit,
+        "warc_http_meta": _q_warc_http_meta,
         "webp_meta": _q_webp_meta,
         "url_canonicalize": _q_url_canonicalize,
         "url_bloom": _q_url_bloom,
@@ -2740,6 +2762,11 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN read_parquet('{_warc_expected}') e "
             f"ON r.refers_to_uri = e.url AND r.refers_to_date = e.warc_date "
             f"ORDER BY r.url, revisit_date"
+        ),
+        "warc_http_meta": (
+            # generator-authored status/mime per capture
+            f"SELECT url, http_status, mime "
+            f"FROM read_parquet('{_warc_expected}') ORDER BY url"
         ),
         "exif_meta": (
             # carried ground truth from the independent fixtures-side

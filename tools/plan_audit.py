@@ -63,6 +63,7 @@ NOTES = {
     "span_dedup": "keeper = min(struct) aggregation (map-side combine absorbs hot spans), join back SALTED (round 4): AQE's skew split cannot match an agg-fed join side, so the fact rows carry salt and the 1-row-per-span keeper replicates S=8x — a 10^9-occurrence span spreads by construction.",
     "url_canonicalize": "pure-JVM normalization; group count via agg + SALTED join back (same round-4 skew fix as span_dedup — AQE cannot split an agg-fed join side).",
     "shard_assign": "token-budget sharding via TWO-LEVEL prefix sum: in-bucket windows (splittable, ~corpus/B rows each), a B-row offsets window over the totals agg, offsets broadcast back — never one global sort partition.",
+    "warc_http_meta": "file-per-task WARC scan; envelope parsed in the same kernel pass that strips it — zero extra scan; map-only + orderBy.",
     "exif_meta": "map-only APP1/TIFF IFD walk inside the scan task; rows only for JPEGs carrying Exif; no pixel decode.",
     "sitemap_urls": "sitemaps.org ingestion: JVM regexp_extract_all + per-entry field extraction; the only explode is the per-sitemap entry list (protocol-capped at 50k entries/row); no joins.",
     "robots_eval": "RFC 9309: robots parse is a JVM higher-order fold over lines (map-only on the ~10^7-row host table); URL-side evaluation is array filter/max after ONE host join — no per-rule explode.",

@@ -1380,7 +1380,7 @@ CORPUS_VERSION = "v25"
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
 # invalidating the (unchanged) parquet corpus caches
-WARC_FIXTURE_VERSION = "w2"
+WARC_FIXTURE_VERSION = "w3"
 
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -1462,7 +1462,8 @@ def write_warc_fixture(dir_path: str, n_docs: int, seed: int = 42,
 
     os.makedirs(dir_path, exist_ok=True)
     rows = list(corpus_rows(n_docs, seed=seed))
-    exp = {"url": [], "warc_date": [], "n_bytes": [], "body_md5": []}
+    exp = {"url": [], "warc_date": [], "n_bytes": [], "body_md5": [],
+           "http_status": [], "mime": []}
     rev = {"url": [], "warc_date": [], "refers_to_uri": [],
            "refers_to_date": []}
     for shard in range(shards):
@@ -1475,7 +1476,13 @@ def write_warc_fixture(dir_path: str, n_docs: int, seed: int = 42,
             # before the fix the fused path emitted ~3x rows here).
             if i % 5 == 0:
                 recs.append((url, date, b"", "text/plain", "request"))
-            recs.append((url, date, pdf, "application/octet-stream"))
+            # w3: vary HTTP status + payload mime like a real crawl
+            # (pipelines filter on both); payload bytes stay identical
+            status = {4: "404 Not Found", 5: "301 Moved Permanently"}.get(
+                i % 7, "200 OK")
+            mime = ("text/html" if i % 3 == 0 else "application/pdf")
+            recs.append((url, date, pdf, mime, "response",
+                         {"_http_status": status}))
             if i % 5 == 0:
                 recs.append((url, date, b"fetchTimeMs: 12\r\n",
                              "application/warc-fields", "metadata"))
@@ -1496,6 +1503,8 @@ def write_warc_fixture(dir_path: str, n_docs: int, seed: int = 42,
             exp["warc_date"].append(date)
             exp["n_bytes"].append(len(pdf))
             exp["body_md5"].append(hashlib.md5(pdf).hexdigest())
+            exp["http_status"].append(int(status.split(" ", 1)[0]))
+            exp["mime"].append(mime)
         with open(os.path.join(dir_path, f"shard-{shard:03d}.warc.gz"),
                   "wb") as f:
             f.write(build_warc(recs))
@@ -1505,6 +1514,8 @@ def write_warc_fixture(dir_path: str, n_docs: int, seed: int = 42,
         "warc_date": pa.array(exp["warc_date"], pa.string()),
         "n_bytes": pa.array(exp["n_bytes"], pa.int64()),
         "body_md5": pa.array(exp["body_md5"], pa.string()),
+        "http_status": pa.array(exp["http_status"], pa.int32()),
+        "mime": pa.array(exp["mime"], pa.string()),
     }), expected)
     pq.write_table(pa.table({
         "url": pa.array(rev["url"], pa.string()),

@@ -29,14 +29,17 @@ class WarcError(Exception):
 
 class WarcRecord:
     __slots__ = ("warc_type", "target_uri", "warc_date", "content_type",
-                 "body", "error", "refers_to_uri", "refers_to_date")
+                 "body", "error", "refers_to_uri", "refers_to_date",
+                 "http_status", "http_content_type")
 
     def __init__(self, warc_type: str = "", target_uri: Optional[str] = None,
                  warc_date: Optional[str] = None,
                  content_type: Optional[str] = None,
                  body: bytes = b"", error: Optional[str] = None,
                  refers_to_uri: Optional[str] = None,
-                 refers_to_date: Optional[str] = None):
+                 refers_to_date: Optional[str] = None,
+                 http_status: Optional[int] = None,
+                 http_content_type: Optional[str] = None):
         self.warc_type = warc_type
         self.target_uri = target_uri
         self.warc_date = warc_date
@@ -48,6 +51,10 @@ class WarcRecord:
         # duplicate — the crawl's own dedup hint.
         self.refers_to_uri = refers_to_uri
         self.refers_to_date = refers_to_date
+        # from the response record's HTTP envelope (round 4): crawl
+        # pipelines filter on these (status == 200, text/* mime)
+        self.http_status = http_status
+        self.http_content_type = http_content_type
 
 
 def _gunzip_members(raw: bytes) -> bytes:
@@ -74,15 +81,29 @@ def _gunzip_members(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def _strip_http(body: bytes) -> bytes:
-    """Drop the HTTP response envelope (status line + headers) from a
-    response record payload; non-HTTP payloads pass through."""
+def _strip_http(body: bytes):
+    """Split the HTTP response envelope off a response record payload:
+    returns (status, content_type, payload). Non-HTTP payloads pass
+    through with (None, None, body); a malformed status line or
+    unterminated header block degrades the same way (best-effort —
+    envelope metadata is data, not a parse gate)."""
     if not body.startswith(b"HTTP/"):
-        return body
+        return None, None, body
     sep = body.find(b"\r\n\r\n")
     if sep == -1:
-        return body
-    return body[sep + 4:]
+        return None, None, body
+    head = body[:sep].split(b"\r\n")
+    status = None
+    parts = head[0].split(b" ", 2)
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
+    ctype = None
+    for line in head[1:]:
+        k, _, v = line.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("latin-1") or None
+            break
+    return status, ctype, body[sep + 4:]
 
 
 def iter_warc_records(raw: bytes) -> Iterator[WarcRecord]:
@@ -127,8 +148,9 @@ def iter_warc_records(raw: bytes) -> Iterator[WarcRecord]:
             break
         body = raw[body_start : body_start + length]
         wtype = headers.get("warc-type", "")
+        http_status = http_ct = None
         if wtype == "response":
-            body = _strip_http(body)
+            http_status, http_ct, body = _strip_http(body)
         yield WarcRecord(
             warc_type=wtype,
             target_uri=headers.get("warc-target-uri"),
@@ -136,7 +158,9 @@ def iter_warc_records(raw: bytes) -> Iterator[WarcRecord]:
             content_type=headers.get("content-type"),
             body=body,
             refers_to_uri=headers.get("warc-refers-to-target-uri"),
-            refers_to_date=headers.get("warc-refers-to-date"))
+            refers_to_date=headers.get("warc-refers-to-date"),
+            http_status=http_status,
+            http_content_type=http_ct)
         # records are followed by \r\n\r\n per the spec; resync is
         # magic-based so a missing separator cannot shift the stream
         pos = body_start + length
@@ -160,7 +184,9 @@ def build_warc(records, per_record_gzip: bool = True) -> bytes:
         wtype = rec_tuple[4] if len(rec_tuple) > 4 else "response"
         extra = rec_tuple[5] if len(rec_tuple) > 5 else {}
         if wtype == "response":
-            body = (b"HTTP/1.1 200 OK\r\nContent-Type: "
+            status = extra.pop("_http_status", "200 OK") if extra else "200 OK"
+            body = (b"HTTP/1.1 " + str(status).encode("latin-1")
+                    + b"\r\nContent-Type: "
                     + ctype.encode("latin-1")
                     + b"\r\nContent-Length: " + str(len(payload)).encode()
                     + b"\r\n\r\n" + payload)

@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 WARC_SCHEMA = ("url string, warc_date string, content_type string, "
                "html binary, n_bytes long, body_md5 string, "
-               "warc_file string, parse_error string")
+               "warc_file string, parse_error string, "
+               "http_status int, http_content_type string")
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -44,12 +45,13 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         from zpdfspark.kernel.warc import WarcError, iter_warc_records
 
         cols = ("url", "warc_date", "content_type", "html", "n_bytes",
-                "body_md5", "warc_file", "parse_error")
+                "body_md5", "warc_file", "parse_error", "http_status",
+                "http_content_type")
         for b in it:
             rows = {k: [] for k in cols}
 
             def add(url=None, date=None, ctype=None, body=None,
-                    fname="", err=None):
+                    fname="", err=None, status=None, http_ct=None):
                 rows["url"].append(url)
                 rows["warc_date"].append(date)
                 rows["content_type"].append(ctype)
@@ -60,6 +62,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     else None)
                 rows["warc_file"].append(fname)
                 rows["parse_error"].append(err)
+                rows["http_status"].append(status)
+                rows["http_content_type"].append(http_ct)
 
             for fpath, content in zip(b["path"], b["content"]):
                 try:
@@ -69,7 +73,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                         elif rec.warc_type == "response":
                             add(url=rec.target_uri, date=rec.warc_date,
                                 ctype=rec.content_type, body=rec.body,
-                                fname=fpath)
+                                fname=fpath, status=rec.http_status,
+                                http_ct=rec.http_content_type)
                 except WarcError as e:
                     add(fname=fpath, err=f"file-level: {e}")
             yield pd.DataFrame(rows)
