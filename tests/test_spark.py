@@ -610,3 +610,41 @@ def test_pipeline_quality_gate_column(spark, tmp_path, corpus_path):
             spark, corpus_path, out, n_buckets=3,
             single_pass=single_pass, quality_gate=True)
         assert again["buckets_run"] == 0 and again["buckets_skipped"] == 3
+
+
+def test_warc_http_ok_only_filters_non_200(spark, tmp_path):
+    """--http-ok-only must drop 301/404 responses in BOTH WARC paths
+    (fused single-pass and two-stage) and keep everything with a 200
+    envelope; fused and two-stage must agree exactly."""
+    import glob as globmod
+
+    from zpdfspark.fixtures import write_warc_fixture
+    from zpdfspark.spark.pipeline import run_extraction_job
+
+    d = str(tmp_path / "warcok")
+    glob, expected = write_warc_fixture(d, 70, seed=33)
+    exp = spark.read.parquet(expected)
+    n_all = exp.count()
+    n_ok = exp.where("http_status = 200").count()
+    assert 0 < n_ok < n_all  # the w3 fixture seeds 301/404 captures
+
+    outs = {}
+    for sp in (False, True):
+        out = str(tmp_path / f"ok_{int(sp)}")
+        run_extraction_job(spark, glob, out, input_format="warc",
+                           n_buckets=2, single_pass=sp,
+                           http_ok_only=True)
+        res = spark.read.parquet(os.path.join(out, "data"))
+        assert res.count() == n_ok
+        # exactly the 200-status urls survived
+        ok_urls = {r["url"] for r in
+                   exp.where("http_status = 200").select("url").collect()}
+        assert {r["url"] for r in res.select("url").collect()} == ok_urls
+        outs[sp] = res
+
+    # without the flag, everything extracts
+    out_all = str(tmp_path / "ok_none")
+    run_extraction_job(spark, glob, out_all, input_format="warc",
+                       n_buckets=2, single_pass=True)
+    assert spark.read.parquet(
+        os.path.join(out_all, "data")).count() == n_all

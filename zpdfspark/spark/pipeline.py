@@ -317,6 +317,7 @@ def run_extraction_job(
     repartition_blobs: bool = False,
     writer_tasks: Optional[int] = None,
     quality_gate: bool = False,
+    http_ok_only: bool = False,
 ) -> dict:
     """Checkpoint-resumable extraction. Returns a summary dict.
 
@@ -326,6 +327,11 @@ def run_extraction_job(
     A column, not a row drop: resume/lineage idempotence is untouched,
     downstream picks the survivor set with a pushed-down filter on the
     parquet column, and the reject rows stay auditable in place.
+
+    http_ok_only (WARC input only) drops response records whose HTTP
+    status is not 200 — redirect stubs and error pages never reach the
+    extraction kernel; the filter runs inside the record parse (fused
+    path) or as a JVM predicate on the reader (two-stage path).
 
     input_format="iceberg" loads an Iceberg table name instead of a
     parquet path (same code path at scale: the warc_ts predicate then
@@ -361,10 +367,11 @@ def run_extraction_job(
             # alternative.
             binary = spark.read.format("binaryFile").load(input_path)
             prebuilt_result = binary.select("path", "content").mapInArrow(
-                warc_extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes),
+                warc_extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes,
+                                           http_ok_only=http_ok_only),
                 EXTRACT_SCHEMA,
             ).withColumn("bucket", bucket_of(F.col("url"), n_buckets))
-        df = warc_documents(spark, input_path)
+        df = warc_documents(spark, input_path, http_ok_only=http_ok_only)
     else:
         df = spark.read.parquet(input_path)
     # partition-prunable time predicate (Iceberg warc_ts buckets at scale)
@@ -633,6 +640,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--http-ok-only", action="store_true",
+                    help="WARC input: drop response records with a "
+                         "non-200 HTTP status before extraction")
     ap.add_argument("--quality-gate", action="store_true",
                     help="append the pure-JVM Gopher quality_keep column "
                          "(same predicate as the streaming curation twin)")
@@ -679,6 +689,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         repartition_blobs=args.repartition_blobs,
         writer_tasks=args.writer_tasks,
         quality_gate=args.quality_gate,
+        http_ok_only=args.http_ok_only,
     )
     print(json.dumps(summary))
     spark.stop()

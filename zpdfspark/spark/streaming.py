@@ -175,6 +175,7 @@ def start_streaming_warc_ingest(
     mode: str = "accuracy",
     available_now: bool = True,
     max_files_per_trigger: Optional[int] = None,
+    http_ok_only: bool = False,
 ):
     """readStream(binaryFile over a .warc.gz drop directory) -> in-task
     WARC record parse (kernel/warc.py) -> the SAME extraction kernel ->
@@ -215,6 +216,9 @@ def start_streaming_warc_ingest(
                             # WARC-Target-URI on real crawls).
                             if (not rec.error and rec.target_uri
                                     and rec.warc_type == "response"):
+                                if http_ok_only and rec.http_status \
+                                        not in (None, 200):
+                                    continue  # redirect stub/error page
                                 rows["url"].append(rec.target_uri)
                                 rows["html"].append(rec.body)
                     except WarcError:

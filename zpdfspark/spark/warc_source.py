@@ -82,11 +82,17 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return binary.select("path", "content").mapInPandas(batches, WARC_SCHEMA)
 
 
-def warc_documents(spark: SparkSession, path: str) -> DataFrame:
+def warc_documents(spark: SparkSession, path: str,
+                   http_ok_only: bool = False) -> DataFrame:
     """The (url, warc_ts, html) input shape the extraction pipeline
     consumes, from WARC archives (error rows dropped; WARC-Date parsed
-    to a timestamp)."""
+    to a timestamp). http_ok_only additionally drops responses whose
+    HTTP envelope carries a non-200 status (redirect stubs / error
+    pages); envelope-less payloads (null status) are kept."""
     rec = read_warc(spark, path)
+    if http_ok_only:
+        rec = rec.where(F.col("http_status").isNull()
+                        | (F.col("http_status") == 200))
     return (
         rec.where(F.col("parse_error").isNull() & F.col("url").isNotNull())
         .select(
@@ -141,7 +147,8 @@ def warc_revisits(spark: SparkSession, path: str) -> DataFrame:
 
 
 def warc_extract_arrow_batches(mode: str = "accuracy",
-                               max_doc_bytes: int = 0):
+                               max_doc_bytes: int = 0,
+                               http_ok_only: bool = False):
     """FUSED ingestion + extraction kernel (mapInArrow over binaryFile
     rows): WARC records are parsed AND extracted inside the same Python
     task, so document blobs never cross the Python/JVM Arrow boundary
@@ -151,7 +158,11 @@ def warc_extract_arrow_batches(mode: str = "accuracy",
     assembly to udfs.extract_arrow_batches so extraction output is
     byte-identical to the parquet path; records are re-batched in
     bounded chunks so a 1 GB archive never materializes all decompressed
-    bodies at once."""
+    bodies at once.
+
+    http_ok_only drops response records whose HTTP envelope carries a
+    non-200 status (redirect stubs / error pages — the standard crawl
+    ingestion filter); envelope-less payloads (no status) are kept."""
     from zpdfspark.spark.udfs import extract_arrow_batches
 
     extract = extract_arrow_batches(mode, max_doc_bytes=max_doc_bytes)
@@ -177,6 +188,9 @@ def warc_extract_arrow_batches(mode: str = "accuracy",
                             # HTTP-request/metadata bytes as bodies.
                             if (rec.error or not rec.target_uri
                                     or rec.warc_type != "response"):
+                                continue
+                            if http_ok_only and rec.http_status not in (
+                                    None, 200):
                                 continue
                             urls.append(rec.target_uri)
                             bodies.append(rec.body)
