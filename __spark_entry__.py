@@ -1470,6 +1470,46 @@ def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced deterministic sampling (the CCNet/mC4 mixing
+    step: equalize per-language mass before training): every language
+    is downsampled to the SMALLEST language's doc count via per-group
+    hash thresholds — keep iff the first 8 hex digits of
+    md5(doc_id || ':strat') fall below quota * (2^32-1) // count_lang,
+    rendered as fixed-width lowercase hex on BOTH engines
+    (format_string('%08x') / printf('%08x')), so the decision is
+    integer-exact, engine-identical, parallelism-independent, and
+    reproducible run-over-run (no random()).
+
+    Scale shape: one tiny lang-count aggregate, the 1-row global min
+    broadcast, the per-lang threshold table broadcast back (language
+    cardinality is bounded ~hundreds on a full crawl), then a map-only
+    filter — the corpus itself never shuffles."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count("*").alias("lang_count"))
+    quota = counts.agg(F.min("lang_count").alias("quota"))
+    thr = (
+        counts.join(F.broadcast(quota))
+        .select(
+            "lang", "lang_count", "quota",
+            F.format_string(
+                "%08x",
+                F.expr("(quota * 4294967295L) div lang_count"))
+            .alias("thr_hex"))
+    )
+    strat_hex = F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":strat"))), 1, 8)
+    return (
+        d.select("doc_id", "lang", strat_hex.alias("h"))
+        .join(F.broadcast(thr), "lang")
+        .select(
+            "doc_id", "lang", "lang_count", "quota",
+            (F.col("h") < F.col("thr_hex")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jusText-style DOM block classification (Pomikalek 2011) over the
     crawl corpus's HTML rows: one row per block with its length,
@@ -2572,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_semdedup": _q_kmeans_semdedup,
         "tfidf_topk": _q_tfidf_topk,
         "dataset_split": _q_dataset_split,
+        "stratified_sample": _q_stratified_sample,
         "host_stats": _q_host_stats,
         "lexical_stats": _q_lexical_stats,
         "robots_eval": _q_robots_eval,
@@ -3301,6 +3342,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN s.n > 0 THEN round(ln(s.n) - sum_clnc / s.n, 3) END "
             "AS word_entropy "
             "FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id"
+        ),
+        "stratified_sample": (
+            # identical integer threshold arithmetic + lowercase
+            # fixed-width hex compare
+            "WITH c AS (SELECT lang, count(*) AS lang_count "
+            "FROM documents GROUP BY lang), "
+            "q AS (SELECT min(lang_count) AS quota FROM c), "
+            "t AS (SELECT lang, lang_count, quota, "
+            "printf('%08x', CAST(quota * 4294967295 / lang_count "
+            "AS BIGINT)) AS thr FROM c CROSS JOIN q) "
+            "SELECT d.doc_id, d.lang, t.lang_count, t.quota, "
+            "substr(md5(CAST(d.doc_id AS VARCHAR) || ':strat'), 1, 8) "
+            "< t.thr AS kept "
+            "FROM documents d JOIN t USING (lang) ORDER BY d.doc_id"
         ),
         "host_stats": (
             # identical host seeding + metric arithmetic

@@ -266,6 +266,21 @@ def test_curation_funnel_single_pass(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
 
 
+def test_stratified_sample_corpus_never_shuffles(spark, sf_dir):
+    """The language-balancing filter must be broadcast-probe shaped:
+    the corpus side joins the tiny per-lang threshold table via
+    broadcast — no sort-merge join, no window, no corpus exchange
+    beyond the determinism orderBy."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["stratified_sample"](spark, sf_dir),
+                      spark)
+    assert "EvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_host_stats_single_exchange_no_window(spark, sf_dir):
     """Domain-level stats must be ONE hash exchange on host with
     map-side partial aggregation (count-distinct plans as a two-stage

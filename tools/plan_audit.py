@@ -69,6 +69,7 @@ NOTES = {
     "robots_eval": "RFC 9309: robots parse is a JVM higher-order fold over lines (map-only on the ~10^7-row host table); URL-side evaluation is array filter/max after ONE host join — no per-rule explode.",
     "lexical_stats": "TTR + word entropy via in-row run-length fold over the sorted word array (H = ln n - sum(c ln c)/n) — map-only, never explode+groupBy per token.",
     "html_dense": "jusText-good dense extraction summarized in the scan task (mapInPandas, map-only); oracle re-derives the counts from the carried per-block features — two independent paths must agree.",
+    "stratified_sample": "language balancing via per-group integer hash thresholds: tiny lang-count agg, 1-row quota broadcast, threshold table broadcast back, map-only filter — the corpus never shuffles.",
     "host_stats": "domain-level spam filtering: ONE host exchange, map-side-combining aggregate (count-distinct partials under the same grouping); no window/self-join — a skewed host stays splittable.",
     "ppl_buckets": "CCNet head/middle/tail tertiles: the cumulative window runs over the rounded-score HISTOGRAM (<=35k rows at any corpus size), never over docs; 1-row total + 1-row thresholds broadcast back; corpus-side join map-only.",
     "html_blocks": "jusText DOM block classification inside the scan task (mapInPandas); only tiny block rows cross the Arrow boundary; single range exchange for the determinism orderBy.",
