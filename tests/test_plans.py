@@ -176,6 +176,20 @@ def test_span_dedup_has_no_window(spark, sf_dir):
     assert "EvalPython" not in plan, plan
 
 
+def test_dedup_exact_agg_has_no_window(spark, sf_dir):
+    """dedup_exact_agg is the scale-safe keeper variant: min(doc_id)
+    per hash via groupBy + a salted join back — a 10^9-copy page
+    collapses map-side and spreads over SALT join partitions. The rank
+    variant (dedup_exact) keeps its window for rank consumers; this
+    one must have none."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["dedup_exact_agg"](spark, sf_dir), spark)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_decontaminate_probe_is_broadcast_semi(spark, sf_dir):
     """Decontamination must probe the (tiny) benchmark n-gram set via a
     broadcast LEFT SEMI join — the training corpus side must never

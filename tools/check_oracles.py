@@ -78,6 +78,33 @@ def main():
             failures.append(name)
             print(f"[FAIL] {name}: column mismatch {sorted(cols)} vs {sorted(ocols)}")
             continue
+        # Arrow-level type audit: the driver's value hash is
+        # type-sensitive, and DuckDB's Python fetchall() hides drift
+        # (HUGEINT comes back as plain int).  Compare arrow types and
+        # fail hard on the known driver-red shape: decimal (HUGEINT)
+        # vs integer; warn on anything else.
+        try:
+            duck_schema = con.execute(sql).arrow().schema
+            spark_schema = df.limit(0).toArrow().schema
+            dmap = {f.name: str(f.type) for f in duck_schema}
+            smap = {f.name: str(f.type) for f in spark_schema}
+            for c in cols:
+                st, dt = smap.get(c), dmap.get(c)
+                if st == dt:
+                    continue
+                if "decimal" in (dt or "") and "int" in (st or ""):
+                    failures.append(name)
+                    print(f"[FAIL] {name}: col {c} duckdb {dt} vs "
+                          f"spark {st} (uncast aggregate?)")
+                    break
+                print(f"[warn] {name}: col {c} type drift "
+                      f"duckdb={dt} spark={st}")
+            else:
+                pass
+            if failures and failures[-1] == name:
+                continue
+        except Exception as e:  # pragma: no cover - audit best-effort
+            print(f"[warn] {name}: type audit skipped: {e}")
         a = normalize(rows, cols)
         b = normalize(orows, ocols)
         if len(a) != len(b):
