@@ -1185,6 +1185,42 @@ class TestWarc:
                 assert r.target_uri == f"https://ex.com/p{i}"
                 assert r.body == b"<html>doc %d</html>" % i  # HTTP stripped
 
+    def test_chunked_and_content_encoded_bodies(self):
+        """Heritrix/IA-shape wire codings: chunked framing, gzip and
+        deflate content codings, and chunked-over-gzip must all decode
+        byte-identical to the identity-encoded twin."""
+        from zpdfspark.kernel import warc as W
+        payload = b"<html>" + b"wire coding parity " * 40 + b"</html>"
+        variants = [
+            {},  # identity twin
+            {"_http_chunked": 7},
+            {"_http_content_encoding": "gzip"},
+            {"_http_content_encoding": "deflate"},
+            {"_http_content_encoding": "gzip", "_http_chunked": 13},
+        ]
+        recs = [("https://ex.com/t", "2025-06-01T00:00:00Z", payload,
+                 "text/html", "response", dict(v)) for v in variants]
+        for gz in (True, False):
+            got = list(W.iter_warc_records(
+                W.build_warc(recs, per_record_gzip=gz)))
+            assert len(got) == len(variants)
+            for r in got:
+                assert r.error is None
+                assert r.http_status == 200
+                assert r.body == payload, r.body[:80]
+
+    def test_chunked_malformed_keeps_prefix_never_raises(self):
+        from zpdfspark.kernel import warc as W
+        # bad hex size line -> decoded-so-far prefix, no raise
+        assert W._dechunk(b"5\r\nhello\r\nZZ\r\nrest") == b"hello"
+        # truncated final chunk -> keep readable prefix
+        assert W._dechunk(b"5\r\nhello\r\nff\r\nabc") == b"helloabc"
+        # terminal chunk with trailers
+        assert W._dechunk(b"3\r\nabc\r\n0\r\nX-T: 1\r\n\r\n") == b"abc"
+        # garbage content-encoding passes bytes through
+        assert W._decode_content(b"notgzip", "gzip") == b"notgzip"
+        assert W._decode_content(b"plain", "br") == b"plain"
+
     def test_malformed_record_resyncs(self):
         from zpdfspark.kernel import warc as W
         raw = W.build_warc(self._recs(), per_record_gzip=False)

@@ -1380,7 +1380,7 @@ CORPUS_VERSION = "v25"
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
 # invalidating the (unchanged) parquet corpus caches
-WARC_FIXTURE_VERSION = "w3"
+WARC_FIXTURE_VERSION = "w4"
 
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -1481,8 +1481,21 @@ def write_warc_fixture(dir_path: str, n_docs: int, seed: int = 42,
             status = {4: "404 Not Found", 5: "301 Moved Permanently"}.get(
                 i % 7, "200 OK")
             mime = ("text/html" if i % 3 == 0 else "application/pdf")
-            recs.append((url, date, pdf, mime, "response",
-                         {"_http_status": status}))
+            # w4: rotate wire codings (identity / chunked / gzip /
+            # chunked-over-gzip) like a Heritrix/IA archive — the
+            # expected n_bytes/body_md5 stay the PRE-WIRE payload, so
+            # the reader must undo the coding byte-identically for
+            # warc_ingest to stay green.
+            http_extra = {"_http_status": status}
+            wire = i % 4
+            if wire == 1:
+                http_extra["_http_chunked"] = 17
+            elif wire == 2:
+                http_extra["_http_content_encoding"] = "gzip"
+            elif wire == 3:
+                http_extra["_http_content_encoding"] = "gzip"
+                http_extra["_http_chunked"] = 64
+            recs.append((url, date, pdf, mime, "response", http_extra))
             if i % 5 == 0:
                 recs.append((url, date, b"fetchTimeMs: 12\r\n",
                              "application/warc-fields", "metadata"))

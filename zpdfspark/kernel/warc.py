@@ -81,12 +81,70 @@ def _gunzip_members(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _dechunk(payload: bytes) -> bytes:
+    """De-frame a Transfer-Encoding: chunked body (RFC 9112 §7.1):
+    hex-size line, chunk bytes, CRLF, repeated; a 0-size chunk ends the
+    stream (trailer section ignored). Heritrix/IA WARCs store bodies
+    as captured on the wire, so chunk framing reaches us; Common Crawl
+    stores identity bodies. Best-effort: malformed framing returns the
+    bytes decoded so far plus nothing — never raises — because a
+    truncated capture should still surface its readable prefix."""
+    out = bytearray()
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        eol = payload.find(b"\r\n", pos, pos + 18)
+        if eol == -1:
+            break
+        size_tok = payload[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break  # terminal chunk; trailers ignored
+        start = eol + 2
+        if start + size > n or len(out) + size > MAX_RECORD_BYTES:
+            out += payload[start:n]  # truncated capture: keep prefix
+            break
+        out += payload[start:start + size]
+        pos = start + size + 2  # skip chunk-data CRLF
+    return bytes(out)
+
+
+def _decode_content(payload: bytes, encoding: str) -> bytes:
+    """Undo Content-Encoding: gzip/x-gzip/deflate (the wire codings
+    non-CC archives store verbatim). `deflate` tries zlib-wrapped
+    first, then raw-deflate — real servers send both spellings.
+    Unknown codings and decode errors pass the bytes through
+    unchanged (best-effort, never raises)."""
+    enc = encoding.strip().lower()
+    try:
+        if enc in ("gzip", "x-gzip"):
+            d = zlib.decompressobj(wbits=31)
+            return d.decompress(payload, MAX_RECORD_BYTES)
+        if enc == "deflate":
+            for wbits in (15, -15):
+                d = zlib.decompressobj(wbits=wbits)
+                try:
+                    return d.decompress(payload, MAX_RECORD_BYTES)
+                except zlib.error:
+                    continue
+    except zlib.error:
+        pass
+    return payload
+
+
 def _strip_http(body: bytes):
     """Split the HTTP response envelope off a response record payload:
     returns (status, content_type, payload). Non-HTTP payloads pass
     through with (None, None, body); a malformed status line or
     unterminated header block degrades the same way (best-effort —
-    envelope metadata is data, not a parse gate)."""
+    envelope metadata is data, not a parse gate). Transfer-Encoding:
+    chunked framing is removed and Content-Encoding: gzip/deflate
+    bodies are decompressed (round 5): Heritrix/IA WARCs and older
+    segments store wire bytes, and chunk-size lines would otherwise
+    pollute the extracted text."""
     if not body.startswith(b"HTTP/"):
         return None, None, body
     sep = body.find(b"\r\n\r\n")
@@ -98,12 +156,23 @@ def _strip_http(body: bytes):
     if len(parts) >= 2 and parts[1].isdigit():
         status = int(parts[1])
     ctype = None
+    chunked = False
+    cenc = None
     for line in head[1:]:
         k, _, v = line.partition(b":")
-        if k.strip().lower() == b"content-type":
+        key = k.strip().lower()
+        if key == b"content-type" and ctype is None:
             ctype = v.strip().decode("latin-1") or None
-            break
-    return status, ctype, body[sep + 4:]
+        elif key == b"transfer-encoding":
+            chunked = b"chunked" in v.strip().lower()
+        elif key == b"content-encoding":
+            cenc = v.strip().decode("latin-1").lower() or None
+    payload = body[sep + 4:]
+    if chunked:
+        payload = _dechunk(payload)
+    if cenc:
+        payload = _decode_content(payload, cenc)
+    return status, ctype, payload
 
 
 def iter_warc_records(raw: bytes) -> Iterator[WarcRecord]:
@@ -185,11 +254,37 @@ def build_warc(records, per_record_gzip: bool = True) -> bytes:
         extra = rec_tuple[5] if len(rec_tuple) > 5 else {}
         if wtype == "response":
             status = extra.pop("_http_status", "200 OK") if extra else "200 OK"
+            # wire codings (round 5): `_http_content_encoding` gzips/
+            # deflates the payload, `_http_chunked` frames it in N-byte
+            # chunks — the Heritrix/IA capture shape iter_warc_records
+            # must undo byte-identically.
+            cenc = extra.pop("_http_content_encoding", None) if extra else None
+            chunk = extra.pop("_http_chunked", 0) if extra else 0
+            wire = payload
+            enc_hdr = b""
+            if cenc == "gzip":
+                wire = _gzip.compress(wire, mtime=0)
+                enc_hdr += b"Content-Encoding: gzip\r\n"
+            elif cenc == "deflate":
+                wire = zlib.compress(wire)
+                enc_hdr += b"Content-Encoding: deflate\r\n"
+            if chunk:
+                framed = bytearray()
+                for i in range(0, len(wire), chunk):
+                    piece = wire[i:i + chunk]
+                    framed += (b"%x\r\n" % len(piece)) + piece + b"\r\n"
+                framed += b"0\r\n\r\n"
+                wire = bytes(framed)
+                enc_hdr += b"Transfer-Encoding: chunked\r\n"
+                length_hdr = b""  # chunked forbids Content-Length
+            else:
+                length_hdr = (b"Content-Length: "
+                              + str(len(wire)).encode() + b"\r\n")
             body = (b"HTTP/1.1 " + str(status).encode("latin-1")
                     + b"\r\nContent-Type: "
-                    + ctype.encode("latin-1")
-                    + b"\r\nContent-Length: " + str(len(payload)).encode()
-                    + b"\r\n\r\n" + payload)
+                    + ctype.encode("latin-1") + b"\r\n"
+                    + enc_hdr + length_hdr
+                    + b"\r\n" + wire)
             rec_ctype = b"application/http; msgtype=response"
         elif wtype == "request":
             body = (b"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n" + payload)
