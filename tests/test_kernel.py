@@ -1112,13 +1112,13 @@ class TestMp3:
             ([9] * 20, 2, True, 200),            # ID3v2 prefix
         ]:
             meta = M.parse_mp3(M.encode_mp3(frame_brs, sr_idx, stereo, id3))
-            sr = M._SAMPLE_RATES[sr_idx]
+            sr = M._SAMPLE_RATES[3][sr_idx]
             assert meta["n_frames"] == len(frame_brs)
             assert meta["sample_rate"] == sr
             assert meta["channels"] == (2 if stereo else 1)
             assert meta["duration_ms"] == len(frame_brs) * 1152 * 1000 // sr
             assert meta["mean_bitrate_kbps"] == sum(
-                M._BITRATES[b] for b in frame_brs) // len(frame_brs)
+                M._BITRATES_V1[b] for b in frame_brs) // len(frame_brs)
 
     def test_id3v1_tail_tolerated(self):
         from zpdfspark.kernel import mp3 as M
@@ -1156,14 +1156,46 @@ class TestMp3:
             except M.Mp3Error:
                 pass  # the only acceptable failure mode
 
-    def test_non_mpeg1_layer3_rejected(self):
+    def test_mpeg2_and_25_roundtrip(self):
+        """Round 5: MPEG-2 and MPEG-2.5 Layer III parse with the
+        version-specific bitrate/sample-rate tables and 576
+        samples/frame."""
+        from zpdfspark.kernel import mp3 as M
+        for version, srs in ((2, (22050, 24000, 16000)),
+                             (0, (11025, 12000, 8000))):
+            for sr_idx in range(3):
+                brs = [((j * 5) % 13) + 1 for j in range(24)]
+                raw = M.encode_mp3(brs, sr_idx=sr_idx, stereo=False,
+                                   version=version)
+                got = M.parse_mp3(raw)
+                assert got["n_frames"] == 24
+                assert got["sample_rate"] == srs[sr_idx]
+                assert got["channels"] == 1
+                # 576 samples/frame, not 1152
+                assert got["duration_ms"] == 24 * 576 * 1000 // srs[sr_idx]
+                exp_kbps = sum(M._BITRATES_V2[b] for b in brs) // 24
+                assert got["mean_bitrate_kbps"] == exp_kbps
+
+    def test_reserved_version_and_other_layers_rejected(self):
         import struct
         import pytest as _pytest
         from zpdfspark.kernel import mp3 as M
-        # MPEG-2 (version bits 10) header
-        h = (0x7FF << 21) | (2 << 19) | (1 << 17) | (9 << 12) | (0 << 10)
-        with _pytest.raises(M.Mp3Error, match="MPEG-1 Layer III"):
+        # reserved version (bits 01)
+        h = (0x7FF << 21) | (1 << 19) | (1 << 17) | (9 << 12) | (0 << 10)
+        with _pytest.raises(M.Mp3Error, match="reserved MPEG version"):
             M.parse_mp3(struct.pack(">I", h) + bytes(100))
+        # MPEG-1 Layer II (layer bits 10)
+        h = (0x7FF << 21) | (3 << 19) | (2 << 17) | (9 << 12) | (0 << 10)
+        with _pytest.raises(M.Mp3Error, match="only Layer III"):
+            M.parse_mp3(struct.pack(">I", h) + bytes(100))
+
+    def test_version_change_mid_stream_rejected(self):
+        import pytest as _pytest
+        from zpdfspark.kernel import mp3 as M
+        a = M.encode_mp3([9, 9], sr_idx=0, version=3)
+        b = M.encode_mp3([9, 9], sr_idx=0, version=2)
+        with _pytest.raises(M.Mp3Error, match="changes mid-stream"):
+            M.parse_mp3(a + b)
 
 
 class TestWarc:

@@ -241,16 +241,21 @@ def test_gif_roundtrip_property(dims, ncolors, interlace, seed):
 
 @_SETTINGS
 @given(st.lists(st.integers(1, 14), min_size=1, max_size=80),
-       st.integers(0, 2), st.booleans(), st.integers(0, 300))
-def test_mp3_roundtrip_property(frame_brs, sr_idx, stereo, id3):
+       st.integers(0, 2), st.booleans(), st.integers(0, 300),
+       st.sampled_from([3, 2, 0]))
+def test_mp3_roundtrip_property(frame_brs, sr_idx, stereo, id3, version):
     from zpdfspark.kernel import mp3 as M
 
-    meta = M.parse_mp3(M.encode_mp3(frame_brs, sr_idx, stereo, id3))
-    sr = M._SAMPLE_RATES[sr_idx]
+    meta = M.parse_mp3(
+        M.encode_mp3(frame_brs, sr_idx, stereo, id3, version=version))
+    sr = M._SAMPLE_RATES[version][sr_idx]
+    spf = 1152 if version == 3 else 576
+    table = M._BITRATES_V1 if version == 3 else M._BITRATES_V2
     assert meta["n_frames"] == len(frame_brs)
-    assert meta["duration_ms"] == len(frame_brs) * 1152 * 1000 // sr
+    assert meta["sample_rate"] == sr
+    assert meta["duration_ms"] == len(frame_brs) * spf * 1000 // sr
     assert meta["mean_bitrate_kbps"] == sum(
-        M._BITRATES[b] for b in frame_brs) // len(frame_brs)
+        table[b] for b in frame_brs) // len(frame_brs)
 
 
 @_SETTINGS

@@ -856,15 +856,20 @@ def webp_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
 
 
 def mp3_audio(i: int = 0) -> Tuple[bytes, Optional[str]]:
-    """Deterministic MPEG-1 Layer III stream (multimodal audio payload
+    """Deterministic Layer III stream (multimodal audio payload
     row): seeded VBR frame sequence with silent payloads, optional
     ID3v2 prefix, muxed by kernel/mp3.py's fixture encoder. Audio
     DECODE remains honestly stubbed (no codecs); the REAL layer is
     frame-header metadata (frames, rate, channels, duration, mean
     bitrate), oracled against an independent fixtures-side header walk
-    (_mp3_expected)."""
+    (_mp3_expected). v26: rotates MPEG version — every 4th stream is
+    MPEG-2, every 8th MPEG-2.5 (the low-bitrate podcast/voice shape
+    crawls carry; r4 verdict #7)."""
     from .kernel.mp3 import encode_mp3
 
+    version = 3
+    if i % 4 == 2:
+        version = 0 if i % 8 == 6 else 2
     frame_brs = [((i * 7 + j) % 13) + 1 for j in range(20 + i % 40)]
     # v24: every other stream carries real ID3v2.3 text frames (the
     # crawl's audio metadata), cycling through the three text
@@ -874,7 +879,8 @@ def mp3_audio(i: int = 0) -> Tuple[bytes, Optional[str]]:
               if i % 2 == 0 else None)
     return encode_mp3(frame_brs, sr_idx=i % 3, stereo=(i % 2 == 0),
                       id3_bytes=(90 if i % 3 == 1 else 0),
-                      id3_frames=frames, id3_encoding=(0, 1, 3)[i % 3]), None
+                      id3_frames=frames, id3_encoding=(0, 1, 3)[i % 3],
+                      version=version), None
 
 
 def html_page(i: int = 0) -> Tuple[bytes, str]:
@@ -1375,7 +1381,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v25"
+CORPUS_VERSION = "v26"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -1770,8 +1776,12 @@ def _mp3_expected(raw: bytes):
     mean_kbps)."""
     import struct
 
-    brs = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
-    srs = (44100, 48000, 32000)
+    brs_v1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+              160, 192, 224, 256, 320)
+    brs_v2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+              96, 112, 128, 144, 160)
+    srs = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+           0: (11025, 12000, 8000)}
     pos = 0
     if raw[:3] == b"ID3":
         b = raw[6:10]
@@ -1780,17 +1790,21 @@ def _mp3_expected(raw: bytes):
     frames = 0
     kbps_sum = 0
     sr = ch = None
+    spf = 1152
     while pos + 4 <= n:
         h = struct.unpack(">I", raw[pos:pos + 4])[0]
-        kbps = brs[(h >> 12) & 0xF]
-        sr = srs[(h >> 10) & 3]
+        ver = (h >> 19) & 3
+        kbps = (brs_v1 if ver == 3 else brs_v2)[(h >> 12) & 0xF]
+        sr = srs[ver][(h >> 10) & 3]
+        spf = 1152 if ver == 3 else 576
         if ch is None:
             ch = 1 if ((h >> 6) & 3) == 3 else 2
-        flen = (144 * kbps * 1000) // sr + ((h >> 9) & 1)
+        flen = ((144 if ver == 3 else 72) * kbps * 1000) // sr \
+            + ((h >> 9) & 1)
         kbps_sum += kbps
         frames += 1
         pos += flen
-    return (frames, sr, ch, frames * 1152 * 1000 // sr, kbps_sum // frames)
+    return (frames, sr, ch, frames * spf * 1000 // sr, kbps_sum // frames)
 
 
 def _image_expected(raw: bytes, kind: str):

@@ -19,11 +19,23 @@ import struct
 
 MAX_FRAMES = 1_000_000
 
-# MPEG-1 Layer III bitrate table (kbps); index 0 = "free", 15 = bad
-_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
-             160, 192, 224, 256, 320)
-_SAMPLE_RATES = (44100, 48000, 32000)  # MPEG-1; index 3 = reserved
-_SAMPLES_PER_FRAME = 1152
+# Layer III bitrate tables (kbps); index 0 = "free", 15 = bad.
+# MPEG-2 and MPEG-2.5 share the low-rate table (ISO 13818-3 annex) —
+# the low-bitrate podcast/voice shape common in crawls (round 5).
+_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                160, 192, 224, 256, 320)
+_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                96, 112, 128, 144, 160)
+# sample-rate tables by version-field value (index 3 = reserved):
+# version bits: 00 = MPEG-2.5, 01 = reserved, 10 = MPEG-2, 11 = MPEG-1
+_SAMPLE_RATES = {
+    3: (44100, 48000, 32000),   # MPEG-1
+    2: (22050, 24000, 16000),   # MPEG-2
+    0: (11025, 12000, 8000),    # MPEG-2.5
+}
+# Layer III samples/frame: 1152 (MPEG-1) vs 576 (MPEG-2/2.5), which
+# also halves the frame-length coefficient (samples/8 = 144 vs 72)
+_SPF = {3: 1152, 2: 576, 0: 576}
 
 
 class Mp3Error(Exception):
@@ -104,9 +116,10 @@ def parse_id3v2_frames(raw: bytes) -> dict:
 
 def parse_mp3(raw: bytes) -> dict:
     """raw MP3 bytes -> {n_frames, sample_rate, channels, duration_ms,
-    mean_bitrate_kbps}. MPEG-1 Layer III only (the overwhelming crawl
-    majority); anything else raises Mp3Error. VBR streams sum per-frame
-    bitrates."""
+    mean_bitrate_kbps}. MPEG-1/2/2.5 Layer III (round 5 widened:
+    MPEG-2/2.5 are the low-bitrate podcast/voice files crawls carry);
+    other layers and the reserved version raise Mp3Error. VBR streams
+    sum per-frame bitrates."""
     pos = _skip_id3v2(raw)
     n = len(raw)
     if n - pos >= 128 and raw[n - 128 : n - 125] == b"TAG":
@@ -128,8 +141,10 @@ def parse_mp3(raw: bytes) -> dict:
             raise Mp3Error(f"lost sync at byte {pos}")
         version = (h >> 19) & 3
         layer = (h >> 17) & 3
-        if version != 3 or layer != 1:  # MPEG-1, Layer III
-            raise Mp3Error("only MPEG-1 Layer III supported")
+        if version == 1:
+            raise Mp3Error("reserved MPEG version")
+        if layer != 1:  # Layer III only
+            raise Mp3Error("only Layer III supported")
         br_idx = (h >> 12) & 0xF
         sr_idx = (h >> 10) & 3
         padding = (h >> 9) & 1
@@ -138,14 +153,18 @@ def parse_mp3(raw: bytes) -> dict:
             raise Mp3Error("free/bad bitrate index")
         if sr_idx == 3:
             raise Mp3Error("reserved sample-rate index")
-        kbps = _BITRATES[br_idx]
-        sr = _SAMPLE_RATES[sr_idx]
+        kbps = (_BITRATES_V1 if version == 3 else _BITRATES_V2)[br_idx]
+        sr = _SAMPLE_RATES[version][sr_idx]
         if sample_rate is None:
+            stream_version = version
             sample_rate = sr
             channels = 1 if mode == 3 else 2
+        elif version != stream_version:
+            raise Mp3Error("MPEG version changes mid-stream")
         elif sr != sample_rate:
             raise Mp3Error("sample rate changes mid-stream")
-        frame_len = (144 * kbps * 1000) // sr + padding
+        coeff = 144 if version == 3 else 72
+        frame_len = (coeff * kbps * 1000) // sr + padding
         if frame_len < 4 or pos + frame_len > n:
             raise Mp3Error("truncated frame")
         total_kbps += kbps
@@ -155,7 +174,7 @@ def parse_mp3(raw: bytes) -> dict:
         pos += frame_len
     if not n_frames:
         raise Mp3Error("no MP3 frames")
-    duration_ms = n_frames * _SAMPLES_PER_FRAME * 1000 // sample_rate
+    duration_ms = n_frames * _SPF[stream_version] * 1000 // sample_rate
     tags = parse_id3v2_frames(raw)
     return {
         "n_frames": n_frames, "sample_rate": sample_rate,
@@ -168,15 +187,16 @@ def parse_mp3(raw: bytes) -> dict:
 
 def encode_mp3(frame_brs: list, sr_idx: int, stereo: bool = True,
                id3_bytes: int = 0, id3_frames: dict = None,
-               id3_encoding: int = 3) -> bytes:
-    """Minimal muxer for fixtures/tests — valid MPEG-1 Layer III frame
+               id3_encoding: int = 3, version: int = 3) -> bytes:
+    """Minimal muxer for fixtures/tests — valid Layer III frame
     headers with zeroed (silent) payloads, one per entry of
     `frame_brs` (bitrate-table indices, so VBR streams are one list
     away), optionally prefixed with an ID3v2 tag of `id3_bytes`
     padding payload and/or real v2.3 TEXT frames (`id3_frames` maps
     frame ids like 'TIT2' to strings; `id3_encoding` 0 latin-1 /
-    1 utf-16 / 3 utf-8). The independent direction against
-    parse_mp3/parse_id3v2_frames."""
+    1 utf-16 / 3 utf-8). `version` is the header field value: 3
+    MPEG-1 (default), 2 MPEG-2, 0 MPEG-2.5. The independent
+    direction against parse_mp3/parse_id3v2_frames."""
     out = bytearray()
     if id3_bytes or id3_frames:
         payload = bytearray()
@@ -196,13 +216,15 @@ def encode_mp3(frame_brs: list, sr_idx: int, stereo: bool = True,
             (size >> 21) & 0x7F, (size >> 14) & 0x7F,
             (size >> 7) & 0x7F, size & 0x7F))
         out += payload
-    sr = _SAMPLE_RATES[sr_idx]
+    sr = _SAMPLE_RATES[version][sr_idx]
+    table = _BITRATES_V1 if version == 3 else _BITRATES_V2
+    coeff = 144 if version == 3 else 72
     for i, br_idx in enumerate(frame_brs):
         padding = i % 2  # exercise the padding bit
         mode = 0 if stereo else 3
-        h = ((0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+        h = ((0x7FF << 21) | (version << 19) | (1 << 17) | (1 << 16)
              | (br_idx << 12) | (sr_idx << 10) | (padding << 9)
              | (mode << 6))
-        frame_len = (144 * _BITRATES[br_idx] * 1000) // sr + padding
+        frame_len = (coeff * table[br_idx] * 1000) // sr + padding
         out += struct.pack(">I", h) + bytes(frame_len - 4)
     return bytes(out)
