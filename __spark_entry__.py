@@ -16,6 +16,7 @@ map-only.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -1964,6 +1965,60 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str,
     )
 
 
+def _lloyd_train(e: DataFrame, k: int = 8, iters: int = 2):
+    """Shared deterministic Lloyd trainer over an embedding frame with
+    columns (vec_id, v:array<double>) — the clustering core of
+    kmeans_semdedup AND the centroid-training stage of the IVF index
+    (ann_ivf probes exactly this centroid set, r4 verdict #6).
+
+    Returns (centroids, assign) where `centroids` is the trained k x dim
+    Python list (k*dim doubles — bounded by the model, never the corpus)
+    and `assign(cents)` yields (distance-array expr, cluster expr) as a
+    map-only fold against the broadcast centroid literals.
+
+    Scale shape: each of the iters-1 update rounds is one
+    posexplode + (cluster, dim) map-side-combining avg — dim*k cells
+    shuffle, never vectors; the per-round collect() is k rows only.
+    Determinism: seed centroids are the vec_id 0..k-1 embeddings;
+    in-row distance folds are sequential (bit-identical across engines
+    and partitionings); recomputed centroid coordinates are ROUNDED
+    (1e-4) before re-use — cross-partition float-sum order is
+    nondeterministic, so an unrounded centroid would make assignment
+    depend on partitioning."""
+    cent = [r["v"] for r in
+            e.where(F.col("vec_id") < k).orderBy("vec_id").collect()]
+
+    def dist_to(c_arr):
+        lit = F.array(*[F.lit(float(x)) for x in c_arr])
+        return F.aggregate(
+            F.zip_with("v", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    def assign(cents):
+        d = F.array(*[dist_to(c) for c in cents])
+        best = F.array_min(d)
+        return d, F.array_position(d, best) - 1  # first (smallest id) wins ties
+
+    for _ in range(iters - 1):
+        _, cluster = assign(cent)
+        upd = (
+            e.select(cluster.alias("cluster"),
+                     F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("val"), 4).alias("c"))
+            .groupBy("cluster")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x["c"]).alias("centroid"))
+            .orderBy("cluster").collect()
+        )
+        new_cent = list(cent)
+        for r in upd:  # empty clusters keep their previous centroid
+            new_cent[r["cluster"]] = list(r["centroid"])
+        cent = new_cent
+    return cent, assign
+
+
 def _q_kmeans_semdedup(spark: SparkSession, sf_dir: str,
                        k: int = 8, iters: int = 2) -> DataFrame:
     """Distributed k-means over the embedding table — the clustering
@@ -1988,39 +2043,7 @@ def _q_kmeans_semdedup(spark: SparkSession, sf_dir: str,
     e = _emb(spark, sf_dir).select(
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    cent = [r["v"] for r in
-            e.where(F.col("vec_id") < k).orderBy("vec_id").collect()]
-
-    def dist_to(c_arr):
-        lit = F.array(*[F.lit(float(x)) for x in c_arr])
-        return F.aggregate(
-            F.zip_with("v", lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    def assign(cents):
-        d = F.array(*[dist_to(c) for c in cents])
-        best = F.array_min(d)
-        return d, F.array_position(d, best) - 1  # first (smallest id) wins ties
-
-    for it in range(iters):
-        d, cluster = assign(cent)
-        if it == iters - 1:
-            break
-        upd = (
-            e.select(cluster.alias("cluster"),
-                     F.posexplode("v").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.round(F.avg("val"), 4).alias("c"))
-            .groupBy("cluster")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))),
-                lambda x: x["c"]).alias("centroid"))
-            .orderBy("cluster").collect()
-        )
-        new_cent = list(cent)
-        for r in upd:  # empty clusters keep their previous centroid
-            new_cent[r["cluster"]] = list(r["centroid"])
-        cent = new_cent
+    cent, assign = _lloyd_train(e, k, iters)
     d, cluster = assign(cent)
     return (
         e.select(
@@ -2559,23 +2582,54 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str,
     )
 
 
-def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: labels act as coarse cells; the query (vec_id 0)
-    probes only its own cell — the shuffle-free scale path vs the
-    brute-force baseline (ann_topk)."""
+def _q_ann_ivf(spark: SparkSession, sf_dir: str, k: int = 8,
+               iters: int = 2, nprobe: int = 2) -> DataFrame:
+    """IVF ANN with TRAINED centroids and multi-probe (r4 verdict #6;
+    replaces the r2 label-as-cell stand-in): the coarse quantizer is
+    the shared Lloyd trainer (_lloyd_train — exactly the
+    kmeans_semdedup loop, so IVF training IS SemDeDup clustering), the
+    query (vec_id 0) ranks the k trained centroids driver-side (k
+    distances on k*dim broadcast doubles — no job) and probes its
+    `nprobe` nearest cells, searching only those.
+
+    Scale shape: cell assignment is the same map-only fold against
+    broadcast centroid literals (no shuffle, no join); the probe filter
+    prunes the corpus BEFORE the cosine work; top-k is
+    TakeOrderedAndProject (never a global sort). At 100 TB the
+    assignment runs once at index-build time and lands partitioned by
+    cell so a probe is a partition-pruned scan.
+    Determinism: query-to-centroid distances are sequential in-row
+    folds replayed identically in DuckDB, rounded 1e-6 before ranking
+    (tie -> lower cell id) so a last-ulp difference cannot flip the
+    probe set; final cosines rounded 1e-3 with vec_id tie-break."""
     e = _emb(spark, sf_dir).select(
-        "vec_id", "label",
+        "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    q = e.where(F.col("vec_id") == 0).select(
-        F.col("label").alias("qlabel"), F.col("v").alias("qv"))
-    cell = e.join(q, F.col("label") == F.col("qlabel")).where(F.col("vec_id") != 0)
-    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0),
+    cent, assign = _lloyd_train(e, k, iters)
+    qv = e.where(F.col("vec_id") == 0).collect()[0]["v"]
+
+    def seq_sqdist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):  # sequential — replays in DuckDB list_sum
+            acc += (x - y) * (x - y)
+        return acc
+
+    qd = [round(seq_sqdist(qv, c), 6) for c in cent]
+    probes = sorted(range(k), key=lambda c: (qd[c], c))[:nprobe]
+
+    _, cluster = assign(cent)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    dot = F.aggregate(F.zip_with("v", qlit, lambda a, b: a * b), F.lit(0.0),
                       lambda acc, x: acc + x)
     nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    cos = F.round(dot / (nrm(F.col("v")) * nrm(F.col("qv"))), 3)
+    qnorm = math.sqrt(seq_sqdist(qv, [0.0] * len(qv)))
+    cos = F.round(dot / (nrm(F.col("v")) * F.lit(qnorm)), 3)
     return (
-        cell.select("vec_id", cos.alias("cos_r3"))
+        e.where(F.col("vec_id") != 0)
+        .where(cluster.cast("long").isin([int(p) for p in probes]))
+        .select("vec_id", cluster.cast("long").alias("cell"),
+                cos.alias("cos_r3"))
         .orderBy(F.desc("cos_r3"), "vec_id")
         .limit(10)
     )
@@ -3576,14 +3630,55 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY label, a_id, b_id"
         ),
         "ann_ivf": (
-            "WITH q AS (SELECT label AS qlabel, embedding AS qv FROM embeddings WHERE vec_id = 0), "
-            "cell AS (SELECT e.vec_id, "
-            "round(list_sum(list_transform(range(len(e.embedding)), "
-            "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE))) / "
-            "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * "
-            " sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 3) AS cos_r3 "
-            "FROM embeddings e, q WHERE e.label = q.qlabel AND e.vec_id != 0) "
-            "SELECT vec_id, cos_r3 FROM cell ORDER BY cos_r3 DESC, vec_id LIMIT 10"
+            # full replay of the trained-IVF path: the SAME Lloyd CTEs
+            # as kmeans_semdedup (seed = vec_id 0..7, one update round,
+            # centroids rounded 1e-4), then query-to-centroid distances
+            # rounded 1e-6 pick the nprobe=2 nearest cells (tie ->
+            # lower cell id), and only those cells are cosine-scored
+            "WITH e AS (SELECT vec_id, embedding AS v FROM embeddings), "
+            "c0 AS (SELECT vec_id AS cl, embedding AS c FROM embeddings "
+            "WHERE vec_id < 8), "
+            "d1 AS (SELECT e.vec_id, e.v, c0.cl, "
+            "list_sum(list_transform(range(1, 65), i -> "
+            "(CAST(e.v[i] AS DOUBLE) - CAST(c0.c[i] AS DOUBLE)) * "
+            "(CAST(e.v[i] AS DOUBLE) - CAST(c0.c[i] AS DOUBLE)))) AS dist "
+            "FROM e CROSS JOIN c0), "
+            "a1 AS (SELECT vec_id, v, cl AS cluster FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dist, cl) AS rn FROM d1) WHERE rn = 1), "
+            "u AS (SELECT cluster, i AS dim, "
+            "round(avg(CAST(v[i] AS DOUBLE)), 4) AS c "
+            "FROM a1 CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2), "
+            "c1 AS (SELECT cluster AS cl, "
+            "array_agg(c ORDER BY dim) AS c FROM u GROUP BY 1), "
+            "cc AS (SELECT c0.cl, COALESCE(c1.c, list_transform(c0.c, "
+            "x -> CAST(x AS DOUBLE))) AS c FROM c0 LEFT JOIN c1 "
+            "ON c0.cl = c1.cl), "
+            "q AS (SELECT list_transform(embedding, x -> "
+            "CAST(x AS DOUBLE)) AS qv FROM embeddings WHERE vec_id = 0), "
+            "qd AS (SELECT cc.cl, round(list_sum(list_transform("
+            "range(1, 65), i -> (q.qv[i] - cc.c[i]) * "
+            "(q.qv[i] - cc.c[i]))), 6) AS dist FROM cc CROSS JOIN q), "
+            "probes AS (SELECT cl FROM (SELECT cl, row_number() OVER "
+            "(ORDER BY dist, cl) AS rn FROM qd) WHERE rn <= 2), "
+            "d2 AS (SELECT e.vec_id, e.v, cc.cl, "
+            "list_sum(list_transform(range(1, 65), i -> "
+            "(CAST(e.v[i] AS DOUBLE) - cc.c[i]) * "
+            "(CAST(e.v[i] AS DOUBLE) - cc.c[i]))) AS dist "
+            "FROM e CROSS JOIN cc), "
+            "a2 AS (SELECT vec_id, v, cl AS cell FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dist, cl) AS rn FROM d2) WHERE rn = 1), "
+            "scored AS (SELECT a2.vec_id, a2.cell, "
+            "round(list_sum(list_transform(range(1, 65), i -> "
+            "CAST(a2.v[i] AS DOUBLE) * q.qv[i])) / "
+            "(sqrt(list_sum(list_transform(a2.v, x -> "
+            "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 3) "
+            "AS cos_r3 FROM a2 CROSS JOIN q WHERE a2.vec_id != 0 "
+            "AND a2.cell IN (SELECT cl FROM probes)) "
+            "SELECT vec_id, cell, cos_r3 FROM scored "
+            "ORDER BY cos_r3 DESC, vec_id LIMIT 10"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "

@@ -334,6 +334,19 @@ def main() -> None:
             df.collect()
             queries[name + "_warm"] = round(time.perf_counter() - t0, 3)
 
+        # IVF recall vs the exact baseline (r4 verdict #6): same query
+        # vector; trained-centroid multi-probe (nprobe=2 of 8 cells)
+        # should recover most of the brute-force top-10 while scanning
+        # only the probed cells
+        exact_ids = {r["vec_id"]
+                     for r in qs["ann_topk"](spark, sf_dir).collect()}
+        ivf_df = qs["ann_ivf"](spark, sf_dir)
+        t0 = time.perf_counter()
+        ivf_ids = {r["vec_id"] for r in ivf_df.collect()}
+        queries["ann_ivf"] = round(time.perf_counter() - t0, 3)
+        queries["ann_ivf_recall_at_10"] = round(
+            len(exact_ids & ivf_ids) / len(exact_ids), 3)
+
         # adversarial-scale connected components (r3-verdict #6 bench
         # line): 10^5-node chain/star mix generated executor-side; the
         # chain maximizes diameter, the stars maximize degree skew

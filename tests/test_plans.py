@@ -382,6 +382,20 @@ def test_kmeans_assignment_is_joinless(spark, sf_dir):
     assert "EvalPython" not in plan, plan
 
 
+def test_ann_ivf_probe_is_joinless_pruned_topk(spark, sf_dir):
+    """Trained-IVF probe (r5): cell assignment is the same map-only
+    fold against plan-embedded trained centroids (no join — at crawl
+    scale assignment runs at index-build time on a partitioned-by-cell
+    layout), the nprobe filter prunes before the cosine work, and the
+    top-k is TakeOrderedAndProject, never a global sort."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["ann_ivf"](spark, sf_dir), spark)
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_tfidf_no_forced_df_broadcast(spark, sf_dir):
     """The document-frequency re-join must NOT carry a broadcast hint
     (crawl vocab can exceed the driver budget — the unigram_logprob
