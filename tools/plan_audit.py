@@ -50,7 +50,7 @@ NOTES = {
     "ann_lsh_buckets": "map-only sign-bit bucketing, one exchange for the bucket count agg.",
     "ann_ivf": "query row broadcast; only the query's cell is scored.",
     "ngram_jaccard_sample": "map-only signatures -> band equi-join (hash, never cartesian) -> distinct -> word-set re-score joins. Sampled (surfaced cap).",
-    "neardup_clusters_sample": "iterative min-label propagation (connected components) over LSH-candidate pairs verified at Jaccard>=0.95; per round: one join + groupBy, localCheckpoint cuts lineage. Scale path: large-star/small-star (O(log n) rounds).",
+    "neardup_clusters_sample": "large-star/small-star connected components (cc.py:84, O(log^2 n) rounds, localCheckpoint cuts lineage) over LSH-candidate pairs verified at Jaccard>=0.95; min-label propagation kept only as a test cross-check (tests/test_cc.py).",
     "embedding_neardup_sample": "same-label equi-join (cell bucketing), sampled.",
     "simhash": "Arrow-batched kernel (vectorized bit-vote), map-only + orderBy.",
     "media_frames": "1-to-N frame explode inside the kernel task.",
