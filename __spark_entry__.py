@@ -260,26 +260,21 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         from zpdfspark.kernel.jpeg import JpegError
         from zpdfspark.kernel.png import PngError
         from zpdfspark.kernel.wav import WavError
-        from zpdfspark.spark.media import decode_media
+        from zpdfspark.spark.media import decode_media, sniff_kind
+
+        def _kind_of(raw):
+            # the shared magic-byte sniffer, plus the corpus kinds it
+            # does not name (pdf handled there; html/unknown here)
+            kind = sniff_kind(raw)
+            if kind != "binary":
+                return kind
+            return "html" if looks_like_html(raw) else "unknown"
 
         for batch in batches:
             out = {"url": [], "n_bytes": [], "media_kind": [], "decode_ok": []}
             for url, blob in zip(batch["url"], batch["html"]):
                 raw = bytes(blob) if blob is not None else b""
-                kind = "pdf" if raw.startswith(b"%PDF-") else (
-                    "png" if raw.startswith(b"\x89PNG") else (
-                        "jpeg" if raw.startswith(b"\xff\xd8") else (
-                            "wav" if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
-                            else "webp" if raw[:4] == b"RIFF"
-                            and raw[8:12] == b"WEBP"
-                            else ("gif" if raw[:4] == b"GIF8" else (
-                                "mp4" if len(raw) >= 12
-                                and raw[4:8] == b"ftyp" else (
-                                    "mp3" if raw[:3] == b"ID3"
-                                    or (len(raw) >= 2 and raw[0] == 0xFF
-                                        and (raw[1] & 0xE0) == 0xE0) else (
-                                        "html" if looks_like_html(raw)
-                                        else "unknown")))))))
+                kind = _kind_of(raw)
                 if kind == "pdf":
                     ok = True  # the PDF kernel is this engine
                 else:
@@ -863,6 +858,114 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(kept_struct)),
                 lambda x: x["span"]))).alias("kept_md5"),
         )
+        .orderBy("doc_id")
+    )
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet LINE-level cross-document dedup (r5 — the
+    granularity both pipelines actually ship: navigation chrome,
+    cookie banners and boilerplate sentences repeat verbatim across
+    hosts): every non-empty extracted-text line keeps its globally
+    first occurrence (ordered by url, then line index) and drops the
+    rest; per document we report line counts, drops, and an md5 of
+    the surviving text so the oracle pins content, not just counts.
+
+    Same scale skeleton as span_dedup, one level finer: keeper =
+    min(struct(url, line_idx)) via groupBy — never a row_number
+    window (a 10^9-occurrence cookie-banner line must collapse
+    map-side, not sort in one partition) — and the join back is
+    EXPLICITLY SALTED because AQE's skew split cannot act on an
+    agg-fed join side (the measured r4 finding, pinned in
+    tests/test_plans.py). Only (line, url, idx) rows ever shuffle;
+    blobs stay in the scan."""
+    SALT = 8
+    c = _corpus(spark, sf_dir).where(F.col("text").isNotNull())
+    lines = (
+        c.select("url", F.posexplode(F.split(F.col("text"), "\n"))
+         .alias("line_idx", "line"))
+        .where(F.length("line") > 0)
+        .withColumn("salt", F.pmod(
+            F.abs(F.xxhash64("url")) + F.col("line_idx"), SALT))
+    )
+    keepers = (
+        lines.groupBy("line").agg(
+            F.min(F.struct("url", "line_idx")).alias("k"))
+        .withColumn("salt", F.explode(
+            F.sequence(F.lit(0), F.lit(SALT - 1)).cast("array<bigint>")))
+    )
+    flagged = lines.join(keepers, ["line", "salt"]).withColumn(
+        "keep", (F.col("url") == F.col("k.url"))
+        & (F.col("line_idx") == F.col("k.line_idx")))
+    kept_struct = F.when(F.col("keep"), F.struct("line_idx", "line"))
+    return (
+        flagged.groupBy("url")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+            F.md5(F.concat_ws("\n", F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["line"]))).alias("kept_md5"),
+        )
+        .orderBy("url")
+    )
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", r5): score every raw
+    document by the log importance weight of its HASHED unigram
+    features against a target distribution — here the corpus's own
+    `lang = 'en'` slice stands in for the high-quality target (the
+    paper uses Wikipedia+books) — then flag the positive-weight
+    documents for selection.
+
+    Shape at 100 TB: token -> one of B=128 md5 buckets (the paper's
+    hashed n-gram trick exists precisely so the feature space stays
+    fixed-size); the target and raw histograms are two B-row
+    aggregates (map-side combined); the per-(doc, bucket) count table
+    joins the B-row smoothed log-ratio table — a build side of 128
+    rows that Spark broadcasts, so the fact side never shuffles on
+    the (deliberately low-cardinality, maximally skewed) bucket key.
+    Weights sum <=B rounded-6 terms per doc and round to 3 decimals,
+    inside the float-parity envelope the unigram/entropy oracles
+    established. No driver collect; the histograms stay distributed.
+    """
+    B = 128
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("w"))
+    bucket = (F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10)
+              .cast("long") % B).alias("b")
+    tb = toks.select("doc_id", "lang", bucket)
+    raw_hist = tb.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt_hist = (tb.where(F.col("lang") == "en")
+                .groupBy("b").agg(F.count("*").alias("ct")))
+    raw_tot = raw_hist.agg(F.sum("cr").alias("tr"))
+    tgt_tot = tgt_hist.agg(F.sum("ct").alias("tt"))
+    ratios = (
+        raw_hist.join(tgt_hist, "b", "left")
+        .join(F.broadcast(raw_tot)).join(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            F.round(
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                      / (F.col("tt") + B))
+                - F.log((F.col("cr") + 1) / (F.col("tr") + B)),
+                6).alias("lr"))
+    )
+    per_doc_bucket = tb.groupBy("doc_id", "b").agg(
+        F.count("*").alias("cnt"))
+    return (
+        per_doc_bucket.join(ratios, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round(F.sum(F.col("cnt") * F.col("lr")), 3)
+            .alias("dsir_logw_r3"),
+        )
+        .withColumn("keep_dsir", F.col("dsir_logw_r3") > 0)
         .orderBy("doc_id")
     )
 
@@ -2259,6 +2362,151 @@ def _q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio METADATA extraction for FLAC payloads (kernel/flac.py
+    block walk, r5): stream identity (rate/channels/bits/samples/
+    duration) + Vorbis-comment tags, without any audio-frame decode
+    (the codec layer stays honestly stubbed). Map-only, magic-filtered
+    in-kernel; oracle: corpus-carried columns from the INDEPENDENT
+    fixtures-side block re-read (fixtures._flac_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.flac import FlacError, parse_flac
+
+        for b in it:
+            rows = {"url": [], "sample_rate": [], "n_channels": [],
+                    "bits": [], "total_samples": [], "duration_ms": [],
+                    "title": [], "artist": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:4] != b"fLaC":
+                    continue
+                try:
+                    m = parse_flac(raw)
+                except FlacError:
+                    continue
+                rows["url"].append(url)
+                rows["sample_rate"].append(m["sample_rate"])
+                rows["n_channels"].append(m["channels"])
+                rows["bits"].append(m["bits_per_sample"])
+                rows["total_samples"].append(m["total_samples"])
+                rows["duration_ms"].append(m["duration_ms"])
+                rows["title"].append(m["title"])
+                rows["artist"].append(m["artist"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, sample_rate int, n_channels int, bits int, "
+        "total_samples long, duration_ms long, title string, artist string"
+    ).orderBy("url")
+
+
+def _q_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container METADATA extraction for Ogg payloads
+    (kernel/ogg.py, r5): CRC-verified page walk + Vorbis/Opus
+    identification and comment headers — codec, channels, rate,
+    page count, terminal-granule duration, tags. Packet audio decode
+    stays honestly stubbed. Map-only, magic-filtered in-kernel;
+    oracle: corpus-carried columns from the INDEPENDENT fixtures-side
+    page re-read (fixtures._ogg_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.ogg import OggError, parse_ogg
+
+        for b in it:
+            rows = {"url": [], "codec": [], "n_channels": [],
+                    "sample_rate": [], "n_pages": [], "duration_ms": [],
+                    "title": [], "artist": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:4] != b"OggS":
+                    continue
+                try:
+                    m = parse_ogg(raw)
+                except OggError:
+                    continue
+                rows["url"].append(url)
+                rows["codec"].append(m["codec"])
+                rows["n_channels"].append(m["channels"])
+                rows["sample_rate"].append(m["sample_rate"])
+                rows["n_pages"].append(m["n_pages"])
+                rows["duration_ms"].append(m["duration_ms"])
+                rows["title"].append(m["title"])
+                rows["artist"].append(m["artist"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, codec string, n_channels int, sample_rate int, "
+        "n_pages int, duration_ms long, title string, artist string"
+    ).orderBy("url")
+
+
+def _q_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image METADATA extraction for standalone TIFF payloads
+    (kernel/tiff.py IFD-chain walk, r5 — the same structure
+    kernel/exif.py walks inside JPEG APP1, unwrapped): dimensions,
+    depth, compression scheme, page count, description. Strip/pixel
+    decode stays honestly stubbed. Map-only, magic-filtered in-kernel;
+    oracle: corpus-carried columns from the INDEPENDENT fixtures-side
+    flat IFD re-read (fixtures._tiff_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.tiff import TiffError, parse_tiff
+
+        for b in it:
+            rows = {"url": [], "width": [], "height": [], "bits": [],
+                    "compression": [], "n_pages": [], "description": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:4] not in (b"II*\x00", b"MM\x00*"):
+                    continue
+                try:
+                    m = parse_tiff(raw)
+                except TiffError:
+                    continue
+                rows["url"].append(url)
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["bits"].append(m["bits_per_sample"])
+                rows["compression"].append(m["compression"])
+                rows["n_pages"].append(m["n_pages"])
+                rows["description"].append(m["description"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, width int, height int, bits int, "
+        "compression string, n_pages int, description string"
+    ).orderBy("url")
+
+
+def _q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX(J) web-archive index generation (spark/warc_source.py
+    warc_cdx, r5): SURT urlkey + 14-digit timestamp + payload sha1 +
+    the record's own gzip-member (offset, length) per response
+    capture — the standard wayback access index, produced in the same
+    single file-per-task pass as ingestion. Oracle: the fixture's
+    expected_cdx parquet, whose offsets come from an INDEPENDENT
+    fixtures-side gzip-member walk over the bytes as written and
+    whose urlkeys come from an independent urllib-based SURT."""
+    from zpdfspark.spark.warc_source import warc_cdx
+
+    glob, _ = _warc_paths(sf_dir)
+    return warc_cdx(spark, glob).orderBy("urlkey", "cdx_ts",
+                                         "warc_file", "rec_offset")
+
+
 def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl-style WARC ingestion (spark/warc_source.py): parse
     per-record-gzip .warc.gz archives inside the scan task (binaryFile
@@ -2663,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally every round.
         "warc_revisit": _q_warc_revisit,
         "warc_http_meta": _q_warc_http_meta,
+        "warc_cdx": _q_warc_cdx,
         "webp_meta": _q_webp_meta,
         "url_canonicalize": _q_url_canonicalize,
         "url_bloom": _q_url_bloom,
@@ -2689,8 +2938,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_agg": _q_dedup_exact_agg,
         "ann_ivf": _q_ann_ivf,
         "mp3_stats": _q_mp3_stats,
+        "flac_meta": _q_flac_meta,
+        "ogg_meta": _q_ogg_meta,
+        "tiff_meta": _q_tiff_meta,
         "warc_ingest": _q_warc_ingest,
         "span_dedup": _q_span_dedup,
+        "line_dedup": _q_line_dedup,
+        "dsir_weights": _q_dsir_weights,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
         "ppl_buckets": _q_ppl_buckets,
@@ -2767,6 +3021,8 @@ def oracle_sql() -> dict[str, str]:
     _, _warc_expected = _warc_paths("/root/testdata/sf0.01")
     _warc_revisits_expected = os.path.join(
         os.path.dirname(_warc_expected), "expected_revisits.parquet")
+    _warc_cdx_expected = os.path.join(
+        os.path.dirname(_warc_expected), "expected_cdx.parquet")
     _bpe_exp, _bpe_merges = _bpe_expected("/root/testdata/sf0.01")
     return {
         "extract_parity": (
@@ -2907,6 +3163,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, http_status, mime "
             f"FROM read_parquet('{_warc_expected}') ORDER BY url"
         ),
+        "warc_cdx": (
+            # independent fixtures-side gzip-member walk (offsets as
+            # written) + urllib-based SURT — NOT kernel/warc.py
+            f"SELECT urlkey, cdx_ts, url, mime, http_status, digest, "
+            f"rec_offset, rec_length, warc_file "
+            f"FROM read_parquet('{_warc_cdx_expected}') "
+            f"ORDER BY urlkey, cdx_ts, warc_file, rec_offset"
+        ),
         "exif_meta": (
             # carried ground truth from the independent fixtures-side
             # IFD re-read (_exif_expected) — NOT kernel/exif.py
@@ -2923,6 +3187,33 @@ def oracle_sql() -> dict[str, str]:
             f"mp3_kbps AS kbps, mp3_title AS title, "
             f"mp3_artist AS artist "
             f"FROM {corpus} WHERE media_kind = 'mp3' ORDER BY url"
+        ),
+        "flac_meta": (
+            # carried ground truth from the independent fixtures-side
+            # block re-read (_flac_expected) — NOT kernel/flac.py
+            f"SELECT url, flac_sr AS sample_rate, "
+            f"flac_channels AS n_channels, flac_bits AS bits, "
+            f"flac_total_samples AS total_samples, "
+            f"flac_duration_ms AS duration_ms, flac_title AS title, "
+            f"flac_artist AS artist "
+            f"FROM {corpus} WHERE media_kind = 'flac' ORDER BY url"
+        ),
+        "ogg_meta": (
+            # carried ground truth from the independent fixtures-side
+            # page re-read (_ogg_expected) — NOT kernel/ogg.py
+            f"SELECT url, ogg_codec AS codec, "
+            f"ogg_channels AS n_channels, ogg_sr AS sample_rate, "
+            f"ogg_n_pages AS n_pages, ogg_duration_ms AS duration_ms, "
+            f"ogg_title AS title, ogg_artist AS artist "
+            f"FROM {corpus} WHERE media_kind = 'ogg' ORDER BY url"
+        ),
+        "tiff_meta": (
+            # carried ground truth from the independent fixtures-side
+            # flat IFD re-read (_tiff_expected) — NOT kernel/tiff.py
+            f"SELECT url, tiff_w AS width, tiff_h AS height, "
+            f"tiff_bits AS bits, tiff_compression AS compression, "
+            f"tiff_n_pages AS n_pages, tiff_desc AS description "
+            f"FROM {corpus} WHERE media_kind = 'tiff' ORDER BY url"
         ),
         "webp_meta": (
             # carried dims from the independent header re-read
@@ -3163,6 +3454,50 @@ def oracle_sql() -> dict[str, str]:
             "md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' "
             "ORDER BY span_idx), '')) AS kept_md5 "
             "FROM rn GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "line_dedup": (
+            # keeper = globally first occurrence (url, line_idx order)
+            # of each non-empty extracted-text line; fully-duplicated
+            # docs keep zero lines -> coalesce to md5('') like the
+            # Spark side's empty concat_ws
+            f"WITH raw AS (SELECT url, unnest(ls) AS line, "
+            f"CAST(generate_subscripts(ls, 1) AS BIGINT) - 1 AS line_idx "
+            f"FROM (SELECT url, string_split(text, chr(10)) AS ls "
+            f"FROM {corpus} WHERE text IS NOT NULL) c), "
+            f"lines AS (SELECT * FROM raw WHERE length(line) > 0), "
+            f"rn AS (SELECT url, line_idx, line, row_number() OVER "
+            f"(PARTITION BY line ORDER BY url, line_idx) AS rn "
+            f"FROM lines) "
+            f"SELECT url, count(*) AS n_lines, "
+            f"CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_dropped, "
+            f"md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, "
+            f"chr(10) ORDER BY line_idx), '')) AS kept_md5 "
+            f"FROM rn GROUP BY url ORDER BY url"
+        ),
+        "dsir_weights": (
+            # identical hashed-unigram importance arithmetic: B=128
+            # md5 buckets, add-1 smoothing over (total + B), log-ratio
+            # rounded to 6 before the per-doc weighted sum rounds to 3
+            "WITH tb AS (SELECT doc_id, lang, "
+            "CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER) % 128 AS b "
+            "FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) "
+            "AS w FROM documents)), "
+            "rh AS (SELECT b, count(*) AS cr FROM tb GROUP BY b), "
+            "th AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' "
+            "GROUP BY b), "
+            "tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rh) AS tr, "
+            "(SELECT CAST(sum(ct) AS BIGINT) FROM th) AS tt), "
+            "ratios AS (SELECT rh.b, round(ln((coalesce(th.ct, 0) + 1) "
+            "/ (tot.tt + 128)) - ln((rh.cr + 1) / (tot.tr + 128)), 6) "
+            "AS lr FROM rh LEFT JOIN th ON rh.b = th.b CROSS JOIN tot), "
+            "pdb AS (SELECT doc_id, b, count(*) AS cnt FROM tb "
+            "GROUP BY doc_id, b) "
+            "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, "
+            "round(sum(cnt * lr), 3) AS dsir_logw_r3, "
+            "(round(sum(cnt * lr), 3) > 0) AS keep_dsir "
+            "FROM pdb JOIN ratios USING (b) "
+            "GROUP BY doc_id ORDER BY doc_id"
         ),
         "unigram_logprob": (
             # min-count floor (= 2): rare words score the smoothed

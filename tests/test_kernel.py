@@ -1436,3 +1436,298 @@ class TestExif:
             for _ in range(rng.randint(1, 8)):
                 b[rng.randrange(len(b))] = rng.randrange(256)
             parse_exif(bytes(b))
+
+
+class TestFlac:
+    """kernel/flac.py (round 5): metadata block walk — STREAMINFO
+    packed-field widths, Vorbis-comment tags, hostile structures.
+    Codec (frame) decode stays honestly stubbed."""
+
+    def test_roundtrip_matrix(self):
+        from zpdfspark.kernel.flac import build_flac, parse_flac
+        for sr, ch, bits, total in [(44100, 2, 16, 44100),
+                                    (96000, 1, 24, 7),
+                                    (8000, 8, 32, (1 << 36) - 1),
+                                    (655350, 2, 4, 123456789)]:
+            m = parse_flac(build_flac(sr, ch, bits, total,
+                                      title="T", artist="A"))
+            assert (m["sample_rate"], m["channels"],
+                    m["bits_per_sample"], m["total_samples"]) == \
+                (sr, ch, bits, total)
+            assert m["duration_ms"] == total * 1000 // sr
+            assert m["title"] == "T" and m["artist"] == "A"
+
+    def test_unknown_total_samples_is_null_duration(self):
+        from zpdfspark.kernel.flac import build_flac, parse_flac
+        m = parse_flac(build_flac(44100, 2, 16, 0))
+        assert m["total_samples"] == 0 and m["duration_ms"] is None
+
+    def test_tagless_and_padded(self):
+        from zpdfspark.kernel.flac import build_flac, parse_flac
+        m = parse_flac(build_flac(22050, 1, 16, 1000, padding=99))
+        assert m["title"] is None and m["artist"] is None
+        assert m["n_blocks"] == 2  # STREAMINFO + PADDING
+
+    def test_structural_errors_raise(self):
+        import pytest
+        from zpdfspark.kernel.flac import FlacError, build_flac, \
+            parse_flac
+        good = build_flac(44100, 2, 16, 44100, title="x")
+        with pytest.raises(FlacError):
+            parse_flac(b"")
+        with pytest.raises(FlacError):
+            parse_flac(b"fLaX" + good[4:])
+        with pytest.raises(FlacError):
+            parse_flac(good[:20])  # truncated STREAMINFO
+        # first block must be STREAMINFO: retype block 0 to padding
+        bad = bytearray(good)
+        bad[4] = 0x01
+        with pytest.raises(FlacError):
+            parse_flac(bytes(bad))
+
+    def test_hostile_mutations_raise_flacerror_only(self):
+        import random
+        from zpdfspark.kernel.flac import FlacError, build_flac, \
+            parse_flac
+        base = build_flac(48000, 2, 24, 96000, title="Song",
+                          artist="Band", padding=31)
+        rng = random.Random(11)
+        for _ in range(500):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            raw = bytes(b[:rng.randrange(4, len(b))]
+                        if rng.random() < 0.3 else b)
+            try:
+                parse_flac(raw)
+            except FlacError:
+                pass  # the only acceptable failure mode
+
+
+class TestOgg:
+    """kernel/ogg.py (round 5): CRC-verified page walk, lacing/packet
+    reassembly incl. cross-page continuation, Vorbis + Opus id and
+    comment headers."""
+
+    def test_crc_matches_independent_bitwise_implementation(self):
+        from zpdfspark.kernel.ogg import _ogg_crc
+
+        def bitwise(data):
+            crc = 0
+            for byte in data:
+                crc ^= byte << 24
+                for _ in range(8):
+                    crc = ((crc << 1) ^ 0x04C11DB7
+                           if crc & 0x80000000 else crc << 1) & 0xFFFFFFFF
+            return crc
+
+        for v in [b"", b"123456789", b"OggS\x00" * 7, bytes(range(256))]:
+            assert _ogg_crc(v) == bitwise(v)
+
+    def test_vorbis_roundtrip(self):
+        from zpdfspark.kernel.ogg import build_ogg, parse_ogg
+        m = parse_ogg(build_ogg("vorbis", 44100, 2, 88200, title="T1",
+                                artist="A1", n_data_pages=3))
+        assert m["codec"] == "vorbis"
+        assert (m["channels"], m["sample_rate"]) == (2, 44100)
+        assert m["duration_ms"] == 2000
+        assert m["n_pages"] == 5  # id + comment + 3 data
+        assert m["title"] == "T1" and m["artist"] == "A1"
+
+    def test_opus_roundtrip_preskip(self):
+        from zpdfspark.kernel.ogg import build_ogg, parse_ogg
+        m = parse_ogg(build_ogg("opus", 16000, 1, 32000, title="Pod",
+                                pre_skip=312))
+        assert m["codec"] == "opus"
+        assert m["sample_rate"] == 16000 and m["pre_skip"] == 312
+        # granules tick at 48 kHz; pre-skip excluded
+        assert m["duration_ms"] == 2000
+
+    def test_packet_continuation_across_pages(self):
+        """A packet whose lacing ends in 255 continues on the next
+        page (htype 0x01) — the reassembly corner where naive
+        walkers break."""
+        import struct
+        from zpdfspark.kernel.ogg import _ogg_crc, build_page, parse_ogg
+
+        ident = b"\x01vorbis" + struct.pack("<IBI", 0, 2, 48000) + \
+            struct.pack("<iii", -1, 0, -1) + b"\xb8\x01"
+        big = bytes((i * 7) & 0xFF for i in range(510))  # 255+255+0
+
+        def page(htype, granule, seq, table, body):
+            head = b"OggS" + struct.pack(
+                "<BBqIIIB", 0, htype, granule, 5, seq, 0,
+                len(table)) + table
+            crc = _ogg_crc(head + body)
+            return head[:22] + struct.pack("<I", crc) + head[26:] + body
+
+        pages = (build_page([ident], 0, 5, 0, htype=0x02) +
+                 page(0, -1, 1, b"\xff", big[:255]) +
+                 page(0x01 | 0x04, 48000, 2, b"\xff\x00", big[255:]))
+        m = parse_ogg(pages)
+        assert m["codec"] == "vorbis"
+        assert m["n_packets"] == 2  # ident + the 510-byte packet
+        assert m["n_pages"] == 3
+        assert m["duration_ms"] == 1000
+
+    def test_crc_corruption_raises(self):
+        import pytest
+        from zpdfspark.kernel.ogg import OggError, build_ogg, parse_ogg
+        raw = bytearray(build_ogg("vorbis", 44100, 2, 44100))
+        raw[-1] ^= 0xFF  # flip a payload byte: page CRC must catch it
+        with pytest.raises(OggError):
+            parse_ogg(bytes(raw))
+
+    def test_hostile_mutations_raise_oggerror_only(self):
+        import random
+        from zpdfspark.kernel.ogg import OggError, build_ogg, parse_ogg
+        base = build_ogg("opus", 48000, 2, 96000, title="x",
+                         artist="y", n_data_pages=2)
+        rng = random.Random(12)
+        for _ in range(500):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            raw = bytes(b[:rng.randrange(4, len(b))]
+                        if rng.random() < 0.3 else b)
+            try:
+                parse_ogg(raw)
+            except OggError:
+                pass  # the only acceptable failure mode
+
+
+class TestTiff:
+    """kernel/tiff.py (round 5): standalone-TIFF IFD walk — both byte
+    orders, heap vs inline values, multi-page chains, pointer loops."""
+
+    def test_roundtrip_both_endians(self):
+        from zpdfspark.kernel.tiff import build_tiff, parse_tiff
+        for e, name in (("<", "little"), (">", "big")):
+            m = parse_tiff(build_tiff(640, 480, bits=16, compression=5,
+                                      description="long description "
+                                      "overflowing four bytes",
+                                      endian=e))
+            assert (m["width"], m["height"], m["bits_per_sample"]) == \
+                (640, 480, 16)
+            assert m["compression"] == "lzw"
+            assert m["description"].startswith("long description")
+            assert m["endian"] == name
+
+    def test_multipage_chain_counts_pages(self):
+        from zpdfspark.kernel.tiff import build_tiff, parse_tiff
+        m = parse_tiff(build_tiff(10, 10, n_pages=5))
+        assert m["n_pages"] == 5
+
+    def test_pointer_loop_raises(self):
+        import pytest
+        from zpdfspark.kernel.tiff import TiffError, build_tiff, \
+            parse_tiff
+        raw = bytearray(build_tiff(10, 10))
+        # point the next-IFD pointer back at IFD0 (offset 8)
+        n = raw[8] | (raw[9] << 8)
+        off = 8 + 2 + 12 * n
+        raw[off:off + 4] = (8).to_bytes(4, "little")
+        with pytest.raises(TiffError):
+            parse_tiff(bytes(raw))
+
+    def test_structural_errors_raise(self):
+        import pytest
+        from zpdfspark.kernel.tiff import TiffError, parse_tiff
+        for bad in (b"", b"II\x2b\x00" + bytes(8), b"XX" + bytes(8)):
+            with pytest.raises(TiffError):
+                parse_tiff(bad)
+
+    def test_hostile_mutations_raise_tifferror_only(self):
+        import random
+        from zpdfspark.kernel.tiff import TiffError, build_tiff, \
+            parse_tiff
+        base = build_tiff(99, 77, bits=16, compression=32773,
+                          description="Scan", n_pages=3)
+        rng = random.Random(13)
+        for _ in range(500):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            raw = bytes(b[:rng.randrange(4, len(b))]
+                        if rng.random() < 0.3 else b)
+            try:
+                parse_tiff(raw)
+            except TiffError:
+                pass  # the only acceptable failure mode
+
+
+class TestWarcCdx:
+    """kernel/warc.py round 5: SURT urlkeys, CDX timestamps, and the
+    (offset, length) member spans a wayback range request replays."""
+
+    def test_surt_canonicalization_battery(self):
+        from zpdfspark.kernel.warc import surt
+        cases = {
+            "https://www.Example.COM/Page?b=2&A=1":
+                "com,example)/page?a=1&b=2",
+            "http://example.com": "com,example)/",
+            "http://example.com:80/x": "com,example)/x",
+            "https://example.com:443/x": "com,example)/x",
+            "http://example.com:8080/x": "com,example:8080)/x",
+            "https://user:pw@sub.host.org/p#frag": "org,host,sub)/p",
+            "ftp://a.b.c.d/e/f": "d,c,b,a)/e/f",
+            "no-scheme.example/path": "example,no-scheme)/path",
+        }
+        for url, want in cases.items():
+            assert surt(url) == want, url
+
+    def test_cdx_timestamp(self):
+        from zpdfspark.kernel.warc import cdx_timestamp
+        assert cdx_timestamp("2025-01-02T03:04:05Z") == "20250102030405"
+        assert cdx_timestamp("2025-01-02T03:04:05.123Z") == \
+            "20250102030405"
+
+    def test_spans_slice_replays_single_record(self):
+        """file[offset : offset+length] must decompress to exactly the
+        record — the property CDX offsets exist for."""
+        import gzip
+
+        from zpdfspark.kernel.warc import (build_warc,
+                                           iter_warc_records_spans)
+        recs = [(f"https://h{i}.test/p", "2025-01-01T00:00:00Z",
+                 b"payload-%d" % i, "text/plain") for i in range(5)]
+        raw = build_warc(recs, per_record_gzip=True)
+        seen = 0
+        for rec, off, ln in iter_warc_records_spans(raw):
+            member = raw[off:off + ln]
+            inner = gzip.decompress(member)
+            assert inner.startswith(b"WARC/1.0\r\n")
+            assert rec.target_uri.encode() in inner
+            assert rec.body in inner
+            seen += 1
+        assert seen == 5
+        # spans tile the file exactly: sorted, non-overlapping, total
+        spans = sorted((o, l) for _, o, l in iter_warc_records_spans(raw))
+        assert spans[0][0] == 0
+        assert sum(l for _, l in spans) == len(raw)
+
+    def test_plain_stream_spans(self):
+        from zpdfspark.kernel.warc import (build_warc,
+                                           iter_warc_records_spans)
+        raw = build_warc(
+            [("https://a.test/", "2025-01-01T00:00:00Z", b"x", "t/p"),
+             ("https://b.test/", "2025-01-01T00:00:01Z", b"yy", "t/p")],
+            per_record_gzip=False)
+        got = list(iter_warc_records_spans(raw))
+        assert len(got) == 2
+        for rec, off, ln in got:
+            assert raw[off:off + ln].startswith(b"WARC/1.0\r\n")
+            assert rec.body in raw[off:off + ln]
+
+    def test_spans_agree_with_plain_iterator(self):
+        """The refactor invariant: iter_warc_records and the span walk
+        yield identical record sequences."""
+        from zpdfspark.kernel.warc import (build_warc, iter_warc_records,
+                                           iter_warc_records_spans)
+        recs = [("https://h.test/%d" % i, "2025-01-01T00:00:00Z",
+                 b"b" * i, "text/plain") for i in range(8)]
+        raw = build_warc(recs, per_record_gzip=True)
+        a = [(r.target_uri, r.body) for r in iter_warc_records(raw)]
+        b = [(r.target_uri, r.body)
+             for r, _, _ in iter_warc_records_spans(raw)]
+        assert a == b and len(a) == 8

@@ -13,6 +13,7 @@ The corpus builder emits rows matching BASELINE.json input_hint:
 
 from __future__ import annotations
 
+import base64
 import hashlib
 import os
 import zlib
@@ -883,6 +884,67 @@ def mp3_audio(i: int = 0) -> Tuple[bytes, Optional[str]]:
                       version=version), None
 
 
+def flac_audio(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic FLAC metadata stream (multimodal audio payload
+    row, v27): STREAMINFO + optional Vorbis-comment tags + optional
+    padding, emitted by kernel/flac.py's fixture encoder. Audio frame
+    DECODE stays honestly stubbed; the REAL layer is stream identity
+    (rate/channels/bits/total samples/duration, tags), oracled against
+    an independent fixtures-side re-read (_flac_expected)."""
+    from .kernel.flac import build_flac
+
+    sr = (44100, 48000, 22050, 96000)[i % 4]
+    ch = 1 + (i % 2)
+    bits = (16, 24, 16, 8)[i % 4]
+    total = sr * (1 + i % 5) + 7 * i
+    title = None if i % 3 == 2 else f"Flac {i}"
+    artist = None if i % 4 == 3 else f"Ensemble {i % 5}"
+    md5 = bytes(((i * 31 + j * 7) & 0xFF) for j in range(16))
+    return build_flac(sr, ch, bits, total, title=title, artist=artist,
+                      md5=md5, padding=(i % 4) * 17), None
+
+
+def ogg_audio(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic Ogg stream (multimodal audio payload row, v27):
+    real pages (lacing + the container's own CRC) around a Vorbis or
+    Opus identification/comment header pair and opaque-junk data
+    packets, emitted by kernel/ogg.py's fixture encoder. Packet audio
+    DECODE stays honestly stubbed; the REAL layer is the page walk +
+    id/comment headers (codec, rate, channels, terminal-granule
+    duration, tags), oracled against an independent fixtures-side page
+    re-read (_ogg_expected)."""
+    from .kernel.ogg import build_ogg
+
+    codec = "vorbis" if i % 2 == 0 else "opus"
+    sr = (44100, 16000, 48000, 8000)[i % 4]
+    ch = 1 + (i % 3 == 0)
+    n_samples = sr * (1 + i % 4) + 13 * i
+    title = None if i % 5 == 4 else f"Ogg {i}"
+    artist = f"Speaker {i % 3}" if i % 2 else None
+    return build_ogg(codec, sr, ch, n_samples, title=title,
+                     artist=artist, serial=0x1000 + i,
+                     n_data_pages=1 + i % 3,
+                     pre_skip=312 + (i % 2) * 44), None
+
+
+def tiff_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic standalone TIFF (multimodal image payload row,
+    v27): real header + IFD chain in both byte orders, multi-page
+    every third blob, emitted by kernel/tiff.py's fixture encoder.
+    Strip/pixel DECODE stays honestly stubbed; the REAL layer is IFD
+    identity (dims/bits/compression/description/page count), oracled
+    against an independent fixtures-side flat IFD re-read
+    (_tiff_expected)."""
+    from .kernel.tiff import build_tiff
+
+    return build_tiff(32 + 5 * (i % 40), 24 + 3 * (i % 50),
+                      bits=(8, 16, 1)[i % 3],
+                      compression=(1, 5, 8, 32773)[i % 4],
+                      description=None if i % 3 == 2 else f"Scan {i}",
+                      endian="<" if i % 2 == 0 else ">",
+                      n_pages=1 + (i % 3 == 1) * (1 + i % 3)), None
+
+
 def html_page(i: int = 0) -> Tuple[bytes, str]:
     """A Common-Crawl-style HTML page with boilerplate (script/style/
     nav/header/footer/aside) around a <main> block. The oracle is the
@@ -1341,6 +1403,18 @@ def _register():
     def g_webp(i):
         return webp_image(i)
 
+    @var("flac")
+    def g_flac(i):
+        return flac_audio(i)
+
+    @var("ogg")
+    def g_ogg(i):
+        return ogg_audio(i)
+
+    @var("tiff")
+    def g_tiff(i):
+        return tiff_image(i)
+
     @var("html")
     def g_html(i):
         return html_page(i)
@@ -1381,12 +1455,12 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v26"
+CORPUS_VERSION = "v27"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
 # invalidating the (unchanged) parquet corpus caches
-WARC_FIXTURE_VERSION = "w4"
+WARC_FIXTURE_VERSION = "w5"
 
 _LANGS = ["en", "en", "en", "de", "es", "da", "zh", "ja"]
 _EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -1472,6 +1546,10 @@ def write_warc_fixture(dir_path: str, n_docs: int, seed: int = 42,
            "http_status": [], "mime": []}
     rev = {"url": [], "warc_date": [], "refers_to_uri": [],
            "refers_to_date": []}
+    cdx = {"urlkey": [], "cdx_ts": [], "url": [], "mime": [],
+           "http_status": [], "digest": [], "rec_offset": [],
+           "rec_length": [], "warc_file": []}
+    meta: Dict[tuple, tuple] = {}
     for shard in range(shards):
         recs = []
         for i, (url, ts, pdf, _text, _lang) in enumerate(rows[shard::shards]):
@@ -1524,9 +1602,39 @@ def write_warc_fixture(dir_path: str, n_docs: int, seed: int = 42,
             exp["body_md5"].append(hashlib.md5(pdf).hexdigest())
             exp["http_status"].append(int(status.split(" ", 1)[0]))
             exp["mime"].append(mime)
-        with open(os.path.join(dir_path, f"shard-{shard:03d}.warc.gz"),
-                  "wb") as f:
-            f.write(build_warc(recs))
+            meta[(url, date)] = (int(status.split(" ", 1)[0]), mime, pdf)
+        shard_name = f"shard-{shard:03d}.warc.gz"
+        data = build_warc(recs)
+        with open(os.path.join(dir_path, shard_name), "wb") as f:
+            f.write(data)
+        # w5: expected CDX rows from an INDEPENDENT gzip-member walk
+        # over the bytes just written (offsets/lengths are storage
+        # truth) + the generator-authored per-capture metadata —
+        # deliberately NOT kernel/warc.py's span iterator
+        pos = 0
+        while pos < len(data):
+            d = zlib.decompressobj(wbits=31)
+            chunk = d.decompress(data[pos:])
+            consumed = len(data) - pos - len(d.unused_data)
+            hdr = {}
+            for line in chunk.split(b"\r\n\r\n", 1)[0].split(b"\r\n")[1:]:
+                k, _, v = line.partition(b":")
+                hdr[k.strip().lower().decode()] = v.strip().decode()
+            if hdr.get("warc-type") == "response":
+                u, dt = hdr["warc-target-uri"], hdr["warc-date"]
+                st, mm, payload = meta[(u, dt)]
+                cdx["urlkey"].append(_surt_expected(u))
+                cdx["cdx_ts"].append(
+                    "".join(c for c in dt if c.isdigit())[:14])
+                cdx["url"].append(u)
+                cdx["mime"].append(mm)
+                cdx["http_status"].append(st)
+                cdx["digest"].append("sha1:" + base64.b32encode(
+                    hashlib.sha1(payload).digest()).decode())
+                cdx["rec_offset"].append(pos)
+                cdx["rec_length"].append(consumed)
+                cdx["warc_file"].append(shard_name)
+            pos += consumed
     expected = os.path.join(dir_path, "expected_records.parquet")
     pq.write_table(pa.table({
         "url": pa.array(exp["url"], pa.string()),
@@ -1542,7 +1650,37 @@ def write_warc_fixture(dir_path: str, n_docs: int, seed: int = 42,
         "refers_to_uri": pa.array(rev["refers_to_uri"], pa.string()),
         "refers_to_date": pa.array(rev["refers_to_date"], pa.string()),
     }), os.path.join(dir_path, "expected_revisits.parquet"))
+    pq.write_table(pa.table({
+        "urlkey": pa.array(cdx["urlkey"], pa.string()),
+        "cdx_ts": pa.array(cdx["cdx_ts"], pa.string()),
+        "url": pa.array(cdx["url"], pa.string()),
+        "mime": pa.array(cdx["mime"], pa.string()),
+        "http_status": pa.array(cdx["http_status"], pa.int32()),
+        "digest": pa.array(cdx["digest"], pa.string()),
+        "rec_offset": pa.array(cdx["rec_offset"], pa.int64()),
+        "rec_length": pa.array(cdx["rec_length"], pa.int64()),
+        "warc_file": pa.array(cdx["warc_file"], pa.string()),
+    }), os.path.join(dir_path, "expected_cdx.parquet"))
     return os.path.join(dir_path, "*.warc.gz"), expected
+
+
+def _surt_expected(url: str) -> str:
+    """INDEPENDENT SURT urlkey for the CDX oracle (urllib-based) —
+    deliberately NOT kernel/warc.py's hand parser."""
+    from urllib.parse import urlsplit
+
+    p = urlsplit(url)
+    host = (p.hostname or "").lower()
+    if host.startswith("www."):
+        host = host[4:]
+    key = ",".join(reversed(host.split(".")))
+    if p.port and p.port not in (80, 443):
+        key += f":{p.port}"
+    path = (p.path or "/").lower()
+    if p.query:
+        return key + ")" + path + "?" + "&".join(
+            sorted(p.query.lower().split("&")))
+    return key + ")" + path
 
 
 def search_matches_expected(text: Optional[str], query: str = "Hello") -> List[dict]:
@@ -1595,6 +1733,12 @@ def _sniff_media_kind(raw: bytes) -> str:
         return "gif"
     if len(raw) >= 12 and raw[4:8] == b"ftyp":
         return "mp4"
+    if raw[:4] == b"fLaC":
+        return "flac"
+    if raw[:4] == b"OggS":
+        return "ogg"
+    if raw[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if raw[:3] == b"ID3" or (len(raw) >= 2 and raw[0] == 0xFF
                              and (raw[1] & 0xE0) == 0xE0):
         return "mp3"
@@ -1627,6 +1771,12 @@ EXPECTED_COLUMNS = (
     "video_duration_ms", "video_n_tracks", "video_width", "video_height",
     "mp3_n_frames", "mp3_sr", "mp3_channels", "mp3_duration_ms",
     "mp3_kbps", "mp3_title", "mp3_artist",
+    "flac_sr", "flac_channels", "flac_bits", "flac_total_samples",
+    "flac_duration_ms", "flac_title", "flac_artist",
+    "ogg_codec", "ogg_channels", "ogg_sr", "ogg_n_pages",
+    "ogg_duration_ms", "ogg_title", "ogg_artist",
+    "tiff_w", "tiff_h", "tiff_bits", "tiff_compression",
+    "tiff_n_pages", "tiff_desc",
     "exif_orientation", "exif_make", "exif_w", "exif_h",
     "img_width", "img_height", "img_channels",
     "blocks", "block_labels",
@@ -1805,6 +1955,133 @@ def _mp3_expected(raw: bytes):
         frames += 1
         pos += flen
     return (frames, sr, ch, frames * spf * 1000 // sr, kbps_sum // frames)
+
+
+def _vorbis_tags_expected(body: bytes):
+    """Standalone Vorbis-comment wire re-read (vendor skipped, TITLE/
+    ARTIST surfaced) shared by the FLAC and Ogg expected helpers —
+    deliberately NOT the kernels' comment parsers."""
+    import struct
+
+    (vlen,) = struct.unpack("<I", body[:4])
+    pos = 4 + vlen
+    (n,) = struct.unpack("<I", body[pos:pos + 4])
+    pos += 4
+    title = artist = None
+    for _ in range(n):
+        (clen,) = struct.unpack("<I", body[pos:pos + 4])
+        item = body[pos + 4:pos + 4 + clen].decode("utf-8")
+        pos += 4 + clen
+        if item.startswith("TITLE=") and title is None:
+            title = item[6:]
+        elif item.startswith("ARTIST=") and artist is None:
+            artist = item[7:]
+    return title, artist
+
+
+def _flac_expected(raw: bytes):
+    """INDEPENDENT ground truth for the FLAC oracle: a standalone
+    block walk trusting only the layout build_flac emits —
+    deliberately NOT kernel/flac.py. Returns (sr, channels, bits,
+    total_samples, duration_ms, title, artist)."""
+    pos = 4
+    sr = ch = bits = total = None
+    title = artist = None
+    last = False
+    while not last:
+        hdr = raw[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        blen = int.from_bytes(raw[pos + 1:pos + 4], "big")
+        body = raw[pos + 4:pos + 4 + blen]
+        if btype == 0:
+            packed = int.from_bytes(body[10:18], "big")
+            sr = (packed >> 44) & 0xFFFFF
+            ch = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            total = packed & 0xFFFFFFFFF
+        elif btype == 4:
+            title, artist = _vorbis_tags_expected(body)
+        pos += 4 + blen
+    dur = (total * 1000) // sr if total else None
+    return sr, ch, bits, total, dur, title, artist
+
+
+def _ogg_expected(raw: bytes):
+    """INDEPENDENT ground truth for the Ogg oracle: a standalone page
+    scan trusting only the layout build_ogg emits (whole packets per
+    page, first page = id header, second = comment header) —
+    deliberately NOT kernel/ogg.py. Returns (codec, channels, sr,
+    n_pages, duration_ms, title, artist)."""
+    import struct
+
+    pages = []
+    pos = 0
+    while pos < len(raw):
+        nsegs = raw[pos + 26]
+        body_len = sum(raw[pos + 27:pos + 27 + nsegs])
+        granule = struct.unpack("<q", raw[pos + 6:pos + 14])[0]
+        body = raw[pos + 27 + nsegs:pos + 27 + nsegs + body_len]
+        pages.append((granule, body))
+        pos += 27 + nsegs + body_len
+    first = pages[0][1]
+    last_granule = pages[-1][0]
+    title = artist = None
+    if first[:7] == b"\x01vorbis":
+        codec = "vorbis"
+        ver, ch, sr = struct.unpack("<IBI", first[7:16])
+        dur = (last_granule * 1000) // sr
+        if len(pages) > 1 and pages[1][1][:7] == b"\x03vorbis":
+            title, artist = _vorbis_tags_expected(pages[1][1][7:])
+    else:
+        codec = "opus"
+        ver, ch, pre_skip, sr = struct.unpack("<BBHI", first[8:16])
+        dur = max(last_granule - pre_skip, 0) * 1000 // 48000
+        if len(pages) > 1 and pages[1][1][:8] == b"OpusTags":
+            title, artist = _vorbis_tags_expected(pages[1][1][8:])
+    return codec, ch, sr, len(pages), dur, title, artist
+
+
+def _tiff_expected(raw: bytes):
+    """INDEPENDENT ground truth for the TIFF oracle: a flat IFD-chain
+    re-read with its own compression-name table — deliberately NOT
+    kernel/tiff.py. Returns (w, h, bits, compression_name, n_pages,
+    description)."""
+    import struct
+
+    e = "<" if raw[:2] == b"II" else ">"
+    names = {1: "none", 5: "lzw", 8: "deflate", 32773: "packbits"}
+    (off,) = struct.unpack(e + "I", raw[4:8])
+    w = h = bits = comp = desc = None
+    n_pages = 0
+    first = True
+    while off:
+        (n,) = struct.unpack(e + "H", raw[off:off + 2])
+        for k in range(n):
+            ent = off + 2 + 12 * k
+            tag, vt, cnt = struct.unpack(e + "HHI", raw[ent:ent + 8])
+            raw4 = raw[ent + 8:ent + 12]
+            if not first:
+                continue
+            if tag == 0x0100:
+                (w,) = struct.unpack(e + "I", raw4)
+            elif tag == 0x0101:
+                (h,) = struct.unpack(e + "I", raw4)
+            elif tag == 0x0102:
+                bits = struct.unpack(e + "H", raw4[:2])[0]
+            elif tag == 0x0103:
+                comp = names[struct.unpack(e + "H", raw4[:2])[0]]
+            elif tag == 0x010E:
+                if cnt <= 4:
+                    desc = raw4[:cnt].split(b"\x00")[0].decode()
+                else:
+                    (o,) = struct.unpack(e + "I", raw4)
+                    desc = raw[o:o + cnt].split(b"\x00")[0].decode()
+        n_pages += 1
+        first = False
+        (off,) = struct.unpack(e + "I", raw[off + 2 + 12 * n:
+                                            off + 6 + 12 * n])
+    return w, h, bits, comp, n_pages, desc
 
 
 def _image_expected(raw: bytes, kind: str):
@@ -2010,6 +2287,35 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
                     "mp3_channels": None, "mp3_duration_ms": None,
                     "mp3_kbps": None, "mp3_title": None,
                     "mp3_artist": None})
+    if row["media_kind"] == "flac":
+        sr, ch, bits, total, dur, title, artist = _flac_expected(raw)
+        row.update({"flac_sr": sr, "flac_channels": ch, "flac_bits": bits,
+                    "flac_total_samples": total, "flac_duration_ms": dur,
+                    "flac_title": title, "flac_artist": artist})
+    else:
+        row.update({"flac_sr": None, "flac_channels": None,
+                    "flac_bits": None, "flac_total_samples": None,
+                    "flac_duration_ms": None, "flac_title": None,
+                    "flac_artist": None})
+    if row["media_kind"] == "ogg":
+        codec, ch, sr, np_, dur, title, artist = _ogg_expected(raw)
+        row.update({"ogg_codec": codec, "ogg_channels": ch, "ogg_sr": sr,
+                    "ogg_n_pages": np_, "ogg_duration_ms": dur,
+                    "ogg_title": title, "ogg_artist": artist})
+    else:
+        row.update({"ogg_codec": None, "ogg_channels": None,
+                    "ogg_sr": None, "ogg_n_pages": None,
+                    "ogg_duration_ms": None, "ogg_title": None,
+                    "ogg_artist": None})
+    if row["media_kind"] == "tiff":
+        w, h, bits, comp, np_, desc = _tiff_expected(raw)
+        row.update({"tiff_w": w, "tiff_h": h, "tiff_bits": bits,
+                    "tiff_compression": comp, "tiff_n_pages": np_,
+                    "tiff_desc": desc})
+    else:
+        row.update({"tiff_w": None, "tiff_h": None, "tiff_bits": None,
+                    "tiff_compression": None, "tiff_n_pages": None,
+                    "tiff_desc": None})
     if looks_like_html(raw):
         from .kernel.htmlblocks import classify_blocks
 
@@ -2104,6 +2410,17 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "mp3_channels": pa.int32(), "mp3_duration_ms": pa.int64(),
         "mp3_kbps": pa.int32(), "mp3_title": pa.string(),
         "mp3_artist": pa.string(),
+        "flac_sr": pa.int32(), "flac_channels": pa.int32(),
+        "flac_bits": pa.int32(), "flac_total_samples": pa.int64(),
+        "flac_duration_ms": pa.int64(), "flac_title": pa.string(),
+        "flac_artist": pa.string(),
+        "ogg_codec": pa.string(), "ogg_channels": pa.int32(),
+        "ogg_sr": pa.int32(), "ogg_n_pages": pa.int32(),
+        "ogg_duration_ms": pa.int64(), "ogg_title": pa.string(),
+        "ogg_artist": pa.string(),
+        "tiff_w": pa.int32(), "tiff_h": pa.int32(),
+        "tiff_bits": pa.int32(), "tiff_compression": pa.string(),
+        "tiff_n_pages": pa.int32(), "tiff_desc": pa.string(),
         "exif_orientation": pa.int32(), "exif_make": pa.string(),
         "exif_w": pa.int32(), "exif_h": pa.int32(),
         "blocks": pa.list_(pa.struct([

@@ -183,6 +183,53 @@ def iter_warc_records(raw: bytes) -> Iterator[WarcRecord]:
         raw = _gunzip_members(raw)
     if not raw.startswith(b"WARC/"):
         raise WarcError("not a WARC stream")
+    for rec, _start, _end in _iter_plain_spans(raw):
+        yield rec
+
+
+def iter_warc_records_spans(raw: bytes) -> Iterator[Tuple[WarcRecord,
+                                                          int, int]]:
+    """Yield (record, offset, length) with offsets into the STORED
+    byte stream — the triple a CDX(J) index line carries so a wayback
+    range request can fetch one capture without scanning the archive.
+    For per-record-gzip archives (the Common Crawl layout) the span is
+    the record's own compressed member; every record a member yields
+    shares that member's span. For plain streams the span is the
+    record's uncompressed bytes."""
+    if raw[:2] != b"\x1f\x8b":
+        if not raw.startswith(b"WARC/"):
+            raise WarcError("not a WARC stream")
+        for rec, start, end in _iter_plain_spans(raw):
+            yield rec, start, end - start
+        return
+    pos = 0
+    n = len(raw)
+    first = True
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(raw[pos:], MAX_RECORD_BYTES)
+        except zlib.error as e:
+            raise WarcError(f"gzip member at byte {pos}: {e}")
+        if not d.eof:
+            if d.decompress(b"", 1):
+                raise WarcError(f"gzip member at byte {pos} exceeds cap")
+            raise WarcError(f"truncated gzip member at byte {pos}")
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise WarcError("empty gzip member")
+        if first and not chunk.startswith(b"WARC/"):
+            raise WarcError("not a WARC stream")
+        first = False
+        for rec, _start, _end in _iter_plain_spans(chunk):
+            yield rec, pos, consumed
+        pos += consumed
+
+
+def _iter_plain_spans(raw: bytes) -> Iterator[Tuple[WarcRecord, int, int]]:
+    """Record parser over an uncompressed WARC stream: yields
+    (record, start, end) byte spans; shared by iter_warc_records and
+    the CDX span walk."""
     pos = 0
     n = len(raw)
     while pos < n:
@@ -191,9 +238,11 @@ def iter_warc_records(raw: bytes) -> Iterator[WarcRecord]:
             if nxt == -1:
                 break  # trailing padding
             pos = nxt
+        rec_start = pos
         hdr_end = raw.find(b"\r\n\r\n", pos, pos + MAX_HEADER_BYTES)
         if hdr_end == -1:
-            yield WarcRecord(error="unterminated record headers")
+            yield WarcRecord(error="unterminated record headers"), \
+                rec_start, n
             break
         headers = {}
         lines = raw[pos:hdr_end].split(b"\r\n")
@@ -205,15 +254,17 @@ def iter_warc_records(raw: bytes) -> Iterator[WarcRecord]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            yield WarcRecord(error="missing/invalid Content-Length")
+            yield WarcRecord(error="missing/invalid Content-Length"), \
+                rec_start, body_start
             pos = body_start
             continue
         if length < 0 or length > MAX_RECORD_BYTES:
-            yield WarcRecord(error="Content-Length out of bounds")
+            yield WarcRecord(error="Content-Length out of bounds"), \
+                rec_start, body_start
             pos = body_start
             continue
         if body_start + length > n:
-            yield WarcRecord(error="record body truncated")
+            yield WarcRecord(error="record body truncated"), rec_start, n
             break
         body = raw[body_start : body_start + length]
         wtype = headers.get("warc-type", "")
@@ -229,10 +280,51 @@ def iter_warc_records(raw: bytes) -> Iterator[WarcRecord]:
             refers_to_uri=headers.get("warc-refers-to-target-uri"),
             refers_to_date=headers.get("warc-refers-to-date"),
             http_status=http_status,
-            http_content_type=http_ct)
+            http_content_type=http_ct), rec_start, body_start + length
         # records are followed by \r\n\r\n per the spec; resync is
         # magic-based so a missing separator cannot shift the stream
         pos = body_start + length
+
+
+def surt(url: str) -> str:
+    """SURT urlkey — the CDX(J) sort key every wayback-style index
+    uses so one host's captures sort contiguously: scheme and
+    fragment dropped, host lowercased with a leading 'www.' stripped,
+    default ports dropped, host labels REVERSED comma-joined, then
+    ')' and the lowercased path with query parameters sorted
+    (`com,example)/page?a=1&b=2`). Parsed by hand — the key must be
+    deterministic on hostile crawl URLs, not on what a URL library
+    accepts."""
+    u = url.strip()
+    scheme_end = u.find("://")
+    if scheme_end != -1:
+        u = u[scheme_end + 3:]
+    u = u.split("#", 1)[0]
+    hostport, sep, pathq = u.partition("/")
+    pathq = sep + pathq if sep else "/"
+    host = hostport.rsplit("@", 1)[-1].lower()  # drop userinfo
+    port = ""
+    if ":" in host and not host.startswith("["):  # no IPv6 reversal
+        host, _, port = host.partition(":")
+    if host.startswith("www."):
+        host = host[4:]
+    if port and port not in ("80", "443"):
+        host_key = ",".join(reversed(host.split("."))) + ":" + port
+    else:
+        host_key = ",".join(reversed(host.split(".")))
+    path, qsep, query = pathq.partition("?")
+    path = path.lower()
+    if query:
+        params = sorted(query.lower().split("&"))
+        return host_key + ")" + path + "?" + "&".join(params)
+    return host_key + ")" + path
+
+
+def cdx_timestamp(warc_date: str) -> str:
+    """WARC-Date (ISO-8601, optional fractional seconds) -> the CDX
+    14-digit YYYYMMDDHHMMSS key."""
+    digits = "".join(c for c in warc_date.split(".")[0] if c.isdigit())
+    return digits[:14]
 
 
 def build_warc(records, per_record_gzip: bool = True) -> bytes:

@@ -52,6 +52,12 @@ def sniff_kind(raw: bytes) -> str:
         return "gif"
     if len(raw) >= 12 and raw[4:8] == b"ftyp":
         return "mp4"
+    if raw[:4] == b"fLaC":
+        return "flac"
+    if raw[:4] == b"OggS":
+        return "ogg"
+    if raw[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if raw[:3] == b"ID3" or (len(raw) >= 2 and raw[0] == 0xFF
                              and (raw[1] & 0xE0) == 0xE0):
         return "mp3"
