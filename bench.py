@@ -355,10 +355,19 @@ def main() -> None:
             # driver-side analysis + whole-stage-codegen compilation of
             # the plan (1-3 s for the lambda-heavy minhash tree), a fixed
             # cost amortized to nothing at 100 TB; the warm number is the
-            # recurring per-data cost a cluster run scales with
-            t0 = time.perf_counter()
-            df.collect()
-            queries[name + "_warm"] = round(time.perf_counter() - t0, 3)
+            # recurring per-data cost a cluster run scales with. Min of
+            # three: a single warm run still sits on the JVM's C2
+            # compilation ramp for lambda-heavy plans (r5 probe:
+            # ann_topk 0.29 -> 0.19 -> ... -> 0.10 over ~20 iterations,
+            # converging to the r3 number — the r4 "warm regressions"
+            # were ramp position, not code), and min-of-3 lands near the
+            # plateau without burning bench budget
+            warm = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.collect()
+                warm.append(time.perf_counter() - t0)
+            queries[name + "_warm"] = round(min(warm), 3)
 
         # IVF recall vs the exact baseline (r4 verdict #6): same query
         # vector; trained-centroid multi-probe (nprobe=2 of 8 cells)

@@ -537,3 +537,31 @@ def test_aqe_skew_split_pattern_limits(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_line_dedup_has_no_window(spark, sf_dir):
+    """Line-level dedup (r5) uses the same agg-keeper + salted-join
+    skeleton as span_dedup: no row_number window (a 10^9-occurrence
+    cookie-banner line must collapse map-side), no cartesian, no
+    Python boundary."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["line_dedup"](spark, sf_dir), spark)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_dsir_ratio_join_is_broadcast(spark, sf_dir):
+    """DSIR's per-doc-bucket fact side must join the B=128-row
+    log-ratio table via BROADCAST: the bucket key is deliberately
+    low-cardinality/maximally-skewed, so hash-partitioning the fact
+    on it would funnel the corpus into <=B partitions. No sort-merge
+    join on b, no window, no Python boundary."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["dsir_weights"](spark, sf_dir), spark)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

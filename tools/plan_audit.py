@@ -73,6 +73,12 @@ NOTES = {
     "host_stats": "domain-level spam filtering: ONE host exchange, map-side-combining aggregate (count-distinct partials under the same grouping); no window/self-join — a skewed host stays splittable.",
     "ppl_buckets": "CCNet head/middle/tail tertiles: the cumulative window runs over the rounded-score HISTOGRAM (<=35k rows at any corpus size), never over docs; 1-row total + 1-row thresholds broadcast back; corpus-side join map-only.",
     "html_blocks": "jusText DOM block classification inside the scan task (mapInPandas); only tiny block rows cross the Arrow boundary; single range exchange for the determinism orderBy.",
+    "flac_meta": "map-only FLAC block walk inside the scan task (kernel/flac.py); rows only for fLaC-magic payloads; no audio-frame decode.",
+    "ogg_meta": "map-only CRC-verified Ogg page walk inside the scan task (kernel/ogg.py); rows only for OggS-magic payloads; no packet decode.",
+    "tiff_meta": "map-only standalone-TIFF IFD walk inside the scan task (kernel/tiff.py); rows only for II*/MM*-magic payloads; no strip decode.",
+    "warc_cdx": "CDX(J) index generation in the SAME file-per-task pass as ingestion: SURT/timestamp/digest/member-span computed in the scan task; only index rows cross the Arrow boundary; range exchange for the urlkey determinism orderBy (at CC scale this is the index's required sort, done once).",
+    "line_dedup": "line-granularity keeper = min(struct) aggregation (map-side combine absorbs a 10^9-occurrence boilerplate line), join back SALTED (AQE cannot split an agg-fed join side — measured r4); only (line,url,idx) rows shuffle, blobs stay in the scan.",
+    "dsir_weights": "DSIR hashed-unigram importance: two B=128-row histograms (map-side combined), B-row smoothed log-ratio table BROADCAST to the per-doc-bucket fact side — the deliberately-skewed bucket key never hash-partitions the fact; per-doc weighted sum is one groupBy.",
 }
 
 
