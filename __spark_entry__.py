@@ -862,6 +862,104 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_pagerank(spark: SparkSession, sf_dir: str,
+                     iters: int = 3, d: float = 0.85) -> DataFrame:
+    """Host-graph PageRank (r5) — the domain-authority signal crawl
+    curation ranks hosts by (Common Crawl publishes exactly this as
+    its host-level ranking; OPIC/Adaptive OPIC in Nutch is the online
+    variant). K=3 damped power iterations over a host link graph
+    derived deterministically from the documents table (a stand-in
+    edge formula — production feeds real <a href> host pairs, e.g.
+    from html_meta's link extraction).
+
+    Scale shape (the GraphX/Pregel pattern in plain DataFrames): each
+    iteration is ONE shuffle — contributions groupBy(dst) with
+    map-side combine — plus a broadcastable (host, rank) table join;
+    ranks are localCheckpoint()ed per iteration so the 3-deep plan
+    lineage never re-executes upstream (the cc.py large-star/
+    small-star discipline). The 1-row host count crosses in via
+    broadcast, never a driver collect. Ranks ROUND to 1e-6 each
+    iteration so cross-partition float-sum order cannot make the next
+    iteration's input partitioning-dependent (the kmeans_semdedup
+    determinism rule)."""
+    H = 50
+    docs = _docs(spark, sf_dir).select("doc_id")
+    hosts = docs.select((F.col("doc_id") % H).alias("h")).distinct()
+    e1 = docs.select((F.col("doc_id") % H).alias("src"),
+                     ((F.col("doc_id") * 7 + 3) % H).alias("dst"))
+    e2 = docs.select((F.col("doc_id") % H).alias("src"),
+                     ((F.col("doc_id") * 13 + 11) % H).alias("dst"))
+    edges = (e1.unionByName(e2).where(F.col("src") != F.col("dst"))
+             .distinct())
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n1 = hosts.agg(F.count("*").alias("n"))
+    ranks = hosts.join(F.broadcast(n1)).select(
+        "h", F.round(1.0 / F.col("n"), 6).alias("pr")).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.h)
+            .join(outdeg, "src")
+            .groupBy("dst").agg(F.sum(F.col("pr") / F.col("deg"))
+                                .alias("c")))
+        ranks = (
+            hosts.join(F.broadcast(n1))
+            .join(contrib, hosts.h == contrib.dst, "left")
+            .select("h", F.round((1 - d) / F.col("n")
+                                 + d * F.coalesce(F.col("c"), F.lit(0.0)),
+                                 6).alias("pr"))
+            .localCheckpoint())
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    return (
+        ranks.join(outdeg, ranks.h == outdeg.src, "left")
+        .join(indeg, ranks.h == indeg.dst, "left")
+        .select("h", F.col("pr").alias("pr_r6"),
+                F.coalesce("deg", F.lit(0)).alias("out_degree"),
+                F.coalesce("in_deg", F.lit(0)).alias("in_degree"))
+        .orderBy("h")
+    )
+
+
+def _q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style LINEAR quality classifier (r5) — the CCNet /
+    LLaMA "looks like a Wikipedia reference" filter shape: hashed
+    unigram + bigram features, a fixed weight vector, mean-pooled
+    linear layer + sigmoid. The weight table here is a DETERMINISTIC
+    stand-in derived from the bucket id (production loads a trained
+    artifact; the plumbing — feature hashing, pooling, thresholding —
+    is what this query pins).
+
+    Scale shape: because the weight is a pure function of the
+    feature's hash bucket, the whole classifier evaluates MAP-ONLY
+    inside whole-stage codegen — transform/aggregate over the in-row
+    token array, no explode, no histogram, no join, no model
+    broadcast. This is the cheapest possible classifier deployment:
+    at 100 TB it adds zero exchanges to the curation scan. Score
+    rounds to 3 decimals (the established cross-engine float-parity
+    envelope) before the 0.5 keep threshold."""
+    B, BIAS = 64, -0.1
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
+
+    def w_of(c):
+        b = F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("long") % B
+        return ((b * 2654435761) % 2001) / 1000.0 - 1.0
+
+    def mean_w(arr, cnt):
+        s = F.aggregate(F.transform(arr, w_of), F.lit(0.0),
+                        lambda acc, x: acc + x)
+        return F.coalesce(s / F.nullif(cnt, F.lit(0)), F.lit(0.0))
+
+    bigrams = F.when(n >= 2, F.zip_with(
+        F.slice("ws", 1, n - 1), F.slice("ws", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))).otherwise(
+        F.array().cast("array<string>"))
+    x = BIAS + mean_w(F.col("ws"), n) + 0.5 * mean_w(bigrams, n - 1)
+    score = F.round(1.0 / (1.0 + F.exp(-x)), 3)
+    return d.select(
+        "doc_id", n.alias("n_tokens"), score.alias("quality_r3"),
+        (score >= 0.5).alias("keep_quality")).orderBy("doc_id")
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb/CCNet LINE-level cross-document dedup (r5 — the
     granularity both pipelines actually ship: navigation chrome,
@@ -2942,9 +3040,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogg_meta": _q_ogg_meta,
         "tiff_meta": _q_tiff_meta,
         "warc_ingest": _q_warc_ingest,
-        "span_dedup": _q_span_dedup,
         "line_dedup": _q_line_dedup,
         "dsir_weights": _q_dsir_weights,
+        "quality_linear": _q_quality_linear,
+        "host_pagerank": _q_host_pagerank,
+        # span_dedup moved below the 50-row driver gate for round 5:
+        # r4-driver-green and unchanged; host_pagerank above is new
+        "span_dedup": _q_span_dedup,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
         "ppl_buckets": _q_ppl_buckets,
@@ -3498,6 +3600,72 @@ def oracle_sql() -> dict[str, str]:
             "(round(sum(cnt * lr), 3) > 0) AS keep_dsir "
             "FROM pdb JOIN ratios USING (b) "
             "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "host_pagerank": (
+            # identical 3-iteration damped power iteration with the
+            # same per-iteration 1e-6 rounding; DuckDB chains the
+            # iterations as CTEs
+            "WITH docs AS (SELECT doc_id FROM documents), "
+            "hosts AS (SELECT DISTINCT doc_id % 50 AS h FROM docs), "
+            "n AS (SELECT count(*) AS n FROM hosts), "
+            "edges AS (SELECT src, dst FROM ("
+            "SELECT doc_id % 50 AS src, (doc_id*7+3) % 50 AS dst FROM docs "
+            "UNION "
+            "SELECT doc_id % 50, (doc_id*13+11) % 50 FROM docs) "
+            "WHERE src <> dst), "
+            "outdeg AS (SELECT src, count(*) AS deg FROM edges "
+            "GROUP BY src), "
+            "indeg AS (SELECT dst, count(*) AS in_deg FROM edges "
+            "GROUP BY dst), "
+            "r0 AS (SELECT h, round(1.0 / n.n, 6) AS pr "
+            "FROM hosts CROSS JOIN n), "
+            "r1 AS (SELECT hosts.h, round(0.15 / n.n + 0.85 * "
+            "coalesce(s.c, 0), 6) AS pr FROM hosts CROSS JOIN n "
+            "LEFT JOIN (SELECT e.dst, sum(r.pr / o.deg) AS c "
+            "FROM edges e JOIN r0 r ON e.src = r.h "
+            "JOIN outdeg o ON e.src = o.src GROUP BY e.dst) s "
+            "ON hosts.h = s.dst), "
+            "r2 AS (SELECT hosts.h, round(0.15 / n.n + 0.85 * "
+            "coalesce(s.c, 0), 6) AS pr FROM hosts CROSS JOIN n "
+            "LEFT JOIN (SELECT e.dst, sum(r.pr / o.deg) AS c "
+            "FROM edges e JOIN r1 r ON e.src = r.h "
+            "JOIN outdeg o ON e.src = o.src GROUP BY e.dst) s "
+            "ON hosts.h = s.dst), "
+            "r3 AS (SELECT hosts.h, round(0.15 / n.n + 0.85 * "
+            "coalesce(s.c, 0), 6) AS pr FROM hosts CROSS JOIN n "
+            "LEFT JOIN (SELECT e.dst, sum(r.pr / o.deg) AS c "
+            "FROM edges e JOIN r2 r ON e.src = r.h "
+            "JOIN outdeg o ON e.src = o.src GROUP BY e.dst) s "
+            "ON hosts.h = s.dst) "
+            "SELECT r3.h, r3.pr AS pr_r6, "
+            "CAST(coalesce(o.deg, 0) AS BIGINT) AS out_degree, "
+            "CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_degree "
+            "FROM r3 LEFT JOIN outdeg o ON r3.h = o.src "
+            "LEFT JOIN indeg i ON r3.h = i.dst ORDER BY r3.h"
+        ),
+        "quality_linear": (
+            # identical hashed-feature linear-layer arithmetic: B=64
+            # md5 buckets, deterministic weight (b*2654435761 % 2001)
+            # / 1000 - 1, mean-pooled unigrams + 0.5x bigrams, sigmoid
+            # rounded to 3 before the 0.5 threshold
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "f AS (SELECT doc_id, len(ws) AS n, "
+            "list_transform(ws, t -> "
+            "((CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 64) "
+            "* 2654435761 % 2001) / 1000.0 - 1.0) AS uw, "
+            "list_transform(range(1, len(ws)), i -> "
+            "((CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 4)) "
+            "AS BIGINT) % 64) * 2654435761 % 2001) / 1000.0 - 1.0) AS bw "
+            "FROM d) "
+            "SELECT doc_id, CAST(n AS INT) AS n_tokens, "
+            "round(1.0 / (1.0 + exp(-(-0.1 + coalesce(list_sum(uw) / n, 0) "
+            "+ 0.5 * coalesce(list_sum(bw) / nullif(n - 1, 0), 0)))), 3) "
+            "AS quality_r3, "
+            "round(1.0 / (1.0 + exp(-(-0.1 + coalesce(list_sum(uw) / n, 0) "
+            "+ 0.5 * coalesce(list_sum(bw) / nullif(n - 1, 0), 0)))), 3) "
+            ">= 0.5 AS keep_quality "
+            "FROM f ORDER BY doc_id"
         ),
         "unigram_logprob": (
             # min-count floor (= 2): rare words score the smoothed

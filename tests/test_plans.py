@@ -565,3 +565,17 @@ def test_dsir_ratio_join_is_broadcast(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_quality_linear_is_map_only(spark, sf_dir):
+    """The linear classifier's weight is a pure function of the hash
+    bucket, so the whole model must evaluate map-only: no exchange
+    except the determinism orderBy, no join, no explode, no Python."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["quality_linear"](spark, sf_dir), spark)
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    hashx = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert hashx == 0, plan

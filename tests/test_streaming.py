@@ -309,3 +309,45 @@ def test_streaming_curation_split_matches_batch_predicate(spark, tmp_path):
     assert kept2.count() + rejected2.count() == 90
     assert kept2.select("url").union(
         rejected2.select("url")).distinct().count() == 90
+
+
+def test_streaming_warc_cdx_matches_batch_and_expected(spark, tmp_path):
+    """Streaming CDX twin: archives arriving across two triggers are
+    each indexed exactly once; rows equal BOTH the batch warc_cdx
+    query over the same files AND the fixture's independently-derived
+    expected_cdx (offsets from its own gzip-member walk)."""
+    from zpdfspark.fixtures import write_warc_fixture
+    from zpdfspark.spark.streaming import start_streaming_warc_cdx
+
+    drop = tmp_path / "drop"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    drop.mkdir()
+
+    write_warc_fixture(str(drop), 30, seed=31, shards=2)
+    q = start_streaming_warc_cdx(spark, str(drop), out, ckpt)
+    q.awaitTermination(120)
+
+    # restart with no new files: idempotent, nothing re-emitted
+    q2 = start_streaming_warc_cdx(spark, str(drop), out, ckpt)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out + "/data")
+    key = ["warc_file", "rec_offset"]
+    rows = {tuple(r[k] for k in key): r.asDict() for r in got.collect()}
+    assert len(rows) == got.count()  # exactly once per member
+
+    exp = spark.read.parquet(str(drop / "expected_cdx.parquet"))
+    expected = {tuple(r[k] for k in key): r.asDict() for r in exp.collect()}
+    assert rows.keys() == expected.keys()
+    for k, e in expected.items():
+        g = rows[k]
+        for col in ("urlkey", "cdx_ts", "url", "mime", "http_status",
+                    "digest", "rec_length"):
+            assert g[col] == e[col], (k, col, g[col], e[col])
+
+    # and the batch query over the same drop dir agrees row-for-row
+    from zpdfspark.spark.warc_source import warc_cdx
+    batch = {tuple(r[k] for k in key): r.asDict()
+             for r in warc_cdx(spark, str(drop / "*.warc.gz")).collect()}
+    assert batch.keys() == rows.keys()

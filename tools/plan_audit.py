@@ -79,6 +79,8 @@ NOTES = {
     "warc_cdx": "CDX(J) index generation in the SAME file-per-task pass as ingestion: SURT/timestamp/digest/member-span computed in the scan task; only index rows cross the Arrow boundary; range exchange for the urlkey determinism orderBy (at CC scale this is the index's required sort, done once).",
     "line_dedup": "line-granularity keeper = min(struct) aggregation (map-side combine absorbs a 10^9-occurrence boilerplate line), join back SALTED (AQE cannot split an agg-fed join side — measured r4); only (line,url,idx) rows shuffle, blobs stay in the scan.",
     "dsir_weights": "DSIR hashed-unigram importance: two B=128-row histograms (map-side combined), B-row smoothed log-ratio table BROADCAST to the per-doc-bucket fact side — the deliberately-skewed bucket key never hash-partitions the fact; per-doc weighted sum is one groupBy.",
+    "quality_linear": "fastText-shape linear classifier where weight = f(hash bucket): the WHOLE model evaluates map-only in whole-stage codegen (transform/aggregate over the in-row token array) — no explode, no join, no model broadcast; zero exchanges beyond the determinism orderBy.",
+    "host_pagerank": "K=3 damped power iterations, GraphX/Pregel shape in DataFrames: per iteration ONE map-side-combining groupBy(dst) exchange + rank-table join; localCheckpoint per iteration truncates lineage (plan shows only the FINAL iteration + degree joins); 1-row host count broadcast, no collect.",
 }
 
 

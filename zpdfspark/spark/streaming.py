@@ -239,6 +239,50 @@ def start_streaming_warc_ingest(
     return writer.start()
 
 
+def start_streaming_warc_cdx(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """readStream(binaryFile over a .warc.gz drop directory) -> CDX(J)
+    index rows (spark/warc_source.py warc_cdx arithmetic: SURT urlkey,
+    14-digit timestamp, payload sha1, gzip-member offset/length) ->
+    idempotent parquet sink. The continuous twin of the batch warc_cdx
+    query: as a crawler drops archives, the wayback index stays
+    current; file-source offsets checkpointed = each archive indexed
+    exactly once across restarts. Stateless map per file, so restart
+    semantics come entirely from the source offsets + idempotent sink
+    (no state store)."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger or 8))
+        .load(input_dir)
+    )
+    sink = _idempotent_batch_writer(spark, output_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from zpdfspark.spark.warc_source import (CDX_SCHEMA,
+                                                 cdx_arrow_batches)
+
+        idx = batch_df.select("path", "content").mapInPandas(
+            cdx_arrow_batches, CDX_SCHEMA)
+        sink(idx, batch_id)
+
+    writer = reader.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_crawl_rate_aggregation(
     spark: SparkSession,
     input_dir: str,

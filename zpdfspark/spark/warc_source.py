@@ -146,6 +146,53 @@ def warc_revisits(spark: SparkSession, path: str) -> DataFrame:
                  "refers_to_date string")
 
 
+CDX_SCHEMA = ("urlkey string, cdx_ts string, url string, mime string, "
+              "http_status int, digest string, rec_offset long, "
+              "rec_length long, warc_file string")
+
+
+def cdx_arrow_batches(it):
+    """mapInPandas body shared by the batch warc_cdx query and the
+    streaming twin: (path, content) batches -> CDX_SCHEMA index rows."""
+    import base64
+    import hashlib
+    import os as _os
+
+    import pandas as pd
+
+    from zpdfspark.kernel.warc import (WarcError, cdx_timestamp,
+                                       iter_warc_records_spans, surt)
+
+    cols = ("urlkey", "cdx_ts", "url", "mime", "http_status",
+            "digest", "rec_offset", "rec_length", "warc_file")
+    for b in it:
+        rows = {k: [] for k in cols}
+        for fpath, content in zip(b["path"], b["content"]):
+            fname = _os.path.basename(fpath)
+            try:
+                for rec, off, ln in iter_warc_records_spans(
+                        bytes(content)):
+                    if rec.error or rec.warc_type != "response" \
+                            or rec.target_uri is None:
+                        continue
+                    sha1 = base64.b32encode(
+                        hashlib.sha1(rec.body).digest()).decode()
+                    rows["urlkey"].append(surt(rec.target_uri))
+                    rows["cdx_ts"].append(
+                        cdx_timestamp(rec.warc_date or ""))
+                    rows["url"].append(rec.target_uri)
+                    rows["mime"].append(rec.http_content_type
+                                        or rec.content_type)
+                    rows["http_status"].append(rec.http_status)
+                    rows["digest"].append("sha1:" + sha1)
+                    rows["rec_offset"].append(off)
+                    rows["rec_length"].append(ln)
+                    rows["warc_file"].append(fname)
+            except WarcError:
+                continue
+        yield pd.DataFrame(rows)
+
+
 def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
     """CDX(J) index generation (round 5) — the standard web-archive
     access index (pywb/OpenWayback): one line per response capture
@@ -159,50 +206,8 @@ def warc_cdx(spark: SparkSession, path: str) -> DataFrame:
     payload (post envelope-strip/de-chunk/gunzip), matching the
     "payload digest" the CDX spec records."""
     binary = spark.read.format("binaryFile").load(path)
-
-    def batches(it):
-        import base64
-        import hashlib
-        import os as _os
-
-        import pandas as pd
-
-        from zpdfspark.kernel.warc import (WarcError, cdx_timestamp,
-                                           iter_warc_records_spans, surt)
-
-        cols = ("urlkey", "cdx_ts", "url", "mime", "http_status",
-                "digest", "rec_offset", "rec_length", "warc_file")
-        for b in it:
-            rows = {k: [] for k in cols}
-            for fpath, content in zip(b["path"], b["content"]):
-                fname = _os.path.basename(fpath)
-                try:
-                    for rec, off, ln in iter_warc_records_spans(
-                            bytes(content)):
-                        if rec.error or rec.warc_type != "response" \
-                                or rec.target_uri is None:
-                            continue
-                        sha1 = base64.b32encode(
-                            hashlib.sha1(rec.body).digest()).decode()
-                        rows["urlkey"].append(surt(rec.target_uri))
-                        rows["cdx_ts"].append(
-                            cdx_timestamp(rec.warc_date or ""))
-                        rows["url"].append(rec.target_uri)
-                        rows["mime"].append(rec.http_content_type
-                                            or rec.content_type)
-                        rows["http_status"].append(rec.http_status)
-                        rows["digest"].append("sha1:" + sha1)
-                        rows["rec_offset"].append(off)
-                        rows["rec_length"].append(ln)
-                        rows["warc_file"].append(fname)
-                except WarcError:
-                    continue
-            yield pd.DataFrame(rows)
-
     return binary.select("path", "content").mapInPandas(
-        batches, "urlkey string, cdx_ts string, url string, mime string, "
-                 "http_status int, digest string, rec_offset long, "
-                 "rec_length long, warc_file string")
+        cdx_arrow_batches, CDX_SCHEMA)
 
 
 def warc_extract_arrow_batches(mode: str = "accuracy",
