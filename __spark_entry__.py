@@ -246,10 +246,12 @@ def _q_markdown_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal payloads as opaque media columns with typed metadata.
     Decode is REAL for PDFs (the kernel), PNGs (kernel/png.py), WAVs
-    (kernel/wav.py), baseline JPEGs (kernel/jpeg.py) and GIFs
-    (kernel/gif.py); mp3/video kinds
-    remain honestly stubbed (no codec libs in this container) while the
-    Spark-side schema/batching is the same either way."""
+    (kernel/wav.py), baseline+progressive JPEGs (kernel/jpeg.py),
+    GIFs (kernel/gif.py) and (r5) grayscale strip TIFFs
+    (kernel/tiff.py, all four fixture compressions); mp3/ogg/flac
+    audio frames and video remain honestly stubbed (no codec libs in
+    this container) while the Spark-side schema/batching is the same
+    either way."""
     import pandas as pd
 
     corpus = _corpus(spark, sf_dir)
@@ -259,6 +261,7 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         from zpdfspark.kernel.htmltext import looks_like_html
         from zpdfspark.kernel.jpeg import JpegError
         from zpdfspark.kernel.png import PngError
+        from zpdfspark.kernel.tiff import TiffError
         from zpdfspark.kernel.wav import WavError
         from zpdfspark.spark.media import decode_media, sniff_kind
 
@@ -282,7 +285,7 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         decode_media(raw, kind)
                         ok = True
                     except (NotImplementedError, PngError, JpegError,
-                            WavError, GifError):
+                            WavError, GifError, TiffError):
                         ok = False
                 out["url"].append(url)
                 out["n_bytes"].append(len(raw))
@@ -3219,11 +3222,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_stats": (
             # decode is real for pdf (the kernel), png (kernel/png.py),
-            # jpeg (kernel/jpeg.py), wav (kernel/wav.py) and gif
-            # (kernel/gif.py)
+            # jpeg (kernel/jpeg.py), wav (kernel/wav.py), gif
+            # (kernel/gif.py) and r5 grayscale strip tiff
+            # (kernel/tiff.py — all four fixture compressions)
             f"SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes, "
             f"media_kind, "
-            f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif')) AS decode_ok "
+            f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff')) "
+            f"AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
         "image_stats": (

@@ -1731,3 +1731,96 @@ class TestWarcCdx:
         b = [(r.target_uri, r.body)
              for r, _, _ in iter_warc_records_spans(raw)]
         assert a == b and len(a) == 8
+
+
+class TestTiffDecode:
+    """kernel/tiff.py round-5 second half: REAL strip decode —
+    1/8/16-bit grayscale, none/LZW/deflate/PackBits, horizontal
+    differencing, both byte orders, pixel-exact against the shared
+    page_pixels formula."""
+
+    def test_roundtrip_matrix_pixel_exact(self):
+        import numpy as np
+
+        from zpdfspark.kernel.tiff import (build_tiff, decode_tiff,
+                                           page_pixels)
+        for bits in (1, 8, 16):
+            for comp in (1, 5, 8, 32773):
+                for endian in ("<", ">"):
+                    for pred in ((1, 2) if bits == 8 else (1,)):
+                        raw = build_tiff(37, 23, bits=bits,
+                                         compression=comp, endian=endian,
+                                         predictor=pred, n_pages=2)
+                        w, h, ch, px = decode_tiff(raw)
+                        assert (w, h, ch) == (37, 23, 1)
+                        want = page_pixels(37, 23, bits)
+                        if bits == 1:
+                            want = (want * 255).astype(np.uint8)
+                        assert px.dtype.kind == "u"
+                        assert px.dtype.itemsize == (2 if bits == 16
+                                                     else 1)
+                        assert np.array_equal(px, want), (bits, comp,
+                                                          endian, pred)
+
+    def test_tiff_lzw_is_pdf_lzw_early_change(self):
+        """TIFF's LZW must ride the PDF LZWDecode path with
+        /EarlyChange 1: the fixture encoder's output decodes with
+        early_change=1 and NOT (for width-boundary-crossing payloads)
+        with early_change=0."""
+        from zpdfspark.kernel.filters import decode_lzw
+        from zpdfspark.kernel.tiff import _lzw_encode_tiff
+        import random
+        rng = random.Random(5)
+        data = bytes(rng.randrange(256) for _ in range(3000))
+        enc = _lzw_encode_tiff(data)
+        assert decode_lzw(enc, early_change=1) == data
+        assert decode_lzw(enc, early_change=0) != data
+
+    def test_packbits_roundtrip_and_hostile(self):
+        import random
+
+        from zpdfspark.kernel.tiff import (TiffError, _packbits,
+                                           _unpackbits)
+        rng = random.Random(7)
+        for _ in range(50):
+            # runs + literals mixed
+            data = b"".join(bytes([rng.randrange(4)]) * rng.randrange(1, 9)
+                            for _ in range(rng.randrange(1, 40)))
+            assert _unpackbits(_packbits(data), 1 << 20) == data
+        import pytest
+        with pytest.raises(TiffError):
+            _unpackbits(b"\x05\x01", 1 << 20)  # literal overrun
+
+    def test_unsupported_layouts_raise(self):
+        import struct
+
+        import pytest
+
+        from zpdfspark.kernel.tiff import TiffError, build_tiff, \
+            decode_tiff
+        raw = bytearray(build_tiff(10, 10))
+        # flip SamplesPerPixel (0x0115) to 3: multi-sample unsupported
+        (n,) = struct.unpack("<H", raw[8:10])
+        for k in range(n):
+            e = 10 + 12 * k
+            tag = struct.unpack("<H", raw[e:e + 2])[0]
+            if tag == 0x0115:
+                raw[e + 8] = 3
+        with pytest.raises(TiffError):
+            decode_tiff(bytes(raw))
+
+    def test_decode_fuzz_raises_tifferror_only(self):
+        import random
+
+        from zpdfspark.kernel.tiff import TiffError, build_tiff, \
+            decode_tiff
+        base = build_tiff(20, 15, bits=8, compression=5, predictor=2)
+        rng = random.Random(19)
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                decode_tiff(bytes(b))
+            except TiffError:
+                pass  # the only acceptable failure mode

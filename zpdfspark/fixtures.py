@@ -929,20 +929,26 @@ def ogg_audio(i: int = 0) -> Tuple[bytes, Optional[str]]:
 
 def tiff_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
     """Deterministic standalone TIFF (multimodal image payload row,
-    v27): real header + IFD chain in both byte orders, multi-page
-    every third blob, emitted by kernel/tiff.py's fixture encoder.
-    Strip/pixel DECODE stays honestly stubbed; the REAL layer is IFD
-    identity (dims/bits/compression/description/page count), oracled
-    against an independent fixtures-side flat IFD re-read
-    (_tiff_expected)."""
+    v27; v28 adds REAL strip data): header + IFD chain in both byte
+    orders, multi-page every third blob, grayscale strips at 1/8/16
+    bits compressed none/LZW/deflate/PackBits (horizontal
+    differencing on the 8-bit LZW/deflate variants), emitted by
+    kernel/tiff.py's fixture encoder. Pixel DECODE is REAL
+    (kernel/tiff.py decode_tiff — TIFF LZW rides the PDF LZWDecode
+    path with /EarlyChange 1); the metadata layer is oracled against
+    an independent fixtures-side flat IFD re-read (_tiff_expected)
+    and the pixels against the shared page_pixels formula in tests."""
     from .kernel.tiff import build_tiff
 
+    bits = (8, 16, 1)[i % 3]
+    comp = (1, 5, 8, 32773)[i % 4]
     return build_tiff(32 + 5 * (i % 40), 24 + 3 * (i % 50),
-                      bits=(8, 16, 1)[i % 3],
-                      compression=(1, 5, 8, 32773)[i % 4],
+                      bits=bits, compression=comp,
                       description=None if i % 3 == 2 else f"Scan {i}",
                       endian="<" if i % 2 == 0 else ">",
-                      n_pages=1 + (i % 3 == 1) * (1 + i % 3)), None
+                      n_pages=1 + (i % 3 == 1) * (1 + i % 3),
+                      predictor=2 if bits == 8 and comp in (5, 8) else 1
+                      ), None
 
 
 def html_page(i: int = 0) -> Tuple[bytes, str]:
@@ -1455,7 +1461,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v27"
+CORPUS_VERSION = "v28"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without

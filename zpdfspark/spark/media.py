@@ -4,9 +4,11 @@ frame-sample over opaque binary media, as Arrow-batched pandas kernels.
 Decode is REAL for PNG (round 2: zlib + the engine's own PNG row
 unfiltering, kernel/png.py), for WAV/PCM (kernel/wav.py), for baseline
 JPEG (round 3: marker walk + canonical Huffman + dequant + numpy IDCT,
-kernel/jpeg.py), and for GIF (round 3: GIF-variant LZW + palette +
-interlace, kernel/gif.py), so decode -> nearest-neighbor resize is
-exercised with actual pixels. mp3/video CODECS are absent from this
+kernel/jpeg.py), for GIF (round 3: GIF-variant LZW + palette +
+interlace, kernel/gif.py), and for grayscale strip TIFF (round 5:
+none/PackBits/Deflate/LZW strips + horizontal differencing,
+kernel/tiff.py), so decode -> nearest-neighbor resize is
+exercised with actual pixels. mp3/ogg/flac/video CODECS are absent from this
 container, so frame/sample decode for those kinds remains stubbed
 behind a clearly-marked NotImplementedError with a deterministic fake
 used by tests — though MP4 container METADATA (duration, tracks, dims,
@@ -67,13 +69,13 @@ def sniff_kind(raw: bytes) -> str:
 def decode_media(raw: bytes, kind: str):
     """Decode an opaque media payload.
 
-    REAL for PNG, baseline JPEG and GIF — (width, height, channels,
-    pixels ndarray) via kernel/png.py / kernel/jpeg.py / kernel/gif.py
-    — and for WAV —
-    (sample_rate, channels, samples ndarray) via kernel/wav.py. STUB for
-    every codec kind the container lacks libraries for (mp3/video):
-    NotImplementedError — callers must treat a failed decode as data,
-    not as a task failure."""
+    REAL for PNG, baseline+progressive JPEG, GIF and (r5) grayscale
+    strip TIFF — (width, height, channels, pixels ndarray) via
+    kernel/{png,jpeg,gif,tiff}.py — and for WAV — (sample_rate,
+    channels, samples ndarray) via kernel/wav.py. STUB for every
+    codec kind the container lacks libraries for (mp3/ogg/flac
+    audio frames, video): NotImplementedError — callers must treat a
+    failed decode as data, not as a task failure."""
     if kind == "png":
         from zpdfspark.kernel.png import decode_png
         return decode_png(raw)
@@ -86,6 +88,9 @@ def decode_media(raw: bytes, kind: str):
     if kind == "gif":
         from zpdfspark.kernel.gif import decode_gif
         return decode_gif(raw)
+    if kind == "tiff":
+        from zpdfspark.kernel.tiff import decode_tiff
+        return decode_tiff(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
@@ -107,6 +112,7 @@ def decode_dataframe(df: DataFrame, url_col: str = "url",
         from zpdfspark.kernel.gif import GifError
         from zpdfspark.kernel.jpeg import JpegError
         from zpdfspark.kernel.png import PngError
+        from zpdfspark.kernel.tiff import TiffError
         from zpdfspark.kernel.wav import WavError
 
         for b in it:
@@ -128,7 +134,7 @@ def decode_dataframe(df: DataFrame, url_col: str = "url",
                         # audio decodes have no pixel dims (0, 0)
                         ok = True
                 except (NotImplementedError, PngError, JpegError,
-                        WavError, GifError):
+                        WavError, GifError, TiffError):
                     ok = False
                     w = h = 0
                 rows["url"].append(url)
