@@ -257,6 +257,7 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
 
     def media_batches(batches):
+        from zpdfspark.kernel.bmp import BmpError
         from zpdfspark.kernel.gif import GifError
         from zpdfspark.kernel.htmltext import looks_like_html
         from zpdfspark.kernel.jpeg import JpegError
@@ -285,7 +286,7 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         decode_media(raw, kind)
                         ok = True
                     except (NotImplementedError, PngError, JpegError,
-                            WavError, GifError, TiffError):
+                            WavError, GifError, TiffError, BmpError):
                         ok = False
                 out["url"].append(url)
                 out["n_bytes"].append(len(raw))
@@ -312,6 +313,7 @@ def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
 
     def batches(it):
+        from zpdfspark.kernel.bmp import BmpError
         from zpdfspark.kernel.gif import GifError
         from zpdfspark.kernel.jpeg import JpegError
         from zpdfspark.kernel.png import PngError
@@ -322,11 +324,11 @@ def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for url, blob in zip(b["url"], b["html"]):
                 raw = bytes(blob) if blob is not None else b""
                 kind = sniff_kind(raw)
-                if kind not in ("png", "jpeg", "gif"):
+                if kind not in ("png", "jpeg", "gif", "bmp"):
                     continue
                 try:
                     w, h, c, _px = decode_media(raw, kind)
-                except (PngError, JpegError, GifError):
+                except (PngError, JpegError, GifError, BmpError):
                     continue
                 rows["url"].append(url)
                 rows["width"].append(w)
@@ -3227,7 +3229,8 @@ def oracle_sql() -> dict[str, str]:
             # (kernel/tiff.py — all four fixture compressions)
             f"SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes, "
             f"media_kind, "
-            f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff')) "
+            f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff', "
+            f"'bmp')) "
             f"AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
@@ -3238,7 +3241,7 @@ def oracle_sql() -> dict[str, str]:
             # container format headers through the distributed pipeline
             f"SELECT url, img_width AS width, img_height AS height, "
             f"img_channels AS n_channels "
-            f"FROM {corpus} WHERE media_kind IN ('png', 'jpeg', 'gif') "
+            f"FROM {corpus} WHERE media_kind IN ('png', 'jpeg', 'gif', 'bmp') "
             f"ORDER BY url"
         ),
         "video_stats": (

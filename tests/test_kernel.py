@@ -1824,3 +1824,126 @@ class TestTiffDecode:
                 decode_tiff(bytes(b))
             except TiffError:
                 pass  # the only acceptable failure mode
+
+
+class TestBmp:
+    """kernel/bmp.py (round 5): REAL BMP decode — 24-bit BGR, 8-bit
+    palette, RLE8 incl. delta/absolute escapes, top-down rows —
+    pixel-exact against the test-side encoder, hostile bytes raise
+    BmpError only."""
+
+    def test_24bit_roundtrip_both_orientations(self):
+        import numpy as np
+
+        from zpdfspark.kernel.bmp import decode_bmp, encode_bmp
+        rng = np.random.RandomState(3)
+        for w, h in ((1, 1), (3, 5), (17, 9), (64, 33)):
+            px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            for td in (False, True):
+                got = decode_bmp(encode_bmp(px, 24, top_down=td))
+                assert got[:3] == (w, h, 3)
+                assert np.array_equal(got[3], px), (w, h, td)
+
+    def test_8bit_palette_roundtrip(self):
+        import numpy as np
+
+        from zpdfspark.kernel.bmp import decode_bmp, encode_bmp
+        rng = np.random.RandomState(5)
+        for w, h in ((2, 2), (13, 7), (40, 21)):
+            idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            for td in (False, True):
+                wgt, hgt, ch, px = decode_bmp(
+                    encode_bmp(idx, 8, top_down=td))
+                assert (wgt, hgt, ch) == (w, h, 3)
+                # identity grayscale palette: every channel == index
+                for c in range(3):
+                    assert np.array_equal(px[:, :, c], idx), (w, h, td)
+
+    def test_rle8_roundtrip_runs(self):
+        import numpy as np
+
+        from zpdfspark.kernel.bmp import decode_bmp, encode_bmp
+        rng = np.random.RandomState(11)
+        for w, h in ((5, 3), (31, 17), (300, 4)):
+            # run-heavy payload (RLE's home turf)
+            idx = np.repeat(rng.randint(0, 6, (h, (w + 7) // 8)),
+                            8, axis=1)[:, :w].astype(np.uint8)
+            wgt, hgt, ch, px = decode_bmp(encode_bmp(idx, 8, rle=True))
+            assert (wgt, hgt, ch) == (w, h, 3)
+            assert np.array_equal(px[:, :, 0], idx)
+
+    def test_rle8_escapes_hand_built(self):
+        """Hand-assemble delta + absolute-mode escapes (the encoder
+        never emits them) against the spec layout."""
+        import struct
+
+        import numpy as np
+
+        from zpdfspark.kernel.bmp import decode_bmp
+        w, h = 8, 3
+        pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+        # bottom row: run of 4x7, absolute run [1,2,3] (padded), EOL
+        # delta skips (2 right, 1 up) then run 2x9, end-of-bitmap
+        body = (b"\x04\x07" + b"\x00\x03\x01\x02\x03\x00" + b"\x00\x00"
+                + b"\x00\x02\x02\x01" + b"\x02\x09" + b"\x00\x01")
+        data_off = 14 + 40 + len(pal)
+        info = struct.pack("<IiihHIIiiII", 40, w, h, 1, 8, 1,
+                           len(body), 2835, 2835, 256, 0)
+        raw = (b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0,
+                                   data_off) + info + pal + body)
+        wgt, hgt, ch, px = decode_bmp(raw)
+        assert (wgt, hgt, ch) == (w, h, 3)
+        want = np.zeros((h, w), np.uint8)
+        want[2, 0:4] = 7            # bottom row (stored first)
+        want[2, 4:7] = [1, 2, 3]
+        # EOL put us on storage row 1; delta dy=1 -> storage row 2,
+        # which is the TOP output row (bottom-up order)
+        want[0, 2:4] = 9
+        assert np.array_equal(px[:, :, 0], want)
+
+    def test_hostile_inputs_raise_bmperror_only(self):
+        import random
+
+        import numpy as np
+        import pytest
+
+        from zpdfspark.kernel.bmp import BmpError, decode_bmp, \
+            encode_bmp
+        for bad in (b"", b"BM", b"BM" + b"\x00" * 60,
+                    b"NOPE" + b"\x00" * 64):
+            with pytest.raises(BmpError):
+                decode_bmp(bad)
+        rng = random.Random(23)
+        idx = (np.arange(15 * 11).reshape(11, 15) % 256).astype(np.uint8)
+        for base in (encode_bmp(idx, 8, rle=True),
+                     encode_bmp(np.stack([idx] * 3, axis=2), 24)):
+            for _ in range(400):
+                b = bytearray(base)
+                for _ in range(rng.randint(1, 8)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                try:
+                    decode_bmp(bytes(b))
+                except BmpError:
+                    pass  # the only acceptable failure mode
+
+    def test_truncated_pixel_data(self):
+        import numpy as np
+        import pytest
+
+        from zpdfspark.kernel.bmp import BmpError, decode_bmp, \
+            encode_bmp
+        px = np.zeros((9, 9, 3), np.uint8)
+        raw = encode_bmp(px, 24)
+        with pytest.raises(BmpError):
+            decode_bmp(raw[:-10])
+
+    def test_sniffer_and_fixture_agree(self):
+        from zpdfspark.fixtures import _sniff_media_kind, bmp_image
+        from zpdfspark.kernel.bmp import decode_bmp
+        from zpdfspark.spark.media import sniff_kind
+        for i in range(12):
+            raw, _ = bmp_image(i)
+            assert _sniff_media_kind(raw) == "bmp"
+            assert sniff_kind(raw) == "bmp"
+            w, h, ch, _ = decode_bmp(raw)
+            assert (w, h) == (18 + 3 * (i % 30), 12 + 2 * (i % 40))

@@ -951,6 +951,30 @@ def tiff_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
                       ), None
 
 
+def bmp_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic BMP (multimodal image payload row, v29): rotates
+    24-bit BGR, 8-bit palette, 8-bit RLE8, and top-down variants,
+    emitted by kernel/bmp.py's test-side encoder. Pixel DECODE is
+    REAL (decode_bmp); dims oracled against the independent header
+    read in _image_expected."""
+    import numpy as np
+
+    from .kernel.bmp import encode_bmp
+
+    w, h = 18 + 3 * (i % 30), 12 + 2 * (i % 40)
+    r = np.arange(h).reshape(-1, 1)
+    c = np.arange(w).reshape(1, -1)
+    if i % 3 == 0:
+        px = np.stack([(r * 11 + c * 5 + i) % 256,
+                       (r * 3 + c * 13 + i) % 256,
+                       (r * 7 + c * 2 + i) % 256],
+                      axis=2).astype(np.uint8)
+        return encode_bmp(px, 24, top_down=(i % 2 == 1)), None
+    idx = ((r * 17 + c * 9 + i) % 256).astype(np.uint8)
+    return encode_bmp(idx, 8, rle=(i % 3 == 1),
+                      top_down=(i % 6 == 2)), None
+
+
 def html_page(i: int = 0) -> Tuple[bytes, str]:
     """A Common-Crawl-style HTML page with boilerplate (script/style/
     nav/header/footer/aside) around a <main> block. The oracle is the
@@ -1421,6 +1445,10 @@ def _register():
     def g_tiff(i):
         return tiff_image(i)
 
+    @var("bmp")
+    def g_bmp(i):
+        return bmp_image(i)
+
     @var("html")
     def g_html(i):
         return html_page(i)
@@ -1461,7 +1489,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v28"
+CORPUS_VERSION = "v29"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -1745,6 +1773,8 @@ def _sniff_media_kind(raw: bytes) -> str:
         return "ogg"
     if raw[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if raw[:2] == b"BM" and len(raw) >= 34 and raw[14] == 40:
+        return "bmp"
     if raw[:3] == b"ID3" or (len(raw) >= 2 and raw[0] == 0xFF
                              and (raw[1] & 0xE0) == 0xE0):
         return "mp3"
@@ -2120,6 +2150,11 @@ def _image_expected(raw: bytes, kind: str):
             w = 1 + int.from_bytes(body[4:7], "little")
             h = 1 + int.from_bytes(body[7:10], "little")
         return w, h, 3
+    if kind == "bmp":
+        # BITMAPINFOHEADER direct field read (deliberately NOT
+        # kernel/bmp.py); the decoder always expands to RGB
+        w, h = struct.unpack("<ii", raw[18:26])
+        return w, abs(h), 3
     if kind == "png":
         assert raw[12:16] == b"IHDR"
         w, h = struct.unpack(">II", raw[16:24])
@@ -2262,7 +2297,7 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"audio_sr": None, "audio_channels": None,
                     "audio_n_samples": None, "audio_rms_x1000": None})
-    if row["media_kind"] in ("png", "jpeg", "gif", "webp"):
+    if row["media_kind"] in ("png", "jpeg", "gif", "webp", "bmp"):
         iw, ih, ic = _image_expected(raw, row["media_kind"])
         row.update({"img_width": iw, "img_height": ih, "img_channels": ic})
     else:

@@ -60,6 +60,8 @@ def sniff_kind(raw: bytes) -> str:
         return "ogg"
     if raw[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if raw[:2] == b"BM" and len(raw) >= 34 and raw[14] == 40:
+        return "bmp"
     if raw[:3] == b"ID3" or (len(raw) >= 2 and raw[0] == 0xFF
                              and (raw[1] & 0xE0) == 0xE0):
         return "mp3"
@@ -69,9 +71,9 @@ def sniff_kind(raw: bytes) -> str:
 def decode_media(raw: bytes, kind: str):
     """Decode an opaque media payload.
 
-    REAL for PNG, baseline+progressive JPEG, GIF and (r5) grayscale
-    strip TIFF — (width, height, channels, pixels ndarray) via
-    kernel/{png,jpeg,gif,tiff}.py — and for WAV — (sample_rate,
+    REAL for PNG, baseline+progressive JPEG, GIF, (r5) grayscale
+    strip TIFF and (r5) BMP — (width, height, channels,
+    pixels ndarray) via kernel/{png,jpeg,gif,tiff,bmp}.py — and for WAV — (sample_rate,
     channels, samples ndarray) via kernel/wav.py. STUB for every
     codec kind the container lacks libraries for (mp3/ogg/flac
     audio frames, video): NotImplementedError — callers must treat a
@@ -91,6 +93,9 @@ def decode_media(raw: bytes, kind: str):
     if kind == "tiff":
         from zpdfspark.kernel.tiff import decode_tiff
         return decode_tiff(raw)
+    if kind == "bmp":
+        from zpdfspark.kernel.bmp import decode_bmp
+        return decode_bmp(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
@@ -109,6 +114,7 @@ def decode_dataframe(df: DataFrame, url_col: str = "url",
     def batches(it):
         import pandas as pd
 
+        from zpdfspark.kernel.bmp import BmpError
         from zpdfspark.kernel.gif import GifError
         from zpdfspark.kernel.jpeg import JpegError
         from zpdfspark.kernel.png import PngError
@@ -134,7 +140,7 @@ def decode_dataframe(df: DataFrame, url_col: str = "url",
                         # audio decodes have no pixel dims (0, 0)
                         ok = True
                 except (NotImplementedError, PngError, JpegError,
-                        WavError, GifError, TiffError):
+                        WavError, GifError, TiffError, BmpError):
                     ok = False
                     w = h = 0
                 rows["url"].append(url)
