@@ -1014,6 +1014,92 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), re-expressed for
+    Spark: the paper builds one corpus-wide suffix array and removes
+    every substring of >= 50 tokens that appears twice; a monolithic
+    suffix array is exactly the thing a 1000-executor cluster cannot
+    build.  The distributed re-expression is stride-1 window
+    hashing: every W-token window (W=20 here, tuned to the fixture
+    doc lengths; the paper's 50 is a constant swap) hashes to 16 md5
+    hex chars, a window is duplicated iff its hash occurs more than
+    once in the corpus, and per document the duplicated windows merge
+    into maximal token spans (the paper's removable byte ranges).
+
+    Shape at 100 TB: only (doc_id, i, 16-char hash) rows ever
+    shuffle — document text never leaves the scan stage.  The
+    dup-hash set is agg-fed, so the join back is EXPLICITLY SALTED
+    (the measured r4 finding: AQE's skew split cannot act on an
+    agg-fed side — a boilerplate window occurring 10^9 times lands
+    on one reducer otherwise).  The span merge is a per-document
+    window over that doc's duplicated windows only — bounded by doc
+    length, splittable across docs.  Output: per-doc token/window
+    counts plus how many windows and how many tokens (merged-span
+    union) are duplicated — the removal report a curation pipeline
+    acts on."""
+    from pyspark.sql import Window
+
+    W = 20
+    SALT = 8
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ts"))
+    wins = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.when(F.size("ts") >= W, F.transform(
+                    F.sequence(F.lit(0), F.size("ts") - W),
+                    lambda i: F.substring(
+                        F.md5(F.array_join(F.slice("ts", i + 1, W), " ")),
+                        1, 16)))
+                .otherwise(F.array().cast("array<string>"))
+            ).alias("i", "h"))
+        .withColumn("salt", F.pmod(
+            F.abs(F.xxhash64("doc_id")) + F.col("i"), F.lit(SALT)))
+    )
+    dup = (
+        wins.groupBy("h").agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .select("h")
+        .withColumn("salt", F.explode(
+            F.sequence(F.lit(0), F.lit(SALT - 1)).cast("array<bigint>")))
+    )
+    hits = wins.join(dup, ["h", "salt"]).select("doc_id", "i")
+    wseq = Window.partitionBy("doc_id").orderBy("i")
+    isl = (
+        hits
+        .withColumn("prev", F.lag("i").over(wseq))
+        .withColumn("brk", F.when(
+            F.col("prev").isNull()
+            | ((F.col("i") - F.col("prev")) > W), 1).otherwise(0))
+        .withColumn("island", F.sum("brk").over(wseq))
+    )
+    perdoc = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.max("i") - F.min("i") + W).alias("covered"),
+             F.count("*").alias("nw"))
+        .groupBy("doc_id")
+        .agg(F.sum("nw").alias("ndw"), F.sum("covered").alias("dt"))
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        F.greatest(F.size("ts") - (W - 1), F.lit(0)).cast("long")
+        .alias("n_windows"))
+    return (
+        base.join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "n_windows",
+            F.coalesce("ndw", F.lit(0)).cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce("dt", F.lit(0)).cast("long").alias("dup_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", r5): score every raw
@@ -3049,8 +3135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "quality_linear": _q_quality_linear,
         "host_pagerank": _q_host_pagerank,
+        "substring_dedup": _q_substring_dedup,
         # span_dedup moved below the 50-row driver gate for round 5:
-        # r4-driver-green and unchanged; host_pagerank above is new
+        # r4-driver-green and unchanged; substring_dedup above is new
         "span_dedup": _q_span_dedup,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
@@ -3584,6 +3671,37 @@ def oracle_sql() -> dict[str, str]:
             f"md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, "
             f"chr(10) ORDER BY line_idx), '')) AS kept_md5 "
             f"FROM rn GROUP BY url ORDER BY url"
+        ),
+        "substring_dedup": (
+            # identical stride-1 W=20 window hashing (16 md5 hex
+            # chars), dup = hash count > 1 corpus-wide, then the same
+            # gaps-and-islands merge (break when gap > W) so the
+            # covered-token union arithmetic is replayed exactly
+            "WITH t AS (SELECT doc_id, list_filter(string_split(text, "
+            "' '), x -> x <> '') AS ts FROM documents "
+            "WHERE text IS NOT NULL), "
+            "w AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, "
+            "substr(md5(array_to_string(ts[u.i+1:u.i+20], ' ')), 1, 16) "
+            "AS h FROM t, unnest(range(0, greatest(len(ts) - 19, 0))) "
+            "AS u(i)), "
+            "dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1), "
+            "f AS (SELECT doc_id, i FROM w WHERE h IN "
+            "(SELECT h FROM dup)), "
+            "p AS (SELECT doc_id, i, lag(i) OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS prev FROM f), "
+            "isl AS (SELECT doc_id, i, sum(CASE WHEN prev IS NULL OR "
+            "i - prev > 20 THEN 1 ELSE 0 END) OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS island FROM p), "
+            "sp AS (SELECT doc_id, island, max(i) - min(i) + 20 AS "
+            "covered, count(*) AS nw FROM isl GROUP BY doc_id, island), "
+            "pd AS (SELECT doc_id, CAST(sum(nw) AS BIGINT) AS ndw, "
+            "CAST(sum(covered) AS BIGINT) AS dt FROM sp "
+            "GROUP BY doc_id) "
+            "SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, "
+            "CAST(greatest(len(ts) - 19, 0) AS BIGINT) AS n_windows, "
+            "CAST(coalesce(pd.ndw, 0) AS BIGINT) AS n_dup_windows, "
+            "CAST(coalesce(pd.dt, 0) AS BIGINT) AS dup_tokens "
+            "FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
         ),
         "dsir_weights": (
             # identical hashed-unigram importance arithmetic: B=128

@@ -579,3 +579,25 @@ def test_quality_linear_is_map_only(spark, sf_dir):
     assert "Generate" not in plan, plan  # no explode
     hashx = len(re.findall(r"Arguments: hashpartitioning", plan))
     assert hashx == 0, plan
+
+
+def test_substring_dedup_shuffles_hashes_only(spark, sf_dir):
+    """ExactSubstr dedup (r5): document text must never leave the scan
+    stage — only (doc_id, i, 16-char hash) rows shuffle; the dup-hash
+    join is salted equi (no cartesian, no broadcast-nested-loop); the
+    only windows are the per-document island merge (every window spec
+    partitions by doc_id); no Python boundary."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["substring_dedup"](spark, sf_dir),
+                      spark)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs, plan
+    assert all("doc_id" in s for s in specs), specs
+    # the raw text column must not appear in any exchange partitioning
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text#" not in line, line

@@ -648,3 +648,31 @@ def test_warc_http_ok_only_filters_non_200(spark, tmp_path):
                        n_buckets=2, single_pass=True)
     assert spark.read.parquet(
         os.path.join(out_all, "data")).count() == n_all
+
+
+def test_substring_dedup_island_arithmetic(spark, tmp_path):
+    """Hand-built corpus pinning the ExactSubstr span merge: docs 0
+    and 1 share a 25-token run (doc 0 at token 0, doc 1 at token 10),
+    doc 2 is unique. W=20 -> each sharer has 6 duplicated windows
+    that must merge into ONE island covering exactly the 25 shared
+    tokens; the unique doc reports zeros."""
+    import __spark_entry__ as E
+
+    shared = " ".join(f"a{i}" for i in range(25))
+    rows = [
+        (0, shared + " " + " ".join(f"x{i}" for i in range(10)), "en"),
+        (1, " ".join(f"b{i}" for i in range(10)) + " " + shared, "en"),
+        (2, " ".join(f"c{i}" for i in range(30)), "en"),
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r.asDict()
+           for r in E.queries()["substring_dedup"](spark, d).collect()}
+    assert got[0] == {"doc_id": 0, "n_tokens": 35, "n_windows": 16,
+                      "n_dup_windows": 6, "dup_tokens": 25}
+    assert got[1] == {"doc_id": 1, "n_tokens": 35, "n_windows": 16,
+                      "n_dup_windows": 6, "dup_tokens": 25}
+    assert got[2] == {"doc_id": 2, "n_tokens": 30, "n_windows": 11,
+                      "n_dup_windows": 0, "dup_tokens": 0}
