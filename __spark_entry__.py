@@ -2778,6 +2778,43 @@ def _q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches, "url string, width int, height int").orderBy("url")
 
 
+def _q_avif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVIF primary-item metadata (kernel/mp4.py parse_avif: HEIF
+    pitm/ipma/ipco resolution, so thumbnail items never leak their
+    dims) — the no-codec metadata layer for the web's newest image
+    format; AV1 sample decode is honestly stubbed. Map-only,
+    magic-filtered in-kernel; oracle: the corpus-carried dims/channels
+    from the independent fixtures-side box walk (_image_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.mp4 import Mp4Error, parse_avif
+
+        for b in it:
+            rows = {"url": [], "width": [], "height": [],
+                    "n_channels": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if (len(raw) < 12 or raw[4:8] != b"ftyp"
+                        or raw[8:12] not in (b"avif", b"avis")):
+                    continue
+                try:
+                    m = parse_avif(raw)
+                except Mp4Error:
+                    continue
+                rows["url"].append(url)
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["n_channels"].append(m["channels"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches, "url string, width int, height int, n_channels int"
+    ).orderBy("url")
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over word md5s — the vectorized (numpy) kernel of
     the near-dup family. The word hash is the first 8 md5 digest bytes
@@ -3082,7 +3119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metadata": _q_metadata,
         "extract_spans": _q_spans,
         "extract_search": _q_search,
-        "extract_pages": _q_pages,
         "extract_doc_json": _q_doc_json,
         "extract_sql_udf": _q_sql_udf,
         "media_stats": _q_media_stats,
@@ -3123,7 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_embed": _q_media_embed,
         # round-5 changed/flagship queries (stay inside the gate)
         "curation_funnel": _q_curation_funnel,
-        "dedup_exact": _q_dedup_exact,
+        "avif_meta": _q_avif_meta,
         "dedup_exact_agg": _q_dedup_exact_agg,
         "ann_ivf": _q_ann_ivf,
         "mp3_stats": _q_mp3_stats,
@@ -3136,9 +3172,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_linear": _q_quality_linear,
         "host_pagerank": _q_host_pagerank,
         "substring_dedup": _q_substring_dedup,
-        # span_dedup moved below the 50-row driver gate for round 5:
-        # r4-driver-green and unchanged; substring_dedup above is new
+        # span_dedup + dedup_exact + extract_pages moved below the
+        # 50-row driver gate for round 5: all driver-green four
+        # rounds straight and unchanged (extract_pages' S12 operator
+        # keeps extract_doc_json as in-gate driver evidence);
+        # substring_dedup/avif_meta above are new
+        "extract_pages": _q_pages,
         "span_dedup": _q_span_dedup,
+        "dedup_exact": _q_dedup_exact,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
         "ppl_buckets": _q_ppl_buckets,
@@ -3416,6 +3457,13 @@ def oracle_sql() -> dict[str, str]:
             # carried dims from the independent header re-read
             f"SELECT url, img_width AS width, img_height AS height "
             f"FROM {corpus} WHERE media_kind = 'webp' ORDER BY url"
+        ),
+        "avif_meta": (
+            # carried primary-item dims/channels from the independent
+            # fixtures-side HEIF box walk (_image_expected)
+            f"SELECT url, img_width AS width, img_height AS height, "
+            f"img_channels AS n_channels "
+            f"FROM {corpus} WHERE media_kind = 'avif' ORDER BY url"
         ),
         "audio_stats": (
             # carried ground truth from the independent RIFF re-read

@@ -1947,3 +1947,87 @@ class TestBmp:
             assert sniff_kind(raw) == "bmp"
             w, h, ch, _ = decode_bmp(raw)
             assert (w, h) == (18 + 3 * (i % 30), 12 + 2 * (i % 40))
+
+
+class TestAvif:
+    """kernel/mp4.py parse_avif (round 5): HEIF primary-item
+    resolution — pitm -> ipma associations -> ipco's ispe/pixi/av1C;
+    thumbnail items must never leak their dims; hostile bytes raise
+    Mp4Error only."""
+
+    def test_roundtrip_with_thumbnail(self):
+        from zpdfspark.kernel.mp4 import encode_avif, parse_avif
+        m = parse_avif(encode_avif(320, 200, thumb=(32, 20), depth=10,
+                                   channels=3))
+        assert m == {"brand": "avif", "width": 320, "height": 200,
+                     "depth": 10, "channels": 3, "n_items": 2,
+                     "codec": "av01"}
+
+    def test_roundtrip_plain_and_monochrome(self):
+        from zpdfspark.kernel.mp4 import encode_avif, parse_avif
+        m = parse_avif(encode_avif(77, 55))
+        assert (m["width"], m["height"], m["n_items"]) == (77, 55, 1)
+        m = parse_avif(encode_avif(1000, 1, depth=12, channels=1))
+        assert (m["depth"], m["channels"]) == (12, 1)
+
+    def test_primary_item_wins_over_thumbnail_order(self):
+        """Reorder so the thumbnail ispe comes FIRST in ipco: dims
+        must still come from the primary item's association, proving
+        resolution is via pitm/ipma and not first-ispe-wins."""
+        import struct
+
+        from zpdfspark.kernel.mp4 import encode_avif, parse_avif
+        raw = bytearray(encode_avif(640, 480, thumb=(64, 48)))
+        # find both ispe boxes and swap their (w, h) payloads while
+        # also swapping the ipma indices is NOT done -> if the parser
+        # used first-ispe-wins it would now report the thumb dims
+        offs = []
+        pos = raw.find(b"ispe")
+        while pos != -1:
+            offs.append(pos)
+            pos = raw.find(b"ispe", pos + 1)
+        assert len(offs) == 2
+        a, b = offs
+        pa, pb = raw[a + 8:a + 16], raw[b + 8:b + 16]
+        raw[a + 8:a + 16], raw[b + 8:b + 16] = pb, pa
+        m = parse_avif(bytes(raw))
+        # property index 1 (primary's association) now holds the
+        # swapped-in thumb payload
+        assert (m["width"], m["height"]) == (64, 48)
+        assert struct.unpack(">II", pa) == (640, 480)
+
+    def test_non_avif_brand_rejected(self):
+        import pytest
+
+        from zpdfspark.kernel.mp4 import Mp4Error, encode_mp4, \
+            parse_avif
+        with pytest.raises(Mp4Error):
+            parse_avif(encode_mp4(1000, 1000, [(640, 480, b"avc1")]))
+
+    def test_hostile_mutations_raise_mp4error_only(self):
+        import random
+
+        from zpdfspark.kernel.mp4 import Mp4Error, encode_avif, \
+            parse_avif
+        base = encode_avif(100, 80, thumb=(10, 8))
+        rng = random.Random(31)
+        for _ in range(500):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                parse_avif(bytes(b))
+            except Mp4Error:
+                pass  # the only acceptable failure mode
+
+    def test_sniffer_routes_avif_not_mp4(self):
+        from zpdfspark.fixtures import _sniff_media_kind, avif_image
+        from zpdfspark.kernel.mp4 import parse_avif
+        from zpdfspark.spark.media import sniff_kind
+        for i in range(10):
+            raw, _ = avif_image(i)
+            assert _sniff_media_kind(raw) == "avif"
+            assert sniff_kind(raw) == "avif"
+            m = parse_avif(raw)
+            assert (m["width"], m["height"]) == (120 + 13 * (i % 25),
+                                                 90 + 7 * (i % 33))

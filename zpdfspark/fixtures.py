@@ -975,6 +975,23 @@ def bmp_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
                       top_down=(i % 6 == 2)), None
 
 
+def avif_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic AVIF (multimodal image payload row, v30):
+    rotating primary-item dims, bit depth 8/10/12, 1 or 3 channels,
+    and on every other doc a SMALLER thumbnail item whose ispe must
+    be ignored by pitm/ipma primary-item resolution. Only the BMFF
+    metadata layer is real (kernel/mp4.py parse_avif); AV1 sample
+    decode is honestly stubbed. Dims/channels oracled against the
+    independent box walk in _avif_expected."""
+    from .kernel.mp4 import encode_avif
+
+    w, h = 120 + 13 * (i % 25), 90 + 7 * (i % 33)
+    thumb = (w // 8, h // 8) if i % 2 else None
+    return encode_avif(w, h, thumb=thumb,
+                       depth=(8, 10, 12)[i % 3],
+                       channels=1 if i % 5 == 0 else 3), None
+
+
 def html_page(i: int = 0) -> Tuple[bytes, str]:
     """A Common-Crawl-style HTML page with boilerplate (script/style/
     nav/header/footer/aside) around a <main> block. The oracle is the
@@ -1449,6 +1466,10 @@ def _register():
     def g_bmp(i):
         return bmp_image(i)
 
+    @var("avif")
+    def g_avif(i):
+        return avif_image(i)
+
     @var("html")
     def g_html(i):
         return html_page(i)
@@ -1489,7 +1510,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v29"
+CORPUS_VERSION = "v30"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -1766,6 +1787,8 @@ def _sniff_media_kind(raw: bytes) -> str:
     if raw[:4] == b"GIF8":
         return "gif"
     if len(raw) >= 12 and raw[4:8] == b"ftyp":
+        if raw[8:12] in (b"avif", b"avis"):
+            return "avif"
         return "mp4"
     if raw[:4] == b"fLaC":
         return "flac"
@@ -2155,6 +2178,46 @@ def _image_expected(raw: bytes, kind: str):
         # kernel/bmp.py); the decoder always expands to RGB
         w, h = struct.unpack("<ii", raw[18:26])
         return w, abs(h), 3
+    if kind == "avif":
+        # independent HEIF walk (deliberately NOT kernel/mp4.py):
+        # flat box scan for pitm/ipco/ipma in the fixture shape
+        # (32-bit sizes, ver0/flags0, u8 associations)
+        def children(start, end):
+            out, pos = [], start
+            while pos + 8 <= end:
+                (size,) = struct.unpack(">I", raw[pos:pos + 4])
+                assert size >= 8 and pos + size <= end
+                out.append((raw[pos + 4:pos + 8], pos + 8, pos + size))
+                pos += size
+            return out
+
+        meta = {t: (s, e) for t, s, e in children(0, len(raw))}
+        ms, me = meta[b"meta"]
+        boxes = {t: (s, e) for t, s, e in children(ms + 4, me)}
+        (primary,) = struct.unpack(">H", raw[boxes[b"pitm"][0] + 4:
+                                            boxes[b"pitm"][0] + 6])
+        iprp = {t: (s, e) for t, s, e in children(*boxes[b"iprp"])}
+        props = children(*iprp[b"ipco"])
+        ps, pe = iprp[b"ipma"]
+        (cnt,) = struct.unpack(">I", raw[ps + 4:ps + 8])
+        pos = ps + 8
+        idxs = []
+        for _ in range(cnt):
+            (iid,) = struct.unpack(">H", raw[pos:pos + 2])
+            ac = raw[pos + 2]
+            got = [raw[pos + 3 + k] & 0x7F for k in range(ac)]
+            pos += 3 + ac
+            if iid == primary:
+                idxs = got
+        w = h = ch = 0
+        for ix in idxs:
+            t, s, e = props[ix - 1]
+            if t == b"ispe":
+                w, h = struct.unpack(">II", raw[s + 4:s + 12])
+            elif t == b"pixi":
+                ch = raw[s + 4]
+        assert w and h and ch
+        return w, h, ch
     if kind == "png":
         assert raw[12:16] == b"IHDR"
         w, h = struct.unpack(">II", raw[16:24])
@@ -2297,7 +2360,8 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"audio_sr": None, "audio_channels": None,
                     "audio_n_samples": None, "audio_rms_x1000": None})
-    if row["media_kind"] in ("png", "jpeg", "gif", "webp", "bmp"):
+    if row["media_kind"] in ("png", "jpeg", "gif", "webp", "bmp",
+                             "avif"):
         iw, ih, ic = _image_expected(raw, row["media_kind"])
         row.update({"img_width": iw, "img_height": ih, "img_channels": ic})
     else:

@@ -126,6 +126,155 @@ def _track_codecs(raw: bytes, s: int, e: int, budget: list) -> list:
     return out
 
 
+def parse_avif(raw: bytes) -> dict:
+    """AVIF (HEIF/ISO BMFF still image) metadata: resolve the PRIMARY
+    item's spatial extents the way the spec means it — pitm names the
+    primary item id, ipma associates it with 1-based indices into
+    ipco's ordered property list, and the associated ispe carries
+    width/height (so a thumbnail's smaller ispe in the same file is
+    correctly ignored). pixi gives channel count + bit depth, av1C
+    presence identifies the codec. NO AV1 sample decode here — that
+    stays the honest NotImplementedError stub in spark/media.py.
+
+    Returns {brand, width, height, depth, channels, n_items, codec}.
+    Malformed input raises Mp4Error (shared _boxes walker: same box
+    budget / largesize / size-0 handling as parse_mp4)."""
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        raise Mp4Error("not an ISO BMFF file")
+    brand = raw[8:12].decode("latin-1")
+    if brand not in ("avif", "avis", "mif1"):
+        raise Mp4Error(f"not an AVIF brand: {brand}")
+
+    def u(fmt: str, off: int, end: int):
+        n = struct.calcsize(fmt)
+        if off + n > end:
+            raise Mp4Error("truncated field")
+        return struct.unpack(fmt, raw[off : off + n])
+
+    budget = [MAX_BOXES]
+    primary = None
+    props: list = []   # ordered ipco children: (fourcc, start, end)
+    assoc: dict = {}   # item_id -> 1-based property indices
+    n_items = 0
+    for btype, s, e in _boxes(raw, 0, len(raw), budget):
+        if btype != b"meta":
+            continue
+        # meta is a FullBox: 4 version/flags bytes precede children
+        for t2, s2, e2 in _boxes(raw, s + 4, e, budget):
+            if t2 == b"pitm":
+                (ver,) = u(">B", s2, e2)
+                primary = (u(">H", s2 + 4, e2)[0] if ver == 0
+                           else u(">I", s2 + 4, e2)[0])
+            elif t2 == b"iinf":
+                (ver,) = u(">B", s2, e2)
+                n_items = (u(">H", s2 + 4, e2)[0] if ver == 0
+                           else u(">I", s2 + 4, e2)[0])
+            elif t2 == b"iprp":
+                for t3, s3, e3 in _boxes(raw, s2, e2, budget):
+                    if t3 == b"ipco":
+                        props = list(_boxes(raw, s3, e3, budget))
+                    elif t3 == b"ipma":
+                        ver, flags = raw[s3], raw[s3 + 3]
+                        (cnt,) = u(">I", s3 + 4, e3)
+                        pos = s3 + 8
+                        if cnt > MAX_BOXES:
+                            raise Mp4Error("ipma entry bomb")
+                        for _ in range(cnt):
+                            if ver < 1:
+                                (iid,) = u(">H", pos, e3)
+                                pos += 2
+                            else:
+                                (iid,) = u(">I", pos, e3)
+                                pos += 4
+                            (ac,) = u(">B", pos, e3)
+                            pos += 1
+                            idxs = []
+                            for _ in range(ac):
+                                if flags & 1:
+                                    (v,) = u(">H", pos, e3)
+                                    pos += 2
+                                    idxs.append(v & 0x7FFF)
+                                else:
+                                    idxs.append(raw[pos] & 0x7F)
+                                    (_,) = u(">B", pos, e3)
+                                    pos += 1
+                            assoc[iid] = idxs
+    if primary is None:
+        raise Mp4Error("missing meta/pitm")
+    idxs = assoc.get(primary)
+    if not idxs:
+        raise Mp4Error("primary item has no property associations")
+    width = height = depth = channels = 0
+    codec = ""
+    for idx in idxs:
+        if not 1 <= idx <= len(props):
+            raise Mp4Error("ipma index out of range")
+        t4, s4, e4 = props[idx - 1]
+        if t4 == b"ispe":
+            width, height = u(">II", s4 + 4, e4)
+        elif t4 == b"pixi":
+            (channels,) = u(">B", s4 + 4, e4)
+            if channels:
+                (depth,) = u(">B", s4 + 5, e4)
+        elif t4 == b"av1C":
+            codec = "av01"
+    if not width or not height:
+        raise Mp4Error("primary item has no ispe")
+    return {
+        "brand": brand, "width": width, "height": height,
+        "depth": depth, "channels": channels, "n_items": n_items,
+        "codec": codec,
+    }
+
+
+def encode_avif(width: int, height: int, thumb=None, depth: int = 8,
+                channels: int = 3, brand: bytes = b"avif") -> bytes:
+    """Minimal AVIF muxer for fixtures/tests — the independent
+    direction against parse_avif. Emits pitm/iinf/iprp(ipco+ipma)
+    with the primary item's ispe/pixi/av1C; `thumb=(w, h)` adds a
+    second item whose SMALLER ispe must be ignored by primary-item
+    resolution. The av1C payload is an opaque config stub (no AV1
+    encoder here, deliberately)."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+    items = [(1, width, height)] + ([(2, *thumb)] if thumb else [])
+    pitm = box(b"pitm", b"\x00\x00\x00\x00" + struct.pack(">H", 1))
+    infes = b"".join(
+        box(b"infe", b"\x02\x00\x00\x00" + struct.pack(">HH", iid, 0)
+            + b"av01" + b"Image\x00")
+        for iid, _, _ in items)
+    iinf = box(b"iinf", b"\x00\x00\x00\x00"
+               + struct.pack(">H", len(items)) + infes)
+    ipco_children = [
+        box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II",
+                                                       width, height)),
+        box(b"pixi", b"\x00\x00\x00\x00" + bytes([channels])
+            + bytes([depth] * channels)),
+        box(b"av1C", b"\x81\x04\x0c\x00"),  # opaque config stub
+    ]
+    assoc = {1: [1, 2, 3]}
+    if thumb:
+        ipco_children.append(
+            box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II",
+                                                           *thumb)))
+        assoc[2] = [4, 3]
+    ipma_entries = b"".join(
+        struct.pack(">H", iid) + bytes([len(idxs)]) + bytes(idxs)
+        for iid, idxs in sorted(assoc.items()))
+    ipma = box(b"ipma", b"\x00\x00\x00\x00"
+               + struct.pack(">I", len(assoc)) + ipma_entries)
+    iprp = box(b"iprp", box(b"ipco", b"".join(ipco_children)) + ipma)
+    hdlr = box(b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + b"pict"
+               + b"\x00" * 12 + b"\x00")
+    meta = box(b"meta", b"\x00\x00\x00\x00" + hdlr + pitm + iinf + iprp)
+    mdat = box(b"mdat", bytes((width * 7 + height * 3 + i) % 251
+                              for i in range(64)))
+    return ftyp + meta + mdat
+
+
 def encode_mp4(duration_units: int, timescale: int,
                tracks: list, brand: bytes = b"isom") -> bytes:
     """Minimal muxer for fixtures/tests — the independent direction

@@ -53,6 +53,8 @@ def sniff_kind(raw: bytes) -> str:
     if raw[:4] == b"GIF8":
         return "gif"
     if len(raw) >= 12 and raw[4:8] == b"ftyp":
+        if raw[8:12] in (b"avif", b"avis"):
+            return "avif"
         return "mp4"
     if raw[:4] == b"fLaC":
         return "flac"
