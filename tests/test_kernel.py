@@ -1251,7 +1251,12 @@ class TestWarc:
         assert W._dechunk(b"3\r\nabc\r\n0\r\nX-T: 1\r\n\r\n") == b"abc"
         # garbage content-encoding passes bytes through
         assert W._decode_content(b"notgzip", "gzip") == b"notgzip"
+        # br/zstd are import-gated (no codec in this container): the
+        # bytes must pass through unchanged, never raise
         assert W._decode_content(b"plain", "br") == b"plain"
+        assert W._decode_content(b"\x28\xb5\x2f\xfd" + b"x" * 8,
+                                 "zstd") == b"\x28\xb5\x2f\xfd" + b"x" * 8
+        assert W._decode_content(b"data", "unknown-coding") == b"data"
 
     def test_malformed_record_resyncs(self):
         from zpdfspark.kernel import warc as W

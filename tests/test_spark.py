@@ -676,3 +676,69 @@ def test_substring_dedup_island_arithmetic(spark, tmp_path):
                       "n_dup_windows": 6, "dup_tokens": 25}
     assert got[2] == {"doc_id": 2, "n_tokens": 30, "n_windows": 11,
                       "n_dup_windows": 0, "dup_tokens": 0}
+
+
+def test_wet_export_roundtrip_and_determinism(spark, corpus_path, tmp_path):
+    """WET sink (r5): files re-read record-for-record — warcinfo
+    leads, conversion texts byte-match the extraction kernel's own
+    output per url, and a second run writes byte-identical files
+    (idempotent temp+rename, pinned gzip mtime, md5 record ids)."""
+    import glob
+    import hashlib
+
+    from zpdfspark.kernel.htmltext import extract_any
+    from zpdfspark.kernel.warc import iter_warc_records
+    from zpdfspark.spark.warc_sink import write_wet
+
+    df = spark.read.parquet(corpus_path)
+    out = str(tmp_path / "wet")
+    summaries = write_wet(df, out, partitions=3).collect()
+    files = sorted(glob.glob(os.path.join(out, "*.warc.wet.gz")))
+    assert files and len(files) == len(summaries) <= 3
+    assert not glob.glob(os.path.join(out, ".*tmp*"))  # no torn files
+
+    expected = {r["url"]: extract_any(bytes(r["html"]), "accuracy")[0]
+                for r in df.select("url", "html").collect()}
+    got = {}
+    total_records = 0
+    for path in files:
+        recs = list(iter_warc_records(open(path, "rb").read()))
+        assert recs[0].warc_type == "warcinfo"
+        urls_in_file = []
+        for r in recs[1:]:
+            assert r.warc_type == "conversion", r.warc_type
+            assert r.error is None
+            got[r.target_uri] = r.body.decode("utf-8")
+            urls_in_file.append(r.target_uri)
+            total_records += 1
+        assert urls_in_file == sorted(urls_in_file)  # in-file order
+    assert got == expected
+    assert total_records == sum(s["n_records"] for s in summaries)
+
+    hashes = {os.path.basename(p): hashlib.md5(
+        open(p, "rb").read()).hexdigest() for p in files}
+    write_wet(df, out, partitions=3).collect()  # re-run over existing
+    for p in files:
+        assert hashlib.md5(open(p, "rb").read()).hexdigest() \
+            == hashes[os.path.basename(p)]
+
+
+def test_format_job_wet(spark, corpus_path, tmp_path):
+    """CLI surface: --format wet through run_format_job reports the
+    record/file totals and writes under <out>/data."""
+    import glob
+
+    from zpdfspark.spark.pipeline import run_format_job
+
+    out = str(tmp_path / "wetjob")
+    summary = run_format_job(spark, corpus_path, out, "wet",
+                             partitions=2)
+    assert summary["format"] == "wet"
+    n_docs = spark.read.parquet(corpus_path).count()
+    assert summary["rows"] == n_docs
+    assert summary["files"] == len(
+        glob.glob(os.path.join(out, "data", "*.warc.wet.gz")))
+    import pytest
+    with pytest.raises(ValueError):
+        run_format_job(spark, corpus_path, out, "wet",
+                       page_range=(1, 2))

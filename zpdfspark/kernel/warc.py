@@ -130,6 +130,31 @@ def _decode_content(payload: bytes, encoding: str) -> bytes:
                     return d.decompress(payload, MAX_RECORD_BYTES)
                 except zlib.error:
                     continue
+        if enc == "br":
+            # import-gated: no brotli codec is baked into this
+            # container; with one installed (any real deployment) the
+            # branch goes live, without it the bytes pass through
+            # like every other unknown coding
+            try:
+                import brotli
+            except ImportError:
+                return payload
+            try:
+                out = brotli.decompress(payload)
+                return out if len(out) <= MAX_RECORD_BYTES else payload
+            except Exception:
+                return payload
+        if enc == "zstd":
+            try:
+                import zstandard
+            except ImportError:
+                return payload
+            try:
+                out = zstandard.ZstdDecompressor().decompress(
+                    payload, max_output_size=MAX_RECORD_BYTES)
+                return out
+            except Exception:
+                return payload
     except zlib.error:
         pass
     return payload
@@ -325,6 +350,36 @@ def cdx_timestamp(warc_date: str) -> str:
     14-digit YYYYMMDDHHMMSS key."""
     digits = "".join(c for c in warc_date.split(".")[0] if c.isdigit())
     return digits[:14]
+
+
+def wet_records(filename: str, docs) -> Iterator[bytes]:
+    """Stream a WET file (Common Crawl's *.warc.wet.gz extracted-text
+    distribution) as per-record gzip members: a leading `warcinfo`
+    record, then one `conversion` record (Content-Type: text/plain,
+    UTF-8 body) per (url, warc_date, text) doc. Record ids are
+    deterministic md5-derived urn:uuid values so re-runs emit
+    byte-identical files (gzip mtime pinned to 0 in build_warc).
+    Yields nothing for an empty doc iterable — callers skip the file
+    rather than writing a warcinfo-only shell."""
+    import hashlib
+
+    first = True
+    for url, date, text in docs:
+        if first:
+            info = (b"software: zpdfspark\r\n"
+                    b"format: WARC File Format 1.0\r\n"
+                    b"description: extracted-text conversion records\r\n")
+            yield build_warc(
+                [(filename, date, info, "application/warc-fields",
+                  "warcinfo", {"WARC-Filename": filename})])
+            first = False
+        rid = hashlib.md5(("wet:" + url).encode()).hexdigest()
+        ref = hashlib.md5(("response:" + url).encode()).hexdigest()
+        yield build_warc(
+            [(url, date, text.encode("utf-8"), "text/plain",
+              "conversion",
+              {"WARC-Record-ID": f"<urn:uuid:{rid}>",
+               "WARC-Refers-To": f"<urn:uuid:{ref}>"})])
 
 
 def build_warc(records, per_record_gzip: bool = True) -> bytes:

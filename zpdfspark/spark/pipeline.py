@@ -577,7 +577,9 @@ def run_format_job(spark: SparkSession, input_path: str, output_path: str,
                    output_format: str, page_range=None,
                    input_format: str = "parquet",
                    since: Optional[str] = None,
-                   until: Optional[str] = None) -> dict:
+                   until: Optional[str] = None,
+                   mode: str = "accuracy",
+                   partitions: Optional[int] = None) -> dict:
     """The CLI's non-default sinks (main.zig `-f json|markdown`, `-p`):
     a simple map-only write without bucket lineage — these are
     per-document renderings, re-runnable idempotently (overwrite). The
@@ -607,6 +609,20 @@ def run_format_job(spark: SparkSession, input_path: str, output_path: str,
         if page_range is not None:
             raise ValueError("--pages does not apply to --format info")
         out = metadata_dataframe(df)
+    elif output_format == "wet":
+        # Common Crawl WET export: *.warc.wet.gz conversion records
+        # (spark/warc_sink.py — fused extract+serialize+write, one
+        # file per partition, deterministic + idempotent)
+        if page_range is not None:
+            raise ValueError("--pages does not apply to --format wet")
+        from zpdfspark.spark.warc_sink import write_wet
+
+        data_path = os.path.join(output_path, "data")
+        summaries = write_wet(df, data_path, mode=mode,
+                              partitions=partitions).collect()
+        return {"format": "wet",
+                "rows": int(sum(r["n_records"] for r in summaries)),
+                "files": len(summaries), "output": data_path}
     else:  # per-page text rows for an explicit --pages range
         out = pages_dataframe(df, page_range=page_range)
     data_path = os.path.join(output_path, "data")
@@ -624,13 +640,16 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--input", required=True, help="input parquet path/table")
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--mode", choices=("accuracy", "fast"), default="accuracy")
-    ap.add_argument("--format", choices=("text", "json", "markdown", "info"),
+    ap.add_argument("--format",
+                    choices=("text", "json", "markdown", "info", "wet"),
                     default="text",
                     help="text = full extraction rows with lineage/resume "
                          "(the scale pipeline); json = one {metadata, "
                          "outline, pages} object per doc; markdown = "
                          "rendered markdown (main.zig -f); info = "
-                         "metadata/page-count rows (the `zpdf info` analog)")
+                         "metadata/page-count rows (the `zpdf info` "
+                         "analog); wet = Common Crawl *.warc.wet.gz "
+                         "conversion records of the extracted text")
     ap.add_argument("--pages", default=None,
                     help="inclusive 1-based page range 'a-b' or 'n' "
                          "(main.zig -p): applies the kernel-side page "
@@ -675,7 +694,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             spark, args.input, args.output, args.format,
             page_range=parse_page_range(args.pages) if args.pages else None,
             input_format=args.input_format, since=args.since,
-            until=args.until,
+            until=args.until, mode=args.mode, partitions=args.partitions,
         )
         print(json.dumps(summary))
         spark.stop()
