@@ -2815,6 +2815,41 @@ def _q_avif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_heic_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEIC primary-item metadata — the HEVC-coded HEIF sibling of
+    avif_meta (same kernel/mp4.py parse_avif pitm/ipma/ipco walk;
+    hvcC instead of av1C identifies the codec; HEVC sample decode is
+    honestly stubbed). Map-only, brand-gated in-kernel."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.mp4 import Mp4Error, parse_avif
+
+        for b in it:
+            rows = {"url": [], "width": [], "height": [],
+                    "n_channels": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if (len(raw) < 12 or raw[4:8] != b"ftyp"
+                        or raw[8:12] not in (b"heic", b"heix")):
+                    continue
+                try:
+                    m = parse_avif(raw)
+                except Mp4Error:
+                    continue
+                rows["url"].append(url)
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["n_channels"].append(m["channels"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches, "url string, width int, height int, n_channels int"
+    ).orderBy("url")
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over word md5s — the vectorized (numpy) kernel of
     the near-dup family. The word hash is the first 8 md5 digest bytes
@@ -3213,6 +3248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": _q_audio_stats,
         "video_stats": _q_video_stats,
         "exif_meta": _q_exif_meta,
+        # new in round 5 after the gate filled: local oracle evidence
+        # this round, rotate into the gate next round
+        "heic_meta": _q_heic_meta,
     }
 
 
@@ -3464,6 +3502,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, img_width AS width, img_height AS height, "
             f"img_channels AS n_channels "
             f"FROM {corpus} WHERE media_kind = 'avif' ORDER BY url"
+        ),
+        "heic_meta": (
+            # same independent box-walk ground truth, heic/heix brands
+            f"SELECT url, img_width AS width, img_height AS height, "
+            f"img_channels AS n_channels "
+            f"FROM {corpus} WHERE media_kind = 'heic' ORDER BY url"
         ),
         "audio_stats": (
             # carried ground truth from the independent RIFF re-read

@@ -2036,3 +2036,30 @@ class TestAvif:
             m = parse_avif(raw)
             assert (m["width"], m["height"]) == (120 + 13 * (i % 25),
                                                  90 + 7 * (i % 33))
+
+
+class TestHeic:
+    """HEIC = HEVC-coded HEIF through the same parse_avif walk."""
+
+    def test_roundtrip_and_codec(self):
+        from zpdfspark.kernel.mp4 import encode_avif, parse_avif
+        m = parse_avif(encode_avif(480, 360, thumb=(48, 36),
+                                   brand=b"heic", codec=b"hvcC"))
+        assert (m["brand"], m["width"], m["height"], m["codec"]) == \
+            ("heic", 480, 360, "hvc1")
+        m = parse_avif(encode_avif(10, 10, brand=b"heix",
+                                   codec=b"hvcC"))
+        assert (m["brand"], m["codec"]) == ("heix", "hvc1")
+
+    def test_sniffer_routes_heic(self):
+        from zpdfspark.fixtures import _sniff_media_kind, heic_image
+        from zpdfspark.kernel.mp4 import parse_avif
+        from zpdfspark.spark.media import sniff_kind
+        for i in range(8):
+            raw, _ = heic_image(i)
+            assert _sniff_media_kind(raw) == "heic"
+            assert sniff_kind(raw) == "heic"
+            m = parse_avif(raw)
+            assert (m["width"], m["height"]) == (200 + 11 * (i % 29),
+                                                 150 + 9 * (i % 31))
+            assert m["codec"] == "hvc1"

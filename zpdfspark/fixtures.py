@@ -992,6 +992,21 @@ def avif_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
                        channels=1 if i % 5 == 0 else 3), None
 
 
+def heic_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic HEIC (v31): the HEVC-coded HEIF sibling of
+    avif_image — same pitm/ipma/ipco structure with an hvcC codec
+    stub and heic/heix brands; HEVC sample decode is honestly
+    stubbed. Dims oracled via the same independent box walk."""
+    from .kernel.mp4 import encode_avif
+
+    w, h = 200 + 11 * (i % 29), 150 + 9 * (i % 31)
+    thumb = (w // 10, h // 10) if i % 3 == 0 else None
+    return encode_avif(w, h, thumb=thumb, depth=8 if i % 2 else 10,
+                       channels=3,
+                       brand=b"heix" if i % 4 == 3 else b"heic",
+                       codec=b"hvcC"), None
+
+
 def html_page(i: int = 0) -> Tuple[bytes, str]:
     """A Common-Crawl-style HTML page with boilerplate (script/style/
     nav/header/footer/aside) around a <main> block. The oracle is the
@@ -1470,6 +1485,10 @@ def _register():
     def g_avif(i):
         return avif_image(i)
 
+    @var("heic")
+    def g_heic(i):
+        return heic_image(i)
+
     @var("html")
     def g_html(i):
         return html_page(i)
@@ -1510,7 +1529,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v30"
+CORPUS_VERSION = "v31"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -1789,6 +1808,8 @@ def _sniff_media_kind(raw: bytes) -> str:
     if len(raw) >= 12 and raw[4:8] == b"ftyp":
         if raw[8:12] in (b"avif", b"avis"):
             return "avif"
+        if raw[8:12] in (b"heic", b"heix"):
+            return "heic"
         return "mp4"
     if raw[:4] == b"fLaC":
         return "flac"
@@ -2178,7 +2199,7 @@ def _image_expected(raw: bytes, kind: str):
         # kernel/bmp.py); the decoder always expands to RGB
         w, h = struct.unpack("<ii", raw[18:26])
         return w, abs(h), 3
-    if kind == "avif":
+    if kind in ("avif", "heic"):
         # independent HEIF walk (deliberately NOT kernel/mp4.py):
         # flat box scan for pitm/ipco/ipma in the fixture shape
         # (32-bit sizes, ver0/flags0, u8 associations)
@@ -2361,7 +2382,7 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
         row.update({"audio_sr": None, "audio_channels": None,
                     "audio_n_samples": None, "audio_rms_x1000": None})
     if row["media_kind"] in ("png", "jpeg", "gif", "webp", "bmp",
-                             "avif"):
+                             "avif", "heic"):
         iw, ih, ic = _image_expected(raw, row["media_kind"])
         row.update({"img_width": iw, "img_height": ih, "img_channels": ic})
     else:

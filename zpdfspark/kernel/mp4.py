@@ -142,8 +142,8 @@ def parse_avif(raw: bytes) -> dict:
     if len(raw) < 12 or raw[4:8] != b"ftyp":
         raise Mp4Error("not an ISO BMFF file")
     brand = raw[8:12].decode("latin-1")
-    if brand not in ("avif", "avis", "mif1"):
-        raise Mp4Error(f"not an AVIF brand: {brand}")
+    if brand not in ("avif", "avis", "heic", "heix", "mif1"):
+        raise Mp4Error(f"not a HEIF still-image brand: {brand}")
 
     def u(fmt: str, off: int, end: int):
         n = struct.calcsize(fmt)
@@ -218,6 +218,8 @@ def parse_avif(raw: bytes) -> dict:
                 (depth,) = u(">B", s4 + 5, e4)
         elif t4 == b"av1C":
             codec = "av01"
+        elif t4 == b"hvcC":
+            codec = "hvc1"
     if not width or not height:
         raise Mp4Error("primary item has no ispe")
     return {
@@ -228,7 +230,8 @@ def parse_avif(raw: bytes) -> dict:
 
 
 def encode_avif(width: int, height: int, thumb=None, depth: int = 8,
-                channels: int = 3, brand: bytes = b"avif") -> bytes:
+                channels: int = 3, brand: bytes = b"avif",
+                codec: bytes = b"av1C") -> bytes:
     """Minimal AVIF muxer for fixtures/tests — the independent
     direction against parse_avif. Emits pitm/iinf/iprp(ipco+ipma)
     with the primary item's ispe/pixi/av1C; `thumb=(w, h)` adds a
@@ -242,9 +245,10 @@ def encode_avif(width: int, height: int, thumb=None, depth: int = 8,
     ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
     items = [(1, width, height)] + ([(2, *thumb)] if thumb else [])
     pitm = box(b"pitm", b"\x00\x00\x00\x00" + struct.pack(">H", 1))
+    item_type = b"av01" if codec == b"av1C" else b"hvc1"
     infes = b"".join(
         box(b"infe", b"\x02\x00\x00\x00" + struct.pack(">HH", iid, 0)
-            + b"av01" + b"Image\x00")
+            + item_type + b"Image\x00")
         for iid, _, _ in items)
     iinf = box(b"iinf", b"\x00\x00\x00\x00"
                + struct.pack(">H", len(items)) + infes)
@@ -253,7 +257,7 @@ def encode_avif(width: int, height: int, thumb=None, depth: int = 8,
                                                        width, height)),
         box(b"pixi", b"\x00\x00\x00\x00" + bytes([channels])
             + bytes([depth] * channels)),
-        box(b"av1C", b"\x81\x04\x0c\x00"),  # opaque config stub
+        box(codec, b"\x81\x04\x0c\x00"),  # opaque config stub
     ]
     assoc = {1: [1, 2, 3]}
     if thumb:

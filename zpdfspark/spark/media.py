@@ -55,6 +55,8 @@ def sniff_kind(raw: bytes) -> str:
     if len(raw) >= 12 and raw[4:8] == b"ftyp":
         if raw[8:12] in (b"avif", b"avis"):
             return "avif"
+        if raw[8:12] in (b"heic", b"heix"):
+            return "heic"
         return "mp4"
     if raw[:4] == b"fLaC":
         return "flac"
