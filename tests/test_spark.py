@@ -742,3 +742,65 @@ def test_format_job_wet(spark, corpus_path, tmp_path):
     with pytest.raises(ValueError):
         run_format_job(spark, corpus_path, out, "wet",
                        page_range=(1, 2))
+
+
+def test_wat_export_roundtrip(spark, corpus_path, tmp_path):
+    """WAT sink (r5): metadata records re-read and JSON-parsed —
+    every row present, Actual-Content-Length exact, HTML rows carry
+    Head/Links mined by the same regex set as html_meta, non-HTML
+    rows omit HTML-Metadata; byte-identical second run."""
+    import glob
+    import hashlib
+    import json
+    import re
+
+    from zpdfspark.kernel.htmltext import looks_like_html
+    from zpdfspark.kernel.warc import iter_warc_records
+    from zpdfspark.spark.warc_sink import write_wat
+
+    df = spark.read.parquet(corpus_path)
+    out = str(tmp_path / "wat")
+    summaries = write_wat(df, out, partitions=3).collect()
+    files = sorted(glob.glob(os.path.join(out, "*.warc.wat.gz")))
+    assert files and len(files) == len(summaries) <= 3
+
+    raws = {r["url"]: bytes(r["html"])
+            for r in df.select("url", "html").collect()}
+    seen = {}
+    for path in files:
+        recs = list(iter_warc_records(open(path, "rb").read()))
+        assert recs[0].warc_type == "warcinfo"
+        for r in recs[1:]:
+            assert r.warc_type == "metadata", r.warc_type
+            assert r.error is None
+            seen[r.target_uri] = json.loads(r.body)
+    assert set(seen) == set(raws)
+    n_html = 0
+    for url, meta in seen.items():
+        pm = meta["Envelope"]["Payload-Metadata"]
+        assert pm["Actual-Content-Length"] == len(raws[url])
+        if looks_like_html(raws[url]):
+            n_html += 1
+            hm = pm["HTML-Metadata"]
+            text = raws[url].decode("utf-8", "replace")
+            want_links = re.findall(r'<a[^>]*\shref="([^"]*)"', text)
+            assert [x["url"] for x in hm["Links"]] == want_links[:1000]
+            m = re.search(r"<title>([^<]*)</title>", text)
+            if m:
+                assert hm["Head"]["Title"] == m.group(1)
+        else:
+            assert "HTML-Metadata" not in pm
+    assert n_html > 0
+
+    hashes = [hashlib.md5(open(p, "rb").read()).hexdigest()
+              for p in files]
+    write_wat(df, out, partitions=3).collect()
+    assert [hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in files] == hashes
+
+    from zpdfspark.spark.pipeline import run_format_job
+    summary = run_format_job(spark, corpus_path,
+                             str(tmp_path / "watjob"), "wat",
+                             partitions=2)
+    assert summary["format"] == "wat"
+    assert summary["rows"] == len(raws)

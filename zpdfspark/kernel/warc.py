@@ -352,34 +352,52 @@ def cdx_timestamp(warc_date: str) -> str:
     return digits[:14]
 
 
-def wet_records(filename: str, docs) -> Iterator[bytes]:
-    """Stream a WET file (Common Crawl's *.warc.wet.gz extracted-text
-    distribution) as per-record gzip members: a leading `warcinfo`
-    record, then one `conversion` record (Content-Type: text/plain,
-    UTF-8 body) per (url, warc_date, text) doc. Record ids are
-    deterministic md5-derived urn:uuid values so re-runs emit
-    byte-identical files (gzip mtime pinned to 0 in build_warc).
-    Yields nothing for an empty doc iterable — callers skip the file
-    rather than writing a warcinfo-only shell."""
+def _derivative_records(filename: str, docs, wtype: str, ctype: str,
+                        id_prefix: str, description: str
+                        ) -> Iterator[bytes]:
+    """Shared streamer for Common Crawl derivative files (WET/WAT): a
+    leading `warcinfo` record, then one record of the given type per
+    (url, warc_date, payload_bytes) doc, each its own gzip member.
+    Record ids are deterministic md5-derived urn:uuid values so
+    re-runs emit byte-identical files (gzip mtime pinned to 0 in
+    build_warc). Yields nothing for an empty doc iterable — callers
+    skip the file rather than writing a warcinfo-only shell."""
     import hashlib
 
     first = True
-    for url, date, text in docs:
+    for url, date, payload in docs:
         if first:
             info = (b"software: zpdfspark\r\n"
                     b"format: WARC File Format 1.0\r\n"
-                    b"description: extracted-text conversion records\r\n")
+                    b"description: " + description.encode() + b"\r\n")
             yield build_warc(
                 [(filename, date, info, "application/warc-fields",
                   "warcinfo", {"WARC-Filename": filename})])
             first = False
-        rid = hashlib.md5(("wet:" + url).encode()).hexdigest()
+        rid = hashlib.md5((id_prefix + ":" + url).encode()).hexdigest()
         ref = hashlib.md5(("response:" + url).encode()).hexdigest()
         yield build_warc(
-            [(url, date, text.encode("utf-8"), "text/plain",
-              "conversion",
+            [(url, date, payload, ctype, wtype,
               {"WARC-Record-ID": f"<urn:uuid:{rid}>",
                "WARC-Refers-To": f"<urn:uuid:{ref}>"})])
+
+
+def wet_records(filename: str, docs) -> Iterator[bytes]:
+    """WET (*.warc.wet.gz extracted-text distribution): `conversion`
+    records, text/plain UTF-8 bodies, per (url, warc_date, text)."""
+    return _derivative_records(
+        filename, ((u, d, t.encode("utf-8")) for u, d, t in docs),
+        "conversion", "text/plain", "wet",
+        "extracted-text conversion records")
+
+
+def wat_records(filename: str, docs) -> Iterator[bytes]:
+    """WAT (*.warc.wat.gz metadata distribution): `metadata` records,
+    application/json bodies, per (url, warc_date, json_str)."""
+    return _derivative_records(
+        filename, ((u, d, j.encode("utf-8")) for u, d, j in docs),
+        "metadata", "application/json", "wat",
+        "WAT metadata records")
 
 
 def build_warc(records, per_record_gzip: bool = True) -> bytes:

@@ -609,18 +609,24 @@ def run_format_job(spark: SparkSession, input_path: str, output_path: str,
         if page_range is not None:
             raise ValueError("--pages does not apply to --format info")
         out = metadata_dataframe(df)
-    elif output_format == "wet":
-        # Common Crawl WET export: *.warc.wet.gz conversion records
-        # (spark/warc_sink.py — fused extract+serialize+write, one
-        # file per partition, deterministic + idempotent)
+    elif output_format in ("wet", "wat"):
+        # Common Crawl derivative exports: *.warc.wet.gz conversion
+        # records / *.warc.wat.gz metadata records (spark/warc_sink.py
+        # — fused mine+serialize+write, one file per partition,
+        # deterministic + idempotent)
         if page_range is not None:
-            raise ValueError("--pages does not apply to --format wet")
-        from zpdfspark.spark.warc_sink import write_wet
+            raise ValueError(
+                f"--pages does not apply to --format {output_format}")
+        from zpdfspark.spark.warc_sink import write_wat, write_wet
 
         data_path = os.path.join(output_path, "data")
-        summaries = write_wet(df, data_path, mode=mode,
-                              partitions=partitions).collect()
-        return {"format": "wet",
+        if output_format == "wet":
+            sink = write_wet(df, data_path, mode=mode,
+                             partitions=partitions)
+        else:
+            sink = write_wat(df, data_path, partitions=partitions)
+        summaries = sink.collect()
+        return {"format": output_format,
                 "rows": int(sum(r["n_records"] for r in summaries)),
                 "files": len(summaries), "output": data_path}
     else:  # per-page text rows for an explicit --pages range
@@ -641,7 +647,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--mode", choices=("accuracy", "fast"), default="accuracy")
     ap.add_argument("--format",
-                    choices=("text", "json", "markdown", "info", "wet"),
+                    choices=("text", "json", "markdown", "info", "wet",
+                             "wat"),
                     default="text",
                     help="text = full extraction rows with lineage/resume "
                          "(the scale pipeline); json = one {metadata, "
@@ -649,7 +656,10 @@ def main(argv: Optional[List[str]] = None) -> None:
                          "rendered markdown (main.zig -f); info = "
                          "metadata/page-count rows (the `zpdf info` "
                          "analog); wet = Common Crawl *.warc.wet.gz "
-                         "conversion records of the extracted text")
+                         "conversion records of the extracted text; "
+                         "wat = *.warc.wat.gz per-capture JSON "
+                         "metadata records (lengths, head metadata, "
+                         "outlinks)")
     ap.add_argument("--pages", default=None,
                     help="inclusive 1-based page range 'a-b' or 'n' "
                          "(main.zig -p): applies the kernel-side page "

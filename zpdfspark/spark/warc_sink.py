@@ -1,17 +1,22 @@
-"""WET export sink: Common Crawl distributes extracted text as
-*.warc.wet.gz files of `conversion` records (one per capture, plain
-UTF-8 text) — the hand-off format downstream LLM-data pipelines
-(CCNet, C4, RefinedWeb) consume. A reference user switching engines
-needs their extraction output in exactly this shape.
+"""Derivative-file sinks: Common Crawl distributes three per-crawl
+derivative formats and this module writes two of them (the third,
+CDX, is spark/warc_source.py warc_cdx):
 
-Scale design: extraction, WET serialization and the file write are
-FUSED into one mapInPandas pass — document blobs never cross a stage
-boundary (the round-3 measured finding: the two-stage WARC form spent
-~76% extra wall on exactly that Arrow round-trip). One WET file per
-partition; `partitions` sizes the files (Common Crawl targets
-~150 MB/file — at 100 TB pick partitions accordingly). Records stream
-to disk member-by-member (kernel/warc.py wet_records), so a partition
-never materializes its whole file in memory.
+- WET (*.warc.wet.gz): `conversion` records of extracted plain text —
+  the hand-off shape downstream LLM-data pipelines (CCNet, C4,
+  RefinedWeb) consume.
+- WAT (*.warc.wat.gz): `metadata` records of per-capture JSON
+  (content length, HTML head metadata, outlinks) — the shape link
+  graphs and crawl analytics consume.
+
+Scale design: extraction / metadata mining, serialization and the
+file write are FUSED into one mapInPandas pass — document blobs never
+cross a stage boundary (the round-3 measured finding: the two-stage
+WARC form spent ~76% extra wall on exactly that Arrow round-trip).
+One file per partition; `partitions` sizes the files (Common Crawl
+targets ~150 MB/file — at 100 TB pick partitions accordingly).
+Records stream to disk member-by-member (kernel/warc.py streamers),
+so a partition never materializes its whole file in memory.
 
 Determinism + idempotence: membership is hash(url) % partitions,
 record order is sortWithinPartitions(url), record ids are md5-derived
@@ -30,6 +35,51 @@ from typing import Optional
 from pyspark.sql import DataFrame
 
 
+def _write_partition_file(it, out_dir, name_fmt, record_stream, docs):
+    """Stream one derivative file for this task's partition: returns
+    the (file, n_records, n_bytes) summary rows (empty partition ->
+    no file, no row)."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    name = name_fmt.format(ctx.partitionId())
+    tmp = os.path.join(out_dir, f".{name}.tmp-{ctx.taskAttemptId()}")
+    n_records = n_bytes = 0
+    f = None
+    try:
+        for member in record_stream(name, docs(it)):
+            if f is None:
+                f = open(tmp, "wb")
+                f.write(member)       # the warcinfo member
+                n_bytes += len(member)
+                continue
+            f.write(member)
+            n_records += 1
+            n_bytes += len(member)
+    finally:
+        if f is not None:
+            f.close()
+    if n_records == 0:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        return pd.DataFrame({"file": [], "n_records": [],
+                             "n_bytes": []})
+    os.replace(tmp, os.path.join(out_dir, name))
+    return pd.DataFrame({"file": [name], "n_records": [n_records],
+                         "n_bytes": [n_bytes]})
+
+
+def _wdate(ts) -> str:
+    import pandas as pd
+
+    return ("1970-01-01T00:00:00Z" if pd.isna(ts)
+            else ts.strftime("%Y-%m-%dT%H:%M:%SZ"))
+
+
+_SUMMARY_SCHEMA = "file string, n_records long, n_bytes long"
+
+
 def write_wet(df: DataFrame, out_dir: str, mode: str = "accuracy",
               partitions: Optional[int] = None) -> DataFrame:
     """df(url, warc_ts, html) -> WET files under out_dir; returns a
@@ -44,52 +94,98 @@ def write_wet(df: DataFrame, out_dir: str, mode: str = "accuracy",
            .sortWithinPartitions("url"))
 
     def batches(it):
-        import pandas as pd
-        from pyspark import TaskContext
-
         from zpdfspark.kernel.htmltext import extract_any
         from zpdfspark.kernel.warc import wet_records
 
-        ctx = TaskContext.get()
-        pid = ctx.partitionId()
-        name = f"wet-{pid:05d}.warc.wet.gz"
-
-        def docs():
-            for b in it:
+        def docs(batches_it):
+            for b in batches_it:
                 for url, ts, blob in zip(b["url"], b["warc_ts"],
                                          b["html"]):
                     raw = bytes(blob) if blob is not None else b""
-                    text = extract_any(raw, mode)[0]
-                    date = ("1970-01-01T00:00:00Z" if pd.isna(ts)
-                            else ts.strftime("%Y-%m-%dT%H:%M:%SZ"))
-                    yield url, date, text
+                    yield url, _wdate(ts), extract_any(raw, mode)[0]
 
-        tmp = os.path.join(
-            out_dir, f".{name}.tmp-{ctx.taskAttemptId()}")
-        n_records = n_bytes = 0
-        f = None
-        try:
-            for member in wet_records(name, docs()):
-                if f is None:
-                    f = open(tmp, "wb")
-                    f.write(member)       # the warcinfo member
-                    n_bytes += len(member)
-                    continue
-                f.write(member)
-                n_records += 1
-                n_bytes += len(member)
-        finally:
-            if f is not None:
-                f.close()
-        if n_records == 0:
-            if os.path.exists(tmp):
-                os.remove(tmp)
-            yield pd.DataFrame({"file": [], "n_records": [],
-                                "n_bytes": []})
-            return
-        os.replace(tmp, os.path.join(out_dir, name))
-        yield pd.DataFrame({"file": [name], "n_records": [n_records],
-                            "n_bytes": [n_bytes]})
+        yield _write_partition_file(
+            it, out_dir, "wet-{:05d}.warc.wet.gz", wet_records, docs)
 
-    return src.mapInPandas(
-        batches, "file string, n_records long, n_bytes long")
+    return src.mapInPandas(batches, _SUMMARY_SCHEMA)
+
+
+def write_wat(df: DataFrame, out_dir: str,
+              partitions: Optional[int] = None,
+              max_links: int = 1000) -> DataFrame:
+    """df(url, warc_ts, html) -> WAT files under out_dir (same
+    summary-DataFrame contract as write_wet). Each `metadata` record
+    body is deterministic compact JSON in the Common Crawl WAT
+    envelope shape: Actual-Content-Length always; HTML-Metadata
+    (head title/meta-description/canonical + outlink list, capped at
+    `max_links` — the cap is recorded as Links-Truncated when it
+    bites) for HTML payloads only. The miner is the same regex set
+    the html_meta query uses, applied kernel-side in this fused
+    pass."""
+    import re
+
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    os.makedirs(out_dir, exist_ok=True)
+    src = (df.select("url", "warc_ts", "html")
+           .repartition(n, "url")
+           .sortWithinPartitions("url"))
+
+    re_title = re.compile(r"<title>([^<]*)</title>")
+    re_desc = re.compile(r'<meta name="description" content="([^"]*)"')
+    re_canon = re.compile(r'<link rel="canonical" href="([^"]*)"')
+    re_href = re.compile(r'<a[^>]*\shref="([^"]*)"')
+
+    def batches(it):
+        import json
+
+        from zpdfspark.kernel.htmltext import looks_like_html, \
+            sniff_charset
+        from zpdfspark.kernel.warc import wat_records
+
+        def doc_json(url, raw):
+            meta = {
+                "Envelope": {
+                    "WARC-Header-Metadata": {
+                        "WARC-Target-URI": url,
+                        "WARC-Type": "response",
+                    },
+                    "Payload-Metadata": {
+                        "Actual-Content-Length": len(raw),
+                    },
+                },
+            }
+            if looks_like_html(raw):
+                text = raw.decode(sniff_charset(raw), "replace")
+                links = re_href.findall(text)
+                html_md = {
+                    "Head": {},
+                    "Links": [{"url": u} for u in links[:max_links]],
+                }
+                if len(links) > max_links:
+                    html_md["Links-Truncated"] = len(links) - max_links
+                m = re_title.search(text)
+                if m:
+                    html_md["Head"]["Title"] = m.group(1)
+                m = re_desc.search(text)
+                if m:
+                    html_md["Head"]["Meta-Description"] = m.group(1)
+                m = re_canon.search(text)
+                if m:
+                    html_md["Head"]["Canonical"] = m.group(1)
+                meta["Envelope"]["Payload-Metadata"][
+                    "HTML-Metadata"] = html_md
+            return json.dumps(meta, sort_keys=True,
+                              separators=(",", ":"))
+
+        def docs(batches_it):
+            for b in batches_it:
+                for url, ts, blob in zip(b["url"], b["warc_ts"],
+                                         b["html"]):
+                    raw = bytes(blob) if blob is not None else b""
+                    yield url, _wdate(ts), doc_json(url, raw)
+
+        yield _write_partition_file(
+            it, out_dir, "wat-{:05d}.warc.wat.gz", wat_records, docs)
+
+    return src.mapInPandas(batches, _SUMMARY_SCHEMA)
