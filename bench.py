@@ -346,7 +346,8 @@ def main() -> None:
         entry_mod._corpus_path(sf_dir)
         qs = entry_mod.queries()
         for name in ("extract_fast", "extract_spans", "dedup_exact",
-                     "minhash_signatures", "token_counts", "ann_topk"):
+                     "minhash_signatures", "token_counts", "ann_topk",
+                     "substring_dedup"):
             df = qs[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.collect()
