@@ -1100,6 +1100,74 @@ def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap — the preprocessing
+    step retrieval indexes and packed-sequence training both consume
+    (W=64-token chunks, stride 48, so consecutive chunks share a
+    16-token overlap; the final chunk keeps the tail even when short).
+    Pure JVM: chunk starts come from a sequence/transform over the
+    token array, the chunk text md5 pins CONTENT + ORDER per chunk,
+    and the whole query is map-only (one determinism orderBy) — at
+    100 TB this is a scan-shaped transform with zero shuffles before
+    the sink."""
+    W, S = 64, 48
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ts"))
+    n = F.size("ts")
+    n_chunks = (F.floor((F.greatest(n - W, F.lit(0)) + S - 1) / S)
+                + 1).cast("int")
+    return (
+        toks.select(
+            "doc_id", n.cast("long").alias("n_tokens"),
+            F.posexplode(F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    (i * S).cast("long").alias("start_tok"),
+                    F.least(F.lit(W), n - i * S).cast("long")
+                    .alias("n_tok"),
+                    F.md5(F.array_join(
+                        F.slice("ts", i * S + 1, W), " "))
+                    .alias("chunk_md5")))).alias("chunk_idx", "c"))
+        .select("doc_id", F.col("chunk_idx").cast("long"),
+                F.col("c.start_tok").alias("start_tok"),
+                F.col("c.n_tok").alias("n_tok"),
+                F.col("c.chunk_md5").alias("chunk_md5"),
+                "n_tokens")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def _q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style normalization-then-exact-dedup: lowercase, strip
+    non-alphanumerics, collapse whitespace, then hash — catching
+    near-identical pages that differ only in case/punctuation/
+    formatting, the bridge between exact and MinHash dedup. Keeper =
+    min(doc_id) per normalized hash via groupBy (never a window), and
+    the join back is EXPLICITLY SALTED (agg-fed side, the measured r4
+    AQE finding) — only (doc_id, 32-char hash) rows shuffle, the text
+    column never leaves the scan."""
+    SALT = 8
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    norm = F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    hashed = d.select(
+        "doc_id", F.md5(norm).alias("h"),
+        F.pmod(F.col("doc_id"), F.lit(SALT)).alias("salt"))
+    keepers = (
+        hashed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+        .withColumn("salt", F.explode(
+            F.sequence(F.lit(0), F.lit(SALT - 1)).cast("array<bigint>")))
+    )
+    return (
+        hashed.join(keepers, ["h", "salt"])
+        .select("doc_id", F.col("h").alias("norm_md5"), "keeper",
+                (F.col("doc_id") != F.col("keeper")).alias("is_dup"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", r5): score every raw
@@ -3251,6 +3319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5 after the gate filled: local oracle evidence
         # this round, rotate into the gate next round
         "heic_meta": _q_heic_meta,
+        "passage_chunks": _q_passage_chunks,
+        "normalized_dedup": _q_normalized_dedup,
     }
 
 
@@ -3763,6 +3833,35 @@ def oracle_sql() -> dict[str, str]:
             f"md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, "
             f"chr(10) ORDER BY line_idx), '')) AS kept_md5 "
             f"FROM rn GROUP BY url ORDER BY url"
+        ),
+        "passage_chunks": (
+            # identical W=64/S=48 chunk arithmetic; the md5 of each
+            # space-joined slice pins chunk content + order
+            "WITH t AS (SELECT doc_id, list_filter(string_split(text, "
+            "' '), x -> x <> '') AS ts FROM documents "
+            "WHERE text IS NOT NULL) "
+            "SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx, "
+            "CAST(u.i * 48 AS BIGINT) AS start_tok, "
+            "CAST(least(64, len(ts) - u.i * 48) AS BIGINT) AS n_tok, "
+            "md5(array_to_string(ts[u.i*48+1:u.i*48+64], ' ')) "
+            "AS chunk_md5, CAST(len(ts) AS BIGINT) AS n_tokens "
+            "FROM t, unnest(range(0, (greatest(len(ts) - 64, 0) + 47) "
+            "// 48 + 1)) AS u(i) ORDER BY doc_id, chunk_idx"
+        ),
+        "normalized_dedup": (
+            # identical normalization chain (lower -> strip
+            # non-alphanumerics -> collapse spaces -> trim) and
+            # min-doc_id keeper arithmetic; DuckDB regexp_replace
+            # needs the 'g' flag where Spark's is global by default
+            "WITH h AS (SELECT doc_id, md5(trim(regexp_replace("
+            "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), "
+            "' +', ' ', 'g'))) AS norm_md5 FROM documents "
+            "WHERE text IS NOT NULL), "
+            "k AS (SELECT norm_md5, CAST(min(doc_id) AS BIGINT) AS "
+            "keeper FROM h GROUP BY norm_md5) "
+            "SELECT doc_id, h.norm_md5, keeper, "
+            "(doc_id <> keeper) AS is_dup "
+            "FROM h JOIN k USING (norm_md5) ORDER BY doc_id"
         ),
         "substring_dedup": (
             # identical stride-1 W=20 window hashing (16 md5 hex

@@ -601,3 +601,33 @@ def test_substring_dedup_shuffles_hashes_only(spark, sf_dir):
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_passage_chunks_map_only(spark, sf_dir):
+    """Chunking (r5) is a scan-shaped transform: no join, no window,
+    no Python; the only exchange is the determinism orderBy."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["passage_chunks"](spark, sf_dir),
+                      spark)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 0, \
+        plan
+
+
+def test_normalized_dedup_no_window_hash_only(spark, sf_dir):
+    """Normalized exact dedup (r5): agg-keeper + salted join, never a
+    row_number window; the raw text column must not appear in any
+    exchange partitioning (only doc_id + 32-char hashes shuffle)."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["normalized_dedup"](spark, sf_dir),
+                      spark)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text#" not in line, line
