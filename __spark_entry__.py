@@ -1999,6 +1999,40 @@ def _q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink edge extraction — the input a link graph (and
+    host_pagerank's documented production feed) is built from: every
+    <a href> in every HTML page becomes a (url, href, dst_host,
+    is_internal) edge, with relative links resolving to the source
+    host. Pure JVM (regexp_extract_all + one bounded explode — a
+    page's anchor count, not the corpus, bounds the fan-out); at
+    100 TB this is a scan-shaped transform whose groupBy(src_host,
+    dst_host) consumer does the only shuffle. Same utf-8 scoping as
+    html_meta (charset handling is the extraction kernel's job)."""
+    corpus = _corpus(spark, sf_dir)
+    html = F.col("html").cast("string")
+    src_host = F.regexp_extract("url", "^https?://([^/]+)", 1)
+    links = (
+        corpus.where((F.col("media_kind") == "html")
+                     & ~F.col("url").like("%/html_charset/%"))
+        .select(
+            "url", src_host.alias("src_host"),
+            F.explode(F.regexp_extract_all(
+                html, F.lit('<a[^>]*\\shref="([^"]*)"'), F.lit(1)))
+            .alias("href"))
+    )
+    dst_host = F.when(
+        F.col("href").rlike("^https?://"),
+        F.regexp_extract("href", "^https?://([^/]+)", 1)
+    ).otherwise(F.col("src_host"))
+    return (
+        links.select(
+            "url", "href", dst_host.alias("dst_host"),
+            (dst_host == F.col("src_host")).alias("is_internal"))
+        .orderBy("url", "href")
+    )
+
+
 def _q_tokenize_ids(spark: SparkSession, sf_dir: str,
                     vocab_k: int = 50000) -> DataFrame:
     """Vocabulary tokenization to ids — the step right before the
@@ -3321,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heic_meta": _q_heic_meta,
         "passage_chunks": _q_passage_chunks,
         "normalized_dedup": _q_normalized_dedup,
+        "outlinks": _q_outlinks,
     }
 
 
@@ -4350,6 +4385,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(decode(html), '<a[ >\n]')) AS BIGINT) AS n_anchors "
             f"FROM {corpus} WHERE media_kind = 'html' "
             f"AND url NOT LIKE '%/html_charset/%' ORDER BY url"
+        ),
+        "outlinks": (
+            # identical anchor regex + host resolution over the same
+            # bytes — an independent two-engine re-extraction
+            f"WITH l AS (SELECT url, "
+            f"regexp_extract(url, '^https?://([^/]+)', 1) AS src_host, "
+            f"unnest(regexp_extract_all(decode(html), "
+            f"'<a[^>]*\\shref=\"([^\"]*)\"', 1)) AS href "
+            f"FROM {corpus} WHERE media_kind = 'html' "
+            f"AND url NOT LIKE '%/html_charset/%') "
+            f"SELECT url, href, CASE WHEN "
+            f"regexp_matches(href, '^https?://') THEN "
+            f"regexp_extract(href, '^https?://([^/]+)', 1) "
+            f"ELSE src_host END AS dst_host, "
+            f"(CASE WHEN regexp_matches(href, '^https?://') THEN "
+            f"regexp_extract(href, '^https?://([^/]+)', 1) "
+            f"ELSE src_host END = src_host) AS is_internal "
+            f"FROM l ORDER BY url, href"
         ),
         "tokenize_ids": (
             # identical vocab ranking + OOV bucketing + ordered-id md5
