@@ -2033,6 +2033,75 @@ def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_page_pagerank(spark: SparkSession, sf_dir: str,
+                     iters: int = 3, d: float = 0.85) -> DataFrame:
+    """PageRank over the REAL page graph (r5 closing the
+    host_pagerank docstring's stand-in caveat): nodes are the crawl's
+    HTML pages plus every resolved link target, edges are the actual
+    <a href> anchors (absolute kept as-is, root-relative resolved
+    against the source origin, other forms dropped — the documented
+    subset both engines replay exactly). Same Pregel-shaped loop as
+    host_pagerank: one map-side-combining groupBy(dst) shuffle per
+    iteration, localCheckpoint lineage cuts, broadcast 1-row node
+    count, per-iteration 1e-6 rounding for partition-order-
+    independent determinism. Dangling pages keep base rank (no
+    dangling-mass redistribution, same convention both engines)."""
+    corpus = _corpus(spark, sf_dir)
+    html = F.col("html").cast("string")
+    anchors = (
+        corpus.where((F.col("media_kind") == "html")
+                     & ~F.col("url").like("%/html_charset/%"))
+        .select(
+            "url",
+            F.explode(F.regexp_extract_all(
+                html, F.lit('<a[^>]*\\shref="([^"]*)"'), F.lit(1)))
+            .alias("href"))
+    )
+    origin = F.regexp_extract("url", "^(https?://[^/]+)", 1)
+    target = (F.when(F.col("href").rlike("^https?://"), F.col("href"))
+              .when(F.col("href").startswith("/"),
+                    F.concat(origin, F.col("href"))))
+    edges = (anchors.select(F.col("url").alias("src"),
+                            target.alias("dst"))
+             .where(F.col("dst").isNotNull()).distinct())
+    nodes = (
+        corpus.where((F.col("media_kind") == "html")
+                     & ~F.col("url").like("%/html_charset/%"))
+        .select(F.col("url").alias("p"))
+        .unionByName(edges.select(F.col("dst").alias("p")))
+        .distinct())
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    n1 = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.join(F.broadcast(n1)).select(
+        "p", F.round(1.0 / F.col("n"), 6).alias("pr")).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.p)
+            .join(outdeg, "src")
+            .groupBy("dst").agg(F.sum(F.col("pr") / F.col("deg"))
+                                .alias("c")))
+        ranks = (
+            nodes.join(F.broadcast(n1))
+            .join(contrib, nodes.p == contrib.dst, "left")
+            .select("p", F.round((1 - d) / F.col("n")
+                                 + d * F.coalesce(F.col("c"),
+                                                  F.lit(0.0)),
+                                 6).alias("pr"))
+            .localCheckpoint())
+    return (
+        ranks.withColumnRenamed("pr", "pr_r6")
+        .join(outdeg, ranks.p == outdeg.src, "left")
+        .join(indeg, ranks.p == indeg.dst, "left")
+        .select("p", "pr_r6",
+                F.coalesce("deg", F.lit(0)).cast("long")
+                .alias("out_degree"),
+                F.coalesce("in_deg", F.lit(0)).cast("long")
+                .alias("in_degree"))
+        .orderBy("p")
+    )
+
+
 def _q_tokenize_ids(spark: SparkSession, sf_dir: str,
                     vocab_k: int = 50000) -> DataFrame:
     """Vocabulary tokenization to ids — the step right before the
@@ -3356,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_chunks": _q_passage_chunks,
         "normalized_dedup": _q_normalized_dedup,
         "outlinks": _q_outlinks,
+        "page_pagerank": _q_page_pagerank,
     }
 
 
@@ -4403,6 +4473,59 @@ def oracle_sql() -> dict[str, str]:
             f"regexp_extract(href, '^https?://([^/]+)', 1) "
             f"ELSE src_host END = src_host) AS is_internal "
             f"FROM l ORDER BY url, href"
+        ),
+        "page_pagerank": (
+            # identical anchor extraction, target resolution and
+            # 3-iteration damped power iteration (1e-6 per-iteration
+            # rounding) over the real page graph
+            f"WITH a AS (SELECT url, "
+            f"unnest(regexp_extract_all(decode(html), "
+            f"'<a[^>]*\\shref=\"([^\"]*)\"', 1)) AS href "
+            f"FROM {corpus} WHERE media_kind = 'html' "
+            f"AND url NOT LIKE '%/html_charset/%'), "
+            "edges AS (SELECT DISTINCT url AS src, CASE "
+            "WHEN regexp_matches(href, '^https?://') THEN href "
+            "WHEN href LIKE '/%' THEN "
+            "regexp_extract(url, '^(https?://[^/]+)', 1) || href "
+            "END AS dst FROM a WHERE CASE "
+            "WHEN regexp_matches(href, '^https?://') THEN href "
+            "WHEN href LIKE '/%' THEN "
+            "regexp_extract(url, '^(https?://[^/]+)', 1) || href "
+            "END IS NOT NULL), "
+            f"nodes AS (SELECT DISTINCT p FROM (SELECT url AS p "
+            f"FROM {corpus} WHERE media_kind = 'html' "
+            f"AND url NOT LIKE '%/html_charset/%' "
+            "UNION ALL SELECT dst FROM edges)), "
+            "n AS (SELECT count(*) AS n FROM nodes), "
+            "outdeg AS (SELECT src, count(*) AS deg FROM edges "
+            "GROUP BY src), "
+            "indeg AS (SELECT dst, count(*) AS in_deg FROM edges "
+            "GROUP BY dst), "
+            "r0 AS (SELECT p, round(1.0 / n.n, 6) AS pr "
+            "FROM nodes CROSS JOIN n), "
+            "r1 AS (SELECT nodes.p, round(0.15 / n.n + 0.85 * "
+            "coalesce(s.c, 0), 6) AS pr FROM nodes CROSS JOIN n "
+            "LEFT JOIN (SELECT e.dst, sum(r.pr / o.deg) AS c "
+            "FROM edges e JOIN r0 r ON e.src = r.p "
+            "JOIN outdeg o ON e.src = o.src GROUP BY e.dst) s "
+            "ON nodes.p = s.dst), "
+            "r2 AS (SELECT nodes.p, round(0.15 / n.n + 0.85 * "
+            "coalesce(s.c, 0), 6) AS pr FROM nodes CROSS JOIN n "
+            "LEFT JOIN (SELECT e.dst, sum(r.pr / o.deg) AS c "
+            "FROM edges e JOIN r1 r ON e.src = r.p "
+            "JOIN outdeg o ON e.src = o.src GROUP BY e.dst) s "
+            "ON nodes.p = s.dst), "
+            "r3 AS (SELECT nodes.p, round(0.15 / n.n + 0.85 * "
+            "coalesce(s.c, 0), 6) AS pr FROM nodes CROSS JOIN n "
+            "LEFT JOIN (SELECT e.dst, sum(r.pr / o.deg) AS c "
+            "FROM edges e JOIN r2 r ON e.src = r.p "
+            "JOIN outdeg o ON e.src = o.src GROUP BY e.dst) s "
+            "ON nodes.p = s.dst) "
+            "SELECT r3.p, r3.pr AS pr_r6, "
+            "CAST(coalesce(o.deg, 0) AS BIGINT) AS out_degree, "
+            "CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_degree "
+            "FROM r3 LEFT JOIN outdeg o ON r3.p = o.src "
+            "LEFT JOIN indeg i ON r3.p = i.dst ORDER BY r3.p"
         ),
         "tokenize_ids": (
             # identical vocab ranking + OOV bucketing + ordered-id md5

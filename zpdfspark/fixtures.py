@@ -1021,8 +1021,16 @@ def html_page(i: int = 0) -> Tuple[bytes, str]:
         "<style>body{color:red}</style><script>var x=1;</script></head>"
         "<body><header>Site Header</header><nav><ul><li>Home</li></ul></nav>"
         f"<main><h1>Title {i}</h1>{body}</main>"
-        "<aside>Related links</aside><footer>(c) example</footer>"
-        "</body></html>"
+        "<aside>Related links</aside><footer>(c) example "
+        # deterministic EXTERNAL outlinks (v32): footer boilerplate is
+        # stripped from the expected text, but the anchors feed the
+        # outlinks / page_pagerank host+page graphs with real
+        # cross-host edges
+        + "".join(
+            f'<a href="https://host{(i * m + m) % 11}.example/'
+            f'partner">p{m}</a> '
+            for m in (3, 7))
+        + "</footer></body></html>"
     )
     expected = "\n".join([f"Title {i}"] + [p.replace("&amp;", "&") for p in paras])
     return doc.encode("utf-8"), expected
@@ -1529,7 +1537,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v31"
+CORPUS_VERSION = "v32"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
