@@ -804,3 +804,50 @@ def test_wat_export_roundtrip(spark, corpus_path, tmp_path):
                              partitions=2)
     assert summary["format"] == "wat"
     assert summary["rows"] == len(raws)
+
+
+def test_warc_to_wet_end_to_end(spark, tmp_path):
+    """The canonical Common Crawl conversion in one job: .warc.gz
+    archives -> --format wet -> conversion records whose text
+    byte-matches the kernel's extraction of each archived payload."""
+    import glob as globmod
+    import json
+
+    from zpdfspark.fixtures import corpus_rows, write_warc_fixture
+    from zpdfspark.kernel.htmltext import extract_any
+    from zpdfspark.kernel.warc import iter_warc_records
+    from zpdfspark.spark.pipeline import run_format_job
+
+    d = str(tmp_path / "warc")
+    pattern, _expected = write_warc_fixture(d, 60, seed=17)
+    out = str(tmp_path / "wet_out")
+    summary = run_format_job(spark, pattern, out, "wet",
+                             input_format="warc", partitions=2)
+    assert summary["format"] == "wet"
+
+    truth = {u: extract_any(pdf, "accuracy")[0]
+             for u, _ts, pdf, _text, _lang in corpus_rows(60, seed=17)}
+    got = {}
+    for path in globmod.glob(os.path.join(out, "data",
+                                          "*.warc.wet.gz")):
+        for r in list(iter_warc_records(open(path, "rb").read()))[1:]:
+            got[r.target_uri] = r.body.decode("utf-8")
+    assert got == truth
+    assert summary["rows"] == len(truth)
+
+    # WAT twin off the same archives: JSON parses, lengths exact
+    out2 = str(tmp_path / "wat_out")
+    s2 = run_format_job(spark, pattern, out2, "wat",
+                        input_format="warc", partitions=2)
+    assert s2["rows"] == len(truth)
+    raws = {u: pdf for u, _ts, pdf, _t, _l in corpus_rows(60, seed=17)}
+    n = 0
+    for path in globmod.glob(os.path.join(out2, "data",
+                                          "*.warc.wat.gz")):
+        for r in list(iter_warc_records(open(path, "rb").read()))[1:]:
+            meta = json.loads(r.body)
+            assert (meta["Envelope"]["Payload-Metadata"]
+                    ["Actual-Content-Length"]
+                    == len(raws[r.target_uri]))
+            n += 1
+    assert n == len(truth)

@@ -591,6 +591,13 @@ def run_format_job(spark: SparkSession, input_path: str, output_path: str,
 
     if input_format == "iceberg":
         df = spark.read.format("iceberg").load(input_path)
+    elif input_format == "warc":
+        # archive -> derivative in one job (the canonical Common Crawl
+        # WARC -> WET/WAT conversion); warc_documents yields the same
+        # (url, warc_ts, html) shape the parquet path reads
+        from zpdfspark.spark.warc_source import warc_documents
+
+        df = warc_documents(spark, input_path)
     else:
         df = spark.read.parquet(input_path)
     if since:
