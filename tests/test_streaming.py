@@ -351,3 +351,61 @@ def test_streaming_warc_cdx_matches_batch_and_expected(spark, tmp_path):
     batch = {tuple(r[k] for k in key): r.asDict()
              for r in warc_cdx(spark, str(drop / "*.warc.gz")).collect()}
     assert batch.keys() == rows.keys()
+
+
+def test_streaming_warc_wet_per_archive(spark, tmp_path):
+    """Streaming WET twin: each dropped archive yields exactly one
+    `<stem>.warc.wet.gz` whose conversion texts byte-match the kernel
+    extraction of the archive's own response payloads (in capture
+    order, archive dates preserved); a restart with no new files
+    changes nothing on disk (byte-identical idempotence)."""
+    import glob
+    import hashlib
+    import os as _os
+
+    from zpdfspark.fixtures import write_warc_fixture
+    from zpdfspark.kernel.htmltext import extract_any
+    from zpdfspark.kernel.warc import iter_warc_records
+    from zpdfspark.spark.streaming import start_streaming_warc_wet
+
+    drop = tmp_path / "drop"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    drop.mkdir()
+    write_warc_fixture(str(drop), 24, seed=37, shards=2)
+
+    q = start_streaming_warc_wet(spark, str(drop), out, ckpt)
+    q.awaitTermination(120)
+
+    archives = sorted(glob.glob(str(drop / "*.warc.gz")))
+    wets = sorted(glob.glob(_os.path.join(out, "wet", "*.warc.wet.gz")))
+    assert len(wets) == len(archives) == 2
+    for arch in archives:
+        stem = _os.path.basename(arch)[: -len(".warc.gz")]
+        wet = _os.path.join(out, "wet", stem + ".warc.wet.gz")
+        assert wet in wets
+        want = []
+        for rec in iter_warc_records(open(arch, "rb").read()):
+            if rec.error or not rec.target_uri \
+                    or rec.warc_type != "response":
+                continue
+            want.append((rec.target_uri, rec.warc_date,
+                         extract_any(rec.body, "accuracy")[0]))
+        got = []
+        recs = list(iter_warc_records(open(wet, "rb").read()))
+        assert recs[0].warc_type == "warcinfo"
+        for r in recs[1:]:
+            assert r.warc_type == "conversion"
+            got.append((r.target_uri, r.warc_date,
+                        r.body.decode("utf-8")))
+        assert got == want  # capture order + archive dates preserved
+
+    hashes = {p: hashlib.md5(open(p, "rb").read()).hexdigest()
+              for p in wets}
+    q2 = start_streaming_warc_wet(spark, str(drop), out, ckpt)
+    q2.awaitTermination(120)
+    assert {p: hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in wets} == hashes
+    # manifest rows exist and total the conversion records
+    man = spark.read.parquet(out + "/data")
+    assert man.count() == 2

@@ -405,3 +405,55 @@ def start_streaming_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_streaming_warc_wet(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    mode: str = "accuracy",
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """readStream(binaryFile over a .warc.gz drop directory) -> one
+    WET file PER ARCHIVE under output_dir/wet (Common Crawl's own
+    per-archive derivative layout, named from the archive stem) plus
+    an idempotent parquet manifest of (file, n_records, n_bytes)
+    under output_dir. The continuous twin of `--format wet
+    --input-format warc`: as a crawler drops archives, the WET
+    mirror stays current.
+
+    Exactly-once here is belt-and-braces: file-source offsets
+    checkpoint as usual, AND the WET writer itself is idempotent
+    without them — output name and bytes are pure functions of the
+    archive (spark/warc_sink.py archive_wet_batches: pinned gzip
+    mtimes, md5 record ids, capture order, temp+rename), so a
+    replayed batch overwrites byte-identically."""
+    from zpdfspark.spark.warc_sink import archive_wet_batches
+
+    wet_dir = os.path.join(output_dir, "wet")
+    os.makedirs(wet_dir, exist_ok=True)
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger or 8))
+        .load(input_dir)
+    )
+    manifest_sink = _idempotent_batch_writer(spark, output_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        summary = batch_df.select("path", "content").mapInPandas(
+            archive_wet_batches(wet_dir, mode),
+            "file string, n_records long, n_bytes long")
+        manifest_sink(summary, batch_id)
+
+    writer = reader.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

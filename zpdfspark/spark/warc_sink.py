@@ -189,3 +189,74 @@ def write_wat(df: DataFrame, out_dir: str,
             it, out_dir, "wat-{:05d}.warc.wat.gz", wat_records, docs)
 
     return src.mapInPandas(batches, _SUMMARY_SCHEMA)
+
+
+def archive_wet_batches(out_dir: str, mode: str = "accuracy"):
+    """mapInPandas kernel for the per-ARCHIVE WET layout (Common
+    Crawl names each WET file after its source archive): every input
+    row (path, content) parses, extracts and writes
+    `<archive-stem>.warc.wet.gz` in capture order, streamed
+    member-by-member with temp+rename. Because the output name and
+    bytes are pure functions of the archive, re-delivery (streaming
+    batch replay, speculative twins) overwrites byte-identically —
+    sink idempotence without batch bookkeeping. File-level garbage
+    skips the archive (error posture of the fused ingest path)."""
+
+    def fn(it):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from zpdfspark.kernel.htmltext import extract_any
+        from zpdfspark.kernel.warc import (WarcError, iter_warc_records,
+                                           wet_records)
+
+        attempt = TaskContext.get().taskAttemptId()
+        for b in it:
+            out = {"file": [], "n_records": [], "n_bytes": []}
+            for path, content in zip(b["path"], b["content"]):
+                raw = bytes(content)
+                stem = os.path.basename(str(path))
+                if stem.endswith(".warc.gz"):
+                    stem = stem[: -len(".warc.gz")]
+                elif stem.endswith(".warc"):
+                    stem = stem[: -len(".warc")]
+                name = stem + ".warc.wet.gz"
+
+                def docs():
+                    try:
+                        for rec in iter_warc_records(raw):
+                            if (rec.error or not rec.target_uri
+                                    or rec.warc_type != "response"):
+                                continue
+                            yield (rec.target_uri,
+                                   rec.warc_date
+                                   or "1970-01-01T00:00:00Z",
+                                   extract_any(rec.body, mode)[0])
+                    except WarcError:
+                        return  # file-level garbage: skip the archive
+
+                tmp = os.path.join(out_dir, f".{name}.tmp-{attempt}")
+                n_records = n_bytes = 0
+                f = None
+                try:
+                    for member in wet_records(name, docs()):
+                        if f is None:
+                            f = open(tmp, "wb")
+                        else:
+                            n_records += 1
+                        f.write(member)
+                        n_bytes += len(member)
+                finally:
+                    if f is not None:
+                        f.close()
+                if n_records == 0:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
+                    continue
+                os.replace(tmp, os.path.join(out_dir, name))
+                out["file"].append(name)
+                out["n_records"].append(n_records)
+                out["n_bytes"].append(n_bytes)
+            yield pd.DataFrame(out)
+
+    return fn
