@@ -1168,6 +1168,81 @@ def _q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003 — the MOSS algorithm): hash every k=8-char gram, slide a
+    w=4-hash window, keep the window minimum (leftmost on ties), and
+    the distinct kept (pos, hash) pairs are the doc's fingerprints —
+    guaranteed to catch any shared substring of >= w+k-1 chars while
+    storing ~2/(w+1) of the grams. A fingerprint shared across docs
+    marks plagiarism/mirror candidates.
+
+    Shape at 100 TB: fingerprint selection is entirely map-only
+    (list lambdas inside whole-stage codegen — the per-doc arrays
+    are doc-bounded); only the distinct (doc_id, hash) pairs shuffle
+    for the cross-doc share count, and that agg-fed join back is
+    SALTED like every keeper join in this repo (the measured r4 AQE
+    finding). Text never leaves the scan."""
+    K, W = 8, 4
+    SALT = 8
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    n = F.length("text")
+    n_grams = F.greatest(n - (K - 1), F.lit(0))
+    # gram hash = first 8 md5 hex chars as a bigint (md5-conv idiom)
+    grams = F.when(n >= K, F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(F.substring(
+            F.md5(F.substring(F.col("text"), i, K)), 1, 8),
+            16, 10).cast("long"))).otherwise(
+        F.array().cast("array<bigint>"))
+    # localCheckpoint is a MEASURED necessity, not style: without a
+    # materialization barrier Catalyst's CollapseProject inlines the
+    # n-md5-call gram expression into EVERY window's slice, turning
+    # the query O(n^2) per doc (295 s vs 1.6 s at sf0.01 — profiled
+    # this round). The checkpoint pins g as a column attribute so
+    # each window slices 4 materialized elements.
+    base = d.select("doc_id", grams.alias("g")).localCheckpoint()
+    # windows of W consecutive hashes; fingerprint = (leftmost) min
+    # fingerprint token packs (pos, hash) into one bigint
+    # (pos * 2^32 + h; the 8-hex-char hash is < 2^32) so the distinct
+    # runs on a flat integer list in BOTH engines (DuckDB's
+    # list_distinct cannot hash struct lists)
+    fps = base.select(
+        "doc_id", F.size("g").cast("long").alias("n_grams"),
+        F.array_distinct(F.when(F.size("g") >= W, F.transform(
+            F.sequence(F.lit(1), F.size("g") - (W - 1)),
+            lambda j: (
+                (j - 1 + F.array_position(
+                    F.slice("g", j, W),
+                    F.array_min(F.slice("g", j, W))))
+                .cast("long") * F.lit(4294967296).cast("long")
+                + F.array_min(F.slice("g", j, W)))))
+            .otherwise(F.array().cast("array<bigint>")))
+        .alias("fp"))
+    pairs = (fps.select("doc_id", F.explode("fp").alias("f"))
+             .select("doc_id",
+                     F.pmod("f", F.lit(4294967296)).alias("h"))
+             .distinct()
+             .withColumn("salt", F.pmod(F.col("doc_id"), F.lit(SALT))))
+    shared = (pairs.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1).select("h")
+        .withColumn("salt", F.explode(
+            F.sequence(F.lit(0), F.lit(SALT - 1)).cast("array<bigint>"))))
+    per_doc_shared = (pairs.join(shared, ["h", "salt"])
+                      .groupBy("doc_id")
+                      .agg(F.count("*").alias("sh")))
+    return (
+        fps.select("doc_id", "n_grams",
+                   F.size("fp").cast("long").alias("n_fingerprints"))
+        .join(per_doc_shared, "doc_id", "left")
+        .select("doc_id", "n_grams", "n_fingerprints",
+                F.coalesce("sh", F.lit(0)).cast("long")
+                .alias("n_shared_fp"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", r5): score every raw
@@ -3426,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": _q_normalized_dedup,
         "outlinks": _q_outlinks,
         "page_pagerank": _q_page_pagerank,
+        "winnowing": _q_winnowing,
     }
 
 
@@ -3998,6 +4074,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(pd.ndw, 0) AS BIGINT) AS n_dup_windows, "
             "CAST(coalesce(pd.dt, 0) AS BIGINT) AS dup_tokens "
             "FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
+        ),
+        "winnowing": (
+            # identical k=8 gram hashing (md5-conv idiom), w=4
+            # leftmost-min window selection, distinct fingerprints,
+            # and cross-doc share counting
+            "WITH d AS (SELECT doc_id, text FROM documents "
+            "WHERE text IS NOT NULL), "
+            "g AS (SELECT doc_id, CASE WHEN length(text) >= 8 THEN "
+            "list_transform(range(1, length(text) - 6), "
+            "i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 8)) "
+            "AS BIGINT)) ELSE CAST([] AS BIGINT[]) END AS g FROM d), "
+            "f AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams, "
+            "list_distinct(CASE WHEN len(g) >= 4 THEN "
+            "list_transform(range(1, len(g) - 2), "
+            "j -> CAST(j - 1 + list_position(g[j:j+3], "
+            "list_min(g[j:j+3])) AS BIGINT) * 4294967296 "
+            "+ list_min(g[j:j+3])) "
+            "ELSE CAST([] AS BIGINT[]) END) AS fp FROM g), "
+            "pairs AS (SELECT DISTINCT doc_id, u % 4294967296 AS h "
+            "FROM (SELECT doc_id, unnest(fp) AS u FROM f)), "
+            "sh AS (SELECT h FROM pairs GROUP BY h "
+            "HAVING count(DISTINCT doc_id) > 1), "
+            "pds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sh "
+            "FROM pairs WHERE h IN (SELECT h FROM sh) "
+            "GROUP BY doc_id) "
+            "SELECT f.doc_id, n_grams, "
+            "CAST(len(fp) AS BIGINT) AS n_fingerprints, "
+            "CAST(coalesce(pds.sh, 0) AS BIGINT) AS n_shared_fp "
+            "FROM f LEFT JOIN pds USING (doc_id) ORDER BY doc_id"
         ),
         "dsir_weights": (
             # identical hashed-unigram importance arithmetic: B=128

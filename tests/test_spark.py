@@ -851,3 +851,30 @@ def test_warc_to_wet_end_to_end(spark, tmp_path):
                     == len(raws[r.target_uri]))
             n += 1
     assert n == len(truth)
+
+
+def test_winnowing_guarantee_property(spark, tmp_path):
+    """Schleimer et al.'s detection guarantee: any substring shared
+    across documents of length >= w + k - 1 (= 11 chars at k=8, w=4)
+    must surface at least one shared fingerprint in BOTH sharers; a
+    document with no such overlap reports zero."""
+    import __spark_entry__ as E
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 43 chars
+    rows = [
+        (0, "AAAA " + shared + " BBBB", "en"),
+        (1, "CCCCCC " + shared + " DDDD", "en"),
+        (2, "entirely unrelated content with zero overlap here", "en"),
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r.asDict()
+           for r in E.queries()["winnowing"](spark, d).collect()}
+    assert got[0]["n_shared_fp"] > 0
+    assert got[1]["n_shared_fp"] > 0
+    assert got[2]["n_shared_fp"] == 0
+    # density: winnowing keeps ~2/(w+1) of grams, never more than all
+    for r in got.values():
+        assert 0 < r["n_fingerprints"] <= r["n_grams"]
