@@ -406,6 +406,25 @@ def main() -> None:
         queries["cc_chain_star_1e5"] = round(time.perf_counter() - t0, 3)
         queries["cc_chain_star_rounds"] = rc[0]
         assert n_comp == 1 + n_stars
+
+        # derivative-sink throughput (r5): WET export of the mixed
+        # corpus — fused extract+serialize+write, one file per core
+        import shutil
+        import tempfile
+
+        from zpdfspark.spark.warc_sink import write_wet
+
+        wet_dir = tempfile.mkdtemp(prefix="bench_wet_")
+        try:
+            corpus_df = spark.read.parquet(entry_mod._corpus_path(sf_dir))
+            t0 = time.perf_counter()
+            n_wet = sum(r["n_records"] for r in write_wet(
+                corpus_df, wet_dir, partitions=cpus).collect())
+            queries["wet_export"] = round(time.perf_counter() - t0, 3)
+            queries["wet_docs_per_sec"] = round(
+                n_wet / queries["wet_export"], 1)
+        finally:
+            shutil.rmtree(wet_dir, ignore_errors=True)
     finally:
         spark.stop()
 
