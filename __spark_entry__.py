@@ -1243,6 +1243,202 @@ def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (r5): for every link TARGET, what the
+    rest of the web calls it — the classic search-index / page-quality
+    signal (anchor text is how Common Crawl's WAT consumers and every
+    web search stack describe pages they haven't parsed). Each
+    <a href="...">text</a> element is mined per page (pure JVM
+    regexp_extract_all + one page-bounded explode, same scan shape as
+    outlinks), the target resolved like the page graph (absolute kept,
+    root-relative resolved against the source origin), anchor text
+    whitespace-normalized. Aggregation is TWO map-side-combining
+    groupBys — (dst_url, text) counts, then per-dst totals with the
+    top anchor picked by max(struct(n, text)) — so at 100 TB the only
+    state per reducer key is one (count, text) pair: no window, no
+    collect_list of unbounded anchor sets, no global sort before the
+    final presentation orderBy. A popular page with 10^9 in-links is
+    just a hot-but-splittable key in stage 1 (AQE skew split applies:
+    the first groupBy is scan-fed, not agg-fed)."""
+    corpus = _corpus(spark, sf_dir)
+    html = F.col("html").cast("string")
+    src_host = F.regexp_extract("url", "^https?://([^/]+)", 1)
+    els = (
+        corpus.where((F.col("media_kind") == "html")
+                     & ~F.col("url").like("%/html_charset/%"))
+        .select(
+            "url", src_host.alias("src_host"),
+            F.explode(F.regexp_extract_all(
+                html,
+                F.lit('<a[^>]*\\shref="[^"]*"[^>]*>[^<]*</a>'),
+                F.lit(0))).alias("el"))
+    )
+    href = F.regexp_extract("el", '\\shref="([^"]*)"', 1)
+    atext = F.trim(F.regexp_replace(
+        F.regexp_extract("el", ">([^<]*)</a>$", 1), "\\s+", " "))
+    dst_url = F.when(
+        href.rlike("^https?://"), href
+    ).otherwise(F.concat(
+        F.lit("https://"), F.col("src_host"),
+        F.when(href.startswith("/"), href)
+        .otherwise(F.concat(F.lit("/"), href))))
+    pairs = (
+        els.select(dst_url.alias("dst_url"), atext.alias("atext"))
+        .where(F.length("atext") > 0)
+        .groupBy("dst_url", "atext")
+        .agg(F.count("*").alias("n"))
+    )
+    top = F.max(F.struct(F.col("n"), F.col("atext")))
+    return (
+        pairs.groupBy("dst_url")
+        .agg(F.sum("n").alias("n_anchors"),
+             F.count("*").alias("n_unique_texts"),
+             top.getField("atext").alias("top_text"),
+             top.getField("n").alias("top_n"))
+        .orderBy("dst_url")
+    )
+
+
+def _q_content_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl content drift (r5): how much did each page change
+    between consecutive captures — the signal crawl schedulers
+    (Cho & Garcia-Molina 2000 freshness work, Heritrix's
+    uri-recheck) and incremental-dedup pipelines key on. Change is
+    measured as Jaccard similarity of the word-5-gram fingerprint
+    sets of the two captures (shingle fingerprints, not raw text, so
+    the pairing shuffle carries 16-hex-char hashes — never the
+    document bodies). The driver corpus has one capture per doc, so a
+    second crawl is synthesized (union) with a deterministic mutation:
+    every 3rd doc gains a 5-token doc_id-derived suffix (5 new grams),
+    the rest are byte-identical — both engines seed identically.
+    Shape: gram fingerprinting is map-only per row; the capture
+    pairing is ONE doc_id window (per-doc cardinality = capture
+    count, tiny and splittable) via lag(fingerprints); at 100 TB the
+    exchange carries |distinct grams| hashes per doc, ~8% of text
+    size at the 16-hex encoding."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    suffix = F.concat_ws(" ", *[
+        F.concat(F.lit("d"), F.col("doc_id").cast("string"),
+                 F.lit(f"_{j}")) for j in range(5)])
+    mutated = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" "), suffix)
+    ).otherwise(F.col("text"))
+    both = (
+        d.select("doc_id", F.lit(1).alias("ver"), F.col("text"))
+        .unionByName(
+            d.select("doc_id", F.lit(2).alias("ver"),
+                     mutated.alias("text")))
+    )
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    grams = F.when(n >= 5, F.transform(
+        F.sequence(F.lit(0), n - 5),
+        lambda j: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(words, j + 1, 5))), 1, 16)
+    )).otherwise(F.array().cast("array<string>"))
+    fp = both.select(
+        "doc_id", "ver",
+        F.array_sort(F.array_distinct(grams)).alias("g"))
+    w = Window.partitionBy("doc_id").orderBy("ver")
+    paired = fp.select(
+        "doc_id", "ver", "g", F.lag("g").over(w).alias("gp"))
+    inter = F.size(F.array_intersect("g", "gp"))
+    union = F.size(F.array_union("g", "gp"))
+    return (
+        paired.where(F.col("ver") == 2)
+        .select(
+            "doc_id",
+            F.size("gp").cast("long").alias("n_grams_prev"),
+            F.size("g").cast("long").alias("n_grams_cur"),
+            inter.cast("long").alias("n_shared"),
+            F.when(union == 0, F.lit(1000))
+            .otherwise(F.floor(inter * 1000 / union))
+            .cast("long").alias("jaccard_x1000"),
+            (inter != union).alias("changed"))
+        .orderBy("doc_id")
+    )
+
+
+_BADWORDS = ("casino", "jackpot", "viagra", "xxx")
+
+
+def _q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's blocklist gate (Raffel et al. 2020 — "page containing any
+    word on the 'List of Dirty, Naughty …' list is removed"): flag
+    documents containing a blocklist token and count occurrences. The
+    list rides as a literal in-plan array (the production shape is the
+    same — a few thousand words broadcast with the task binary, never
+    a join side), membership tested by an in-row higher-order filter,
+    so the whole gate is map-only inside whole-stage codegen: zero
+    exchanges added to the curation scan at any corpus size. The
+    driver's synthetic text contains no real blocklist words, so every
+    7th doc gets one doc_id-chosen token appended before measuring
+    (the pii_scrub observable-seeding pattern, replayed identically by
+    the oracle)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    chosen = F.element_at(
+        F.array(*[F.lit(b) for b in _BADWORDS]),
+        (F.col("doc_id") % 4 + 1).cast("int"))
+    seeded = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" "), chosen)
+    ).otherwise(F.col("text"))
+    words = F.split(seeded, " ")
+    bad = F.array(*[F.lit(b) for b in _BADWORDS])
+    n_bad = F.size(F.filter(words, lambda x: F.array_contains(bad, x)))
+    return d.select(
+        "doc_id",
+        n_bad.cast("long").alias("n_bad_words"),
+        (n_bad > 0).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+def _q_charset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset audit (r5): surface the extraction kernel's per-page
+    charset decisions — BOM presence, the <meta charset>/http-equiv
+    label DECLARED in the 1024-byte prescan window, and the codec the
+    kernel actually USES after WHATWG alias mapping
+    (kernel/htmltext.py sniff_charset / charset_report; real crawls
+    are full of cp1252-declared-as-latin1 and gb2312-declared-GBK
+    pages, and a pipeline must report what it decoded with for
+    lineage). Runs the real kernel via mapInPandas over the pruned
+    (url, html) scan — map-only, Arrow-batched, no shuffle before the
+    presentation orderBy. Oracle = generator truth: the fixture's
+    html_charset rotation (cp1252 / gbk / utf-8+BOM by doc index) and
+    the plain-html default rebuilt from URL arithmetic without
+    touching the bytes."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+    scoped = corpus.where(
+        F.col("url").like("%/html/%")
+        | F.col("url").like("%/html_charset/%")
+    ).select("url", "html")
+
+    def report(batches):
+        from zpdfspark.kernel.htmltext import charset_report
+
+        for batch in batches:
+            out = {"url": [], "had_bom": [], "declared": [], "codec": []}
+            for url, raw in zip(batch["url"], batch["html"]):
+                bom, declared, codec = charset_report(bytes(raw or b""))
+                out["url"].append(url)
+                out["had_bom"].append(bom)
+                out["declared"].append(declared)
+                out["codec"].append(codec)
+            yield pd.DataFrame(out)
+
+    return (
+        scoped.mapInPandas(
+            report,
+            "url string, had_bom boolean, declared string, codec string")
+        .orderBy("url")
+    )
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", r5): score every raw
@@ -3502,6 +3698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": _q_outlinks,
         "page_pagerank": _q_page_pagerank,
         "winnowing": _q_winnowing,
+        "anchor_text": _q_anchor_text,
+        "content_drift": _q_content_drift,
+        "badwords_filter": _q_badwords_filter,
+        "charset_report": _q_charset_report,
     }
 
 
@@ -4843,5 +5043,99 @@ def oracle_sql() -> dict[str, str]:
             "       lpad(lower(to_hex(s)), 16, '0') AS simhash,"
             "       lpad(lower(to_hex(s >> 48)), 4, '0') AS band16 "
             "FROM sh ORDER BY doc_id"
+        ),
+        "anchor_text": (
+            # identical anchor-element regex, target resolution, text
+            # normalization and two-stage aggregation over the same
+            # bytes; the struct-max top pick replayed as a (n DESC,
+            # text DESC) row_number — the same tie-break max(struct)
+            # resolves to
+            f"WITH a AS (SELECT url, "
+            f"regexp_extract(url, '^https?://([^/]+)', 1) AS src_host, "
+            f"unnest(regexp_extract_all(decode(html), "
+            f"'<a[^>]*\\shref=\"[^\"]*\"[^>]*>[^<]*</a>', 0)) AS el "
+            f"FROM {corpus} WHERE media_kind = 'html' "
+            f"AND url NOT LIKE '%/html_charset/%'), "
+            "b AS (SELECT src_host, "
+            "regexp_extract(el, '\\shref=\"([^\"]*)\"', 1) AS href, "
+            "trim(regexp_replace(regexp_extract(el, '>([^<]*)</a>$', 1), "
+            "'\\s+', ' ', 'g')) AS atext FROM a), "
+            "c AS (SELECT CASE WHEN regexp_matches(href, '^https?://') "
+            "THEN href ELSE 'https://' || src_host || "
+            "(CASE WHEN href LIKE '/%' THEN href ELSE '/' || href END) "
+            "END AS dst_url, atext FROM b WHERE length(atext) > 0), "
+            "d AS (SELECT dst_url, atext, count(*) AS n "
+            "FROM c GROUP BY 1, 2), "
+            "e AS (SELECT dst_url, atext, n, row_number() OVER ("
+            "PARTITION BY dst_url ORDER BY n DESC, atext DESC) AS rk "
+            "FROM d) "
+            "SELECT dst_url, CAST(sum(n) AS BIGINT) AS n_anchors, "
+            "count(*) AS n_unique_texts, "
+            "max(CASE WHEN rk = 1 THEN atext END) AS top_text, "
+            "CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS top_n "
+            "FROM e GROUP BY dst_url ORDER BY dst_url"
+        ),
+        "content_drift": (
+            # identical 5-gram fingerprinting + mutation seeding,
+            # computed per-doc directly (the Spark side's union+window
+            # pairing is a shape choice; values must agree)
+            "WITH w AS (SELECT doc_id, "
+            "string_split(coalesce(text, ''), ' ') AS ws FROM documents), "
+            "m AS (SELECT doc_id, ws, CASE WHEN doc_id % 3 = 0 THEN "
+            "list_concat(ws, [" + ", ".join(
+                f"'d' || CAST(doc_id AS VARCHAR) || '_{j}'"
+                for j in range(5)) + "]) ELSE ws END AS ws2 FROM w), "
+            "g AS (SELECT doc_id, "
+            "CASE WHEN len(ws) >= 5 THEN list_sort(list_distinct("
+            "list_transform(range(1, len(ws) - 3), j -> "
+            "substr(md5(array_to_string(list_slice(ws, j, j + 4), ' ')), "
+            "1, 16)))) ELSE [] END AS g1, "
+            "CASE WHEN len(ws2) >= 5 THEN list_sort(list_distinct("
+            "list_transform(range(1, len(ws2) - 3), j -> "
+            "substr(md5(array_to_string(list_slice(ws2, j, j + 4), ' ')), "
+            "1, 16)))) ELSE [] END AS g2 FROM m), "
+            "s AS (SELECT doc_id, len(g1) AS np, len(g2) AS nc, "
+            "len(list_filter(g2, x -> list_contains(g1, x))) AS i, "
+            "len(list_distinct(list_concat(g1, g2))) AS u FROM g) "
+            "SELECT doc_id, CAST(np AS BIGINT) AS n_grams_prev, "
+            "CAST(nc AS BIGINT) AS n_grams_cur, "
+            "CAST(i AS BIGINT) AS n_shared, "
+            "CAST(CASE WHEN u = 0 THEN 1000 "
+            "ELSE floor(i * 1000 / u) END AS BIGINT) AS jaccard_x1000, "
+            "(i != u) AS changed FROM s ORDER BY doc_id"
+        ),
+        "badwords_filter": (
+            # identical blocklist membership + observable seeding
+            "WITH s AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            "coalesce(text, '') || ' ' || "
+            "(['casino', 'jackpot', 'viagra', 'xxx'])"
+            "[CAST(doc_id % 4 AS INT) + 1] "
+            "ELSE coalesce(text, '') END AS t FROM documents), "
+            "c AS (SELECT doc_id, len(list_filter(string_split(t, ' '), "
+            "x -> list_contains(['casino', 'jackpot', 'viagra', 'xxx'], "
+            "x))) AS nb FROM s) "
+            "SELECT doc_id, CAST(nb AS BIGINT) AS n_bad_words, "
+            "(nb > 0) AS flagged FROM c ORDER BY doc_id"
+        ),
+        "charset_report": (
+            # GENERATOR TRUTH: the html_charset fixture rotates
+            # (cp1252-as-iso-8859-1 / gbk-as-gb2312 / utf-8+BOM) by doc
+            # index i % 3 (fixtures.html_charset_page) and plain /html/
+            # pages carry no declaration — the verdict columns rebuild
+            # from URL arithmetic without touching the bytes, so the
+            # kernel's prescan regex + WHATWG alias mapping is checked
+            # against an independent derivation
+            f"WITH p AS (SELECT url, "
+            f"CAST(regexp_extract(url, '-(\\d+)\\.pdf$', 1) AS BIGINT) "
+            f"AS i, (url LIKE '%/html_charset/%') AS cs "
+            f"FROM {corpus} WHERE url LIKE '%/html/%' "
+            f"OR url LIKE '%/html_charset/%') "
+            "SELECT url, (cs AND i % 3 = 2) AS had_bom, "
+            "CASE WHEN cs AND i % 3 = 0 THEN 'iso-8859-1' "
+            "WHEN cs AND i % 3 = 1 THEN 'gb2312' END AS declared, "
+            "CASE WHEN cs AND i % 3 = 0 THEN 'windows-1252' "
+            "WHEN cs AND i % 3 = 1 THEN 'gbk' "
+            "ELSE 'utf-8' END AS codec "
+            "FROM p ORDER BY url"
         ),
     }

@@ -878,3 +878,97 @@ def test_winnowing_guarantee_property(spark, tmp_path):
     # density: winnowing keeps ~2/(w+1) of grams, never more than all
     for r in got.values():
         assert 0 < r["n_fingerprints"] <= r["n_grams"]
+
+
+def test_anchor_text_aggregation(spark):
+    """anchor_text over the fixture corpus: the html_page footer seeds
+    deterministic partner anchors (texts p3/p7 pointing at
+    hostN.example/partner), so those targets must aggregate with a
+    p-text top pick; global invariants pin the two-stage agg."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["anchor_text"](spark, "/root/testdata/sf0.001") \
+        .collect()
+    assert rows, "fixture corpus has html pages with anchors"
+    partner = [r for r in rows if r["dst_url"].endswith("/partner")]
+    assert partner, "footer partner anchors must aggregate"
+    for r in rows:
+        assert 1 <= r["top_n"] <= r["n_anchors"]
+        assert r["n_unique_texts"] <= r["n_anchors"]
+        assert r["top_text"]
+    for r in partner:
+        assert r["top_text"] in ("p3", "p7")
+
+
+def test_content_drift_seeding(spark, tmp_path):
+    """Every 3rd doc gains a 5-token suffix: its previous grams all
+    survive (n_shared == n_grams_prev), it gains grams, and changed
+    flips; unmutated docs must report identical fingerprint sets."""
+    import __spark_entry__ as E
+
+    rows = [(i, " ".join(f"w{i}_{k}" for k in range(12)), "en")
+            for i in range(30)]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r.asDict()
+           for r in E.queries()["content_drift"](spark, d).collect()}
+    assert len(got) == 30
+    for i, r in got.items():
+        if i % 3 == 0:
+            assert r["changed"] is True
+            assert r["n_shared"] == r["n_grams_prev"]
+            assert r["n_grams_cur"] == r["n_grams_prev"] + 5
+            assert r["jaccard_x1000"] < 1000
+        else:
+            assert r["changed"] is False
+            assert r["jaccard_x1000"] == 1000
+            assert r["n_grams_cur"] == r["n_grams_prev"]
+
+
+def test_badwords_filter_seeding(spark, tmp_path):
+    """The C4 blocklist gate: exactly the seeded rows (doc_id % 7 == 0)
+    flag, with one occurrence each; clean rows report zero."""
+    import __spark_entry__ as E
+
+    rows = [(i, f"clean prose number {i} with ordinary words", "en")
+            for i in range(28)]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r.asDict()
+           for r in E.queries()["badwords_filter"](spark, d).collect()}
+    for i, r in got.items():
+        if i % 7 == 0:
+            assert r["flagged"] is True and r["n_bad_words"] == 1
+        else:
+            assert r["flagged"] is False and r["n_bad_words"] == 0
+
+
+def test_charset_report_kernel():
+    """charset_report: BOM precedence, prescan declaration surfacing,
+    WHATWG alias mapping, unknown-label fallthrough."""
+    from zpdfspark.kernel.htmltext import charset_report
+
+    assert charset_report(b"\xef\xbb\xbf<html>") == (True, None, "utf-8")
+    assert charset_report(b"\xff\xfe<\x00h\x00")[0] is True
+    assert charset_report(b"\xff\xfe<\x00h\x00")[2] == "utf-16-le"
+    assert charset_report(b"\xfe\xff\x00<\x00h")[2] == "utf-16-be"
+    bom_decl = charset_report(
+        b'\xef\xbb\xbf<meta charset="gb2312"><html>')
+    assert bom_decl == (True, "gb2312", "utf-8")  # BOM wins the codec
+    assert charset_report(
+        b'<html><head><meta charset="iso-8859-1"></head>'
+    ) == (False, "iso-8859-1", "windows-1252")
+    assert charset_report(
+        b'<meta http-equiv="Content-Type" content="text/html; '
+        b'charset=gb2312">') == (False, "gb2312", "gbk")
+    assert charset_report(b"<html><p>plain") == (False, None, "utf-8")
+    # unknown label falls through to utf-8 but is still surfaced
+    assert charset_report(
+        b'<meta charset="x-mystery">') == (False, "x-mystery", "utf-8")
+    # declaration outside the 1024-byte prescan window is not seen
+    far = b"<html>" + b" " * 1100 + b'<meta charset="gb2312">'
+    assert charset_report(far) == (False, None, "utf-8")

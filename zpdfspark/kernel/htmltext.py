@@ -97,6 +97,20 @@ def sniff_charset(raw: bytes) -> str:
     return "utf-8"
 
 
+def charset_report(raw: bytes):
+    """Lineage view of the sniff decision: (had_bom, declared_label,
+    codec). `declared_label` is the raw <meta charset>/http-equiv label
+    found in the 1024-byte prescan window (lowercased, None if absent);
+    `codec` is what sniff_charset resolves to (BOM first, then the
+    WHATWG alias table). A curation pipeline records all three per page
+    so decode decisions are auditable after the bytes are gone."""
+    had_bom = (raw[:3] == b"\xef\xbb\xbf"
+               or raw[:2] in (b"\xff\xfe", b"\xfe\xff"))
+    m = _META_CHARSET_RE.search(raw[:1024])
+    declared = m.group(1).decode("ascii", "replace").lower() if m else None
+    return had_bom, declared, sniff_charset(raw)
+
+
 def looks_like_html(raw: bytes) -> bool:
     if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
         # utf-16 BOM: check the transcoded head
