@@ -631,3 +631,49 @@ def test_normalized_dedup_no_window_hash_only(spark, sf_dir):
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_badwords_filter_map_only(spark, sf_dir):
+    """The C4 blocklist gate (r5) must evaluate entirely inside the
+    scan project: no join (the list is an in-plan literal), no window,
+    no Python, no hash exchange at any corpus size."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["badwords_filter"](spark, sf_dir),
+                      spark)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_anchor_text_two_aggs_no_window(spark, sf_dir):
+    """anchor_text (r5): exactly the two map-side-combining aggregates
+    — no window (the top pick is max(struct)), no join, and the html
+    blobs never ride an exchange (only dst_url/atext shuffle)."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["anchor_text"](spark, sf_dir), spark)
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "html#" not in line, line
+    # partial + final for each of the two groupBys
+    assert len(re.findall(r"HashAggregate", plan)) == 4, plan
+
+
+def test_content_drift_window_per_doc_hashes_only(spark, sf_dir):
+    """content_drift (r5): the capture pairing is ONE doc_id window
+    (splittable; per-doc cardinality = capture count) and the pairing
+    exchange carries gram HASHES, never the text column."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["content_drift"](spark, sf_dir),
+                      spark)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\bWindow\b", plan)) >= 1, plan
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text#" not in line, line

@@ -972,3 +972,103 @@ def test_charset_report_kernel():
     # declaration outside the 1024-byte prescan window is not seen
     far = b"<html>" + b" " * 1100 + b'<meta charset="gb2312">'
     assert charset_report(far) == (False, None, "utf-8")
+
+
+def test_zipnum_roundtrip_and_determinism(spark, tmp_path):
+    """write_zipnum: every cluster.idx block must be an independently
+    gunzippable member whose first line matches the index row; the
+    blocks in cluster.idx order must reassemble the full
+    (urlkey, ts)-sorted CDXJ index; re-runs are byte-identical."""
+    import gzip as _gzip
+    import json as _json
+
+    from zpdfspark.fixtures import write_warc_fixture
+    from zpdfspark.spark.warc_sink import write_cluster_idx, write_zipnum
+    from zpdfspark.spark.warc_source import warc_cdx
+
+    d = str(tmp_path / "warcs")
+    glob, _ = write_warc_fixture(d, 80, seed=19)
+    cdx = warc_cdx(spark, glob)
+    out = str(tmp_path / "zipnum")
+    idx = write_zipnum(cdx, out, lines_per_block=5, partitions=3)
+    cluster = write_cluster_idx(idx, out)
+
+    # expected: the full sorted CDXJ line set, rebuilt independently
+    # from the query output
+    exp_lines = []
+    for r in cdx.collect():
+        payload = _json.dumps({
+            "url": r["url"], "mime": r["mime"] or "",
+            "status": str(r["http_status"])
+            if r["http_status"] is not None else "",
+            "digest": r["digest"], "length": str(r["rec_length"]),
+            "offset": str(r["rec_offset"]), "filename": r["warc_file"],
+        }, separators=(", ", ": "))
+        exp_lines.append(
+            (r["urlkey"], r["cdx_ts"], r["digest"], r["warc_file"],
+             r["rec_offset"], f"{r['urlkey']} {r['cdx_ts']} {payload}"))
+    exp_lines.sort()
+    expected = [t[-1] for t in exp_lines]
+    assert expected, "fixture must produce CDX rows"
+
+    got = []
+    prev_seq = {}
+    with open(cluster) as f:
+        idx_lines = [ln.rstrip("\n") for ln in f]
+    assert [int(ln.split("\t")[4]) for ln in idx_lines] == \
+        list(range(len(idx_lines)))
+    for ln in idx_lines:
+        key, fname, off, length, _seq = ln.split("\t")
+        with open(os.path.join(out, fname), "rb") as pf:
+            pf.seek(int(off))
+            member = pf.read(int(length))
+        block = _gzip.decompress(member).decode().splitlines()
+        assert 0 < len(block) <= 5
+        # the index key is the block's first (urlkey, ts)
+        assert block[0].startswith(key.replace(" ", " ", 1))
+        first_uk, first_ts = block[0].split(" ", 2)[:2]
+        assert key == f"{first_uk} {first_ts}"
+        # seq ordering within each part file
+        assert prev_seq.get(fname, -1) < int(_seq)
+        prev_seq[fname] = int(_seq)
+        got.extend(block)
+    assert got == expected
+
+    # part files tile exactly: concatenated member lengths == file size
+    sizes = {}
+    for ln in idx_lines:
+        _k, fname, off, length, _s = ln.split("\t")
+        sizes[fname] = max(sizes.get(fname, 0), int(off) + int(length))
+    for fname, end in sizes.items():
+        assert os.path.getsize(os.path.join(out, fname)) == end
+
+    # byte-identical re-run (atomic overwrite, pinned mtimes)
+    before = {p: open(os.path.join(out, p), "rb").read()
+              for p in os.listdir(out)}
+    idx2 = write_zipnum(warc_cdx(spark, glob), out,
+                        lines_per_block=5, partitions=3)
+    write_cluster_idx(idx2, out)
+    after = {p: open(os.path.join(out, p), "rb").read()
+             for p in os.listdir(out)}
+    assert before == after
+
+
+def test_format_job_zipnum(spark, tmp_path):
+    """CLI drive: --input-format warc --format zipnum writes blocks +
+    cluster.idx and reports totals; non-WARC input is refused."""
+    import pytest as _pytest
+
+    from zpdfspark.fixtures import write_warc_fixture
+    from zpdfspark.spark.pipeline import run_format_job
+
+    d = str(tmp_path / "warcs")
+    glob, _ = write_warc_fixture(d, 60, seed=23)
+    out = str(tmp_path / "out")
+    summary = run_format_job(spark, glob, out, "zipnum",
+                             input_format="warc", partitions=2)
+    assert summary["format"] == "zipnum"
+    assert summary["rows"] > 0 and summary["blocks"] > 0
+    assert os.path.exists(os.path.join(out, "data", "cluster.idx"))
+    with _pytest.raises(ValueError):
+        run_format_job(spark, glob, out, "zipnum",
+                       input_format="parquet")

@@ -589,6 +589,37 @@ def run_format_job(spark: SparkSession, input_path: str, output_path: str,
                                       markdown_dataframe, metadata_dataframe,
                                       pages_dataframe)
 
+    if output_format == "zipnum":
+        # ZipNum-clustered CDX + cluster.idx (the CC secondary-index
+        # derivative); derives from archives, so the input must be WARC
+        if input_format != "warc":
+            raise ValueError("--format zipnum requires "
+                             "--input-format warc")
+        if page_range is not None:
+            raise ValueError("--pages does not apply to --format zipnum")
+        if since or until:
+            # the index is built straight from the archives (warc_cdx),
+            # not the filtered document frame — refuse rather than
+            # silently ignore the bounds
+            raise ValueError(
+                "--since/--until do not apply to --format zipnum")
+        from zpdfspark.spark.warc_sink import (write_cluster_idx,
+                                               write_zipnum)
+        from zpdfspark.spark.warc_source import warc_cdx
+
+        data_path = os.path.join(output_path, "data")
+        idx = write_zipnum(warc_cdx(spark, input_path), data_path,
+                           partitions=partitions).cache()
+        try:
+            blocks = idx.count()
+            n_lines = (idx.agg(F.sum("n_lines")).collect()[0][0]
+                       if blocks else 0)
+            cluster = write_cluster_idx(idx, data_path)
+        finally:
+            idx.unpersist()
+        return {"format": output_format, "rows": int(n_lines or 0),
+                "blocks": int(blocks), "cluster_idx": cluster,
+                "output": data_path}
     if input_format == "iceberg":
         df = spark.read.format("iceberg").load(input_path)
     elif input_format == "warc":
@@ -655,7 +686,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--mode", choices=("accuracy", "fast"), default="accuracy")
     ap.add_argument("--format",
                     choices=("text", "json", "markdown", "info", "wet",
-                             "wat"),
+                             "wat", "zipnum"),
                     default="text",
                     help="text = full extraction rows with lineage/resume "
                          "(the scale pipeline); json = one {metadata, "
@@ -666,7 +697,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                          "conversion records of the extracted text; "
                          "wat = *.warc.wat.gz per-capture JSON "
                          "metadata records (lengths, head metadata, "
-                         "outlinks)")
+                         "outlinks); zipnum = ZipNum-clustered CDX "
+                         "blocks + cluster.idx (WARC input only)")
     ap.add_argument("--pages", default=None,
                     help="inclusive 1-based page range 'a-b' or 'n' "
                          "(main.zig -p): applies the kernel-side page "
