@@ -1439,6 +1439,76 @@ def _q_charset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (r5) — the ftfy problem class a crawl pipeline
+    hits constantly: UTF-8 bytes that were decoded as latin-1 upstream
+    ("café" shipped as "cafÃ©"). The GENERIC repair re-encodes the
+    text as ISO-8859-1 and re-decodes as UTF-8, applied only when (a)
+    a mojibake signature is present (a UTF-8 lead-byte char U+00C2-C3
+    followed by a continuation-range char U+0080-BF) and (b) every
+    char is ≤ U+00FF so the latin-1 re-encode is lossless — both pure
+    JVM predicates, the whole repair inside whole-stage codegen: zero
+    exchanges at any scale. Oracle independence: the DuckDB side knows
+    nothing of encode/decode — it replays the seeded sequences via an
+    explicit replacement table, so the generic algorithm is checked
+    against an independent derivation. The driver corpus is clean
+    ASCII, so every 5th doc gets a deterministic mojibake phrase
+    appended (the pii_scrub observable-seeding pattern)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # 'café naïve' after a utf-8-read-as-latin1 round trip
+    moji = " cafÃ© naÃ¯ve"
+    seeded = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(moji))
+    ).otherwise(F.col("text"))
+    sig = seeded.rlike("[\\u00C2\\u00C3][\\u0080-\\u00BF]")
+    latin1_safe = seeded.rlike("^[\\u0000-\\u00FF]*$")
+    fixable = sig & latin1_safe
+    repaired = F.when(
+        fixable, F.decode(F.encode(seeded, "ISO-8859-1"), "UTF-8")
+    ).otherwise(seeded)
+    return d.select(
+        "doc_id",
+        fixable.alias("was_mojibake"),
+        repaired.alias("text_fixed"),
+    ).orderBy("doc_id")
+
+
+def _q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index dictionary statistics (r5) — the search-index
+    build shape (Lucene/Elasticsearch dictionary + postings): per
+    term, document frequency, total term frequency, and the top
+    (tf, doc) posting. Two map-side-combining aggregates: explode →
+    groupBy(term, doc_id) count (the per-doc combine collapses
+    repeated terms inside the scan task), then groupBy(term) with the
+    top posting via max(struct(tf, doc_id)) — an agg, NOT a
+    row_number window, so 'the'-scale hot terms are splittable
+    partial-agg keys instead of one un-splittable sort partition.
+    min_df floors the output like unigram_logprob's vocab floor (the
+    Zipf hapax tail — most of the dictionary — never reaches the
+    final exchange)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tf = (
+        d.select("doc_id",
+                 F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    top = F.max(F.struct(F.col("tf"), F.col("doc_id")))
+    return (
+        tf.groupBy("term")
+        # rows are distinct per (term, doc_id) by construction, so a
+        # plain count IS the document frequency — no expensive
+        # count-distinct expand
+        .agg(F.count("*").alias("df"),
+             F.sum("tf").alias("total_tf"),
+             top.getField("tf").alias("top_tf"),
+             top.getField("doc_id").alias("top_doc"))
+        .where(F.col("df") >= 2)
+        .orderBy("term")
+    )
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", r5): score every raw
@@ -3702,6 +3772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_drift": _q_content_drift,
         "badwords_filter": _q_badwords_filter,
         "charset_report": _q_charset_report,
+        "mojibake_fix": _q_mojibake_fix,
+        "postings": _q_postings,
     }
 
 
@@ -5137,5 +5209,40 @@ def oracle_sql() -> dict[str, str]:
             "WHEN cs AND i % 3 = 1 THEN 'gbk' "
             "ELSE 'utf-8' END AS codec "
             "FROM p ORDER BY url"
+        ),
+        "mojibake_fix": (
+            # INDEPENDENT repair derivation: the oracle knows nothing
+            # of encode/decode round trips — it replays the seeded
+            # mojibake sequences via an explicit replacement table,
+            # checking the generic latin1->utf8 re-decode against it
+            "WITH s AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+            "THEN text || ' cafÃ© naÃ¯ve' ELSE text END AS t "
+            "FROM documents), "
+            "f AS (SELECT doc_id, t, "
+            "(regexp_matches(t, '[\\x{00C2}\\x{00C3}]"
+            "[\\x{0080}-\\x{00BF}]') AND "
+            "regexp_matches(t, '^[\\x{0000}-\\x{00FF}]*$')) AS fx "
+            "FROM s) "
+            "SELECT doc_id, fx AS was_mojibake, "
+            "CASE WHEN fx THEN replace(replace(t, 'Ã©', 'é'), "
+            "'Ã¯', 'ï') ELSE t END AS text_fixed "
+            "FROM f ORDER BY doc_id"
+        ),
+        "postings": (
+            # identical two-stage aggregation; the struct-max top
+            # posting replayed as a (tf DESC, doc_id DESC) row_number
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "tf AS (SELECT term, doc_id, count(*) AS tf FROM w "
+            "WHERE length(term) > 0 GROUP BY term, doc_id), "
+            "r AS (SELECT term, doc_id, tf, row_number() OVER ("
+            "PARTITION BY term ORDER BY tf DESC, doc_id DESC) AS rk "
+            "FROM tf) "
+            "SELECT term, count(*) AS df, "
+            "CAST(sum(tf) AS BIGINT) AS total_tf, "
+            "CAST(max(CASE WHEN rk = 1 THEN tf END) AS BIGINT) "
+            "AS top_tf, "
+            "max(CASE WHEN rk = 1 THEN doc_id END) AS top_doc "
+            "FROM r GROUP BY term HAVING count(*) >= 2 ORDER BY term"
         ),
     }

@@ -677,3 +677,29 @@ def test_content_drift_window_per_doc_hashes_only(spark, sf_dir):
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_mojibake_fix_map_only(spark, sf_dir):
+    """The mojibake repair (r5) must stay entirely inside the scan
+    project — detection predicates and the encode/decode round trip
+    are JVM expressions: no Python, no join, no hash exchange."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["mojibake_fix"](spark, sf_dir),
+                      spark)
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_postings_two_aggs_no_window(spark, sf_dir):
+    """postings (r5): two map-side-combining aggregates, top posting
+    via struct-max — never a per-term row_number window (a hot term
+    would pin one un-splittable sort partition)."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["postings"](spark, sf_dir), spark)
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert len(re.findall(r"HashAggregate", plan)) == 4, plan

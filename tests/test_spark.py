@@ -1072,3 +1072,60 @@ def test_format_job_zipnum(spark, tmp_path):
     with _pytest.raises(ValueError):
         run_format_job(spark, glob, out, "zipnum",
                        input_format="parquet")
+
+
+def test_mojibake_fix_semantics(spark, tmp_path):
+    """The generic latin1->utf8 re-decode: seeded rows repair to the
+    true text; clean accented text (a real 'é' with no mojibake
+    signature) and non-latin1 text (CJK) must pass through untouched —
+    the repair is conservative by construction."""
+    import __spark_entry__ as E
+
+    rows = [
+        (0, "plain ascii words here", "en"),          # seeded (0 % 5)
+        (1, "clean café text stays", "en"),      # real e-acute
+        (2, "中文 body untouched", "zh"),     # CJK: not latin1
+        (3, "more plain prose", "en"),
+        (4, "and again plain", "en"),
+        (5, "seeded row two", "en"),                  # seeded (5 % 5)
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r.asDict()
+           for r in E.queries()["mojibake_fix"](spark, d).collect()}
+    assert got[0]["was_mojibake"] is True
+    assert got[0]["text_fixed"] == "plain ascii words here café naïve"
+    assert got[5]["was_mojibake"] is True
+    assert got[5]["text_fixed"].endswith(" café naïve")
+    for i in (1, 2, 3, 4):
+        assert got[i]["was_mojibake"] is False
+        assert got[i]["text_fixed"] == rows[i][1]
+
+
+def test_postings_dictionary_stats(spark, tmp_path):
+    """Posting stats: df / total_tf / top posting by (tf, doc_id)
+    struct-max, hapax floor df >= 2."""
+    import __spark_entry__ as E
+
+    rows = [
+        (1, "alpha beta alpha", "en"),
+        (2, "alpha gamma", "en"),
+        (3, "beta beta beta gamma", "en"),
+        (4, "solo", "en"),
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r["term"]: r.asDict()
+           for r in E.queries()["postings"](spark, d).collect()}
+    assert set(got) == {"alpha", "beta", "gamma"}  # 'solo' is hapax
+    assert got["alpha"] == {"term": "alpha", "df": 2, "total_tf": 3,
+                            "top_tf": 2, "top_doc": 1}
+    assert got["beta"] == {"term": "beta", "df": 2, "total_tf": 4,
+                           "top_tf": 3, "top_doc": 3}
+    # gamma ties at tf=1: struct-max breaks to the higher doc_id
+    assert got["gamma"] == {"term": "gamma", "df": 2, "total_tf": 2,
+                            "top_tf": 1, "top_doc": 3}
