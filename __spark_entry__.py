@@ -1509,6 +1509,51 @@ def _q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (r5) — the canonical-composition step
+    every text-curation pipeline (CCNet, mC4) runs before hashing or
+    deduplication: 'e' + COMBINING ACUTE and precomposed 'é' are the
+    same text but different bytes, so unnormalized corpora under-dedup
+    and split token statistics. Runs Python's unicodedata (the UCD
+    tables) via mapInPandas over the pruned (doc_id, text) scan —
+    map-only, Arrow-batched, no shuffle before the presentation
+    orderBy. ORACLE INDEPENDENCE: DuckDB replays with its NATIVE
+    nfc_normalize (utf8proc) — two independent implementations of the
+    Unicode standard must agree byte-for-byte. The driver corpus is
+    ASCII-clean, so every 4th doc gets a deterministic decomposed
+    suffix (combining acute + diaeresis) seeded identically by both
+    engines."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # DECOMPOSED sequences: e+U+0301 (combining acute), i+U+0308
+    # (combining diaeresis) - NFC composes them to the precomposed forms
+    suffix = " cafe\u0301 nai\u0308ve"
+    seeded = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.col("text"), F.lit(suffix))
+    ).otherwise(F.col("text"))
+    src = d.select("doc_id", seeded.alias("t"))
+
+    def norm(batches):
+        import unicodedata
+
+        for b in batches:
+            t = b["t"].astype(str)
+            fixed = t.map(lambda x: unicodedata.normalize("NFC", x))
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "changed": t.ne(fixed),
+                "text_nfc": fixed,
+            })
+
+    return (
+        src.mapInPandas(norm,
+                        "doc_id long, changed boolean, text_nfc string")
+        .orderBy("doc_id")
+    )
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", r5): score every raw
@@ -3774,6 +3819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_report": _q_charset_report,
         "mojibake_fix": _q_mojibake_fix,
         "postings": _q_postings,
+        "unicode_normalize": _q_unicode_normalize,
     }
 
 
@@ -5244,5 +5290,16 @@ def oracle_sql() -> dict[str, str]:
             "AS top_tf, "
             "max(CASE WHEN rk = 1 THEN doc_id END) AS top_doc "
             "FROM r GROUP BY term HAVING count(*) >= 2 ORDER BY term"
+        ),
+        "unicode_normalize": (
+            # INDEPENDENT engines: DuckDB's native utf8proc
+            # nfc_normalize vs the Spark side's Python unicodedata —
+            # two implementations of the Unicode standard must agree
+            # byte-for-byte on the same seeded decomposed sequences
+            "WITH s AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
+            "text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' "
+            "ELSE text END AS t FROM documents) "
+            "SELECT doc_id, (t != nfc_normalize(t)) AS changed, "
+            "nfc_normalize(t) AS text_nfc FROM s ORDER BY doc_id"
         ),
     }

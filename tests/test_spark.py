@@ -1129,3 +1129,32 @@ def test_postings_dictionary_stats(spark, tmp_path):
     # gamma ties at tf=1: struct-max breaks to the higher doc_id
     assert got["gamma"] == {"term": "gamma", "df": 2, "total_tf": 2,
                             "top_tf": 1, "top_doc": 3}
+
+
+def test_unicode_normalize_nfc(spark, tmp_path):
+    """NFC: seeded decomposed sequences compose (changed=True, suffix
+    becomes precomposed); ASCII rows pass through; a row that is
+    ALREADY precomposed must report changed=False."""
+    import __spark_entry__ as E
+
+    pre = "café already composed"
+    rows = [
+        (0, "plain ascii", "en"),         # seeded (0 % 4)
+        (1, pre, "en"),
+        (2, "more ascii", "en"),
+        (3, "yet more", "en"),
+        (4, "tail doc", "en"),            # seeded
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r.asDict()
+           for r in E.queries()["unicode_normalize"](spark, d).collect()}
+    assert got[0]["changed"] is True
+    assert got[0]["text_nfc"] == "plain ascii café naïve"
+    assert got[4]["changed"] is True
+    assert got[4]["text_nfc"].endswith(" café naïve")
+    for i in (1, 2, 3):
+        assert got[i]["changed"] is False
+        assert got[i]["text_nfc"] == rows[i][1]

@@ -81,6 +81,13 @@ NOTES = {
     "dsir_weights": "DSIR hashed-unigram importance: two B=128-row histograms (map-side combined), B-row smoothed log-ratio table BROADCAST to the per-doc-bucket fact side — the deliberately-skewed bucket key never hash-partitions the fact; per-doc weighted sum is one groupBy.",
     "quality_linear": "fastText-shape linear classifier where weight = f(hash bucket): the WHOLE model evaluates map-only in whole-stage codegen (transform/aggregate over the in-row token array) — no explode, no join, no model broadcast; zero exchanges beyond the determinism orderBy.",
     "host_pagerank": "K=3 damped power iterations, GraphX/Pregel shape in DataFrames: per iteration ONE map-side-combining groupBy(dst) exchange + rank-table join; localCheckpoint per iteration truncates lineage (plan shows only the FINAL iteration + degree joins); 1-row host count broadcast, no collect.",
+    "anchor_text": "per-target anchor-text rollup: anchors mined JVM-side in the scan task (bounded explode), then TWO map-side-combining groupBys — (dst,text) counts, per-dst totals with the top pick via max(struct) — no window, no collect_list; a 10^9-in-link page is a hot-but-splittable scan-fed key.",
+    "content_drift": "capture-pair change detection: gram fingerprinting map-only per row; ONE doc_id window (per-doc cardinality = capture count) pairs captures via lag; the exchange carries 16-hex gram hashes, never text.",
+    "badwords_filter": "C4 blocklist gate: in-plan literal list + in-row higher-order membership filter — entirely inside the scan project / whole-stage codegen; zero exchanges at any corpus size (plan-guarded).",
+    "charset_report": "kernel charset lineage via mapInPandas on the pruned (url, html) scan — map-only Arrow boundary, single range exchange for the determinism orderBy.",
+    "mojibake_fix": "generic latin1->utf8 re-decode gated on two JVM regex predicates — whole repair inside the scan project, no Python, no exchange (plan-guarded).",
+    "postings": "search-index dictionary build: explode -> groupBy(term,doc) combine -> groupBy(term) with the top posting via max(struct) — an agg, never a per-term row_number window; df>=2 floor keeps the Zipf hapax tail off the final exchange.",
+    "unicode_normalize": "NFC canonical composition via mapInPandas (Python unicodedata) on the pruned scan — map-only Arrow boundary, single range exchange for the determinism orderBy; oracle is DuckDB's native utf8proc nfc_normalize (independent engines).",
 }
 
 
