@@ -409,3 +409,68 @@ def test_streaming_warc_wet_per_archive(spark, tmp_path):
     # manifest rows exist and total the conversion records
     man = spark.read.parquet(out + "/data")
     assert man.count() == 2
+
+
+def test_streaming_warc_wat_per_archive(spark, tmp_path):
+    """Streaming WAT twin: each dropped archive yields one
+    `<stem>.warc.wat.gz` of metadata records whose JSON bodies are
+    byte-identical to the shared batch miner (wat_doc_json) applied to
+    the archive's own response payloads, in capture order; restart
+    with no new files is byte-identical."""
+    import glob
+    import hashlib
+    import os as _os
+
+    from zpdfspark.fixtures import write_warc_fixture
+    from zpdfspark.kernel.warc import iter_warc_records
+    from zpdfspark.spark.streaming import start_streaming_warc_wat
+    from zpdfspark.spark.warc_sink import wat_doc_json
+
+    drop = tmp_path / "drop"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    drop.mkdir()
+    write_warc_fixture(str(drop), 20, seed=41, shards=2)
+
+    q = start_streaming_warc_wat(spark, str(drop), out, ckpt)
+    q.awaitTermination(120)
+
+    archives = sorted(glob.glob(str(drop / "*.warc.gz")))
+    wats = sorted(glob.glob(_os.path.join(out, "wat", "*.warc.wat.gz")))
+    assert len(wats) == len(archives) == 2
+    for arch in archives:
+        stem = _os.path.basename(arch)[: -len(".warc.gz")]
+        wat = _os.path.join(out, "wat", stem + ".warc.wat.gz")
+        assert wat in wats
+        want = []
+        for rec in iter_warc_records(open(arch, "rb").read()):
+            if rec.error or not rec.target_uri \
+                    or rec.warc_type != "response":
+                continue
+            want.append((rec.target_uri, rec.warc_date,
+                         wat_doc_json(rec.target_uri, rec.body)))
+        got = []
+        recs = list(iter_warc_records(open(wat, "rb").read()))
+        assert recs[0].warc_type == "warcinfo"
+        for r in recs[1:]:
+            assert r.warc_type == "metadata"
+            assert r.content_type == "application/json"
+            got.append((r.target_uri, r.warc_date,
+                        r.body.decode("utf-8")))
+        assert got == want
+        # every JSON body re-parses and carries the length invariant
+        import json as _json
+
+        for _u, _d, body in got:
+            obj = _json.loads(body)
+            assert "Actual-Content-Length" in \
+                obj["Envelope"]["Payload-Metadata"]
+
+    hashes = {p: hashlib.md5(open(p, "rb").read()).hexdigest()
+              for p in wats}
+    q2 = start_streaming_warc_wat(spark, str(drop), out, ckpt)
+    q2.awaitTermination(120)
+    assert {p: hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in wats} == hashes
+    man = spark.read.parquet(out + "/data")
+    assert man.count() == 2

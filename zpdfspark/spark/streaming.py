@@ -457,3 +457,50 @@ def start_streaming_warc_wet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_warc_wat(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_links: int = 1000,
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """readStream(binaryFile over a .warc.gz drop directory) -> one
+    WAT file PER ARCHIVE under output_dir/wat plus an idempotent
+    parquet manifest — the metadata sibling of
+    start_streaming_warc_wet, completing the streaming derivative
+    set (dedup, ingest, curation, WET, CDX, WAT). Record bodies are
+    rendered by the SAME wat_doc_json the batch sink uses, so batch
+    and streaming WAT are byte-identical per capture; the writer is
+    idempotent without checkpoint help (pure-function names/bytes,
+    temp+rename), belt-and-braces with the file-source offsets."""
+    from zpdfspark.spark.warc_sink import archive_wat_batches
+
+    wat_dir = os.path.join(output_dir, "wat")
+    os.makedirs(wat_dir, exist_ok=True)
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger or 8))
+        .load(input_dir)
+    )
+    manifest_sink = _idempotent_batch_writer(spark, output_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        summary = batch_df.select("path", "content").mapInPandas(
+            archive_wat_batches(wat_dir, max_links),
+            "file string, n_records long, n_bytes long")
+        manifest_sink(summary, batch_id)
+
+    writer = reader.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

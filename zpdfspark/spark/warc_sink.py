@@ -110,6 +110,56 @@ def write_wet(df: DataFrame, out_dir: str, mode: str = "accuracy",
     return src.mapInPandas(batches, _SUMMARY_SCHEMA)
 
 
+
+_WAT_RE_TITLE = r"<title>([^<]*)</title>"
+_WAT_RE_DESC = r'<meta name="description" content="([^"]*)"'
+_WAT_RE_CANON = r'<link rel="canonical" href="([^"]*)"'
+_WAT_RE_HREF = r'<a[^>]*\shref="([^"]*)"'
+
+
+def wat_doc_json(url: str, raw: bytes, max_links: int = 1000) -> str:
+    """One capture's WAT metadata record body (deterministic compact
+    JSON in the Common Crawl WAT envelope shape) — shared by the batch
+    sink (write_wat) and the per-archive streaming twin so both render
+    byte-identical records for the same payload."""
+    import json
+    import re
+
+    from zpdfspark.kernel.htmltext import looks_like_html, sniff_charset
+
+    meta = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": url,
+                "WARC-Type": "response",
+            },
+            "Payload-Metadata": {
+                "Actual-Content-Length": len(raw),
+            },
+        },
+    }
+    if looks_like_html(raw):
+        text = raw.decode(sniff_charset(raw), "replace")
+        links = re.findall(_WAT_RE_HREF, text)
+        html_md = {
+            "Head": {},
+            "Links": [{"url": u} for u in links[:max_links]],
+        }
+        if len(links) > max_links:
+            html_md["Links-Truncated"] = len(links) - max_links
+        m = re.search(_WAT_RE_TITLE, text)
+        if m:
+            html_md["Head"]["Title"] = m.group(1)
+        m = re.search(_WAT_RE_DESC, text)
+        if m:
+            html_md["Head"]["Meta-Description"] = m.group(1)
+        m = re.search(_WAT_RE_CANON, text)
+        if m:
+            html_md["Head"]["Canonical"] = m.group(1)
+        meta["Envelope"]["Payload-Metadata"]["HTML-Metadata"] = html_md
+    return json.dumps(meta, sort_keys=True, separators=(",", ":"))
+
+
 def write_wat(df: DataFrame, out_dir: str,
               partitions: Optional[int] = None,
               max_links: int = 1000) -> DataFrame:
@@ -122,8 +172,6 @@ def write_wat(df: DataFrame, out_dir: str,
     bites) for HTML payloads only. The miner is the same regex set
     the html_meta query uses, applied kernel-side in this fused
     pass."""
-    import re
-
     spark = df.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
     os.makedirs(out_dir, exist_ok=True)
@@ -131,59 +179,16 @@ def write_wat(df: DataFrame, out_dir: str,
            .repartition(n, "url")
            .sortWithinPartitions("url"))
 
-    re_title = re.compile(r"<title>([^<]*)</title>")
-    re_desc = re.compile(r'<meta name="description" content="([^"]*)"')
-    re_canon = re.compile(r'<link rel="canonical" href="([^"]*)"')
-    re_href = re.compile(r'<a[^>]*\shref="([^"]*)"')
-
     def batches(it):
-        import json
-
-        from zpdfspark.kernel.htmltext import looks_like_html, \
-            sniff_charset
         from zpdfspark.kernel.warc import wat_records
-
-        def doc_json(url, raw):
-            meta = {
-                "Envelope": {
-                    "WARC-Header-Metadata": {
-                        "WARC-Target-URI": url,
-                        "WARC-Type": "response",
-                    },
-                    "Payload-Metadata": {
-                        "Actual-Content-Length": len(raw),
-                    },
-                },
-            }
-            if looks_like_html(raw):
-                text = raw.decode(sniff_charset(raw), "replace")
-                links = re_href.findall(text)
-                html_md = {
-                    "Head": {},
-                    "Links": [{"url": u} for u in links[:max_links]],
-                }
-                if len(links) > max_links:
-                    html_md["Links-Truncated"] = len(links) - max_links
-                m = re_title.search(text)
-                if m:
-                    html_md["Head"]["Title"] = m.group(1)
-                m = re_desc.search(text)
-                if m:
-                    html_md["Head"]["Meta-Description"] = m.group(1)
-                m = re_canon.search(text)
-                if m:
-                    html_md["Head"]["Canonical"] = m.group(1)
-                meta["Envelope"]["Payload-Metadata"][
-                    "HTML-Metadata"] = html_md
-            return json.dumps(meta, sort_keys=True,
-                              separators=(",", ":"))
 
         def docs(batches_it):
             for b in batches_it:
                 for url, ts, blob in zip(b["url"], b["warc_ts"],
                                          b["html"]):
                     raw = bytes(blob) if blob is not None else b""
-                    yield url, _wdate(ts), doc_json(url, raw)
+                    yield url, _wdate(ts), wat_doc_json(url, raw,
+                                                        max_links)
 
         yield _write_partition_file(
             it, out_dir, "wat-{:05d}.warc.wat.gz", wat_records, docs)
@@ -191,25 +196,28 @@ def write_wat(df: DataFrame, out_dir: str,
     return src.mapInPandas(batches, _SUMMARY_SCHEMA)
 
 
-def archive_wet_batches(out_dir: str, mode: str = "accuracy"):
-    """mapInPandas kernel for the per-ARCHIVE WET layout (Common
-    Crawl names each WET file after its source archive): every input
-    row (path, content) parses, extracts and writes
-    `<archive-stem>.warc.wet.gz` in capture order, streamed
-    member-by-member with temp+rename. Because the output name and
-    bytes are pure functions of the archive, re-delivery (streaming
-    batch replay, speculative twins) overwrites byte-identically —
-    sink idempotence without batch bookkeeping. File-level garbage
-    skips the archive (error posture of the fused ingest path)."""
+def _archive_derivative_batches(out_dir: str, suffix: str,
+                                record_stream_name: str, payload_fn):
+    """Shared mapInPandas kernel for the per-ARCHIVE derivative layout
+    (Common Crawl names each WET/WAT file after its source archive):
+    every input row (path, content) parses and writes
+    `<archive-stem><suffix>` in capture order, streamed
+    member-by-member with temp+rename. Output name and bytes are pure
+    functions of the archive, so re-delivery (streaming batch replay,
+    speculative twins) overwrites byte-identically — sink idempotence
+    without batch bookkeeping. File-level garbage skips the archive
+    (error posture of the fused ingest path). `payload_fn(rec)`
+    renders one response record's derivative body; the record stream
+    is resolved by name executor-side (kernel/warc.py wet_records /
+    wat_records)."""
 
     def fn(it):
         import pandas as pd
         from pyspark import TaskContext
 
-        from zpdfspark.kernel.htmltext import extract_any
-        from zpdfspark.kernel.warc import (WarcError, iter_warc_records,
-                                           wet_records)
+        from zpdfspark.kernel import warc as _warc
 
+        record_stream = getattr(_warc, record_stream_name)
         attempt = TaskContext.get().taskAttemptId()
         for b in it:
             out = {"file": [], "n_records": [], "n_bytes": []}
@@ -220,26 +228,26 @@ def archive_wet_batches(out_dir: str, mode: str = "accuracy"):
                     stem = stem[: -len(".warc.gz")]
                 elif stem.endswith(".warc"):
                     stem = stem[: -len(".warc")]
-                name = stem + ".warc.wet.gz"
+                name = stem + suffix
 
                 def docs():
                     try:
-                        for rec in iter_warc_records(raw):
+                        for rec in _warc.iter_warc_records(raw):
                             if (rec.error or not rec.target_uri
                                     or rec.warc_type != "response"):
                                 continue
                             yield (rec.target_uri,
                                    rec.warc_date
                                    or "1970-01-01T00:00:00Z",
-                                   extract_any(rec.body, mode)[0])
-                    except WarcError:
+                                   payload_fn(rec))
+                    except _warc.WarcError:
                         return  # file-level garbage: skip the archive
 
                 tmp = os.path.join(out_dir, f".{name}.tmp-{attempt}")
                 n_records = n_bytes = 0
                 f = None
                 try:
-                    for member in wet_records(name, docs()):
+                    for member in record_stream(name, docs()):
                         if f is None:
                             f = open(tmp, "wb")
                         else:
@@ -260,6 +268,33 @@ def archive_wet_batches(out_dir: str, mode: str = "accuracy"):
             yield pd.DataFrame(out)
 
     return fn
+
+
+def archive_wet_batches(out_dir: str, mode: str = "accuracy"):
+    """Per-archive WET writer (see _archive_derivative_batches):
+    payload = the extraction kernel's text for each response body."""
+
+    def payload(rec):
+        from zpdfspark.kernel.htmltext import extract_any
+
+        return extract_any(rec.body, mode)[0]
+
+    return _archive_derivative_batches(
+        out_dir, ".warc.wet.gz", "wet_records", payload)
+
+
+def archive_wat_batches(out_dir: str, max_links: int = 1000):
+    """Per-archive WAT writer (see _archive_derivative_batches):
+    payload = the same deterministic metadata JSON write_wat renders
+    (wat_doc_json), so the streaming twin's records are byte-identical
+    to the batch sink's for the same capture."""
+
+    def payload(rec):
+        return wat_doc_json(rec.target_uri, rec.body, max_links)
+
+    return _archive_derivative_batches(
+        out_dir, ".warc.wat.gz", "wat_records", payload)
+
 
 
 _ZIPNUM_IDX_SCHEMA = ("urlkey string, cdx_ts string, file string, "
