@@ -2063,3 +2063,133 @@ class TestHeic:
             assert (m["width"], m["height"]) == (200 + 11 * (i % 29),
                                                  150 + 9 * (i % 31))
             assert m["codec"] == "hvc1"
+
+
+class TestPngDepths:
+    """Round 5: the full legal bit-depth matrix (spec table 11.1) —
+    found by sweeping the decoder over the REAL PNGs in the OS image
+    (a depth-2 palette favicon failed). PNGs here are hand-built with
+    INDEPENDENT bit packing (int-shift accumulation, not the decoder's
+    numpy unpackbits path)."""
+
+    @staticmethod
+    def _chunk(ctype, data):
+        import struct
+        import zlib
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    def _build(self, w, h, depth, color_type, rows_vals, palette=None):
+        """rows_vals: h lists of per-pixel sample tuples (or ints for
+        1-channel). Packs each row MSB-first independently."""
+        import struct
+        import zlib
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        scan = b""
+        for row in rows_vals:
+            acc = 0
+            nbits = 0
+            out = bytearray()
+            flat = []
+            for v in row:
+                flat.extend(v if isinstance(v, tuple) else (v,))
+            for v in flat:
+                acc = (acc << depth) | v
+                nbits += depth
+                while nbits >= 8:
+                    nbits -= 8
+                    out.append((acc >> nbits) & 0xFF)
+            if nbits:
+                out.append((acc << (8 - nbits)) & 0xFF)
+            scan += b"\x00" + bytes(out)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+        body = self._chunk(b"IHDR", ihdr)
+        if palette is not None:
+            body += self._chunk(b"PLTE", bytes(palette))
+        body += self._chunk(b"IDAT", zlib.compress(scan))
+        body += self._chunk(b"IEND", b"")
+        return b"\x89PNG\r\n\x1a\n" + body
+
+    def test_gray_sub_byte_depths(self):
+        from zpdfspark.kernel import png as P
+        for depth in (1, 2, 4):
+            mx = (1 << depth) - 1
+            vals = [[(x * 7 + y) % (mx + 1) for x in range(5)]
+                    for y in range(3)]
+            raw = self._build(5, 3, depth, 0, vals)
+            w, h, c, px = P.decode_png(raw)
+            assert (w, h, c) == (5, 3, 1)
+            scale = 255 // mx
+            for y in range(3):
+                for x in range(5):
+                    assert px[y, x, 0] == vals[y][x] * scale
+
+    def test_palette_depth_2(self):
+        from zpdfspark.kernel import png as P
+        pal = [255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9]
+        vals = [[0, 1, 2, 3, 1], [3, 2, 1, 0, 2]]
+        raw = self._build(5, 2, 2, 3, vals, palette=pal)
+        w, h, c, px = P.decode_png(raw)
+        assert (w, h, c) == (5, 2, 3)
+        for y in range(2):
+            for x in range(5):
+                i = vals[y][x]
+                assert tuple(px[y, x]) == tuple(pal[3 * i: 3 * i + 3])
+
+    def test_gray_16_bit_keeps_high_byte(self):
+        import struct
+        import zlib
+        from zpdfspark.kernel import png as P
+        samples = [[0x0102, 0xFFFE, 0x8000], [0x0000, 0x7F01, 0x00FF]]
+        scan = b""
+        for row in samples:
+            scan += b"\x00" + b"".join(struct.pack(">H", v) for v in row)
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0)
+        raw = (b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+               + self._chunk(b"IDAT", zlib.compress(scan))
+               + self._chunk(b"IEND", b""))
+        w, h, c, px = P.decode_png(raw)
+        assert (w, h, c) == (3, 2, 1)
+        assert [int(v) for v in px[0, :, 0]] == [0x01, 0xFF, 0x80]
+        assert [int(v) for v in px[1, :, 0]] == [0x00, 0x7F, 0x00]
+
+    def test_rgb_16_bit(self):
+        import struct
+        import zlib
+        from zpdfspark.kernel import png as P
+        row = [(0x1100, 0x2200, 0x3300), (0xAA00, 0xBB00, 0xCC00)]
+        scan = b"\x00" + b"".join(
+            struct.pack(">HHH", *v) for v in row)
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+        raw = (b"\x89PNG\r\n\x1a\n" + self._chunk(b"IHDR", ihdr)
+               + self._chunk(b"IDAT", zlib.compress(scan))
+               + self._chunk(b"IEND", b""))
+        w, h, c, px = P.decode_png(raw)
+        assert (w, h, c) == (2, 1, 3)
+        assert tuple(px[0, 0]) == (0x11, 0x22, 0x33)
+        assert tuple(px[0, 1]) == (0xAA, 0xBB, 0xCC)
+
+    def test_illegal_depth_combinations_rejected(self):
+        import pytest
+        from zpdfspark.kernel import png as P
+        for depth, ct in ((2, 2), (4, 6), (16, 3), (3, 0), (32, 0)):
+            vals = [[0]]
+            raw = self._build(1, 1, depth, ct, vals,
+                              palette=[0, 0, 0] if ct == 3 else None)
+            with pytest.raises(P.PngError):
+                P.decode_png(raw)
+
+    def test_real_system_png_sweep(self):
+        """Every real PNG shipped in the OS image must decode — the
+        independent-producer sweep that found the depth-2 gap."""
+        import glob
+        import os
+        from zpdfspark.kernel import png as P
+        paths = glob.glob("/usr/share/**/*.png", recursive=True)[:300]
+        if not paths:
+            import pytest
+            pytest.skip("no system PNGs")
+        for p in paths:
+            raw = open(p, "rb").read()
+            w, h, c, px = P.decode_png(raw)
+            assert px.shape == (h, w, c) and w > 0 and h > 0

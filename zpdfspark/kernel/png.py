@@ -9,13 +9,19 @@ signature + chunk walk, IHDR, concatenated IDAT -> capped zlib
 inflate -> row unfiltering -> numpy pixel array. JPEG/video remain
 honestly stubbed (media.py).
 
-Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette,
-expanded to RGB), 4 (gray+alpha), 6 (RGBA), interlace 0 and 1 (Adam7 —
-round 4: real crawls carry interlaced PNGs; each of the 7 passes is an
-independently filtered sub-image scattered back on the pass grid).
-Anything else raises PngError — callers treat a failed decode as data,
-never as a task failure (the same permissive contract as the PDF
-kernel).
+Supported: the spec's full legal depth matrix (round 5 — found by
+driving the decoder over the REAL PNGs shipped in the OS image, where
+a bit-depth-2 palette favicon failed): depths 1/2/4/8/16 for gray,
+1/2/4/8 for palette, 8/16 for RGB/gray+alpha/RGBA; color types 0
+(gray), 2 (RGB), 3 (palette, expanded to RGB), 4 (gray+alpha), 6
+(RGBA); interlace 0 and 1 (Adam7 — round 4: real crawls carry
+interlaced PNGs; each of the 7 passes is an independently filtered
+sub-image scattered back on the pass grid). Sub-byte rows unpack
+MSB-first per spec §7.2 with gray upscaled to 8-bit by the exact
+(255/(2^d-1)) factor; 16-bit samples keep the high byte (the 8-bit
+projection). Anything else raises PngError — callers treat a failed
+decode as data, never as a task failure (the same permissive contract
+as the PDF kernel).
 """
 
 from __future__ import annotations
@@ -32,6 +38,33 @@ SIGNATURE = b"\x89PNG\r\n\x1a\n"
 MAX_PIXEL_BYTES = 64 * 1024 * 1024  # decoded-size DoS cap (Z12 spirit)
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# legal bit depths per color type (PNG spec §11.2.2, table 11.1)
+_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+           4: (8, 16), 6: (8, 16)}
+
+
+def _row_bytes(width: int, channels: int, depth: int) -> int:
+    return (width * channels * depth + 7) // 8
+
+
+def _rows_to_pixels(buf: bytes, w: int, h: int, channels: int,
+                    depth: int, palette_mode: bool) -> np.ndarray:
+    """Unfiltered scanline bytes -> (h, w, channels) uint8 pixels.
+    Sub-byte samples unpack MSB-first (spec §7.2); gray upscales by the
+    exact 255/(2^d-1) factor; 16-bit keeps the high (first) byte."""
+    rb = _row_bytes(w, channels, depth)
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, rb)
+    if depth == 8:
+        return arr.reshape(h, w, channels)
+    if depth == 16:
+        return arr.reshape(h, w, channels, 2)[..., 0]
+    bits = np.unpackbits(arr, axis=1)[:, : w * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    v = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+    if not palette_mode:
+        v = v * (255 // ((1 << depth) - 1))
+    return v.astype(np.uint8)[:, :, None]
 
 # Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
 _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -91,10 +124,11 @@ def decode_png(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
             seen_iend = True
     if width is None:
         raise PngError("missing IHDR")
-    if bit_depth != 8:
-        raise PngError(f"unsupported bit depth {bit_depth}")
     if color_type not in _CHANNELS:
         raise PngError(f"unsupported color type {color_type}")
+    if bit_depth not in _DEPTHS[color_type]:
+        raise PngError(
+            f"illegal bit depth {bit_depth} for color type {color_type}")
     if interlace not in (0, 1):
         raise PngError(f"unknown interlace method {interlace}")
     if width == 0 or height == 0:
@@ -106,10 +140,11 @@ def decode_png(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
         raise PngError("missing IDAT")
     if interlace:
         passes = _adam7_passes(width, height)
-        expected = sum(ph * (pw * channels + 1)
-                       for _, _, _, _, pw, ph in passes)
+        expected = sum(
+            ph * (_row_bytes(pw, channels, bit_depth) + 1)
+            for _, _, _, _, pw, ph in passes)
     else:
-        expected = height * (width * channels + 1)
+        expected = height * (_row_bytes(width, channels, bit_depth) + 1)
     # Bounded inflate (mirrors filters.py's incremental flate cap): never
     # allocate more than the IHDR-declared scanline bytes, so a tiny-IHDR
     # high-ratio IDAT bomb cannot OOM an executor before the size check.
@@ -133,6 +168,7 @@ def decode_png(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
     # per-row filter bytes: exactly the PDF PNG predictor layout — reuse
     # it (predictor=15 means "per-row filter byte chooses the filter")
     try:
+        palette_mode = color_type == 3
         if interlace:
             # each Adam7 pass is an independently filtered sub-image
             # (filters reference the previous row OF THE SAME PASS);
@@ -140,19 +176,19 @@ def decode_png(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
             pixels = np.zeros((height, width, channels), dtype=np.uint8)
             off = 0
             for x0, y0, dx, dy, pw, ph in passes:
-                seg_len = ph * (pw * channels + 1)
-                sub = np.frombuffer(
+                seg_len = ph * (_row_bytes(pw, channels, bit_depth) + 1)
+                sub = _rows_to_pixels(
                     apply_predictor(
                         decompressed[off:off + seg_len], 15, pw,
-                        channels, 8),
-                    dtype=np.uint8).reshape(ph, pw, channels)
+                        channels, bit_depth),
+                    pw, ph, channels, bit_depth, palette_mode)
                 pixels[y0::dy, x0::dx] = sub
                 off += seg_len
         else:
             unfiltered = apply_predictor(
-                decompressed[:expected], 15, width, channels, 8)
-            pixels = np.frombuffer(unfiltered, dtype=np.uint8).reshape(
-                height, width, channels)
+                decompressed[:expected], 15, width, channels, bit_depth)
+            pixels = _rows_to_pixels(unfiltered, width, height, channels,
+                                     bit_depth, palette_mode)
     except PngError:
         raise
     except Exception as e:
