@@ -1509,6 +1509,55 @@ def _q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness scheduling (r5) — the Mercator /
+    Heritrix frontier rule: fetches against one host are serialized
+    with a per-host delay while distinct hosts proceed in parallel.
+    Each candidate URL gets its host's fetch sequence number and a
+    start offset = seq * crawl_delay — the queue a fetcher fleet
+    drains. The per-host delay stands in for robots Crawl-delay as a
+    deterministic host-hash function (1-4 s; the robots_eval twin
+    shows the real source). Shape: ONE host exchange, a row_number
+    window partitioned BY HOST ordered by (priority DESC, url) — a
+    host's pending-fetch count bounds the partition (frontier queues
+    are depth-bounded per politeness, exactly why this window is safe
+    where a per-term window is not); priority is the url-hash
+    stand-in for OPIC/depth priority. Worker assignment is
+    hash(host) % W so one host never splits across fetchers (the
+    politeness invariant), W=16 documented as the fleet-size knob."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    # deterministic candidate urls: ~8 hosts, per-host queues; all
+    # hash arithmetic is md5-derived so DuckDB replays it exactly
+    # (the dataset_split rule: never engine-specific hashes)
+    host = F.concat(F.lit("crawl"), (F.col("doc_id") % 8).cast("string"),
+                    F.lit(".example"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"),
+                   F.col("doc_id").cast("string"))
+    priority = F.substring(F.md5(url), 1, 8)  # lexicographic rank
+    delay_ms = (1000
+                + F.pmod(F.ascii(F.substring(F.md5(host), 1, 1)),
+                         F.lit(4)) * 1000)
+    worker = F.pmod(F.ascii(F.substring(F.md5(host), 2, 1)), F.lit(16))
+    cand = d.select(url.alias("url"), host.alias("host"),
+                    priority.alias("priority"),
+                    delay_ms.alias("delay_ms"),
+                    worker.cast("int").alias("worker"))
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.col("url"))
+    seq = F.row_number().over(w) - 1
+    return (
+        cand.select(
+            "url", "host", "priority",
+            seq.cast("long").alias("seq"),
+            (seq * F.col("delay_ms")).cast("long")
+            .alias("start_offset_ms"),
+            "worker")
+        .orderBy("url")
+    )
+
+
 def _q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (r5) — the canonical-composition step
     every text-curation pipeline (CCNet, mC4) runs before hashing or
@@ -3820,6 +3869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_fix": _q_mojibake_fix,
         "postings": _q_postings,
         "unicode_normalize": _q_unicode_normalize,
+        "fetch_schedule": _q_fetch_schedule,
     }
 
 
@@ -5301,5 +5351,25 @@ def oracle_sql() -> dict[str, str]:
             "ELSE text END AS t FROM documents) "
             "SELECT doc_id, (t != nfc_normalize(t)) AS changed, "
             "nfc_normalize(t) AS text_nfc FROM s ORDER BY doc_id"
+        ),
+        "fetch_schedule": (
+            # identical md5-derived candidates / priorities / delays;
+            # the politeness window replayed verbatim
+            "WITH c AS (SELECT 'crawl' || CAST(doc_id % 8 AS VARCHAR) "
+            "|| '.example' AS host, "
+            "'https://crawl' || CAST(doc_id % 8 AS VARCHAR) || "
+            "'.example/p/' || CAST(doc_id AS VARCHAR) AS url "
+            "FROM documents), "
+            "p AS (SELECT url, host, substr(md5(url), 1, 8) AS priority, "
+            "1000 + (ascii(substr(md5(host), 1, 1)) % 4) * 1000 "
+            "AS delay_ms, "
+            "CAST(ascii(substr(md5(host), 2, 1)) % 16 AS INT) AS worker "
+            "FROM c), "
+            "s AS (SELECT url, host, priority, delay_ms, worker, "
+            "row_number() OVER (PARTITION BY host "
+            "ORDER BY priority DESC, url) - 1 AS seq FROM p) "
+            "SELECT url, host, priority, CAST(seq AS BIGINT) AS seq, "
+            "CAST(seq * delay_ms AS BIGINT) AS start_offset_ms, worker "
+            "FROM s ORDER BY url"
         ),
     }

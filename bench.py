@@ -220,6 +220,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+    # opt-in short mode for quiet-window scaling retries: run ONLY the
+    # scaling phase and print the JSON line (the driver's full run is
+    # unaffected — it never sets this)
+    scaling_only = os.environ.get("SPARK_GRAFT_SCALING_ONLY", "0") == "1"
     sf_name = os.path.basename(sf_dir.rstrip("/"))
 
     from zpdfspark.spark.session import get_spark
@@ -315,6 +319,18 @@ def main() -> None:
             hw = m[low] / (4 * m[high])
             queries["hw_scaling_ceiling"] = round(hw, 3)
             queries["spark_layer_efficiency"] = round(eff / hw, 3)
+
+    if scaling_only:
+        print(json.dumps({
+            "metric": "scaling-only retry (see full-run JSON for the "
+                      "headline)",
+            "value": queries.get("scaling_efficiency"),
+            "unit": "efficiency",
+            "queries": queries,
+            "sf": sf_name,
+            "n_docs": queries.get("scaling_n_docs", 0),
+        }))
+        return
 
     # -- headline 1: full-corpus accuracy extraction at full parallelism --
     # interleaved with the bare-kernel multiprocessing baseline at the

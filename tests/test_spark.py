@@ -1158,3 +1158,35 @@ def test_unicode_normalize_nfc(spark, tmp_path):
     for i in (1, 2, 3):
         assert got[i]["changed"] is False
         assert got[i]["text_nfc"] == rows[i][1]
+
+
+def test_fetch_schedule_politeness(spark, tmp_path):
+    """Frontier politeness invariants: per-host sequence numbers are
+    dense from 0, offsets are seq*delay with one delay per host, a
+    host maps to exactly one worker, and priority order within a host
+    is descending."""
+    import __spark_entry__ as E
+
+    rows = [(i, "x", "en") for i in range(40)]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = [r.asDict()
+           for r in E.queries()["fetch_schedule"](spark, d).collect()]
+    assert len(got) == 40
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host) == 8
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r["seq"])
+        assert [r["seq"] for r in rs] == list(range(len(rs)))
+        delays = {r["start_offset_ms"] // r["seq"]
+                  for r in rs if r["seq"] > 0}
+        assert len(delays) == 1          # one crawl delay per host
+        assert delays.pop() in (1000, 2000, 3000, 4000)
+        assert len({r["worker"] for r in rs}) == 1  # politeness: one
+        # fetcher owns the host
+        pris = [r["priority"] for r in rs]
+        assert pris == sorted(pris, reverse=True)
