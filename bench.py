@@ -39,11 +39,16 @@ def _bench_corpus_path(sf_dir: str, n: int | None = None) -> str:
         n = _BENCH_DOCS.get(sf, 5000)
     from zpdfspark.fixtures import CORPUS_VERSION
 
-    path = f"/tmp/zpdfspark_bench_corpus_{CORPUS_VERSION}_{sf}_{n}.parquet"
+    # rg64: row groups much smaller than the scan split, so per-task
+    # work doesn't quantize to whole coarse groups and the last wave of
+    # the 16-core scaling leg stops straggling (episode Y analysis)
+    path = (f"/tmp/zpdfspark_bench_corpus_{CORPUS_VERSION}_rg64"
+            f"_{sf}_{n}.parquet")
     if not os.path.exists(path):
         from zpdfspark.fixtures import write_corpus_parquet
 
-        write_corpus_parquet(path + ".tmp", n, seed=42, profile="heavy")
+        write_corpus_parquet(path + ".tmp", n, seed=42, profile="heavy",
+                             row_group_size=64)
         os.replace(path + ".tmp", path)
     return path
 

@@ -2472,7 +2472,8 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
 
 
 def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
-                         profile: str = "mixed") -> str:
+                         profile: str = "mixed",
+                         row_group_size: int = 512) -> str:
     """Write the corpus as a parquet file (pyarrow; no Spark needed).
 
     The mixed profile (the correctness corpus) self-carries the expected
@@ -2568,6 +2569,10 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —
     # one giant row group serializes the whole read into a single task
-    # (measured: 40k docs read+extracted on 1 core instead of 32).
-    pq.write_table(table, path, row_group_size=512)
+    # (measured: 40k docs read+extracted on 1 core instead of 32). The
+    # bench corpus passes a finer size still: with groups ~= the split
+    # size, per-task work quantizes to +-1 group (+-50%) and the last
+    # wave of the high-parallelism scaling leg straggles (measured in
+    # episode Y's 0.775); groups << split smooth the tail.
+    pq.write_table(table, path, row_group_size=row_group_size)
     return path
