@@ -703,3 +703,17 @@ def test_postings_two_aggs_no_window(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert len(re.findall(r"HashAggregate", plan)) == 4, plan
+
+
+def test_fetch_schedule_one_host_exchange(spark, sf_dir):
+    """fetch_schedule (r5): ONE host hash exchange feeding the
+    politeness window; no join, no Python; the window partitions by
+    host (depth-bounded frontier queues keep it splittable)."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["fetch_schedule"](spark, sf_dir),
+                      spark)
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert len(re.findall(r"\bWindow\b", plan)) >= 1, plan
+    assert len(re.findall(r"hashpartitioning", plan)) >= 1, plan
