@@ -1190,3 +1190,32 @@ def test_fetch_schedule_politeness(spark, tmp_path):
         # fetcher owns the host
         pris = [r["priority"] for r in rs]
         assert pris == sorted(pris, reverse=True)
+
+
+def test_format_job_cdx(spark, tmp_path):
+    """CLI drive: --input-format warc --format cdx writes the sorted
+    CDX rows as parquet; rows agree with the warc_cdx query and the
+    sort key holds; non-WARC input refused."""
+    import pytest as _pytest
+
+    from zpdfspark.fixtures import write_warc_fixture
+    from zpdfspark.spark.pipeline import run_format_job
+    from zpdfspark.spark.warc_source import warc_cdx
+
+    d = str(tmp_path / "warcs")
+    glob, _ = write_warc_fixture(d, 50, seed=29)
+    out = str(tmp_path / "out")
+    summary = run_format_job(spark, glob, out, "cdx",
+                             input_format="warc")
+    assert summary["format"] == "cdx"
+    got = spark.read.parquet(os.path.join(out, "data"))
+    want = warc_cdx(spark, glob)
+    assert summary["rows"] == got.count() == want.count() > 0
+    keys = [(r["urlkey"], r["cdx_ts"])
+            for r in got.orderBy("urlkey", "cdx_ts").collect()]
+    rows = [tuple(sorted(r.asDict().items())) for r in got.collect()]
+    assert sorted(rows) == sorted(
+        tuple(sorted(r.asDict().items())) for r in want.collect())
+    assert keys == sorted(keys)
+    with _pytest.raises(ValueError):
+        run_format_job(spark, glob, out, "cdx", input_format="parquet")

@@ -589,6 +589,25 @@ def run_format_job(spark: SparkSession, input_path: str, output_path: str,
                                       markdown_dataframe, metadata_dataframe,
                                       pages_dataframe)
 
+    if output_format == "cdx":
+        # CDX(J) index rows straight off the archives (the warc_cdx
+        # query as a CLI sink): sorted parquet under output/data — the
+        # relational form; --format zipnum is the clustered file form
+        if input_format != "warc":
+            raise ValueError("--format cdx requires --input-format warc")
+        if page_range is not None:
+            raise ValueError("--pages does not apply to --format cdx")
+        if since or until:
+            raise ValueError(
+                "--since/--until do not apply to --format cdx")
+        from zpdfspark.spark.warc_source import warc_cdx
+
+        data_path = os.path.join(output_path, "data")
+        out = warc_cdx(spark, input_path).orderBy("urlkey", "cdx_ts")
+        obs = Observation("cdx")
+        out.observe(obs, F.count(F.lit(1)).alias("rows"))             .write.mode("overwrite").parquet(data_path)
+        return {"format": output_format, "rows": int(obs.get["rows"]),
+                "output": data_path}
     if output_format == "zipnum":
         # ZipNum-clustered CDX + cluster.idx (the CC secondary-index
         # derivative); derives from archives, so the input must be WARC
@@ -686,7 +705,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--mode", choices=("accuracy", "fast"), default="accuracy")
     ap.add_argument("--format",
                     choices=("text", "json", "markdown", "info", "wet",
-                             "wat", "zipnum"),
+                             "wat", "zipnum", "cdx"),
                     default="text",
                     help="text = full extraction rows with lineage/resume "
                          "(the scale pipeline); json = one {metadata, "
@@ -698,7 +717,9 @@ def main(argv: Optional[List[str]] = None) -> None:
                          "wat = *.warc.wat.gz per-capture JSON "
                          "metadata records (lengths, head metadata, "
                          "outlinks); zipnum = ZipNum-clustered CDX "
-                         "blocks + cluster.idx (WARC input only)")
+                         "blocks + cluster.idx; cdx = CDX(J) index "
+                         "rows as sorted parquet (both WARC input "
+                         "only)")
     ap.add_argument("--pages", default=None,
                     help="inclusive 1-based page range 'a-b' or 'n' "
                          "(main.zig -p): applies the kernel-side page "
