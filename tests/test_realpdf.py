@@ -126,3 +126,32 @@ def test_real_image_sweep():
         decode_gif(open(p, "rb").read())
     for p in jpgs[:20]:
         decode_jpeg(open(p, "rb").read())
+
+
+def test_arbitrary_system_files_never_raise():
+    """The permissive contract under REAL hostile input: extract_any
+    over arbitrary system files (ELF binaries, shared objects, man
+    pages, gzipped docs, config text — none of them our formats) must
+    always return a string, never raise."""
+    import glob
+    import random
+
+    from zpdfspark.kernel.htmltext import extract_any
+
+    cands = []
+    for pat in ("/usr/bin/*", "/usr/lib/x86_64-linux-gnu/*.so*",
+                "/etc/*", "/usr/share/doc/**/*.gz"):
+        cands.extend(glob.glob(pat, recursive=True))
+    cands = [p for p in cands
+             if os.path.isfile(p) and os.path.getsize(p) < 5_000_000]
+    if len(cands) < 50:
+        pytest.skip("too few system files")
+    random.seed(3)
+    random.shuffle(cands)
+    for p in cands[:200]:
+        try:
+            raw = open(p, "rb").read()
+        except OSError:
+            continue
+        text, kind, _ = extract_any(raw, "accuracy")
+        assert isinstance(text, str)
