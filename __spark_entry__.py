@@ -1509,6 +1509,47 @@ def _q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation statistics (r5) — the sentence-level
+    quality heuristics family (Gopher counts sentences; CCNet and
+    retrieval chunkers split on them): per-doc sentence count, mean
+    sentence length in words (floored integer), and the longest
+    sentence's word count, via a regex split on terminal punctuation
+    runs followed by whitespace. Pure JVM higher-order expressions on
+    the split array — map-only inside whole-stage codegen, zero
+    exchanges at any corpus size. The driver's synthetic text has no
+    punctuation, so every 2nd doc gets deterministic '. ' breaks
+    injected (word doc_id%7+3 and twice that), seeded identically by
+    the oracle."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    k = (F.col("doc_id") % 7 + 3).cast("int")
+    n = F.size(words)
+    text2 = F.when(
+        (F.col("doc_id") % 2 == 0) & (n > k * 2),
+        F.concat(
+            F.array_join(F.slice(words, 1, k), " "), F.lit(". "),
+            F.array_join(F.slice(words, k + 1, k), " "), F.lit(". "),
+            F.array_join(F.slice(words, k * 2 + 1, n - k * 2), " ")),
+    ).otherwise(F.col("text"))
+    sentences = F.filter(
+        F.split(text2, r"[.!?]+\s+"), lambda s: F.length(s) > 0)
+    sent_words = F.transform(
+        sentences, lambda s: F.size(F.filter(
+            F.split(s, " "), lambda w: F.length(w) > 0)))
+    n_sent = F.size(sentences)
+    total_w = F.aggregate(sent_words, F.lit(0),
+                          lambda acc, x: acc + x)
+    return d.select(
+        "doc_id",
+        n_sent.cast("long").alias("n_sentences"),
+        F.when(n_sent > 0, F.floor(total_w / n_sent))
+        .otherwise(F.lit(0)).cast("long").alias("mean_sentence_words"),
+        F.coalesce(F.array_max(sent_words), F.lit(0)).cast("long")
+        .alias("max_sentence_words"),
+    ).orderBy("doc_id")
+
+
 def _q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier politeness scheduling (r5) — the Mercator /
     Heritrix frontier rule: fetches against one host are serialized
@@ -3870,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": _q_postings,
         "unicode_normalize": _q_unicode_normalize,
         "fetch_schedule": _q_fetch_schedule,
+        "sentence_stats": _q_sentence_stats,
     }
 
 
@@ -5371,5 +5413,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, host, priority, CAST(seq AS BIGINT) AS seq, "
             "CAST(seq * delay_ms AS BIGINT) AS start_offset_ms, worker "
             "FROM s ORDER BY url"
+        ),
+        "sentence_stats": (
+            # identical seeding (slice-joins) and sentence arithmetic
+            "WITH w AS (SELECT doc_id, text, "
+            "string_split(text, ' ') AS ws, "
+            "CAST(doc_id % 7 + 3 AS INT) AS k FROM documents), "
+            "m AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 "
+            "AND len(ws) > k * 2 THEN "
+            "array_to_string(list_slice(ws, 1, k), ' ') || '. ' || "
+            "array_to_string(list_slice(ws, k + 1, k * 2), ' ') "
+            "|| '. ' || "
+            "array_to_string(list_slice(ws, k * 2 + 1, len(ws)), ' ') "
+            "ELSE text END AS t FROM w), "
+            "s AS (SELECT doc_id, list_filter(regexp_split_to_array(t, "
+            "'[.!?]+\\s+'), x -> len(x) > 0) AS sents FROM m), "
+            "c AS (SELECT doc_id, sents, list_transform(sents, x -> "
+            "len(list_filter(string_split(x, ' '), "
+            "y -> len(y) > 0))) AS sw FROM s) "
+            "SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences, "
+            "CAST(CASE WHEN len(sents) > 0 THEN floor("
+            "list_sum(sw) / len(sents)) ELSE 0 END AS BIGINT) "
+            "AS mean_sentence_words, "
+            "CAST(coalesce(list_max(sw), 0) AS BIGINT) "
+            "AS max_sentence_words FROM c ORDER BY doc_id"
         ),
     }

@@ -717,3 +717,16 @@ def test_fetch_schedule_one_host_exchange(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert len(re.findall(r"\bWindow\b", plan)) >= 1, plan
     assert len(re.findall(r"hashpartitioning", plan)) >= 1, plan
+
+
+def test_sentence_stats_map_only(spark, sf_dir):
+    """sentence_stats (r5): pure in-row higher-order expressions — no
+    join, no window, no Python, no hash exchange."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["sentence_stats"](spark, sf_dir),
+                      spark)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "hashpartitioning" not in plan, plan

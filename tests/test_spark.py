@@ -1219,3 +1219,31 @@ def test_format_job_cdx(spark, tmp_path):
     assert keys == sorted(keys)
     with _pytest.raises(ValueError):
         run_format_job(spark, glob, out, "cdx", input_format="parquet")
+
+
+def test_sentence_stats_arithmetic(spark, tmp_path):
+    """Sentence stats on hand-built text: counts, floored mean, max;
+    odd doc_ids keep their natural (unseeded) punctuation."""
+    import __spark_entry__ as E
+
+    rows = [
+        (1, "One two three. Four five! Six seven eight nine?", "en"),
+        (3, "no punctuation at all here", "en"),
+        (5, "Tail period ends the text.", "en"),
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r.asDict()
+           for r in E.queries()["sentence_stats"](spark, d).collect()}
+    # doc 1: sentences of 3, 2, 4 words
+    assert got[1]["n_sentences"] == 3
+    assert got[1]["mean_sentence_words"] == 3  # floor(9/3)
+    assert got[1]["max_sentence_words"] == 4
+    # doc 3: one "sentence" (no terminal runs followed by space)
+    assert got[3]["n_sentences"] == 1
+    assert got[3]["max_sentence_words"] == 5
+    # doc 5: trailing period is not a split point (no following ws)
+    assert got[5]["n_sentences"] == 1
+    assert got[5]["max_sentence_words"] == 5

@@ -89,6 +89,7 @@ NOTES = {
     "postings": "search-index dictionary build: explode -> groupBy(term,doc) combine -> groupBy(term) with the top posting via max(struct) — an agg, never a per-term row_number window; df>=2 floor keeps the Zipf hapax tail off the final exchange.",
     "unicode_normalize": "NFC canonical composition via mapInPandas (Python unicodedata) on the pruned scan — map-only Arrow boundary, single range exchange for the determinism orderBy; oracle is DuckDB's native utf8proc nfc_normalize (independent engines).",
     "fetch_schedule": "frontier politeness: ONE host exchange + a row_number window partitioned by host (frontier queues are politeness-depth-bounded, exactly why this window is safe); md5-derived priorities/delays so DuckDB replays them; worker = hash(host) keeps a host on one fetcher.",
+    "sentence_stats": "sentence-level quality signals as pure in-row higher-order expressions (regex split + transform/aggregate) — map-only, zero exchanges at any corpus size (plan-guarded).",
 }
 
 
