@@ -1550,6 +1550,108 @@ def _q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_sequence_pack(spark: SparkSession, sf_dir: str,
+                     seq_len: int = 128, n_buckets: int = 16) -> DataFrame:
+    """Training-sequence packing manifest (r5) — the step that turns a
+    filtered+tokenized corpus into fixed-length pre-training sequences
+    (GPT-style "concatenate everything, cut every L tokens"): each
+    document learns exactly which sequences it lands in and at what
+    intra-sequence offset, so a trainer (or a later repack job) can
+    materialize sequence s by slicing the docs whose [first_seq,
+    last_seq] covers s — deterministic, resumable, and embarrassingly
+    parallel to consume. Emits per doc: token count, global token
+    offset, first/last sequence id, span count, and the offset inside
+    the first sequence.
+
+    Scale shape: the global token offset is the shard_assign two-level
+    prefix sum (bucket-major deterministic order; in-bucket running
+    sums in a window whose partition is one task's data; a B-row
+    exclusive prefix over bucket totals; broadcast back) — no global
+    sort, no single giant window partition, no collect. Everything
+    after the offset is pure per-row arithmetic inside whole-stage
+    codegen. The DuckDB oracle replays the identical bucket-major
+    arithmetic on its own window engine."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % n_buckets).alias("b"),
+        F.size(F.filter(F.split(F.col("text"), " "),
+                        lambda w: w != "")).cast("long").alias("n_tokens"))
+    w_in = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = base.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    totals = base.groupBy("b").agg(F.sum("n_tokens").alias("btot"))
+    w_off = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "b", F.coalesce(F.sum("btot").over(w_off), F.lit(0))
+        .alias("boff"))
+    off = F.col("boff") + F.col("cum_in") - F.col("n_tokens")
+    # last token index = off + n - 1; empty docs (n=0) degenerate to a
+    # zero-width span pinned at first_seq
+    last_tok = off + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    first_seq = F.floor(off / seq_len).cast("long")
+    last_seq = F.floor(last_tok / seq_len).cast("long")
+    return (
+        cum.join(F.broadcast(offsets), "b")
+        .select(
+            "doc_id", "n_tokens",
+            off.alias("global_offset"),
+            first_seq.alias("first_seq"),
+            last_seq.alias("last_seq"),
+            (last_seq - first_seq + 1).alias("n_seqs"),
+            (off % seq_len).alias("offset_in_first"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl URL delta (r5) — the snapshot diff Common
+    Crawl publishes per crawl ("N% of URLs are new this crawl") and
+    incremental pipelines key on: classify every URL across two
+    consecutive snapshots as new (current only), gone (previous
+    only), changed (both, content hash differs) or unchanged. The
+    driver corpus is one snapshot, so both sides are synthesized
+    deterministically: the previous crawl misses doc_id % 11 == 3
+    (those become "new"), the current crawl misses doc_id % 13 == 5
+    ("gone"), and every 3rd doc's current text gains the content_drift
+    suffix ("changed") — both engines seed identically.
+
+    Scale shape: each side projects to (key, md5(text)) inside its own
+    scan — document bodies never shuffle, the full-outer hash join
+    carries 16-byte digests only and AQE sizes the two url-hash
+    exchanges; per-url capture cardinality is the snapshot count (2),
+    so there is no skewed key by construction. No windows, no
+    collect."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    suffix = F.concat_ws(" ", *[
+        F.concat(F.lit("d"), F.col("doc_id").cast("string"),
+                 F.lit(f"_{j}")) for j in range(5)])
+    mutated = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" "), suffix)
+    ).otherwise(F.col("text"))
+    prev = (d.where(F.col("doc_id") % 11 != 3)
+            .select("doc_id", F.md5(F.col("text")).alias("h_prev")))
+    cur = (d.where(F.col("doc_id") % 13 != 5)
+           .select("doc_id", F.md5(mutated).alias("h_cur")))
+    j = prev.join(cur, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_prev").isNull(), F.lit("new"))
+        .when(F.col("h_cur").isNull(), F.lit("gone"))
+        .when(F.col("h_prev") == F.col("h_cur"), F.lit("unchanged"))
+        .otherwise(F.lit("changed")))
+    return j.select(
+        "doc_id",
+        F.col("h_prev").isNotNull().alias("in_prev"),
+        F.col("h_cur").isNotNull().alias("in_cur"),
+        status.alias("status"),
+    ).orderBy("doc_id")
+
+
 def _q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier politeness scheduling (r5) — the Mercator /
     Heritrix frontier rule: fetches against one host are serialized
@@ -3912,6 +4014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_normalize": _q_unicode_normalize,
         "fetch_schedule": _q_fetch_schedule,
         "sentence_stats": _q_sentence_stats,
+        "sequence_pack": _q_sequence_pack,
+        "snapshot_delta": _q_snapshot_delta,
     }
 
 
@@ -5437,5 +5541,55 @@ def oracle_sql() -> dict[str, str]:
             "AS mean_sentence_words, "
             "CAST(coalesce(list_max(sw), 0) AS BIGINT) "
             "AS max_sentence_words FROM c ORDER BY doc_id"
+        ),
+        "sequence_pack": (
+            # identical bucket-major two-level prefix arithmetic
+            # (shard_assign's oracle) + the per-row L=128 span math
+            "WITH base AS (SELECT doc_id, doc_id % 16 AS b, "
+            "CAST(len(list_filter(string_split(text, ' '), "
+            "w -> w <> '')) AS BIGINT) AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, b, n_tokens, "
+            "sum(n_tokens) OVER (PARTITION BY b ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in "
+            "FROM base), "
+            "t AS (SELECT b, sum(n_tokens) AS btot FROM base GROUP BY b), "
+            "o AS (SELECT b, coalesce(sum(btot) OVER (ORDER BY b "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS boff FROM t), "
+            "f AS (SELECT doc_id, n_tokens, "
+            "boff + cum_in - n_tokens AS goff, "
+            "boff + cum_in - n_tokens + greatest(n_tokens, 1) - 1 "
+            "AS last_tok FROM c JOIN o USING (b)) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(goff AS BIGINT) AS global_offset, "
+            "CAST(floor(goff / 128.0) AS BIGINT) AS first_seq, "
+            "CAST(floor(last_tok / 128.0) AS BIGINT) AS last_seq, "
+            "CAST(floor(last_tok / 128.0) - floor(goff / 128.0) + 1 "
+            "AS BIGINT) AS n_seqs, "
+            "CAST(goff % 128 AS BIGINT) AS offset_in_first "
+            "FROM f ORDER BY doc_id"
+        ),
+        "snapshot_delta": (
+            # identical seeding (drift suffix on every 3rd doc, the
+            # % 11 / % 13 snapshot membership) + a FULL OUTER JOIN on
+            # DuckDB's own hash-join engine
+            "WITH suf AS (SELECT doc_id, text, "
+            "' d' || doc_id || '_0 d' || doc_id || '_1 d' || doc_id || "
+            "'_2 d' || doc_id || '_3 d' || doc_id || '_4' AS s "
+            "FROM documents), "
+            "prev AS (SELECT doc_id, md5(text) AS h_prev FROM suf "
+            "WHERE doc_id % 11 <> 3), "
+            "cur AS (SELECT doc_id, md5(CASE WHEN doc_id % 3 = 0 "
+            "THEN text || s ELSE text END) AS h_cur FROM suf "
+            "WHERE doc_id % 13 <> 5) "
+            "SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id, "
+            "h_prev IS NOT NULL AS in_prev, "
+            "h_cur IS NOT NULL AS in_cur, "
+            "CASE WHEN h_prev IS NULL THEN 'new' "
+            "WHEN h_cur IS NULL THEN 'gone' "
+            "WHEN h_prev = h_cur THEN 'unchanged' "
+            "ELSE 'changed' END AS status "
+            "FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id "
+            "ORDER BY doc_id"
         ),
     }

@@ -730,3 +730,41 @@ def test_sentence_stats_map_only(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_sequence_pack_two_level_prefix(spark, sf_dir):
+    """sequence_pack (r5): the global token offset must keep the
+    shard_assign two-level shape — a bucket-partitioned per-doc window
+    plus one unpartitioned window over the B-row bucket totals (its
+    subtree contains the bucket aggregate), offsets returning by
+    broadcast; the span arithmetic adds nothing else."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["sequence_pack"](spark, sf_dir), spark)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+    m = re.search(r"Window \(\d+\)[\s\S]{0,500}?HashAggregate \(\d+\)",
+                  plan)
+    assert m, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_snapshot_delta_digest_only_join(spark, sf_dir):
+    """snapshot_delta (r5): the two snapshots meet in ONE full-outer
+    hash join keyed on doc_id whose inputs are (doc_id, md5) digest
+    projections — document bodies never shuffle (no `text` in any
+    exchange-feeding projection), no window, no Python."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["snapshot_delta"](spark, sf_dir),
+                      spark)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "FullOuter" in plan, plan
+    # the md5 digests are computed map-side: every exchange carries
+    # only doc_id + 32-hex digest columns, never the text payload
+    for m in re.finditer(r"\(\d+\) Exchange[\s\S]{0,400}?Arguments: "
+                         r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), plan

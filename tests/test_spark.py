@@ -1247,3 +1247,56 @@ def test_sentence_stats_arithmetic(spark, tmp_path):
     # doc 5: trailing period is not a split point (no following ws)
     assert got[5]["n_sentences"] == 1
     assert got[5]["max_sentence_words"] == 5
+
+
+def test_sequence_pack_arithmetic(spark, tmp_path):
+    """Packing manifest on hand-built token counts (L=128): offsets
+    follow the bucket-major order, spans cover exactly the doc's
+    tokens, boundary-crossing docs span two sequences."""
+    import __spark_entry__ as E
+
+    counts = {0: 100, 1: 60, 2: 200, 3: 1, 4: 30}
+    rows = [(i, " ".join(f"w{j}" for j in range(n)), "en")
+            for i, n in counts.items()]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r.asDict()
+           for r in E.queries()["sequence_pack"](spark, d).collect()}
+    # doc_ids < 16 so bucket-major order == doc_id order
+    want = {
+        0: (0, 0, 0, 1, 0),      # tokens [0, 100)
+        1: (100, 0, 1, 2, 100),  # [100, 160) crosses seq 0->1
+        2: (160, 1, 2, 2, 32),   # [160, 360)
+        3: (360, 2, 2, 1, 104),  # [360, 361)
+        4: (361, 2, 3, 2, 105),  # [361, 391) crosses seq 2->3
+    }
+    for i, (off, fs, ls, ns, oif) in want.items():
+        g = got[i]
+        assert g["n_tokens"] == counts[i]
+        assert g["global_offset"] == off
+        assert (g["first_seq"], g["last_seq"], g["n_seqs"],
+                g["offset_in_first"]) == (fs, ls, ns, oif), g
+
+
+def test_snapshot_delta_classes(spark, tmp_path):
+    """Every delta class is reachable and correctly labeled: %11==3
+    docs are new (absent from the previous crawl), %13==5 docs are
+    gone, %3==0 docs in both snapshots are changed, the rest
+    unchanged."""
+    import __spark_entry__ as E
+
+    rows = [(i, f"text of doc {i}", "en") for i in [1, 3, 5, 6, 13]]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r.asDict()
+           for r in E.queries()["snapshot_delta"](spark, d).collect()}
+    assert got[3]["status"] == "new" and not got[3]["in_prev"]
+    assert got[5]["status"] == "gone" and not got[5]["in_cur"]
+    assert got[6]["status"] == "changed"
+    assert got[1]["status"] == "unchanged"
+    assert got[13]["status"] == "unchanged"
+    assert all(g["in_cur"] for i, g in got.items() if i != 5)

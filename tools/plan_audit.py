@@ -90,6 +90,8 @@ NOTES = {
     "unicode_normalize": "NFC canonical composition via mapInPandas (Python unicodedata) on the pruned scan — map-only Arrow boundary, single range exchange for the determinism orderBy; oracle is DuckDB's native utf8proc nfc_normalize (independent engines).",
     "fetch_schedule": "frontier politeness: ONE host exchange + a row_number window partitioned by host (frontier queues are politeness-depth-bounded, exactly why this window is safe); md5-derived priorities/delays so DuckDB replays them; worker = hash(host) keeps a host on one fetcher.",
     "sentence_stats": "sentence-level quality signals as pure in-row higher-order expressions (regex split + transform/aggregate) — map-only, zero exchanges at any corpus size (plan-guarded).",
+    "sequence_pack": "training-sequence packing manifest: the shard_assign two-level prefix sum (bucket-partitioned running sums + a B-row exclusive prefix + broadcast-back) gives every doc its global token offset without a global sort; the L=128 span math is per-row codegen. Plan-guarded to exactly two windows with the unpartitioned one fed by the B-row aggregate.",
+    "snapshot_delta": "crawl-over-crawl URL diff: each snapshot projects to (key, md5) inside its own scan, so the full-outer hash join shuffles 16-byte digests — document bodies never leave the scan (plan-guarded: no text in any exchange key set); per-key cardinality is the snapshot count, so no skewed key exists by construction.",
 }
 
 
