@@ -258,6 +258,8 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def media_batches(batches):
         from zpdfspark.kernel.bmp import BmpError
+        from zpdfspark.kernel.docx import DocxError
+        from zpdfspark.kernel.epub import EpubError
         from zpdfspark.kernel.gif import GifError
         from zpdfspark.kernel.htmltext import looks_like_html
         from zpdfspark.kernel.jpeg import JpegError
@@ -286,7 +288,8 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         decode_media(raw, kind)
                         ok = True
                     except (NotImplementedError, PngError, JpegError,
-                            WavError, GifError, TiffError, BmpError):
+                            WavError, GifError, TiffError, BmpError,
+                            DocxError, EpubError):
                         ok = False
                 out["url"].append(url)
                 out["n_bytes"].append(len(raw))
@@ -3429,6 +3432,94 @@ def _q_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_docx_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Office-document (DOCX) structure + core-property extraction over
+    the from-scratch ZIP walk (kernel/ziparc.py central directory +
+    kernel/docx.py WordprocessingML parse, r5). The extracted TEXT
+    itself rides the flagship extraction family — extract_any
+    dispatches PK packages to parse_docx, so extract_accuracy/fast/
+    parity already value-pin docx text against generator truth; this
+    query pins the package-level facts. Map-only mapInPandas on the
+    pruned (url, html) scan, magic-filtered in-kernel — the 100 TB
+    plan is a scan + project, no exchange before the sink. Oracle:
+    corpus-carried columns from the INDEPENDENT fixtures-side re-read
+    (fixtures._docx_expected — stdlib zipfile container + narrow
+    regexes; the Spark path never touches stdlib zipfile)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.docx import DocxError, is_docx, parse_docx
+
+        for b in it:
+            rows = {"url": [], "n_paragraphs": [], "n_entries": [],
+                    "title": [], "creator": [], "n_text_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:4] != b"PK\x03\x04" or not is_docx(raw):
+                    continue
+                try:
+                    m = parse_docx(raw)
+                except DocxError:
+                    continue
+                rows["url"].append(url)
+                rows["n_paragraphs"].append(m["n_paragraphs"])
+                rows["n_entries"].append(m["n_entries"])
+                rows["title"].append(m["title"])
+                rows["creator"].append(m["creator"])
+                rows["n_text_chars"].append(len(m["text"]))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, n_paragraphs int, n_entries int, title string, "
+        "creator string, n_text_chars int"
+    ).orderBy("url")
+
+
+def _q_epub_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB package extraction (kernel/epub.py spine walk over the
+    from-scratch kernel/ziparc.py container read, r5): chapter count,
+    entry count, OPF dc:title/dc:creator, text length. The spine-
+    ordered TEXT itself (chapters joined \\x0c — the PDF page-join
+    rule) rides the flagship extraction family via extract_any.
+    Map-only mapInPandas on the pruned (url, html) scan. Oracle:
+    corpus-carried columns from the INDEPENDENT fixtures-side stdlib
+    re-read (fixtures._epub_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.epub import EpubError, is_epub, parse_epub
+
+        for b in it:
+            rows = {"url": [], "n_chapters": [], "n_entries": [],
+                    "title": [], "creator": [], "n_text_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:4] != b"PK\x03\x04" or not is_epub(raw):
+                    continue
+                try:
+                    m = parse_epub(raw)
+                except EpubError:
+                    continue
+                rows["url"].append(url)
+                rows["n_chapters"].append(m["n_chapters"])
+                rows["n_entries"].append(m["n_entries"])
+                rows["title"].append(m["title"])
+                rows["creator"].append(m["creator"])
+                rows["n_text_chars"].append(len(m["text"]))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, n_chapters int, n_entries int, title string, "
+        "creator string, n_text_chars int"
+    ).orderBy("url")
+
+
 def _q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX(J) web-archive index generation (spark/warc_source.py
     warc_cdx, r5): SURT urlkey + 14-digit timestamp + payload sha1 +
@@ -4016,6 +4107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_stats": _q_sentence_stats,
         "sequence_pack": _q_sequence_pack,
         "snapshot_delta": _q_snapshot_delta,
+        "docx_meta": _q_docx_meta,
+        "epub_meta": _q_epub_meta,
     }
 
 
@@ -4161,7 +4254,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes, "
             f"media_kind, "
             f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff', "
-            f"'bmp')) "
+            f"'bmp', 'docx', 'epub')) "
             f"AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
@@ -4260,6 +4353,30 @@ def oracle_sql() -> dict[str, str]:
             # carried dims from the independent header re-read
             f"SELECT url, img_width AS width, img_height AS height "
             f"FROM {corpus} WHERE media_kind = 'webp' ORDER BY url"
+        ),
+        "docx_meta": (
+            # carried package facts from the independent fixtures-side
+            # stdlib-zipfile re-read (_docx_expected) — NOT
+            # kernel/ziparc.py / kernel/docx.py; n_text_chars pins the
+            # kernel's extracted text length against the
+            # generator-truth text column
+            f"SELECT url, docx_n_paras AS n_paragraphs, "
+            f"docx_n_entries AS n_entries, docx_title AS title, "
+            f"docx_creator AS creator, "
+            f"CAST(length(text) AS INTEGER) AS n_text_chars "
+            f"FROM {corpus} WHERE media_kind = 'docx' ORDER BY url"
+        ),
+        "epub_meta": (
+            # carried package facts from the independent fixtures-side
+            # stdlib-zipfile re-read (_epub_expected) — NOT
+            # kernel/ziparc.py / kernel/epub.py; n_text_chars pins the
+            # spine-ordered extracted text length against the
+            # generator-truth text column
+            f"SELECT url, epub_n_chapters AS n_chapters, "
+            f"epub_n_entries AS n_entries, epub_title AS title, "
+            f"epub_creator AS creator, "
+            f"CAST(length(text) AS INTEGER) AS n_text_chars "
+            f"FROM {corpus} WHERE media_kind = 'epub' ORDER BY url"
         ),
         "avif_meta": (
             # carried primary-item dims/channels from the independent

@@ -2193,3 +2193,323 @@ class TestPngDepths:
             raw = open(p, "rb").read()
             w, h, c, px = P.decode_png(raw)
             assert px.shape == (h, w, c) and w > 0 and h > 0
+
+
+class TestZipArc:
+    """kernel/ziparc.py (round 5): from-scratch ZIP central-directory
+    reader vs STDLIB zipfile as the independent writer — genuine
+    two-engine round-trips; hostile archives raise ZipError only."""
+
+    def _build(self, members, method):
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", method) as z:
+            for name, data in members:
+                z.writestr(name, data)
+        return buf.getvalue()
+
+    def test_roundtrip_stored_and_deflated(self):
+        import random
+        import zipfile
+
+        from zpdfspark.kernel.ziparc import parse_zip, zip_names
+
+        rng = random.Random(7)
+        members = [
+            ("a.txt", b"hello world " * 200),
+            ("dir/nested/b.bin", bytes(rng.randrange(256)
+                                       for _ in range(3000))),
+            ("empty", b""),
+            ("utf8/näme.txt", "schön".encode()),
+        ]
+        for method in (zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED):
+            raw = self._build(members, method)
+            got = parse_zip(raw)
+            assert got == dict(members)
+            assert zip_names(raw) == [n for n, _ in members]
+            # selective read decompresses only the wanted member
+            assert parse_zip(raw, want={"empty"}) == {"empty": b""}
+
+    def test_crc_and_truncation_rejected(self):
+        import zipfile
+
+        import pytest
+
+        from zpdfspark.kernel.ziparc import ZipError, parse_zip
+
+        raw = self._build([("x", bytes(range(256)) * 4)],
+                          zipfile.ZIP_STORED)
+        bad = bytearray(raw)
+        bad[raw.find(bytes(range(256)))] ^= 0xFF
+        with pytest.raises(ZipError, match="CRC"):
+            parse_zip(bytes(bad))
+        with pytest.raises(ZipError):
+            parse_zip(raw[:-4])
+
+    def test_caps_and_unsupported(self):
+        import struct
+        import zipfile
+
+        import pytest
+
+        from zpdfspark.kernel.ziparc import ZipError, parse_zip
+
+        raw = self._build([("x", b"data")], zipfile.ZIP_DEFLATED)
+        # flip the EOCD entry counts (both disks) to the zip64 sentinel
+        eocd = raw.rfind(b"PK\x05\x06")
+        z64 = (raw[:eocd + 8] + struct.pack("<HH", 0xFFFF, 0xFFFF)
+               + raw[eocd + 12:])
+        with pytest.raises(ZipError, match="zip64"):
+            parse_zip(z64)
+        # encrypted member flag
+        enc = bytearray(raw)
+        cd = raw.find(b"PK\x01\x02")
+        enc[cd + 8] |= 0x1
+        with pytest.raises(ZipError, match="encrypted"):
+            parse_zip(bytes(enc))
+
+    def test_mutation_fuzz_ziperror_only(self):
+        import random
+        import zipfile
+
+        from zpdfspark.kernel.ziparc import ZipError, parse_zip
+
+        base = self._build(
+            [("word/document.xml", b"<w:p><w:r><w:t>x</w:t></w:r></w:p>"
+              * 40), ("other", b"y" * 500)], zipfile.ZIP_DEFLATED)
+        rng = random.Random(23)
+        for _ in range(600):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                parse_zip(bytes(b))
+            except ZipError:
+                pass  # the only acceptable failure mode
+
+
+class TestDocx:
+    """kernel/docx.py (round 5): WordprocessingML text extraction over
+    the from-scratch container walk; generator truth and the
+    independent stdlib-side re-read agree across every rotation."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import _docx_expected, docx_doc, docx_plan
+        from zpdfspark.kernel.docx import is_docx, parse_docx
+
+        for i in range(30):
+            blob, text = docx_doc(i)
+            plan = docx_plan(i)
+            assert text == plan["text"]
+            assert is_docx(blob)
+            m = parse_docx(blob)
+            assert m["text"] == plan["text"], i
+            assert m["n_paragraphs"] == len(plan["paras"]), i
+            assert m["title"] == plan["title"], i
+            assert m["creator"] == plan["creator"], i
+            np_, ne, title, creator = _docx_expected(blob)
+            assert (np_, title, creator) == (
+                m["n_paragraphs"], m["title"], m["creator"]), i
+            assert ne == m["n_entries"], i
+
+    def test_extract_any_dispatch(self):
+        from zpdfspark.fixtures import docx_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        blob, text = docx_doc(3)
+        for mode in ("accuracy", "fast"):
+            got, kind, doc = extract_any(blob, mode)
+            assert kind == "docx" and doc is None
+            assert got == text
+
+    def test_entities_tabs_breaks_preserve(self):
+        """Hand-authored WordprocessingML exercising the general
+        parser beyond the generator's shapes: numeric decimal
+        entities, surrogate-range rejection, w:cr, split runs."""
+        import io
+        import zipfile
+
+        from zpdfspark.kernel.docx import parse_docx
+
+        xml = ("<w:document><w:body>"
+               "<w:p><w:r><w:t>A&#65;&#x42;</w:t><w:cr/>"
+               "<w:t xml:space=\"preserve\"> tail </w:t></w:r></w:p>"
+               "<w:p/>"
+               "<w:p><w:r><w:t>bad &#xD800; cp</w:t></w:r></w:p>"
+               "</w:body></w:document>")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("word/document.xml", xml)
+        m = parse_docx(buf.getvalue())
+        assert m["text"] == "AAB\n tail \n\nbad � cp"
+        assert m["n_paragraphs"] == 3
+        assert m["title"] is None and m["creator"] is None
+
+    def test_not_docx(self):
+        import io
+        import zipfile
+
+        import pytest
+
+        from zpdfspark.kernel.docx import DocxError, is_docx, parse_docx
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("mimetype", "application/epub+zip")
+        raw = buf.getvalue()
+        assert not is_docx(raw)
+        with pytest.raises(DocxError, match="document.xml"):
+            parse_docx(raw)
+        assert not is_docx(b"PK\x03\x04 garbage")
+        assert not is_docx(b"%PDF-1.4")
+
+    def test_mutation_fuzz_tolerant_extraction(self):
+        """extract_any over mutated docx bytes must never raise — the
+        tolerant-open posture the PDF path has (broken package ->
+        empty text), since one hostile blob must not kill a task."""
+        import random
+
+        from zpdfspark.fixtures import docx_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        base = docx_doc(5)[0]
+        rng = random.Random(31)
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            text, kind, _ = extract_any(bytes(b))
+            assert isinstance(text, str)
+
+
+class TestEpub:
+    """kernel/epub.py (round 5): OCF/OPF/spine chain over the
+    from-scratch container walk; generator truth and the independent
+    stdlib-side re-read agree across every rotation."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import _epub_expected, epub_doc, epub_plan
+        from zpdfspark.kernel.epub import is_epub, parse_epub
+
+        for i in range(30):
+            blob, text = epub_doc(i)
+            plan = epub_plan(i)
+            assert text == plan["text"]
+            assert is_epub(blob)
+            m = parse_epub(blob)
+            assert m["text"] == plan["text"], i
+            assert m["n_chapters"] == len(plan["spine_order"]), i
+            assert m["title"] == plan["title"], i
+            assert m["creator"] == plan["creator"], i
+            nc, ne, title, creator = _epub_expected(blob)
+            assert (nc, ne, title, creator) == (
+                m["n_chapters"], m["n_entries"], m["title"],
+                m["creator"]), i
+
+    def test_spine_order_and_manifest_only_exclusion(self):
+        """i=8: 3 chapters, spine = zip order; i=13: 3 chapters with
+        the spine REVERSED vs zip member order (extraction must follow
+        the spine, not the directory); notes.xhtml is manifest-only
+        and must never contribute text."""
+        from zpdfspark.fixtures import epub_doc, epub_plan
+        from zpdfspark.kernel.epub import parse_epub
+
+        for i, want_rev in ((2, False), (8, True)):
+            plan = epub_plan(i)
+            assert len(plan["chapters"]) == 3, i
+            want = (list(reversed(range(3))) if want_rev
+                    else list(range(3)))
+            assert plan["spine_order"] == want, i
+            m = parse_epub(epub_doc(i)[0])
+            pages = m["text"].split("\x0c")
+            assert pages[0].startswith(
+                "Chapter 3" if want_rev else "Chapter 1"), i
+            assert "manifest-only" not in m["text"]
+
+    def test_extract_any_dispatch(self):
+        from zpdfspark.fixtures import epub_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        blob, text = epub_doc(4)
+        got, kind, doc = extract_any(blob)
+        assert kind == "epub" and doc is None and got == text
+
+    def test_mutation_fuzz_tolerant_extraction(self):
+        import random
+
+        from zpdfspark.fixtures import epub_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        base = epub_doc(7)[0]
+        rng = random.Random(41)
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            text, kind, _ = extract_any(bytes(b))
+            assert isinstance(text, str)
+
+
+class TestZipRealProducers:
+    """Real-data differential for the container walk: the Spark
+    distribution ships ~300 .jar files — ZIP archives emitted by a
+    REAL independent producer (the JDK's zip writer) with features the
+    fixtures never exercise (directory entries, data descriptors,
+    unicode extra fields). The from-scratch reader must walk every
+    one (or reject honestly: zip64/entry-cap) and must byte-equal
+    stdlib zipfile member-for-member on a sample."""
+
+    def _jars(self):
+        import glob
+        import os
+
+        import pyspark
+        jars = sorted(
+            glob.glob(os.path.join(os.path.dirname(pyspark.__file__),
+                                   "jars", "*.jar")),
+            key=os.path.getsize)
+        if len(jars) < 10:
+            import pytest
+            pytest.skip("no jar corpus on this host")
+        return jars
+
+    def test_names_walk_every_jar(self):
+        from zpdfspark.kernel.ziparc import ZipError, zip_names
+
+        jars = self._jars()
+        hard_fail = []
+        honest = 0
+        for p in jars:
+            raw = open(p, "rb").read()
+            try:
+                assert len(zip_names(raw)) > 0
+            except ZipError as e:
+                # the only acceptable rejections are the documented
+                # honest ones
+                if "zip64" in str(e) or "entries > cap" in str(e):
+                    honest += 1
+                else:
+                    hard_fail.append((p, str(e)))
+        assert not hard_fail, hard_fail
+        assert honest <= len(jars) // 20  # >95% must walk clean
+
+    def test_member_bytes_equal_stdlib_on_sample(self):
+        import zipfile
+
+        from zpdfspark.kernel.ziparc import ZipError, parse_zip
+
+        jars = self._jars()
+        sample = jars[:3] + jars[len(jars) // 2:len(jars) // 2 + 2]
+        for p in sample:
+            raw = open(p, "rb").read()
+            try:
+                mine = parse_zip(raw)
+            except ZipError:
+                continue  # honest rejection path covered above
+            zf = zipfile.ZipFile(p)
+            theirs = {i.filename: zf.read(i.filename)
+                      for i in zf.infolist() if not i.is_dir()}
+            got = {k: v for k, v in mine.items() if not k.endswith("/")}
+            assert got == theirs, p

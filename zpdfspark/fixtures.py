@@ -1007,6 +1007,230 @@ def heic_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
                        codec=b"hvcC"), None
 
 
+def _xml_esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _zip_writestr(z, name: str, data, method: int) -> None:
+    """Byte-deterministic member write: stdlib zipfile stamps the
+    CURRENT wall clock into the member header when given a bare name
+    (the docx/epub blobs then differ between corpus builds — caught
+    by the WARC round-trip test), so every member gets the pinned
+    1980 epoch explicitly (the WET writer's pinned-mtime rule)."""
+    import zipfile
+
+    zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+    zi.compress_type = method
+    zi.external_attr = 0o600 << 16
+    z.writestr(zi, data)
+
+
+def docx_plan(i: int) -> dict:
+    """The docx generator's authored content — paragraph strings, core
+    properties, packaging choices — shared by the writer (docx_doc)
+    and by the generator-truth expectation (_docx_expected consumes
+    only the emitted bytes; tests consume this plan directly)."""
+    paras = [f"Docx fixture {i}: heading"]
+    if i % 3 == 0:
+        paras.append(f"split run alpha{i} beta gamma")       # 3 w:t runs
+    elif i % 3 == 1:
+        paras.append(f"  padded run {i}  ")                  # xml:space
+    else:
+        paras.append(f"before break {i}\nafter break")       # <w:br/>
+    paras.append(f'entities & <angle> "q" {chr(0x2014)} end\ttab {i % 5}')
+    if i % 4 == 0:
+        paras.append("")                                     # <w:p/>
+    if i % 5 == 2:
+        paras.append(f"table cell {i % 7}")                  # inside w:tbl
+    has_core = i % 5 != 4
+    return {
+        "paras": paras,
+        "text": "\n".join(paras),
+        "title": f"R&D report {i % 7}" if has_core else None,
+        "creator": "zpdfspark fixtures" if has_core else None,
+        "deflate": i % 2 == 1,
+    }
+
+
+def docx_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic DOCX package (v33): WordprocessingML document
+    written with STDLIB zipfile — the reader (kernel/ziparc.py +
+    kernel/docx.py) is from scratch, so container round-trips are a
+    genuine two-engine check. Rotations: run split across multiple
+    w:t, xml:space=preserve edge spaces, <w:br/>, XML entities incl.
+    numeric, <w:tab/>, an empty self-closing paragraph, a table-cell
+    paragraph, stored-vs-deflated members, and a core.xml that is
+    present or absent. Returns (bytes, expected_text) — the text
+    column carries generator truth exactly like the PDF generators,
+    so the extraction-family oracles (extract_accuracy/fast/parity)
+    cover docx with no new plumbing."""
+    import io
+    import zipfile
+
+    plan = docx_plan(i)
+    body_parts = []
+    for idx, p in enumerate(plan["paras"]):
+        if p == "":
+            body_parts.append("<w:p/>")
+            continue
+        if idx == 1 and i % 3 == 0:
+            a, rest = p.split(" beta ", 1)
+            runs = (f"<w:r><w:t xml:space=\"preserve\">{_xml_esc(a)} "
+                    f"</w:t></w:r><w:r><w:t xml:space=\"preserve\">beta "
+                    f"</w:t></w:r><w:r><w:t>{_xml_esc(rest)}</w:t></w:r>")
+        elif idx == 1 and i % 3 == 1:
+            runs = f"<w:r><w:t xml:space=\"preserve\">{_xml_esc(p)}</w:t></w:r>"
+        elif idx == 1:
+            a, b = p.split("\n", 1)
+            runs = (f"<w:r><w:t>{_xml_esc(a)}</w:t><w:br/>"
+                    f"<w:t>{_xml_esc(b)}</w:t></w:r>")
+        elif p.startswith("entities"):
+            a, b = p.split("\t", 1)
+            # em-dash written as a numeric character reference
+            a_xml = _xml_esc(a).replace("—", "&#x2014;")
+            runs = (f"<w:r><w:t xml:space=\"preserve\">{a_xml}</w:t>"
+                    f"<w:tab/><w:t>{_xml_esc(b)}</w:t></w:r>")
+        else:
+            runs = f"<w:r><w:t>{_xml_esc(p)}</w:t></w:r>"
+        para = f"<w:p><w:pPr><w:jc w:val=\"left\"/></w:pPr>{runs}</w:p>"
+        if p.startswith("table cell"):
+            para = f"<w:tbl><w:tr><w:tc>{para}</w:tc></w:tr></w:tbl>"
+        body_parts.append(para)
+    document = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+        "<w:document xmlns:w=\"http://schemas.openxmlformats.org/"
+        "wordprocessingml/2006/main\"><w:body>"
+        + "".join(body_parts) + "<w:sectPr/></w:body></w:document>")
+    buf = io.BytesIO()
+    method = zipfile.ZIP_DEFLATED if plan["deflate"] else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w") as z:
+        _zip_writestr(z, "[Content_Types].xml",
+                      "<?xml version=\"1.0\"?><Types xmlns=\"http://schemas."
+                      "openxmlformats.org/package/2006/content-types\">"
+                      "<Default Extension=\"xml\" ContentType=\"application/"
+                      "xml\"/></Types>", method)
+        _zip_writestr(z, "_rels/.rels", "<Relationships/>", method)
+        _zip_writestr(z, "word/document.xml", document, method)
+        if plan["title"] is not None:
+            _zip_writestr(
+                z, "docProps/core.xml",
+                "<?xml version=\"1.0\"?><cp:coreProperties "
+                "xmlns:cp=\"http://schemas.openxmlformats.org/package/2006/"
+                "metadata/core-properties\" xmlns:dc=\"http://purl.org/dc/"
+                "elements/1.1/\">"
+                f"<dc:title>{_xml_esc(plan['title'])}</dc:title>"
+                f"<dc:creator>{_xml_esc(plan['creator'])}</dc:creator>"
+                "</cp:coreProperties>", method)
+    return buf.getvalue(), plan["text"]
+
+
+def epub_plan(i: int) -> dict:
+    """The epub generator's authored content — per-chapter visible
+    lines, spine order, OPF metadata, packaging choices — shared by
+    the writer (epub_doc) and consumed directly by tests. The
+    expected text is chapters joined with \\x0c (the PDF page-join
+    rule kernel/epub.py adopts)."""
+    n_ch = 1 + i % 3
+    chapters = []
+    for k in range(n_ch):
+        lines = [f"Chapter {k + 1}",
+                 f"Prose line {i % 7} with bold emphasis and an "
+                 "ampersand & sign."]
+        if k == 0:
+            lines += [f"Second paragraph {i}", "split by a break."]
+        if k == 1:
+            lines += ["item one", f"item two {i % 4}"]
+        if k == 2:
+            lines.append(f"Closing — note {i % 5}")
+        chapters.append("\n".join(lines))
+    reverse = i % 5 == 3 and n_ch > 1
+    order = list(reversed(range(n_ch))) if reverse else list(range(n_ch))
+    return {
+        "chapters": chapters,
+        "spine_order": order,
+        "text": "\x0c".join(chapters[k] for k in order),
+        "title": f"Book & Anthology {i % 5}",
+        "creator": None if i % 4 == 3 else f"Author {i % 6}",
+        "opf_path": "OEBPS/content.opf" if i % 2 else "content.opf",
+        "deflate": i % 3 == 1,
+    }
+
+
+def epub_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic EPUB package (v33): OCF container written with
+    STDLIB zipfile (the reader is the from-scratch kernel/ziparc.py +
+    kernel/epub.py walk — two-engine round-trip). Rotations: 1-3
+    XHTML chapters with inline tags, <br/>, lists, numeric entities;
+    spine order reversed vs zip order; manifest-only items excluded
+    from text; OPF at the root or under OEBPS/ (base-dir href
+    resolution); title entity-escaped; creator present or absent;
+    stored vs deflated members (mimetype always stored, per OCF).
+    Returns (bytes, expected_text) — generator truth rides the text
+    column through the extraction-family oracles like PDF/DOCX."""
+    import io
+    import zipfile
+
+    plan = epub_plan(i)
+    base = plan["opf_path"].rsplit("/", 1)[0] + "/" \
+        if "/" in plan["opf_path"] else ""
+    ch_xml = []
+    for k in range(len(plan["chapters"])):
+        extra = ""
+        if k == 0:
+            extra = (f"<p>Second paragraph {i}<br/>split by a break.</p>")
+        if k == 1:
+            extra = (f"<ul><li>item one</li><li>item two {i % 4}</li></ul>")
+        if k == 2:
+            extra = f"<p>Closing &#8212; note {i % 5}</p>"
+        ch_xml.append(
+            "<?xml version=\"1.0\" encoding=\"utf-8\"?>"
+            "<html xmlns=\"http://www.w3.org/1999/xhtml\"><head>"
+            f"<title>ch{k}</title><style>p {{margin: 0}}</style></head>"
+            f"<body><h1>Chapter {k + 1}</h1>"
+            f"<p>Prose line {i % 7} with <b>bold</b> emphasis and an "
+            "ampersand &amp; sign.</p>"
+            f"{extra}</body></html>")
+    manifest = "".join(
+        f"<item id=\"ch{k}\" href=\"chapter{k}.xhtml\" "
+        "media-type=\"application/xhtml+xml\"/>"
+        for k in range(len(plan["chapters"])))
+    manifest += ("<item id=\"notes\" href=\"notes.xhtml\" "
+                 "media-type=\"application/xhtml+xml\"/>"
+                 "<item id=\"css\" href=\"style.css\" "
+                 "media-type=\"text/css\"/>")
+    spine = "".join(f"<itemref idref=\"ch{k}\"/>"
+                    for k in plan["spine_order"])
+    creator_xml = (f"<dc:creator>{plan['creator']}</dc:creator>"
+                   if plan["creator"] else "")
+    opf = ("<?xml version=\"1.0\"?><package xmlns=\"http://www.idpf.org/"
+           "2007/opf\" xmlns:dc=\"http://purl.org/dc/elements/1.1/\">"
+           f"<metadata><dc:title>{_xml_esc(plan['title'])}</dc:title>"
+           f"{creator_xml}</metadata>"
+           f"<manifest>{manifest}</manifest>"
+           f"<spine>{spine}</spine></package>")
+    container = ("<?xml version=\"1.0\"?><container version=\"1.0\" "
+                 "xmlns=\"urn:oasis:names:tc:opendocument:xmlns:container\">"
+                 "<rootfiles><rootfile full-path=\""
+                 + plan["opf_path"]
+                 + "\" media-type=\"application/oebps-package+xml\"/>"
+                 "</rootfiles></container>")
+    buf = io.BytesIO()
+    method = zipfile.ZIP_DEFLATED if plan["deflate"] else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w") as z:
+        _zip_writestr(z, "mimetype", "application/epub+zip",
+                      zipfile.ZIP_STORED)
+        _zip_writestr(z, "META-INF/container.xml", container, method)
+        _zip_writestr(z, plan["opf_path"], opf, method)
+        for k, xml in enumerate(ch_xml):
+            _zip_writestr(z, f"{base}chapter{k}.xhtml", xml, method)
+        _zip_writestr(z, f"{base}notes.xhtml",
+                      "<html><body><p>manifest-only, not in spine</p>"
+                      "</body></html>", method)
+        _zip_writestr(z, f"{base}style.css", "p {margin: 0}", method)
+    return buf.getvalue(), plan["text"]
+
+
 def html_page(i: int = 0) -> Tuple[bytes, str]:
     """A Common-Crawl-style HTML page with boilerplate (script/style/
     nav/header/footer/aside) around a <main> block. The oracle is the
@@ -1497,6 +1721,14 @@ def _register():
     def g_heic(i):
         return heic_image(i)
 
+    @var("docx")
+    def g_docx(i):
+        return docx_doc(i)
+
+    @var("epub")
+    def g_epub(i):
+        return epub_doc(i)
+
     @var("html")
     def g_html(i):
         return html_page(i)
@@ -1537,7 +1769,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v32"
+CORPUS_VERSION = "v34"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -1830,6 +2062,13 @@ def _sniff_media_kind(raw: bytes) -> str:
     if raw[:3] == b"ID3" or (len(raw) >= 2 and raw[0] == 0xFF
                              and (raw[1] & 0xE0) == 0xE0):
         return "mp3"
+    if raw[:4] == b"PK\x03\x04":
+        from .kernel.docx import is_docx
+        from .kernel.epub import is_epub
+
+        if is_docx(raw):
+            return "docx"
+        return "epub" if is_epub(raw) else "zip"
     if looks_like_html(raw):
         return "html"
     return "unknown"
@@ -1868,6 +2107,8 @@ EXPECTED_COLUMNS = (
     "exif_orientation", "exif_make", "exif_w", "exif_h",
     "img_width", "img_height", "img_channels",
     "blocks", "block_labels",
+    "docx_n_paras", "docx_n_entries", "docx_title", "docx_creator",
+    "epub_n_chapters", "epub_n_entries", "epub_title", "epub_creator",
 )
 
 
@@ -2093,6 +2334,67 @@ def _flac_expected(raw: bytes):
         pos += 4 + blen
     dur = (total * 1000) // sr if total else None
     return sr, ch, bits, total, dur, title, artist
+
+
+def _docx_expected(raw: bytes):
+    """INDEPENDENT ground truth for the docx_meta oracle: STDLIB
+    zipfile container read plus a narrow re-read of exactly the
+    core.xml / paragraph shapes docx_doc emits — deliberately NOT
+    kernel/ziparc.py or kernel/docx.py (the extraction TEXT itself is
+    generator truth in the text column, covered by the extraction
+    oracles). Returns (n_paras, n_entries, title, creator)."""
+    import io
+    import re as _re
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(raw))
+    names = zf.namelist()
+    xml = zf.read("word/document.xml").decode("utf-8")
+    n_paras = len(_re.findall(r"<w:p[ />]", xml))
+    title = creator = None
+    if "docProps/core.xml" in names:
+        core = zf.read("docProps/core.xml").decode("utf-8")
+        tm = _re.search(r"<dc:title>(.*?)</dc:title>", core)
+        cm = _re.search(r"<dc:creator>(.*?)</dc:creator>", core)
+        unesc = (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&"))
+
+        def u(s):
+            for a, b in unesc:
+                s = s.replace(a, b)
+            return s
+
+        title = u(tm.group(1)) if tm else None
+        creator = u(cm.group(1)) if cm else None
+    return n_paras, len(names), title, creator
+
+
+def _epub_expected(raw: bytes):
+    """INDEPENDENT ground truth for the epub_meta oracle: STDLIB
+    zipfile container read plus a narrow re-read of exactly the
+    container/OPF shapes epub_doc emits — deliberately NOT
+    kernel/ziparc.py or kernel/epub.py. Returns (n_chapters,
+    n_entries, title, creator)."""
+    import io
+    import re as _re
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(raw))
+    names = zf.namelist()
+    container = zf.read("META-INF/container.xml").decode("utf-8")
+    opf_path = _re.search(r'full-path="([^"]+)"', container).group(1)
+    opf = zf.read(opf_path).decode("utf-8")
+    n_chapters = len(_re.findall(r"<itemref\b", opf))
+    tm = _re.search(r"<dc:title>(.*?)</dc:title>", opf)
+    cm = _re.search(r"<dc:creator>(.*?)</dc:creator>", opf)
+
+    def u(s):
+        for a, b in (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
+            s = s.replace(a, b)
+        return s
+
+    title = u(tm.group(1)) if tm else None
+    creator = u(cm.group(1)) if cm else None
+    return n_chapters, len(names), title, creator
 
 
 def _ogg_expected(raw: bytes):
@@ -2468,6 +2770,20 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row["blocks"] = None
         row["block_labels"] = None
+    if row["media_kind"] == "docx":
+        np_, ne, title, creator = _docx_expected(raw)
+        row.update({"docx_n_paras": np_, "docx_n_entries": ne,
+                    "docx_title": title, "docx_creator": creator})
+    else:
+        row.update({"docx_n_paras": None, "docx_n_entries": None,
+                    "docx_title": None, "docx_creator": None})
+    if row["media_kind"] == "epub":
+        nc, ne, title, creator = _epub_expected(raw)
+        row.update({"epub_n_chapters": nc, "epub_n_entries": ne,
+                    "epub_title": title, "epub_creator": creator})
+    else:
+        row.update({"epub_n_chapters": None, "epub_n_entries": None,
+                    "epub_title": None, "epub_creator": None})
     return row
 
 
@@ -2565,6 +2881,10 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
             ("label", pa.string()),
         ])),
         "block_labels": pa.list_(pa.string()),
+        "docx_n_paras": pa.int32(), "docx_n_entries": pa.int32(),
+        "docx_title": pa.string(), "docx_creator": pa.string(),
+        "epub_n_chapters": pa.int32(), "epub_n_entries": pa.int32(),
+        "epub_title": pa.string(), "epub_creator": pa.string(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

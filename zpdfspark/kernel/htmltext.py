@@ -179,13 +179,37 @@ def extract_main_text(raw: bytes) -> str:
 
 
 def extract_any(raw: bytes, mode: str = "accuracy"):
-    """Dispatch on the payload: PDF bytes -> the PDF kernel, HTML ->
-    boilerplate strip. Returns (text, kind, doc_or_None)."""
+    """Dispatch on the payload: PDF bytes -> the PDF kernel, DOCX ->
+    the WordprocessingML walk (kernel/docx.py, r5), EPUB -> the
+    spine walk (kernel/epub.py, r5), HTML -> boilerplate strip.
+    Returns (text, kind, doc_or_None)."""
     if raw.startswith(b"%PDF-"):
         from .document import Document
 
         doc = Document(raw)
         return doc.extract_all(mode), "pdf", doc
+    if raw[:4] == b"PK\x03\x04":
+        # one names-only directory walk decides the package kind;
+        # tolerant-open posture throughout: a broken package extracts
+        # empty, it does not fail the task
+        from .docx import DocxError, parse_docx
+        from .epub import EpubError, parse_epub
+        from .ziparc import ZipError, zip_names
+
+        try:
+            names = zip_names(raw)
+        except ZipError:
+            names = []
+        if "word/document.xml" in names:
+            try:
+                return parse_docx(raw)["text"], "docx", None
+            except DocxError:
+                return "", "docx", None
+        if "META-INF/container.xml" in names:
+            try:
+                return parse_epub(raw)["text"], "epub", None
+            except EpubError:
+                return "", "epub", None
     if looks_like_html(raw):
         return extract_main_text(raw), "html", None
     from .document import Document

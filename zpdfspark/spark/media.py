@@ -69,6 +69,13 @@ def sniff_kind(raw: bytes) -> str:
     if raw[:3] == b"ID3" or (len(raw) >= 2 and raw[0] == 0xFF
                              and (raw[1] & 0xE0) == 0xE0):
         return "mp3"
+    if raw[:4] == b"PK\x03\x04":
+        from zpdfspark.kernel.docx import is_docx
+        from zpdfspark.kernel.epub import is_epub
+
+        if is_docx(raw):
+            return "docx"
+        return "epub" if is_epub(raw) else "zip"
     return "binary"
 
 
@@ -100,6 +107,12 @@ def decode_media(raw: bytes, kind: str):
     if kind == "bmp":
         from zpdfspark.kernel.bmp import decode_bmp
         return decode_bmp(raw)
+    if kind == "docx":
+        from zpdfspark.kernel.docx import parse_docx
+        return parse_docx(raw)
+    if kind == "epub":
+        from zpdfspark.kernel.epub import parse_epub
+        return parse_epub(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
