@@ -261,6 +261,8 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         from zpdfspark.kernel.docx import DocxError
         from zpdfspark.kernel.epub import EpubError
         from zpdfspark.kernel.gif import GifError
+        from zpdfspark.kernel.odt import OdtError
+        from zpdfspark.kernel.xlsx import XlsxError
         from zpdfspark.kernel.htmltext import looks_like_html
         from zpdfspark.kernel.jpeg import JpegError
         from zpdfspark.kernel.png import PngError
@@ -289,7 +291,7 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ok = True
                     except (NotImplementedError, PngError, JpegError,
                             WavError, GifError, TiffError, BmpError,
-                            DocxError, EpubError):
+                            DocxError, EpubError, XlsxError, OdtError):
                         ok = False
                 out["url"].append(url)
                 out["n_bytes"].append(len(raw))
@@ -3520,6 +3522,95 @@ def _q_epub_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_xlsx_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpreadsheetML extraction facts (kernel/xlsx.py over the
+    from-scratch ziparc walk, r5): sheet/cell/entry counts, workbook-
+    ordered sheet names (resolved through workbook.xml.rels), core
+    title, text length. Sheet TEXT (cells TAB-joined, rows newline-
+    joined, sheets \\x0c-joined) rides the flagship extraction family
+    via extract_any. Map-only mapInPandas on the pruned (url, html)
+    scan. Oracle: corpus-carried columns from the INDEPENDENT
+    fixtures-side stdlib re-read (fixtures._xlsx_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.xlsx import XlsxError, is_xlsx, parse_xlsx
+
+        for b in it:
+            rows = {"url": [], "n_sheets": [], "n_cells": [],
+                    "n_entries": [], "title": [], "sheet_names": [],
+                    "n_text_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:4] != b"PK\x03\x04" or not is_xlsx(raw):
+                    continue
+                try:
+                    m = parse_xlsx(raw)
+                except XlsxError:
+                    continue
+                rows["url"].append(url)
+                rows["n_sheets"].append(m["n_sheets"])
+                rows["n_cells"].append(m["n_cells"])
+                rows["n_entries"].append(m["n_entries"])
+                rows["title"].append(m["title"])
+                rows["sheet_names"].append(m["sheet_names"])
+                rows["n_text_chars"].append(len(m["text"]))
+            df = pd.DataFrame(rows)
+            # a zero-row list column defaults to float64, which Arrow
+            # cannot cast to array<string> — pin object dtype
+            df["sheet_names"] = pd.Series(rows["sheet_names"],
+                                          dtype=object)
+            yield df
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, n_sheets int, n_cells int, n_entries int, "
+        "title string, sheet_names array<string>, n_text_chars int"
+    ).orderBy("url")
+
+
+def _q_odt_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument text extraction facts (kernel/odt.py, r5):
+    paragraph/entry counts, meta.xml dc:title/dc:creator, text
+    length; paragraph TEXT rides the flagship extraction family via
+    extract_any. Map-only mapInPandas on the pruned (url, html) scan.
+    Oracle: corpus-carried columns from the INDEPENDENT fixtures-side
+    stdlib re-read (fixtures._odt_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.odt import OdtError, is_odt, parse_odt
+
+        for b in it:
+            rows = {"url": [], "n_paragraphs": [], "n_entries": [],
+                    "title": [], "creator": [], "n_text_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:4] != b"PK\x03\x04" or not is_odt(raw):
+                    continue
+                try:
+                    m = parse_odt(raw)
+                except OdtError:
+                    continue
+                rows["url"].append(url)
+                rows["n_paragraphs"].append(m["n_paragraphs"])
+                rows["n_entries"].append(m["n_entries"])
+                rows["title"].append(m["title"])
+                rows["creator"].append(m["creator"])
+                rows["n_text_chars"].append(len(m["text"]))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, n_paragraphs int, n_entries int, title string, "
+        "creator string, n_text_chars int"
+    ).orderBy("url")
+
+
 def _q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX(J) web-archive index generation (spark/warc_source.py
     warc_cdx, r5): SURT urlkey + 14-digit timestamp + payload sha1 +
@@ -4109,6 +4200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": _q_snapshot_delta,
         "docx_meta": _q_docx_meta,
         "epub_meta": _q_epub_meta,
+        "xlsx_meta": _q_xlsx_meta,
+        "odt_meta": _q_odt_meta,
     }
 
 
@@ -4254,7 +4347,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes, "
             f"media_kind, "
             f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff', "
-            f"'bmp', 'docx', 'epub')) "
+            f"'bmp', 'docx', 'epub', 'xlsx', 'odt')) "
             f"AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
@@ -4377,6 +4470,24 @@ def oracle_sql() -> dict[str, str]:
             f"epub_creator AS creator, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'epub' ORDER BY url"
+        ),
+        "xlsx_meta": (
+            # carried package facts from the independent fixtures-side
+            # stdlib-zipfile re-read (_xlsx_expected)
+            f"SELECT url, xlsx_n_sheets AS n_sheets, "
+            f"xlsx_n_cells AS n_cells, xlsx_n_entries AS n_entries, "
+            f"xlsx_title AS title, xlsx_sheet_names AS sheet_names, "
+            f"CAST(length(text) AS INTEGER) AS n_text_chars "
+            f"FROM {corpus} WHERE media_kind = 'xlsx' ORDER BY url"
+        ),
+        "odt_meta": (
+            # carried package facts from the independent fixtures-side
+            # stdlib-zipfile re-read (_odt_expected)
+            f"SELECT url, odt_n_paras AS n_paragraphs, "
+            f"odt_n_entries AS n_entries, odt_title AS title, "
+            f"odt_creator AS creator, "
+            f"CAST(length(text) AS INTEGER) AS n_text_chars "
+            f"FROM {corpus} WHERE media_kind = 'odt' ORDER BY url"
         ),
         "avif_meta": (
             # carried primary-item dims/channels from the independent

@@ -2513,3 +2513,147 @@ class TestZipRealProducers:
                       for i in zf.infolist() if not i.is_dir()}
             got = {k: v for k, v in mine.items() if not k.endswith("/")}
             assert got == theirs, p
+
+
+class TestXlsx:
+    """kernel/xlsx.py (round 5): workbook/rels/sharedStrings chain
+    over the from-scratch container walk."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import _xlsx_expected, xlsx_doc, xlsx_plan
+        from zpdfspark.kernel.xlsx import is_xlsx, parse_xlsx
+
+        for i in range(24):
+            blob, text = xlsx_doc(i)
+            plan = xlsx_plan(i)
+            assert text == plan["text"]
+            assert is_xlsx(blob)
+            m = parse_xlsx(blob)
+            assert m["text"] == plan["text"], i
+            assert m["n_sheets"] == len(plan["sheets"]), i
+            assert m["n_cells"] == plan["n_cells"], i
+            assert m["title"] == plan["title"], i
+            assert m["sheet_names"] == [n for n, _ in plan["sheets"]], i
+            assert (_xlsx_expected(blob) ==
+                    (m["n_sheets"], m["n_cells"], m["n_entries"],
+                     m["title"], m["sheet_names"])), i
+
+    def test_rels_indirection_and_cell_kinds(self):
+        """i=1: 2 sheets whose rel ids are REVERSED vs sheet order —
+        resolution must go through workbook.xml.rels; shared strings
+        (incl. multi-run rich text), numeric <v>, inlineStr runs and
+        self-closing empty cells all land in the right grid slots."""
+        from zpdfspark.fixtures import xlsx_doc, xlsx_plan
+        from zpdfspark.kernel.xlsx import parse_xlsx
+
+        plan = xlsx_plan(1)
+        assert len(plan["sheets"]) == 2
+        m = parse_xlsx(xlsx_doc(1)[0])
+        sheets = m["text"].split("\x0c")
+        assert sheets[0].startswith("Header & 0\tCount\t")
+        assert "inline 1" in sheets[1]
+        assert m["text"] == plan["text"]
+
+    def test_extract_any_dispatch_and_fuzz(self):
+        import random
+
+        from zpdfspark.fixtures import xlsx_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        blob, text = xlsx_doc(6)
+        got, kind, doc = extract_any(blob)
+        assert kind == "xlsx" and doc is None and got == text
+        rng = random.Random(53)
+        for _ in range(300):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            t, _, _ = extract_any(bytes(b))
+            assert isinstance(t, str)
+
+
+class TestOdt:
+    """kernel/odt.py (round 5): mimetype-gated OpenDocument paragraph
+    walk over the from-scratch container walk."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import _odt_expected, odt_doc, odt_plan
+        from zpdfspark.kernel.odt import is_odt, parse_odt
+
+        for i in range(24):
+            blob, text = odt_doc(i)
+            plan = odt_plan(i)
+            assert text == plan["text"]
+            assert is_odt(blob)
+            m = parse_odt(blob)
+            assert m["text"] == plan["text"], i
+            assert m["n_paragraphs"] == len(plan["paras"]), i
+            assert m["title"] == plan["title"], i
+            assert m["creator"] == plan["creator"], i
+            assert (_odt_expected(blob) ==
+                    (m["n_paragraphs"], m["n_entries"], m["title"],
+                     m["creator"])), i
+
+    def test_span_table_prefix_collisions(self):
+        """<text:span> must not read as <text:s> (run-length space)
+        and <text:table> must not read as <text:tab> — hand-authored
+        package exercising both collisions plus text:s counts."""
+        import io
+        import zipfile
+
+        from zpdfspark.kernel.odt import parse_odt
+
+        content = (
+            "<office:document-content xmlns:office=\"x\" xmlns:text=\"y\">"
+            "<office:body><office:text>"
+            "<text:p>a<text:span text:style-name=\"T1\">b</text:span>c"
+            "</text:p>"
+            "<text:p>x<text:s text:c=\"3\"/>y<text:s/>z</text:p>"
+            "<text:table><text:table-row><text:table-cell>"
+            "<text:p>cell</text:p></text:table-cell></text:table-row>"
+            "</text:table>"
+            "</office:text></office:body></office:document-content>")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+            z.writestr("content.xml", content)
+        m = parse_odt(buf.getvalue())
+        assert m["text"] == "abc\nx   y z\ncell"
+        assert m["n_paragraphs"] == 3
+
+    def test_ods_rejected_by_mimetype(self):
+        """An OpenDocument SPREADSHEET shares the layout; the text
+        class gate must refuse it (is_odt False, parse raises)."""
+        import io
+        import zipfile
+
+        import pytest
+
+        from zpdfspark.kernel.odt import OdtError, is_odt, parse_odt
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("mimetype",
+                       "application/vnd.oasis.opendocument.spreadsheet")
+            z.writestr("content.xml", "<office:document-content/>")
+        raw = buf.getvalue()
+        assert not is_odt(raw)
+        with pytest.raises(OdtError):
+            parse_odt(raw)
+
+    def test_extract_any_dispatch_and_fuzz(self):
+        import random
+
+        from zpdfspark.fixtures import odt_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        blob, text = odt_doc(9)
+        got, kind, doc = extract_any(blob)
+        assert kind == "odt" and doc is None and got == text
+        rng = random.Random(61)
+        for _ in range(300):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            t, _, _ = extract_any(bytes(b))
+            assert isinstance(t, str)

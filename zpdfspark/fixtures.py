@@ -1231,6 +1231,217 @@ def epub_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
     return buf.getvalue(), plan["text"]
 
 
+def xlsx_plan(i: int) -> dict:
+    """The xlsx generator's authored content: per-sheet cell grids
+    (strings resolve through sharedStrings, plus numeric / inline /
+    formula-string cells), sheet names, packaging choices. Expected
+    text: cells TAB-joined, rows newline-joined, sheets \\x0c-joined
+    (kernel/xlsx.py's reduction rule)."""
+    n_sheets = 1 + i % 2
+    sheets = []
+    for s in range(n_sheets):
+        rows = [
+            [f"Header & {s}", "Count", ""],
+            [f"item <{i % 7}>", str(100 + i % 9), f"note {i}"],
+        ]
+        if s == 1:
+            rows.append([f"inline {i % 4}", str((i % 5) * 10) + ".5", ""])
+        sheets.append((f"Sheet{s + 1} données" if s == 0 else f"Data {s}",
+                       rows))
+    return {
+        "sheets": sheets,
+        "n_cells": sum(len(r) for _, rows in sheets for r in rows),
+        "text": "\x0c".join(
+            "\n".join("\t".join(r) for r in rows) for _, rows in sheets),
+        "title": None if i % 4 == 2 else f"Workbook {i % 6}",
+        "deflate": i % 2 == 0,
+    }
+
+
+def xlsx_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic XLSX package (v35) written with STDLIB zipfile
+    (reader = from-scratch kernel/ziparc.py + kernel/xlsx.py).
+    Rotations: 1-2 sheets resolved through workbook.xml.rels (rel ids
+    deliberately NOT in sheet order), shared strings with entities
+    and rich-text runs, numeric cells, inlineStr cells, empty cells
+    (self-closing <c/>), stored vs deflated, core.xml present or
+    absent. Returns (bytes, expected_text) — generator truth rides
+    the text column through the extraction-family oracles."""
+    import io
+    import zipfile
+
+    plan = xlsx_plan(i)
+    # shared-string table: first-occurrence order over string cells
+    shared: list = []
+    index = {}
+
+    def sidx(s: str) -> int:
+        if s not in index:
+            index[s] = len(shared)
+            shared.append(s)
+        return index[s]
+
+    sheet_xml = []
+    for snum, (name, rows) in enumerate(plan["sheets"]):
+        row_xml = []
+        for rnum, row in enumerate(rows):
+            cells = []
+            for cnum, val in enumerate(row):
+                ref = f"{chr(65 + cnum)}{rnum + 1}"
+                if val == "":
+                    cells.append(f"<c r=\"{ref}\"/>")
+                elif snum == 1 and rnum == 2 and cnum == 0:
+                    # rich inline string split across two runs
+                    a, b = val[:3], val[3:]
+                    cells.append(
+                        f"<c r=\"{ref}\" t=\"inlineStr\"><is>"
+                        f"<r><t xml:space=\"preserve\">{_xml_esc(a)}</t></r>"
+                        f"<r><t>{_xml_esc(b)}</t></r></is></c>")
+                elif val.replace(".", "").isdigit():
+                    cells.append(f"<c r=\"{ref}\"><v>{val}</v></c>")
+                else:
+                    cells.append(f"<c r=\"{ref}\" t=\"s\">"
+                                 f"<v>{sidx(val)}</v></c>")
+            row_xml.append(f"<row r=\"{rnum + 1}\">{''.join(cells)}</row>")
+        sheet_xml.append(
+            "<?xml version=\"1.0\"?><worksheet xmlns=\"http://schemas."
+            "openxmlformats.org/spreadsheetml/2006/main\"><sheetData>"
+            + "".join(row_xml) + "</sheetData></worksheet>")
+    # rel ids reversed vs sheet order: resolution must go through rels
+    rids = [f"rId{len(sheet_xml) - k + 3}" for k in range(len(sheet_xml))]
+    wb = ("<?xml version=\"1.0\"?><workbook xmlns=\"http://schemas."
+          "openxmlformats.org/spreadsheetml/2006/main\" xmlns:r=\"http://"
+          "schemas.openxmlformats.org/officeDocument/2006/relationships\">"
+          "<sheets>"
+          + "".join(
+              f"<sheet name=\"{_xml_esc(nm)}\" sheetId=\"{k + 1}\" "
+              f"r:id=\"{rids[k]}\"/>"
+              for k, (nm, _) in enumerate(plan["sheets"]))
+          + "</sheets></workbook>")
+    rels = ("<?xml version=\"1.0\"?><Relationships xmlns=\"http://schemas."
+            "openxmlformats.org/package/2006/relationships\">"
+            + "".join(
+                f"<Relationship Id=\"{rids[k]}\" Type=\"http://schemas."
+                "openxmlformats.org/officeDocument/2006/relationships/"
+                f"worksheet\" Target=\"worksheets/sheet{k + 1}.xml\"/>"
+                for k in range(len(sheet_xml)))
+            + "</Relationships>")
+    si_xml = []
+    for s in shared:
+        if " & " in s:  # rich-text split exercises multi-run <si>
+            a, b = s.split(" & ", 1)
+            si_xml.append(f"<si><r><t xml:space=\"preserve\">{_xml_esc(a)}"
+                          f" &amp; </t></r><r><t>{_xml_esc(b)}</t></r></si>")
+        else:
+            si_xml.append(f"<si><t>{_xml_esc(s)}</t></si>")
+    sst = ("<?xml version=\"1.0\"?><sst xmlns=\"http://schemas."
+           "openxmlformats.org/spreadsheetml/2006/main\">"
+           + "".join(si_xml) + "</sst>")
+    buf = io.BytesIO()
+    method = zipfile.ZIP_DEFLATED if plan["deflate"] else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w") as z:
+        _zip_writestr(z, "[Content_Types].xml",
+                      "<?xml version=\"1.0\"?><Types/>", method)
+        _zip_writestr(z, "xl/workbook.xml", wb, method)
+        _zip_writestr(z, "xl/_rels/workbook.xml.rels", rels, method)
+        _zip_writestr(z, "xl/sharedStrings.xml", sst, method)
+        for k, xml in enumerate(sheet_xml):
+            _zip_writestr(z, f"xl/worksheets/sheet{k + 1}.xml", xml, method)
+        if plan["title"] is not None:
+            _zip_writestr(
+                z, "docProps/core.xml",
+                "<?xml version=\"1.0\"?><cp:coreProperties xmlns:cp=\"x\" "
+                "xmlns:dc=\"http://purl.org/dc/elements/1.1/\">"
+                f"<dc:title>{_xml_esc(plan['title'])}</dc:title>"
+                "</cp:coreProperties>", method)
+    return buf.getvalue(), plan["text"]
+
+
+def odt_plan(i: int) -> dict:
+    """The odt generator's authored content — paragraph strings and
+    meta properties, shared by the writer and tests."""
+    paras = [f"ODT fixture {i}: Überschrift"]
+    if i % 3 == 0:
+        paras.append(f"tabbed\tcolumn {i % 5}")
+    elif i % 3 == 1:
+        paras.append(f"line one {i}\nline two")
+    else:
+        paras.append(f"spaced   out {i % 4}")   # <text:s text:c="2"/>
+    paras.append(f"styled span & entity {i % 7}")
+    if i % 4 == 1:
+        paras.append("")                        # self-closing <text:p/>
+    return {
+        "paras": paras,
+        "text": "\n".join(paras),
+        "title": f"Dokument {i % 5}" if i % 5 != 1 else None,
+        "creator": f"Verfasser {i % 3}" if i % 5 != 1 else None,
+        "deflate": i % 2 == 1,
+    }
+
+
+def odt_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic ODT package (v35) written with STDLIB zipfile
+    (reader = from-scratch kernel/ziparc.py + kernel/odt.py).
+    Rotations: text:tab / text:line-break / text:s run-length spaces,
+    invisible spans, a heading element, an empty self-closing
+    paragraph, meta.xml present or absent; mimetype stored first per
+    ODF packaging. Returns (bytes, expected_text)."""
+    import io
+    import zipfile
+
+    plan = odt_plan(i)
+    body = []
+    for idx, p in enumerate(plan["paras"]):
+        if p == "":
+            body.append("<text:p/>")
+        elif idx == 0:
+            body.append(f"<text:h text:outline-level=\"1\">{_xml_esc(p)}"
+                        "</text:h>")
+        elif "\t" in p:
+            a, b = p.split("\t", 1)
+            body.append(f"<text:p>{_xml_esc(a)}<text:tab/>{_xml_esc(b)}"
+                        "</text:p>")
+        elif "\n" in p:
+            a, b = p.split("\n", 1)
+            body.append(f"<text:p>{_xml_esc(a)}<text:line-break/>"
+                        f"{_xml_esc(b)}</text:p>")
+        elif "   " in p:
+            a, b = p.split("   ", 1)
+            body.append(f"<text:p>{_xml_esc(a)} <text:s text:c=\"2\"/>"
+                        f"{_xml_esc(b)}</text:p>")
+        else:
+            a, b = p.split(" & ", 1)
+            body.append(f"<text:p><text:span text:style-name=\"T1\">"
+                        f"{_xml_esc(a)}</text:span> &amp; {_xml_esc(b)}"
+                        "</text:p>")
+    content = (
+        "<?xml version=\"1.0\"?><office:document-content "
+        "xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" "
+        "xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\">"
+        "<office:body><office:text>" + "".join(body)
+        + "</office:text></office:body></office:document-content>")
+    buf = io.BytesIO()
+    method = zipfile.ZIP_DEFLATED if plan["deflate"] else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w") as z:
+        _zip_writestr(z, "mimetype",
+                      "application/vnd.oasis.opendocument.text",
+                      zipfile.ZIP_STORED)
+        _zip_writestr(z, "META-INF/manifest.xml",
+                      "<manifest:manifest/>", method)
+        _zip_writestr(z, "content.xml", content, method)
+        if plan["title"] is not None:
+            _zip_writestr(
+                z, "meta.xml",
+                "<?xml version=\"1.0\"?><office:document-meta "
+                "xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:"
+                "office:1.0\" xmlns:dc=\"http://purl.org/dc/elements/1.1/\">"
+                f"<office:meta><dc:title>{_xml_esc(plan['title'])}"
+                f"</dc:title><dc:creator>{_xml_esc(plan['creator'])}"
+                "</dc:creator></office:meta></office:document-meta>",
+                method)
+    return buf.getvalue(), plan["text"]
+
+
 def html_page(i: int = 0) -> Tuple[bytes, str]:
     """A Common-Crawl-style HTML page with boilerplate (script/style/
     nav/header/footer/aside) around a <main> block. The oracle is the
@@ -1729,6 +1940,14 @@ def _register():
     def g_epub(i):
         return epub_doc(i)
 
+    @var("xlsx")
+    def g_xlsx(i):
+        return xlsx_doc(i)
+
+    @var("odt")
+    def g_odt(i):
+        return odt_doc(i)
+
     @var("html")
     def g_html(i):
         return html_page(i)
@@ -1769,7 +1988,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v34"
+CORPUS_VERSION = "v35"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -2065,10 +2284,16 @@ def _sniff_media_kind(raw: bytes) -> str:
     if raw[:4] == b"PK\x03\x04":
         from .kernel.docx import is_docx
         from .kernel.epub import is_epub
+        from .kernel.odt import is_odt
+        from .kernel.xlsx import is_xlsx
 
         if is_docx(raw):
             return "docx"
-        return "epub" if is_epub(raw) else "zip"
+        if is_epub(raw):
+            return "epub"
+        if is_xlsx(raw):
+            return "xlsx"
+        return "odt" if is_odt(raw) else "zip"
     if looks_like_html(raw):
         return "html"
     return "unknown"
@@ -2109,6 +2334,9 @@ EXPECTED_COLUMNS = (
     "blocks", "block_labels",
     "docx_n_paras", "docx_n_entries", "docx_title", "docx_creator",
     "epub_n_chapters", "epub_n_entries", "epub_title", "epub_creator",
+    "xlsx_n_sheets", "xlsx_n_cells", "xlsx_n_entries", "xlsx_title",
+    "xlsx_sheet_names",
+    "odt_n_paras", "odt_n_entries", "odt_title", "odt_creator",
 )
 
 
@@ -2395,6 +2623,61 @@ def _epub_expected(raw: bytes):
     title = u(tm.group(1)) if tm else None
     creator = u(cm.group(1)) if cm else None
     return n_chapters, len(names), title, creator
+
+
+def _xlsx_expected(raw: bytes):
+    """INDEPENDENT ground truth for the xlsx_meta oracle: STDLIB
+    zipfile container read plus narrow re-reads of exactly the shapes
+    xlsx_doc emits — deliberately NOT kernel/ziparc.py or
+    kernel/xlsx.py. Returns (n_sheets, n_cells, n_entries, title,
+    sheet_names)."""
+    import io
+    import re as _re
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(raw))
+    names = zf.namelist()
+    wb = zf.read("xl/workbook.xml").decode("utf-8")
+    sheet_names = [
+        s.replace("&amp;", "&")
+        for s in _re.findall(r'<sheet name="([^"]*)"', wb)]
+    n_cells = 0
+    for n in names:
+        if n.startswith("xl/worksheets/"):
+            n_cells += len(_re.findall(r"<c[ />]",
+                                       zf.read(n).decode("utf-8")))
+    title = None
+    if "docProps/core.xml" in names:
+        tm = _re.search(r"<dc:title>(.*?)</dc:title>",
+                        zf.read("docProps/core.xml").decode("utf-8"))
+        if tm:
+            title = tm.group(1).replace("&amp;", "&")
+    return len(sheet_names), n_cells, len(names), title, sheet_names
+
+
+def _odt_expected(raw: bytes):
+    """INDEPENDENT ground truth for the odt_meta oracle: STDLIB
+    zipfile read plus narrow re-reads of the shapes odt_doc emits —
+    deliberately NOT kernel/ziparc.py or kernel/odt.py. Returns
+    (n_paras, n_entries, title, creator)."""
+    import io
+    import re as _re
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(raw))
+    names = zf.namelist()
+    content = zf.read("content.xml").decode("utf-8")
+    n_paras = len(_re.findall(r"<text:[ph][ />]", content))
+    title = creator = None
+    if "meta.xml" in names:
+        meta = zf.read("meta.xml").decode("utf-8")
+        tm = _re.search(r"<dc:title>(.*?)</dc:title>", meta)
+        cm = _re.search(r"<dc:creator>(.*?)</dc:creator>", meta)
+        if tm:
+            title = tm.group(1).replace("&amp;", "&")
+        if cm:
+            creator = cm.group(1).replace("&amp;", "&")
+    return n_paras, len(names), title, creator
 
 
 def _ogg_expected(raw: bytes):
@@ -2784,6 +3067,22 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"epub_n_chapters": None, "epub_n_entries": None,
                     "epub_title": None, "epub_creator": None})
+    if row["media_kind"] == "xlsx":
+        ns, nc, ne, title, snames = _xlsx_expected(raw)
+        row.update({"xlsx_n_sheets": ns, "xlsx_n_cells": nc,
+                    "xlsx_n_entries": ne, "xlsx_title": title,
+                    "xlsx_sheet_names": snames})
+    else:
+        row.update({"xlsx_n_sheets": None, "xlsx_n_cells": None,
+                    "xlsx_n_entries": None, "xlsx_title": None,
+                    "xlsx_sheet_names": None})
+    if row["media_kind"] == "odt":
+        np_, ne, title, creator = _odt_expected(raw)
+        row.update({"odt_n_paras": np_, "odt_n_entries": ne,
+                    "odt_title": title, "odt_creator": creator})
+    else:
+        row.update({"odt_n_paras": None, "odt_n_entries": None,
+                    "odt_title": None, "odt_creator": None})
     return row
 
 
@@ -2885,6 +3184,11 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "docx_title": pa.string(), "docx_creator": pa.string(),
         "epub_n_chapters": pa.int32(), "epub_n_entries": pa.int32(),
         "epub_title": pa.string(), "epub_creator": pa.string(),
+        "xlsx_n_sheets": pa.int32(), "xlsx_n_cells": pa.int32(),
+        "xlsx_n_entries": pa.int32(), "xlsx_title": pa.string(),
+        "xlsx_sheet_names": pa.list_(pa.string()),
+        "odt_n_paras": pa.int32(), "odt_n_entries": pa.int32(),
+        "odt_title": pa.string(), "odt_creator": pa.string(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

@@ -179,10 +179,10 @@ def extract_main_text(raw: bytes) -> str:
 
 
 def extract_any(raw: bytes, mode: str = "accuracy"):
-    """Dispatch on the payload: PDF bytes -> the PDF kernel, DOCX ->
-    the WordprocessingML walk (kernel/docx.py, r5), EPUB -> the
-    spine walk (kernel/epub.py, r5), HTML -> boilerplate strip.
-    Returns (text, kind, doc_or_None)."""
+    """Dispatch on the payload: PDF bytes -> the PDF kernel, DOCX /
+    XLSX / ODT -> the office-package walks (kernel/{docx,xlsx,odt}.py,
+    r5), EPUB -> the spine walk (kernel/epub.py, r5), HTML ->
+    boilerplate strip. Returns (text, kind, doc_or_None)."""
     if raw.startswith(b"%PDF-"):
         from .document import Document
 
@@ -210,6 +210,21 @@ def extract_any(raw: bytes, mode: str = "accuracy"):
                 return parse_epub(raw)["text"], "epub", None
             except EpubError:
                 return "", "epub", None
+        if "xl/workbook.xml" in names:
+            from .xlsx import XlsxError, parse_xlsx
+
+            try:
+                return parse_xlsx(raw)["text"], "xlsx", None
+            except XlsxError:
+                return "", "xlsx", None
+        if "content.xml" in names and "mimetype" in names:
+            from .odt import OdtError, is_odt, parse_odt
+
+            if is_odt(raw):
+                try:
+                    return parse_odt(raw)["text"], "odt", None
+                except OdtError:
+                    return "", "odt", None
     if looks_like_html(raw):
         return extract_main_text(raw), "html", None
     from .document import Document

@@ -72,10 +72,16 @@ def sniff_kind(raw: bytes) -> str:
     if raw[:4] == b"PK\x03\x04":
         from zpdfspark.kernel.docx import is_docx
         from zpdfspark.kernel.epub import is_epub
+        from zpdfspark.kernel.odt import is_odt
+        from zpdfspark.kernel.xlsx import is_xlsx
 
         if is_docx(raw):
             return "docx"
-        return "epub" if is_epub(raw) else "zip"
+        if is_epub(raw):
+            return "epub"
+        if is_xlsx(raw):
+            return "xlsx"
+        return "odt" if is_odt(raw) else "zip"
     return "binary"
 
 
@@ -113,6 +119,12 @@ def decode_media(raw: bytes, kind: str):
     if kind == "epub":
         from zpdfspark.kernel.epub import parse_epub
         return parse_epub(raw)
+    if kind == "xlsx":
+        from zpdfspark.kernel.xlsx import parse_xlsx
+        return parse_xlsx(raw)
+    if kind == "odt":
+        from zpdfspark.kernel.odt import parse_odt
+        return parse_odt(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
