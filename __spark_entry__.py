@@ -3611,6 +3611,39 @@ def _q_odt_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_feed_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed mining — the crawl-DISCOVERY side-channel every
+    production crawler runs (feeds seed the frontier with fresh URLs
+    between full recrawls; sitemap_urls is the other discovery feed).
+    Pure JVM like html_meta: the binary column casts to string and the
+    regex set runs inside WholeStageCodegen — zero Python, zero
+    exchanges before the determinism orderBy, the 100 TB shape. Rows
+    selected by the corpus-carried media_kind (the html_meta
+    precedent); the DuckDB oracle runs the IDENTICAL regex set over
+    the same bytes — independent two-engine re-extraction, no carried
+    truth."""
+    corpus = _corpus(spark, sf_dir)
+    s = F.col("html").cast("string")
+    is_rss = F.instr(s, "<rss") > 0
+    return (
+        corpus.where(F.col("media_kind") == "feed")
+        .select(
+            "url",
+            F.when(is_rss, F.lit("rss")).otherwise(F.lit("atom"))
+            .alias("kind"),
+            F.regexp_extract(s, "<title>([^<]*)</title>", 1)
+            .alias("feed_title"),
+            F.when(is_rss, F.regexp_count(s, F.lit("<item[ >]")))
+            .otherwise(F.regexp_count(s, F.lit("<entry[ >]")))
+            .cast("int").alias("n_items"),
+            F.when(is_rss, F.regexp_extract(
+                s, "<item[ >].*?<link>([^<]*)</link>", 1))
+            .otherwise(F.regexp_extract(
+                s, "<entry[ >].*?<link href=\"([^\"]*)\"", 1))
+            .alias("first_link"),
+        ).orderBy("url"))
+
+
 def _q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX(J) web-archive index generation (spark/warc_source.py
     warc_cdx, r5): SURT urlkey + 14-digit timestamp + payload sha1 +
@@ -4202,6 +4235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epub_meta": _q_epub_meta,
         "xlsx_meta": _q_xlsx_meta,
         "odt_meta": _q_odt_meta,
+        "feed_meta": _q_feed_meta,
     }
 
 
@@ -4479,6 +4513,25 @@ def oracle_sql() -> dict[str, str]:
             f"xlsx_title AS title, xlsx_sheet_names AS sheet_names, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'xlsx' ORDER BY url"
+        ),
+        "feed_meta": (
+            # IDENTICAL regex set over the same bytes — two-engine
+            # re-extraction (RE2 here, Java regex in Spark; the
+            # patterns are in the common subset)
+            "WITH f AS (SELECT url, decode(html) AS s FROM "
+            f"{corpus} WHERE media_kind = 'feed') "
+            "SELECT url, "
+            "CASE WHEN instr(s, '<rss') > 0 THEN 'rss' ELSE 'atom' END "
+            "AS kind, "
+            "regexp_extract(s, '<title>([^<]*)</title>', 1) AS feed_title, "
+            "CAST(CASE WHEN instr(s, '<rss') > 0 "
+            "THEN len(regexp_extract_all(s, '<item[ >]')) "
+            "ELSE len(regexp_extract_all(s, '<entry[ >]')) END AS INTEGER) "
+            "AS n_items, "
+            "CASE WHEN instr(s, '<rss') > 0 "
+            "THEN regexp_extract(s, '<item[ >].*?<link>([^<]*)</link>', 1) "
+            "ELSE regexp_extract(s, '<entry[ >].*?<link href=\"([^\"]*)\"', 1) "
+            "END AS first_link FROM f ORDER BY url"
         ),
         "odt_meta": (
             # carried package facts from the independent fixtures-side

@@ -768,3 +768,31 @@ def test_snapshot_delta_digest_only_join(spark, sf_dir):
     for m in re.finditer(r"\(\d+\) Exchange[\s\S]{0,400}?Arguments: "
                          r"hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), plan
+
+
+def test_feed_meta_pure_jvm(spark, sf_dir):
+    """Feed mining must stay entirely JVM-side (cast + regexes inside
+    WholeStageCodegen): no Python boundary of any kind, no aggregate,
+    no shuffle beyond the determinism orderBy."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["feed_meta"](spark, sf_dir), spark)
+    assert "EvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+    assert "MapInArrow" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_office_meta_map_only(spark, sf_dir):
+    """The four office/book package walks must run inside the scan
+    task (mapInPandas on the pruned url+html scan) with the
+    determinism orderBy as the ONLY exchange."""
+    import __spark_entry__ as E
+
+    for q in ("docx_meta", "epub_meta", "xlsx_meta", "odt_meta"):
+        plan = _formatted(E.queries()[q](spark, sf_dir), spark)
+        assert "MapInPandas" in plan, (q, plan)
+        assert "hashpartitioning" not in plan, (q, plan)
+        assert "HashAggregate" not in plan, (q, plan)
+        assert "ReadSchema: struct<url:string,html:binary>" in plan, (q, plan)

@@ -1442,6 +1442,38 @@ def odt_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
     return buf.getvalue(), plan["text"]
 
 
+def rss_feed(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic RSS 2.0 feed (v36): the crawl-discovery payload
+    (feed_meta mines it pure-JVM; the oracle re-mines the same bytes
+    in DuckDB — a two-engine regex replay, no carried truth)."""
+    n = 1 + i % 5
+    items = "".join(
+        f"<item><title>Item {k} of {i % 9}</title>"
+        f"<link>https://feeds.example/r{i % 13}/{k}</link>"
+        f"<pubDate>Mon, 0{1 + k % 9} Sep 2025 00:00:00 GMT</pubDate></item>"
+        for k in range(n))
+    xml = ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+           "<rss version=\"2.0\"><channel>"
+           f"<title>News &amp; Updates {i % 6}</title>"
+           f"<link>https://feeds.example/r{i % 13}</link>"
+           f"{items}</channel></rss>")
+    return xml.encode(), None
+
+
+def atom_feed(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic Atom feed (v36) — the RSS sibling."""
+    n = 1 + i % 4
+    entries = "".join(
+        f"<entry><title>Entry {k} | {i % 7}</title>"
+        f"<link href=\"https://feeds.example/a{i % 11}/{k}\"/>"
+        f"<updated>2025-09-0{1 + k % 9}T00:00:00Z</updated></entry>"
+        for k in range(n))
+    xml = ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+           "<feed xmlns=\"http://www.w3.org/2005/Atom\">"
+           f"<title>Atom Digest {i % 5}</title>{entries}</feed>")
+    return xml.encode(), None
+
+
 def html_page(i: int = 0) -> Tuple[bytes, str]:
     """A Common-Crawl-style HTML page with boilerplate (script/style/
     nav/header/footer/aside) around a <main> block. The oracle is the
@@ -1948,6 +1980,14 @@ def _register():
     def g_odt(i):
         return odt_doc(i)
 
+    @var("rss")
+    def g_rss(i):
+        return rss_feed(i)
+
+    @var("atom")
+    def g_atom(i):
+        return atom_feed(i)
+
     @var("html")
     def g_html(i):
         return html_page(i)
@@ -1988,7 +2028,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v35"
+CORPUS_VERSION = "v36"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -2294,6 +2334,10 @@ def _sniff_media_kind(raw: bytes) -> str:
         if is_xlsx(raw):
             return "xlsx"
         return "odt" if is_odt(raw) else "zip"
+    from .kernel.htmltext import looks_like_feed
+
+    if looks_like_feed(raw):
+        return "feed"
     if looks_like_html(raw):
         return "html"
     return "unknown"

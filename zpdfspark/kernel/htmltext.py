@@ -124,6 +124,19 @@ def looks_like_html(raw: bytes) -> bool:
     return head[:1] == b"<" or b"<html" in head.lower() or b"<!doctype" in head.lower()
 
 
+_FEED_RSS_RE = re.compile(rb"<rss[\s>]")
+_FEED_ATOM_RE = re.compile(rb"<feed[\s>]")
+
+
+def looks_like_feed(raw: bytes) -> bool:
+    """RSS/Atom sniff — must run BEFORE looks_like_html in any
+    dispatch (feed XML satisfies the generous html head check)."""
+    head = raw[:512].lstrip(b"\xef\xbb\xbf \t\r\n")
+    if not head.startswith(b"<"):
+        return False
+    return bool(_FEED_RSS_RE.search(head) or _FEED_ATOM_RE.search(head))
+
+
 def extract_main_text(raw: bytes) -> str:
     """Boilerplate-stripped main content; never raises."""
     try:

@@ -82,6 +82,10 @@ def sniff_kind(raw: bytes) -> str:
         if is_xlsx(raw):
             return "xlsx"
         return "odt" if is_odt(raw) else "zip"
+    from zpdfspark.kernel.htmltext import looks_like_feed
+
+    if looks_like_feed(raw):
+        return "feed"
     return "binary"
 
 
