@@ -3571,6 +3571,48 @@ def _q_xlsx_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_pptx_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PresentationML extraction facts (kernel/pptx.py over the
+    from-scratch ziparc walk, r5 — completes the OOXML trio with
+    docx/xlsx): slide/shape/entry counts, core title, text length.
+    Slide TEXT (shape paragraphs newline-joined, slides \\x0c-joined)
+    rides the flagship extraction family via extract_any. Map-only
+    mapInPandas on the pruned (url, html) scan. Oracle: corpus-carried
+    columns from the INDEPENDENT fixtures-side stdlib re-read
+    (fixtures._pptx_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.pptx import PptxError, is_pptx, parse_pptx
+
+        for b in it:
+            rows = {"url": [], "n_slides": [], "n_shapes": [],
+                    "n_entries": [], "title": [], "n_text_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:4] != b"PK\x03\x04" or not is_pptx(raw):
+                    continue
+                try:
+                    m = parse_pptx(raw)
+                except PptxError:
+                    continue
+                rows["url"].append(url)
+                rows["n_slides"].append(m["n_slides"])
+                rows["n_shapes"].append(m["n_shapes"])
+                rows["n_entries"].append(m["n_entries"])
+                rows["title"].append(m["title"])
+                rows["n_text_chars"].append(len(m["text"]))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, n_slides int, n_shapes int, n_entries int, "
+        "title string, n_text_chars int"
+    ).orderBy("url")
+
+
 def _q_odt_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenDocument text extraction facts (kernel/odt.py, r5):
     paragraph/entry counts, meta.xml dc:title/dc:creator, text
@@ -4234,6 +4276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_meta": _q_docx_meta,
         "epub_meta": _q_epub_meta,
         "xlsx_meta": _q_xlsx_meta,
+        "pptx_meta": _q_pptx_meta,
         "odt_meta": _q_odt_meta,
         "feed_meta": _q_feed_meta,
     }
@@ -4532,6 +4575,15 @@ def oracle_sql() -> dict[str, str]:
             "THEN regexp_extract(s, '<item[ >].*?<link>([^<]*)</link>', 1) "
             "ELSE regexp_extract(s, '<entry[ >].*?<link href=\"([^\"]*)\"', 1) "
             "END AS first_link FROM f ORDER BY url"
+        ),
+        "pptx_meta": (
+            # carried package facts from the independent fixtures-side
+            # stdlib-zipfile re-read (_pptx_expected)
+            f"SELECT url, pptx_n_slides AS n_slides, "
+            f"pptx_n_shapes AS n_shapes, pptx_n_entries AS n_entries, "
+            f"pptx_title AS title, "
+            f"CAST(length(text) AS INTEGER) AS n_text_chars "
+            f"FROM {corpus} WHERE media_kind = 'pptx' ORDER BY url"
         ),
         "odt_meta": (
             # carried package facts from the independent fixtures-side

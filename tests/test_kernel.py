@@ -2572,6 +2572,66 @@ class TestXlsx:
             assert isinstance(t, str)
 
 
+class TestPptx:
+    """kernel/pptx.py (round 5): presentation/rels/slide chain over
+    the from-scratch container walk — the OOXML trio's third leg."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import _pptx_expected, pptx_doc, pptx_plan
+        from zpdfspark.kernel.pptx import is_pptx, parse_pptx
+
+        for i in range(24):
+            blob, text = pptx_doc(i)
+            plan = pptx_plan(i)
+            assert text == plan["text"]
+            assert is_pptx(blob)
+            m = parse_pptx(blob)
+            assert m["text"] == plan["text"], i
+            assert m["n_slides"] == len(plan["slides"]), i
+            assert m["n_shapes"] == plan["n_shapes"], i
+            assert m["title"] == plan["title"], i
+            assert (_pptx_expected(blob) ==
+                    (m["n_slides"], m["n_shapes"], m["n_entries"],
+                     m["title"])), i
+
+    def test_rels_indirection_and_breaks(self):
+        """i=2: 3 slides whose rel ids are REVERSED vs deck order —
+        resolution must go through presentation.xml.rels (slide text
+        must come out in sldIdLst order, not zip-member or rel-id
+        order); multi-run rich paragraphs, the self-closing <a:p/>
+        empty line on slide 2 and the <a:br/> soft break on slide 3
+        all land in the right positions."""
+        from zpdfspark.fixtures import pptx_doc, pptx_plan
+        from zpdfspark.kernel.pptx import parse_pptx
+
+        plan = pptx_plan(2)
+        assert len(plan["slides"]) == 3
+        m = parse_pptx(pptx_doc(2)[0])
+        slides = m["text"].split("\x0c")
+        assert slides[0].startswith("Title 0 & deck 2")
+        assert slides[1].startswith("Title 1 & deck 2")
+        assert slides[1].endswith("\n")          # empty <a:p/> line
+        assert "line a 2\nline b" in slides[2]   # <a:br/> soft break
+        assert m["text"] == plan["text"]
+
+    def test_extract_any_dispatch_and_fuzz(self):
+        import random
+
+        from zpdfspark.fixtures import pptx_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        blob, text = pptx_doc(6)
+        got, kind, doc = extract_any(blob)
+        assert kind == "pptx" and doc is None and got == text
+        rng = random.Random(59)
+        for _ in range(300):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            t, _, _ = extract_any(bytes(b))
+            assert isinstance(t, str)
+
+
 class TestOdt:
     """kernel/odt.py (round 5): mimetype-gated OpenDocument paragraph
     walk over the from-scratch container walk."""

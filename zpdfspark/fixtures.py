@@ -1357,6 +1357,113 @@ def xlsx_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
     return buf.getvalue(), plan["text"]
 
 
+def pptx_plan(i: int) -> dict:
+    """The pptx generator's authored content: per-slide shapes (a
+    title txBody + a body txBody), paragraph strings, packaging
+    choices. Expected text: paragraphs newline-joined within a shape,
+    shapes newline-joined within a slide, slides \\x0c-joined
+    (kernel/pptx.py's reduction rule). A paragraph containing a
+    newline renders through an <a:br/> soft break."""
+    n_slides = 1 + i % 3
+    slides = []
+    for s in range(n_slides):
+        title = [f"Title {s} & deck {i % 5}"]
+        body = [f"bullet <{i % 7}> one", f"bullet two {i}"]
+        if s == 1:
+            body.append("")                      # self-closing <a:p/>
+        if s == 2:
+            body.append(f"line a {i % 3}\nline b")   # <a:br/>
+        slides.append([title, body])
+    return {
+        "slides": slides,
+        "n_shapes": 2 * n_slides,
+        "text": "\x0c".join(
+            "\n".join(p for shape in sl for p in shape)
+            for sl in slides),
+        "title": None if i % 4 == 2 else f"Deck {i % 6}",
+        "deflate": i % 2 == 0,
+    }
+
+
+def pptx_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic PPTX package (v37) written with STDLIB zipfile
+    (reader = from-scratch kernel/ziparc.py + kernel/pptx.py).
+    Rotations: 1-3 slides resolved through presentation.xml.rels (rel
+    ids deliberately NOT in slide order), multi-run rich paragraphs
+    with entities, empty paragraphs (self-closing <a:p/>), <a:br/>
+    soft breaks, stored vs deflated, core.xml present or absent.
+    Returns (bytes, expected_text) — generator truth rides the text
+    column through the extraction-family oracles."""
+    import io
+    import zipfile
+
+    plan = pptx_plan(i)
+
+    def para_xml(p: str) -> str:
+        if p == "":
+            return "<a:p/>"
+        pieces = p.split("\n")
+        runs = []
+        for k, piece in enumerate(pieces):
+            if k:
+                runs.append("<a:br/>")
+            if " & " in piece:       # rich-text split across two runs
+                a, b = piece.split(" & ", 1)
+                runs.append(f"<a:r><a:t>{_xml_esc(a)} &amp; </a:t></a:r>"
+                            f"<a:r><a:t>{_xml_esc(b)}</a:t></a:r>")
+            elif piece:
+                runs.append(f"<a:r><a:t>{_xml_esc(piece)}</a:t></a:r>")
+        return f"<a:p>{''.join(runs)}</a:p>"
+
+    slide_xml = []
+    for shapes in plan["slides"]:
+        sp = "".join(
+            "<p:sp><p:txBody><a:bodyPr/>"
+            + "".join(para_xml(p) for p in shape)
+            + "</p:txBody></p:sp>"
+            for shape in shapes)
+        slide_xml.append(
+            "<?xml version=\"1.0\"?><p:sld xmlns:p=\"http://schemas."
+            "openxmlformats.org/presentationml/2006/main\" xmlns:a=\""
+            "http://schemas.openxmlformats.org/drawingml/2006/main\">"
+            f"<p:cSld><p:spTree>{sp}</p:spTree></p:cSld></p:sld>")
+    # rel ids reversed vs slide order: resolution must go through rels
+    rids = [f"rId{len(slide_xml) - k + 7}" for k in range(len(slide_xml))]
+    pres = ("<?xml version=\"1.0\"?><p:presentation xmlns:p=\"http://"
+            "schemas.openxmlformats.org/presentationml/2006/main\" "
+            "xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/"
+            "2006/relationships\"><p:sldIdLst>"
+            + "".join(
+                f"<p:sldId id=\"{256 + k}\" r:id=\"{rids[k]}\"/>"
+                for k in range(len(slide_xml)))
+            + "</p:sldIdLst></p:presentation>")
+    rels = ("<?xml version=\"1.0\"?><Relationships xmlns=\"http://schemas."
+            "openxmlformats.org/package/2006/relationships\">"
+            + "".join(
+                f"<Relationship Id=\"{rids[k]}\" Type=\"http://schemas."
+                "openxmlformats.org/officeDocument/2006/relationships/"
+                f"slide\" Target=\"slides/slide{k + 1}.xml\"/>"
+                for k in range(len(slide_xml)))
+            + "</Relationships>")
+    buf = io.BytesIO()
+    method = zipfile.ZIP_DEFLATED if plan["deflate"] else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w") as z:
+        _zip_writestr(z, "[Content_Types].xml",
+                      "<?xml version=\"1.0\"?><Types/>", method)
+        _zip_writestr(z, "ppt/presentation.xml", pres, method)
+        _zip_writestr(z, "ppt/_rels/presentation.xml.rels", rels, method)
+        for k, xml in enumerate(slide_xml):
+            _zip_writestr(z, f"ppt/slides/slide{k + 1}.xml", xml, method)
+        if plan["title"] is not None:
+            _zip_writestr(
+                z, "docProps/core.xml",
+                "<?xml version=\"1.0\"?><cp:coreProperties xmlns:cp=\"x\" "
+                "xmlns:dc=\"http://purl.org/dc/elements/1.1/\">"
+                f"<dc:title>{_xml_esc(plan['title'])}</dc:title>"
+                "</cp:coreProperties>", method)
+    return buf.getvalue(), plan["text"]
+
+
 def odt_plan(i: int) -> dict:
     """The odt generator's authored content — paragraph strings and
     meta properties, shared by the writer and tests."""
@@ -1976,6 +2083,10 @@ def _register():
     def g_xlsx(i):
         return xlsx_doc(i)
 
+    @var("pptx")
+    def g_pptx(i):
+        return pptx_doc(i)
+
     @var("odt")
     def g_odt(i):
         return odt_doc(i)
@@ -2028,7 +2139,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v36"
+CORPUS_VERSION = "v37"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -2333,6 +2444,10 @@ def _sniff_media_kind(raw: bytes) -> str:
             return "epub"
         if is_xlsx(raw):
             return "xlsx"
+        from .kernel.pptx import is_pptx
+
+        if is_pptx(raw):
+            return "pptx"
         return "odt" if is_odt(raw) else "zip"
     from .kernel.htmltext import looks_like_feed
 
@@ -2380,6 +2495,7 @@ EXPECTED_COLUMNS = (
     "epub_n_chapters", "epub_n_entries", "epub_title", "epub_creator",
     "xlsx_n_sheets", "xlsx_n_cells", "xlsx_n_entries", "xlsx_title",
     "xlsx_sheet_names",
+    "pptx_n_slides", "pptx_n_shapes", "pptx_n_entries", "pptx_title",
     "odt_n_paras", "odt_n_entries", "odt_title", "odt_creator",
 )
 
@@ -2697,6 +2813,33 @@ def _xlsx_expected(raw: bytes):
         if tm:
             title = tm.group(1).replace("&amp;", "&")
     return len(sheet_names), n_cells, len(names), title, sheet_names
+
+
+def _pptx_expected(raw: bytes):
+    """INDEPENDENT ground truth for the pptx_meta oracle: STDLIB
+    zipfile container read plus narrow re-reads of exactly the shapes
+    pptx_doc emits — deliberately NOT kernel/ziparc.py or
+    kernel/pptx.py. Returns (n_slides, n_shapes, n_entries, title)."""
+    import io
+    import re as _re
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(raw))
+    names = zf.namelist()
+    pres = zf.read("ppt/presentation.xml").decode("utf-8")
+    n_slides = len(_re.findall(r"<p:sldId ", pres))
+    n_shapes = 0
+    for n in names:
+        if n.startswith("ppt/slides/"):
+            n_shapes += len(_re.findall(r"<p:txBody[ >]",
+                                        zf.read(n).decode("utf-8")))
+    title = None
+    if "docProps/core.xml" in names:
+        tm = _re.search(r"<dc:title>(.*?)</dc:title>",
+                        zf.read("docProps/core.xml").decode("utf-8"))
+        if tm:
+            title = tm.group(1).replace("&amp;", "&")
+    return n_slides, n_shapes, len(names), title
 
 
 def _odt_expected(raw: bytes):
@@ -3120,6 +3263,13 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
         row.update({"xlsx_n_sheets": None, "xlsx_n_cells": None,
                     "xlsx_n_entries": None, "xlsx_title": None,
                     "xlsx_sheet_names": None})
+    if row["media_kind"] == "pptx":
+        ns, nsh, ne, title = _pptx_expected(raw)
+        row.update({"pptx_n_slides": ns, "pptx_n_shapes": nsh,
+                    "pptx_n_entries": ne, "pptx_title": title})
+    else:
+        row.update({"pptx_n_slides": None, "pptx_n_shapes": None,
+                    "pptx_n_entries": None, "pptx_title": None})
     if row["media_kind"] == "odt":
         np_, ne, title, creator = _odt_expected(raw)
         row.update({"odt_n_paras": np_, "odt_n_entries": ne,
@@ -3231,6 +3381,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "xlsx_n_sheets": pa.int32(), "xlsx_n_cells": pa.int32(),
         "xlsx_n_entries": pa.int32(), "xlsx_title": pa.string(),
         "xlsx_sheet_names": pa.list_(pa.string()),
+        "pptx_n_slides": pa.int32(), "pptx_n_shapes": pa.int32(),
+        "pptx_n_entries": pa.int32(), "pptx_title": pa.string(),
         "odt_n_paras": pa.int32(), "odt_n_entries": pa.int32(),
         "odt_title": pa.string(), "odt_creator": pa.string(),
     }

@@ -230,6 +230,13 @@ def extract_any(raw: bytes, mode: str = "accuracy"):
                 return parse_xlsx(raw)["text"], "xlsx", None
             except XlsxError:
                 return "", "xlsx", None
+        if "ppt/presentation.xml" in names:
+            from .pptx import PptxError, parse_pptx
+
+            try:
+                return parse_pptx(raw)["text"], "pptx", None
+            except PptxError:
+                return "", "pptx", None
         if "content.xml" in names and "mimetype" in names:
             from .odt import OdtError, is_odt, parse_odt
 

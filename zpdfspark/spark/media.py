@@ -81,6 +81,10 @@ def sniff_kind(raw: bytes) -> str:
             return "epub"
         if is_xlsx(raw):
             return "xlsx"
+        from zpdfspark.kernel.pptx import is_pptx
+
+        if is_pptx(raw):
+            return "pptx"
         return "odt" if is_odt(raw) else "zip"
     from zpdfspark.kernel.htmltext import looks_like_feed
 
@@ -126,6 +130,9 @@ def decode_media(raw: bytes, kind: str):
     if kind == "xlsx":
         from zpdfspark.kernel.xlsx import parse_xlsx
         return parse_xlsx(raw)
+    if kind == "pptx":
+        from zpdfspark.kernel.pptx import parse_pptx
+        return parse_pptx(raw)
     if kind == "odt":
         from zpdfspark.kernel.odt import parse_odt
         return parse_odt(raw)
