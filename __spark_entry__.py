@@ -262,6 +262,8 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         from zpdfspark.kernel.epub import EpubError
         from zpdfspark.kernel.gif import GifError
         from zpdfspark.kernel.odt import OdtError
+        from zpdfspark.kernel.pptx import PptxError
+        from zpdfspark.kernel.rtf import RtfError
         from zpdfspark.kernel.xlsx import XlsxError
         from zpdfspark.kernel.htmltext import looks_like_html
         from zpdfspark.kernel.jpeg import JpegError
@@ -291,7 +293,8 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ok = True
                     except (NotImplementedError, PngError, JpegError,
                             WavError, GifError, TiffError, BmpError,
-                            DocxError, EpubError, XlsxError, OdtError):
+                            DocxError, EpubError, XlsxError, OdtError,
+                            PptxError, RtfError):
                         ok = False
                 out["url"].append(url)
                 out["n_bytes"].append(len(raw))
@@ -3613,6 +3616,45 @@ def _q_pptx_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_rtf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF extraction facts (kernel/rtf.py, r5 — the legacy rich-text
+    format crawls still carry): paragraph count (\\par tokens), info
+    title, text length. Visible TEXT (codepage \\'hh + \\uN/\\uc
+    decode, destination skipping, \\page -> \\x0c) rides the flagship
+    extraction family via extract_any. Map-only mapInPandas on the
+    pruned (url, html) scan. Oracle: corpus-carried columns from the
+    INDEPENDENT fixtures-side narrow regex re-read
+    (fixtures._rtf_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.rtf import RtfError, is_rtf, parse_rtf
+
+        for b in it:
+            rows = {"url": [], "n_paragraphs": [], "title": [],
+                    "n_text_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if not is_rtf(raw):
+                    continue
+                try:
+                    m = parse_rtf(raw)
+                except RtfError:
+                    continue
+                rows["url"].append(url)
+                rows["n_paragraphs"].append(m["n_paragraphs"])
+                rows["title"].append(m["title"])
+                rows["n_text_chars"].append(len(m["text"]))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, n_paragraphs int, title string, n_text_chars int"
+    ).orderBy("url")
+
+
 def _q_odt_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenDocument text extraction facts (kernel/odt.py, r5):
     paragraph/entry counts, meta.xml dc:title/dc:creator, text
@@ -4277,6 +4319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epub_meta": _q_epub_meta,
         "xlsx_meta": _q_xlsx_meta,
         "pptx_meta": _q_pptx_meta,
+        "rtf_meta": _q_rtf_meta,
         "odt_meta": _q_odt_meta,
         "feed_meta": _q_feed_meta,
     }
@@ -4424,7 +4467,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes, "
             f"media_kind, "
             f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff', "
-            f"'bmp', 'docx', 'epub', 'xlsx', 'odt')) "
+            f"'bmp', 'docx', 'epub', 'xlsx', 'odt', 'pptx', 'rtf')) "
             f"AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
@@ -4584,6 +4627,14 @@ def oracle_sql() -> dict[str, str]:
             f"pptx_title AS title, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'pptx' ORDER BY url"
+        ),
+        "rtf_meta": (
+            # carried facts from the independent fixtures-side narrow
+            # regex re-read (_rtf_expected)
+            f"SELECT url, rtf_n_pars AS n_paragraphs, "
+            f"rtf_title AS title, "
+            f"CAST(length(text) AS INTEGER) AS n_text_chars "
+            f"FROM {corpus} WHERE media_kind = 'rtf' ORDER BY url"
         ),
         "odt_meta": (
             # carried package facts from the independent fixtures-side

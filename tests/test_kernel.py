@@ -2632,6 +2632,81 @@ class TestPptx:
             assert isinstance(t, str)
 
 
+class TestRtf:
+    """kernel/rtf.py (round 5): from-scratch RTF control-word
+    tokenizer — codepage escapes, \\uN/\\uc fallback skipping,
+    destination groups."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import _rtf_expected, rtf_doc, rtf_plan
+        from zpdfspark.kernel.rtf import is_rtf, parse_rtf
+
+        for i in range(40):
+            blob, text = rtf_doc(i)
+            plan = rtf_plan(i)
+            assert text == plan["text"]
+            assert is_rtf(blob)
+            m = parse_rtf(blob)
+            assert m["text"] == plan["text"], i
+            assert m["n_paragraphs"] == plan["n_pars"], i
+            assert m["title"] == plan["title"], i
+            assert _rtf_expected(blob) == (m["n_paragraphs"],
+                                           m["title"]), i
+
+    def test_uc_fallback_skipping(self):
+        """The classic interop trap: \\ucN sets how many fallback
+        chars follow each \\uN; readers that ignore it double every
+        non-ASCII char. Also: uc is GROUP-SCOPED (restored on })."""
+        from zpdfspark.kernel.rtf import parse_rtf
+
+        # uc1 (default): one '?' fallback swallowed (8212 = em dash)
+        assert parse_rtf(rb"{\rtf1 a\u8212?b}")["text"] == "a—b"
+        # uc2: two fallback chars swallowed
+        assert parse_rtf(rb"{\rtf1\uc2 a\u8212??b}")["text"] == "a—b"
+        # uc0: no fallback at all
+        assert parse_rtf(rb"{\rtf1\uc0 a\u8212b}")["text"] == "a—b"
+        # negative \uN values wrap mod 65536 (spec: signed 16-bit)
+        assert (parse_rtf(rb"{\rtf1\uc0 \u-10179}")["text"]
+                == chr(65536 - 10179))
+        # group scope: inner \uc2 must not leak past its brace
+        assert (parse_rtf(rb"{\rtf1 {\uc2 \u8212??}\u8212?x}")["text"]
+                == "——x")
+        # fallback may be an \'hh escape — swallowed as ONE char
+        assert parse_rtf(rb"{\rtf1 a\u8212\'97b}")["text"] == "a—b"
+
+    def test_destinations_and_escapes(self):
+        from zpdfspark.kernel.rtf import parse_rtf
+
+        # fonttbl/stylesheet/starred destinations contribute no text;
+        # info/title is metadata only; \~ \_ \- \{ \} literals
+        src = (rb"{\rtf1\ansi\ansicpg1252"
+               rb"{\fonttbl{\f0 Arial;}}{\*\generator X;}"
+               rb"{\info{\title My Title}}"
+               rb"body \~nb \{lit\} \'e9 end}")
+        m = parse_rtf(src)
+        assert m["text"] == "body  nb {lit} é end"
+        assert m["title"] == "My Title"
+        # \page maps to the engine's page-join rule
+        assert parse_rtf(rb"{\rtf1 one\page two}")["text"] == "one\x0ctwo"
+
+    def test_extract_any_dispatch_and_fuzz(self):
+        import random
+
+        from zpdfspark.fixtures import rtf_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        blob, text = rtf_doc(7)
+        got, kind, doc = extract_any(blob)
+        assert kind == "rtf" and doc is None and got == text
+        rng = random.Random(61)
+        for _ in range(300):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            t, _, _ = extract_any(bytes(b))
+            assert isinstance(t, str)
+
+
 class TestOdt:
     """kernel/odt.py (round 5): mimetype-gated OpenDocument paragraph
     walk over the from-scratch container walk."""

@@ -1357,6 +1357,78 @@ def xlsx_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
     return buf.getvalue(), plan["text"]
 
 
+def rtf_plan(i: int) -> dict:
+    """The rtf generator's authored content — paragraph strings and
+    info-group title, shared by the writer and tests. Expected text:
+    paragraphs newline-joined (one \\par between each), with the
+    page-break rotation appending a \\x0c-separated trailing page
+    (kernel/rtf.py maps \\page to the engine's page-join rule)."""
+    paras = [f"RTF fixture {i}: café résumé {i % 9}"]
+    paras.append(f"em — dash {i % 5} üß")
+    if i % 3 == 0:
+        paras.append(f"tabbed\tcolumn {i % 7}")
+    if i % 7 == 3:
+        paras.append(f"non breaking {i % 4}")
+    text = "\n".join(paras)
+    if i % 3 == 2:
+        text += f"\x0cpage two {i % 4}"
+    return {
+        "paras": paras,
+        "n_pars": len(paras) - 1,
+        # the classic interop trap: \ucN fallback-skip width; rotation
+        # exercises both 1 (default) and 2
+        "uc": 2 if i % 5 == 1 else 1,
+        "text": text,
+        "title": None if i % 4 == 2 else f"Rtf Doc {i % 6}",
+    }
+
+
+def rtf_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic RTF document (v38) — reader is the from-scratch
+    kernel/rtf.py tokenizer. Rotations: \\'hh codepage escapes (even
+    i) vs \\uN unicode with uc-width '?' fallbacks (odd i), \\uc2
+    double fallbacks (i%5==1), \\tab, \\~ non-breaking space, \\page,
+    skipped fonttbl/colortbl/stylesheet destinations, a starred
+    {\\*\\generator} destination, {\\info{\\title}} metadata present
+    or absent. Returns (bytes, expected_text) — generator truth rides
+    the text column through the extraction-family oracles."""
+    plan = rtf_plan(i)
+    uc = plan["uc"]
+
+    def esc(s: str) -> str:
+        out = []
+        for ch in s:
+            o = ord(ch)
+            if ch in "\\{}":
+                out.append("\\" + ch)
+            elif ch == "\t":
+                out.append("\\tab ")
+            elif ch == " ":
+                out.append("\\~")
+            elif o < 128:
+                out.append(ch)
+            elif o < 256 and i % 2 == 0:
+                out.append("\\'%02x" % o)
+            else:
+                out.append("\\u%d%s" % (o if o < 32768 else o - 65536,
+                                        "?" * uc))
+        return "".join(out)
+
+    body = "\\par ".join(esc(p) for p in plan["paras"])
+    if i % 3 == 2:
+        body += "\\page " + esc(f"page two {i % 4}")
+    doc = (
+        "{\\rtf1\\ansi\\ansicpg1252\\deff0\\uc%d\n" % uc
+        + "{\\fonttbl{\\f0\\froman Times New Roman;}}\n"
+        + "{\\colortbl;\\red0\\green0\\blue0;}\n"
+        + "{\\stylesheet{\\s0 Normal;}}\n"
+        + "{\\*\\generator zpdfspark fixtures 1.0;}\n"
+        + (("{\\info{\\title %s}}\n" % plan["title"])
+           if plan["title"] is not None else "")
+        + "\\f0\\fs24 " + body + "}")
+    return doc.encode("ascii"), plan["text"]
+
+
 def pptx_plan(i: int) -> dict:
     """The pptx generator's authored content: per-slide shapes (a
     title txBody + a body txBody), paragraph strings, packaging
@@ -2087,6 +2159,10 @@ def _register():
     def g_pptx(i):
         return pptx_doc(i)
 
+    @var("rtf")
+    def g_rtf(i):
+        return rtf_doc(i)
+
     @var("odt")
     def g_odt(i):
         return odt_doc(i)
@@ -2139,7 +2215,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v37"
+CORPUS_VERSION = "v38"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -2432,6 +2508,8 @@ def _sniff_media_kind(raw: bytes) -> str:
     if raw[:3] == b"ID3" or (len(raw) >= 2 and raw[0] == 0xFF
                              and (raw[1] & 0xE0) == 0xE0):
         return "mp3"
+    if raw[:5] == b"{\\rtf":
+        return "rtf"
     if raw[:4] == b"PK\x03\x04":
         from .kernel.docx import is_docx
         from .kernel.epub import is_epub
@@ -2496,6 +2574,7 @@ EXPECTED_COLUMNS = (
     "xlsx_n_sheets", "xlsx_n_cells", "xlsx_n_entries", "xlsx_title",
     "xlsx_sheet_names",
     "pptx_n_slides", "pptx_n_shapes", "pptx_n_entries", "pptx_title",
+    "rtf_n_pars", "rtf_title",
     "odt_n_paras", "odt_n_entries", "odt_title", "odt_creator",
 )
 
@@ -2840,6 +2919,18 @@ def _pptx_expected(raw: bytes):
         if tm:
             title = tm.group(1).replace("&amp;", "&")
     return n_slides, n_shapes, len(names), title
+
+
+def _rtf_expected(raw: bytes):
+    """INDEPENDENT ground truth for the rtf_meta oracle: narrow regex
+    re-reads of exactly the shapes rtf_doc emits — deliberately NOT
+    kernel/rtf.py 's stateful tokenizer. Returns (n_pars, title)."""
+    import re as _re
+
+    n_pars = len(_re.findall(rb"\\par ", raw))
+    tm = _re.search(rb"\{\\info\{\\title ([^}]*)\}", raw)
+    title = tm.group(1).decode("ascii") if tm else None
+    return n_pars, title
 
 
 def _odt_expected(raw: bytes):
@@ -3270,6 +3361,11 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"pptx_n_slides": None, "pptx_n_shapes": None,
                     "pptx_n_entries": None, "pptx_title": None})
+    if row["media_kind"] == "rtf":
+        np_, title = _rtf_expected(raw)
+        row.update({"rtf_n_pars": np_, "rtf_title": title})
+    else:
+        row.update({"rtf_n_pars": None, "rtf_title": None})
     if row["media_kind"] == "odt":
         np_, ne, title, creator = _odt_expected(raw)
         row.update({"odt_n_paras": np_, "odt_n_entries": ne,
@@ -3383,6 +3479,7 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "xlsx_sheet_names": pa.list_(pa.string()),
         "pptx_n_slides": pa.int32(), "pptx_n_shapes": pa.int32(),
         "pptx_n_entries": pa.int32(), "pptx_title": pa.string(),
+        "rtf_n_pars": pa.int32(), "rtf_title": pa.string(),
         "odt_n_paras": pa.int32(), "odt_n_entries": pa.int32(),
         "odt_title": pa.string(), "odt_creator": pa.string(),
     }

@@ -245,6 +245,13 @@ def extract_any(raw: bytes, mode: str = "accuracy"):
                     return parse_odt(raw)["text"], "odt", None
                 except OdtError:
                     return "", "odt", None
+    if raw[:5] == b"{\\rtf":
+        from .rtf import RtfError, parse_rtf
+
+        try:
+            return parse_rtf(raw)["text"], "rtf", None
+        except RtfError:
+            return "", "rtf", None
     if looks_like_html(raw):
         return extract_main_text(raw), "html", None
     from .document import Document

@@ -69,6 +69,8 @@ def sniff_kind(raw: bytes) -> str:
     if raw[:3] == b"ID3" or (len(raw) >= 2 and raw[0] == 0xFF
                              and (raw[1] & 0xE0) == 0xE0):
         return "mp3"
+    if raw[:5] == b"{\\rtf":
+        return "rtf"
     if raw[:4] == b"PK\x03\x04":
         from zpdfspark.kernel.docx import is_docx
         from zpdfspark.kernel.epub import is_epub
@@ -133,6 +135,9 @@ def decode_media(raw: bytes, kind: str):
     if kind == "pptx":
         from zpdfspark.kernel.pptx import parse_pptx
         return parse_pptx(raw)
+    if kind == "rtf":
+        from zpdfspark.kernel.rtf import parse_rtf
+        return parse_rtf(raw)
     if kind == "odt":
         from zpdfspark.kernel.odt import parse_odt
         return parse_odt(raw)
