@@ -2585,6 +2585,146 @@ def _q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-data mining over the crawl's HTML rows — the
+    schema.org/OpenGraph signals WAT consumers and search pipelines
+    keep per page: JSON-LD block count + first block's @type,
+    og:title/og:type, twitter:card, microdata itemscope count. Pure
+    JVM (cast + regexp_extract/regexp_count inside WholeStageCodegen
+    — zero Python, scan-shaped at 100 TB; the only exchange is the
+    determinism orderBy). The DuckDB oracle runs the IDENTICAL regex
+    set over the same bytes — independent two-engine re-extraction,
+    no carried truth. Same utf-8 scoping as html_meta."""
+    corpus = _corpus(spark, sf_dir)
+    html = F.col("html").cast("string")
+    ldjson = '<script type="application/ld\\+json">(.*?)</script>'
+    first_ld = F.regexp_extract(html, ldjson, 1)
+    return (
+        corpus.where((F.col("media_kind") == "html")
+                     & ~F.col("url").like("%/html_charset/%"))
+        .select(
+            "url",
+            F.regexp_count(html, F.lit(ldjson)).cast("int")
+            .alias("n_jsonld"),
+            F.regexp_extract(first_ld, '"@type"\\s*:\\s*"([^"]*)"', 1)
+            .alias("jsonld_type"),
+            F.regexp_extract(
+                html, '<meta property="og:title" content="([^"]*)"', 1)
+            .alias("og_title"),
+            F.regexp_extract(
+                html, '<meta property="og:type" content="([^"]*)"', 1)
+            .alias("og_type"),
+            F.regexp_extract(
+                html, '<meta name="twitter:card" content="([^"]*)"', 1)
+            .alias("twitter_card"),
+            F.regexp_count(html, F.lit("<[a-z]+ itemscope[ >]"))
+            .cast("int").alias("n_microdata"),
+        )
+        .orderBy("url")
+    )
+
+
+def _image_phash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared unordered perceptual-hash table for image_phash /
+    image_neardup: decode non-interlaced PNGs with the real kernel
+    decoder and compute aHash/dHash (integer luma, nearest-neighbor
+    8x8 / 8x9 grid sample, MSB-first signed-64 packing — the formula
+    the fixtures-side independent zlib re-read implements a second
+    time). The interlace gate is the IHDR byte itself, read
+    identically by both engines (substring(hex, 57, 2)) — never a
+    carried column. Arrow-batched mapInPandas on the pruned
+    (url, html) scan: map-only, the 100 TB shape."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+    sel = corpus.where(
+        (F.col("media_kind") == "png")
+        & (F.substring(F.hex("html"), 57, 2) == "00"))
+
+    def batches(it):
+        import numpy as np
+
+        from zpdfspark.kernel.png import PngError, decode_png
+
+        def pack(bits) -> int:
+            v = 0
+            for bit in bits:
+                v = (v << 1) | int(bit)
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for b in it:
+            rows = {"url": [], "ahash": [], "dhash": []}
+            for url, blob in zip(b["url"], b["html"]):
+                try:
+                    w, h, c, px = decode_png(bytes(blob))
+                except PngError:
+                    continue
+                if px.ndim != 3 or px.shape[2] < 3:
+                    continue
+                px = px[:, :, :3].astype(np.int64)
+                luma = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                        + 114 * px[:, :, 2]) // 1000
+                rsel = [r * h // 8 for r in range(8)]
+                g8 = luma[rsel, :][:, [cc * w // 8 for cc in range(8)]]
+                mean = int(g8.sum()) // 64
+                g9 = luma[rsel, :][:, [cc * w // 9 for cc in range(9)]]
+                rows["url"].append(url)
+                rows["ahash"].append(pack((g8 > mean).reshape(-1)))
+                rows["dhash"].append(
+                    pack((g9[:, :8] > g9[:, 1:]).reshape(-1)))
+            yield pd.DataFrame(rows)
+
+    return sel.select("url", "html").mapInPandas(
+        batches, "url string, ahash long, dhash long")
+
+
+def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashes over the crawl's PNG payloads — the
+    signature table LAION-style image dedup is built on. Oracle: the
+    corpus-carried img_ahash/img_dhash columns from the INDEPENDENT
+    fixtures-side zlib-level re-read (_phash_expected — not the
+    kernel decoder)."""
+    return _image_phash_df(spark, sf_dir).orderBy("url")
+
+
+def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs via hamming-LSH banding over the
+    perceptual hashes: the 64-bit aHash splits into 4 x 16-bit bands,
+    candidates share a band value at the same position (equi-join on
+    (band, value) — bucketed, never all-pairs), verified at
+    hamming(ahash) <= 8 via bit_count(xor). At 100 TB the band join is
+    the standard LSH shape: bucket sizes are bounded by real signature
+    collisions, a degenerate constant-color bucket is a hot-but-
+    AQE-splittable scan-fed key (both sides are map-stage outputs,
+    not agg-fed — the span_dedup salting finding does not apply).
+    DISTINCT collapses multi-band hits before the (cheap) verify.
+    Fixtures seed true near-dups: every 5th png clones its
+    predecessor with one inverted pixel (hamming > 0 but << 8)."""
+    ph = _image_phash_df(spark, sf_dir)
+    bands = ph.select(
+        "url", "ahash", "dhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("ahash"), s).bitwiseAND(F.lit(65535))
+            for s in (0, 16, 32, 48)
+        ])).alias("band", "band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.url") < F.col("b.url")))
+        .select(F.col("a.url").alias("url_a"),
+                F.col("b.url").alias("url_b"),
+                F.col("a.ahash").alias("a1"), F.col("b.ahash").alias("a2"),
+                F.col("a.dhash").alias("d1"), F.col("b.dhash").alias("d2"))
+        .distinct())
+    ah = F.bit_count(F.col("a1").bitwiseXOR(F.col("a2"))).cast("int")
+    dh = F.bit_count(F.col("d1").bitwiseXOR(F.col("d2"))).cast("int")
+    return (cand.select("url_a", "url_b", ah.alias("ahash_hamming"),
+                        dh.alias("dhash_hamming"))
+            .where(F.col("ahash_hamming") <= 8)
+            .orderBy("url_a", "url_b"))
+
+
 def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink edge extraction — the input a link graph (and
     host_pagerank's documented production feed) is built from: every
@@ -4322,6 +4462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rtf_meta": _q_rtf_meta,
         "odt_meta": _q_odt_meta,
         "feed_meta": _q_feed_meta,
+        "structured_data": _q_structured_data,
+        "image_phash": _q_image_phash,
+        "image_neardup": _q_image_neardup,
     }
 
 
@@ -5458,6 +5601,59 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(decode(html), '<a[ >\n]')) AS BIGINT) AS n_anchors "
             f"FROM {corpus} WHERE media_kind = 'html' "
             f"AND url NOT LIKE '%/html_charset/%' ORDER BY url"
+        ),
+        "structured_data": (
+            # the IDENTICAL regex set over the same bytes in DuckDB —
+            # an independent two-engine re-extraction
+            f"WITH f AS (SELECT url, decode(html) AS s FROM {corpus} "
+            f"WHERE media_kind = 'html' "
+            f"AND url NOT LIKE '%/html_charset/%') "
+            "SELECT url, "
+            "CAST(len(regexp_extract_all(s, "
+            "'<script type=\"application/ld\\+json\">(.*?)</script>')) "
+            "AS INTEGER) AS n_jsonld, "
+            "regexp_extract(regexp_extract(s, "
+            "'<script type=\"application/ld\\+json\">(.*?)</script>', 1), "
+            "'\"@type\"\\s*:\\s*\"([^\"]*)\"', 1) AS jsonld_type, "
+            "regexp_extract(s, "
+            "'<meta property=\"og:title\" content=\"([^\"]*)\"', 1) "
+            "AS og_title, "
+            "regexp_extract(s, "
+            "'<meta property=\"og:type\" content=\"([^\"]*)\"', 1) "
+            "AS og_type, "
+            "regexp_extract(s, "
+            "'<meta name=\"twitter:card\" content=\"([^\"]*)\"', 1) "
+            "AS twitter_card, "
+            "CAST(len(regexp_extract_all(s, '<[a-z]+ itemscope[ >]')) "
+            "AS INTEGER) AS n_microdata "
+            "FROM f ORDER BY url"
+        ),
+        "image_phash": (
+            # carried truth from the INDEPENDENT fixtures-side
+            # zlib-level re-read (_phash_expected); the interlace gate
+            # is the IHDR byte, read identically by both engines
+            f"SELECT url, img_ahash AS ahash, img_dhash AS dhash "
+            f"FROM {corpus} WHERE media_kind = 'png' "
+            f"AND substring(hex(html), 57, 2) = '00' ORDER BY url"
+        ),
+        "image_neardup": (
+            # banding + hamming verify replayed from the carried
+            # independent hashes (hash equality itself is the
+            # image_phash row)
+            f"WITH p AS (SELECT url, img_ahash AS a, img_dhash AS d "
+            f"FROM {corpus} WHERE media_kind = 'png' "
+            f"AND substring(hex(html), 57, 2) = '00'), "
+            "b AS (SELECT url, a, d, s, (a >> s) & 65535 AS bv "
+            "FROM p CROSS JOIN (VALUES (0), (16), (32), (48)) v(s)), "
+            "c AS (SELECT DISTINCT x.url AS url_a, y.url AS url_b, "
+            "x.a AS a1, y.a AS a2, x.d AS d1, y.d AS d2 "
+            "FROM b x JOIN b y ON x.s = y.s AND x.bv = y.bv "
+            "AND x.url < y.url) "
+            "SELECT url_a, url_b, "
+            "CAST(bit_count(xor(a1, a2)) AS INTEGER) AS ahash_hamming, "
+            "CAST(bit_count(xor(d1, d2)) AS INTEGER) AS dhash_hamming "
+            "FROM c WHERE bit_count(xor(a1, a2)) <= 8 "
+            "ORDER BY url_a, url_b"
         ),
         "outlinks": (
             # identical anchor regex + host resolution over the same

@@ -225,6 +225,113 @@ def test_html_main_content_extraction():
     assert kind == "pdf" and text == exp and doc is not None
 
 
+def test_structured_data_rotation():
+    """The html_page structured-data rotation (v39) carries the
+    authored facts the structured_data query's regex set must mine:
+    JSON-LD count/@type, og:title/og:type, twitter:card, itemscope.
+    Pinned here with INDEPENDENT stdlib mining (json.loads on the
+    script bodies, not the query's regexes), and the extraction
+    oracle must stay byte-identical — head/footer markup never leaks
+    into main-content text."""
+    import json
+    import re
+
+    from zpdfspark.kernel import htmltext
+
+    for i in range(24):
+        raw, expected = fixtures.html_page(i)
+        assert htmltext.extract_main_text(raw) == expected, i
+        s = raw.decode("utf-8")
+        blocks = re.findall(
+            r'<script type="application/ld\+json">(.*?)</script>', s)
+        want_n = (1 if i % 3 != 2 else 0) + (1 if i % 6 == 0 else 0)
+        assert len(blocks) == want_n, i
+        if blocks:
+            ld = json.loads(blocks[0])   # every block is valid JSON
+            assert ld["@type"] == ("Article", "NewsArticle",
+                                   "Product")[i % 3], i
+        if i % 2 == 0:
+            assert f'content="OG Doc {i}"' in s
+            assert 'property="og:type" content="article"' in s
+        else:
+            assert "og:title" not in s
+        assert ('name="twitter:card"' in s) == (i % 5 == 1), i
+        assert ("itemscope" in s) == (i % 4 == 3), i
+
+
+def test_image_phash_two_implementations_agree():
+    """The perceptual-hash formula is implemented twice on purpose:
+    _phash_expected (independent zlib-level re-read, the oracle
+    direction) and the query kernel (kernel/png.py decode). Both must
+    produce identical signed-64 hashes for every non-interlaced png;
+    interlaced pngs are excluded by the IHDR byte both engines read."""
+    import numpy as np
+
+    from zpdfspark.fixtures import _phash_expected, png_image
+    from zpdfspark.kernel.png import decode_png
+
+    def query_side(raw):
+        w, h, c, px = decode_png(raw)
+        px = px[:, :, :3].astype(np.int64)
+        luma = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                + 114 * px[:, :, 2]) // 1000
+
+        def pack(bits):
+            v = 0
+            for b in bits:
+                v = (v << 1) | int(b)
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        rsel = [r * h // 8 for r in range(8)]
+        g8 = luma[rsel, :][:, [cc * w // 8 for cc in range(8)]]
+        g9 = luma[rsel, :][:, [cc * w // 9 for cc in range(9)]]
+        return (pack((g8 > int(g8.sum()) // 64).reshape(-1)),
+                pack((g9[:, :8] > g9[:, 1:]).reshape(-1)))
+
+    for i in range(30):
+        raw, _ = png_image(i)
+        exp = _phash_expected(raw)
+        if i % 3 == 2:
+            assert exp == (None, None), i   # interlaced: out of scope
+            assert raw[28] == 1
+            continue
+        assert raw[28] == 0
+        assert query_side(raw) == exp, i
+    # the MSB-first signed-64 packing (two's complement) path: a
+    # bright top-left sample sets bit 0 -> both hashes negative, and
+    # both implementations must still agree bit-for-bit
+    from zpdfspark.kernel.png import encode_png
+
+    px = np.zeros((8, 9, 3), dtype=np.uint8)
+    px[0, 0, :] = 255
+    raw = encode_png(px)
+    exp = _phash_expected(raw)
+    assert exp == query_side(raw)
+    assert exp[0] < 0 and exp[1] < 0
+
+
+def test_image_neardup_seeded_pairs():
+    """Every 5th png clones its predecessor with one inverted pixel:
+    near (ahash hamming <= 8) but not exact (hamming > 0 for the
+    clone whose inverted pixel lands on a sampled grid point), and
+    always sharing at least one 16-bit band — so the LSH band join
+    finds exactly these pairs."""
+    from zpdfspark.fixtures import _phash_expected, png_image
+
+    checked = 0
+    for i in range(4, 90, 5):
+        if i % 3 == 2 or (i - 1) % 3 == 2:
+            continue
+        a1, _ = _phash_expected(png_image(i)[0])
+        a0, _ = _phash_expected(png_image(i - 1)[0])
+        ham = bin((a1 ^ a0) & ((1 << 64) - 1)).count("1")
+        assert 0 <= ham <= 8, (i, ham)
+        assert any(((a1 >> s) & 65535) == ((a0 >> s) & 65535)
+                   for s in (0, 16, 32, 48)), i
+        checked += 1
+    assert checked >= 4
+
+
 def test_html_charset_sniffing():
     """Spec rule 6 (round 4): BOM > meta charset (WHATWG aliases:
     iso-8859-1 label means cp1252) > utf-8 default; utf-16 pages

@@ -691,24 +691,38 @@ def two_column() -> Tuple[bytes, str]:
     return _simple_page_pdf(content, _HELVETICA), expected
 
 
-def png_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
-    """Deterministic small RGB PNG (multimodal payload row): gradient
-    pixels seeded by i, encoded by fixtures' own filter-0 encoder —
-    the independent direction against kernel/png.py's decoder. No text
-    oracle (it is not a text document); media decode ground truth is
-    carried via media_kind + the decoder's exactness tests."""
+def _png_pixels(i: int):
+    """The png generator's authored pixel formula. v40: every 5th png
+    (i % 5 == 4) is a NEAR-DUPLICATE of its predecessor — same gradient
+    with one perturbed pixel — seeding the image_phash / image_neardup
+    hamming pairs the way LAION-style image dedup expects to find them."""
     import numpy as np
 
-    from .kernel.png import encode_png
-
+    if i % 5 == 4:
+        px = _png_pixels(i - 1).copy()
+        # invert one grid-sampled pixel: near (hamming > 0) but far
+        # from the 8-bit threshold of the neardup verify
+        px[px.shape[0] // 2, px.shape[1] // 2, :] ^= 0xFF
+        return px
     w, h = 8 + i % 9, 6 + i % 7
     y, x = np.mgrid[0:h, 0:w]
-    px = np.stack([
+    return np.stack([
         (x * 31 + i) % 256, (y * 17 + 2 * i) % 256, (x * y + 3 * i) % 256,
     ], axis=-1).astype(np.uint8)
+
+
+def png_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic small RGB PNG (multimodal payload row): gradient
+    pixels seeded by i (near-dup clones every 5th, _png_pixels),
+    encoded by fixtures' own filter-0 encoder — the independent
+    direction against kernel/png.py's decoder. No text oracle (it is
+    not a text document); media decode ground truth is carried via
+    media_kind + the decoder's exactness tests."""
+    from .kernel.png import encode_png
+
     # every third png is Adam7-interlaced (v23): real crawls carry
     # interlaced PNGs; dims/channels oracles read the IHDR either way
-    return encode_png(px, interlace=(i % 3 == 2)), None
+    return encode_png(_png_pixels(i), interlace=(i % 3 == 2)), None
 
 
 def jpeg_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
@@ -1660,10 +1674,32 @@ def html_page(i: int = 0) -> Tuple[bytes, str]:
     lines, entities unescaped."""
     paras = [f"Paragraph {i}-{p} of the main content &amp; more." for p in range(3)]
     body = "".join(f"<p>{p}</p>" for p in paras)
+    # structured-data rotation (v39): JSON-LD blocks, OpenGraph /
+    # Twitter-card metas, microdata itemscope — the WAT-consumer
+    # signals structured_data mines. Script/head content is stripped
+    # by the extraction spec, so expected text is unchanged; the
+    # microdata div rides in the (stripped) footer for the same reason.
+    sd = []
+    if i % 3 != 2:
+        lt = ("Article", "NewsArticle", "Product")[i % 3]
+        sd.append('<script type="application/ld+json">{"@context":'
+                  f'"https://schema.org","@type":"{lt}","headline":'
+                  f'"Doc Title {i}"}}</script>')
+    if i % 6 == 0:
+        sd.append('<script type="application/ld+json">{"@type":'
+                  '"BreadcrumbList"}</script>')
+    if i % 2 == 0:
+        sd.append(f'<meta property="og:title" content="OG Doc {i}">'
+                  '<meta property="og:type" content="article">')
+    if i % 5 == 1:
+        sd.append('<meta name="twitter:card" content="summary">')
+    micro = ('<div itemscope itemtype="https://schema.org/Organization">'
+             '</div>' if i % 4 == 3 else "")
     doc = (
         f"<!DOCTYPE html><html><head><title>Doc Title {i}</title>"
         f'<meta name="description" content="Summary of document {i}.">'
         f'<link rel="canonical" href="https://fixtures.example/html/canon-{i}">'
+        + "".join(sd) +
         "<style>body{color:red}</style><script>var x=1;</script></head>"
         "<body><header>Site Header</header><nav><ul><li>Home</li></ul></nav>"
         f"<main><h1>Title {i}</h1>{body}</main>"
@@ -1676,7 +1712,7 @@ def html_page(i: int = 0) -> Tuple[bytes, str]:
             f'<a href="https://host{(i * m + m) % 11}.example/'
             f'partner">p{m}</a> '
             for m in (3, 7))
-        + "</footer></body></html>"
+        + micro + "</footer></body></html>"
     )
     expected = "\n".join([f"Title {i}"] + [p.replace("&amp;", "&") for p in paras])
     return doc.encode("utf-8"), expected
@@ -2215,7 +2251,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v38"
+CORPUS_VERSION = "v40"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -2568,6 +2604,7 @@ EXPECTED_COLUMNS = (
     "tiff_n_pages", "tiff_desc",
     "exif_orientation", "exif_make", "exif_w", "exif_h",
     "img_width", "img_height", "img_channels",
+    "img_ahash", "img_dhash",
     "blocks", "block_labels",
     "docx_n_paras", "docx_n_entries", "docx_title", "docx_creator",
     "epub_n_chapters", "epub_n_entries", "epub_title", "epub_creator",
@@ -2921,6 +2958,61 @@ def _pptx_expected(raw: bytes):
     return n_slides, n_shapes, len(names), title
 
 
+def _phash_expected(raw: bytes):
+    """INDEPENDENT ground truth for the image_phash oracle: a minimal
+    zlib-level re-read of exactly the shape the png generator emits
+    (RGB8, filter-0 rows, non-interlaced) — deliberately NOT
+    kernel/png.py's general decoder — plus the perceptual-hash formula
+    (shared spec, second implementation): integer luma
+    (299R+587G+114B)//1000, nearest-neighbor 8x8 / 8x9 grid sample,
+    aHash = sample > integer mean of the 64 samples, dHash = left >
+    right neighbour, bits packed MSB-first into a signed 64-bit value.
+    Returns (ahash, dhash) or (None, None) for interlaced pngs (the
+    query excludes them by the same IHDR byte both engines read)."""
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None, None
+    w = int.from_bytes(raw[16:20], "big")
+    h = int.from_bytes(raw[20:24], "big")
+    depth, ctype, interlace = raw[24], raw[25], raw[28]
+    if interlace != 0:
+        return None, None
+    assert depth == 8 and ctype == 2, "generator emits RGB8 only"
+    # concatenate IDAT payloads by walking the chunk chain directly
+    idat, pos = [], 8
+    while pos + 8 <= len(raw):
+        ln = int.from_bytes(raw[pos:pos + 4], "big")
+        typ = raw[pos + 4:pos + 8]
+        if typ == b"IDAT":
+            idat.append(raw[pos + 8:pos + 8 + ln])
+        pos += 12 + ln
+    flat = zlib.decompress(b"".join(idat))
+    stride = 1 + 3 * w
+    rows = np.frombuffer(flat, dtype=np.uint8).reshape(h, stride)
+    assert (rows[:, 0] == 0).all(), "generator emits filter-0 rows"
+    px = rows[:, 1:].reshape(h, w, 3).astype(np.int64)
+    luma = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+            + 114 * px[:, :, 2]) // 1000
+
+    def pack(bits) -> int:
+        v = 0
+        for b in bits:
+            v = (v << 1) | int(b)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    g8 = luma[[r * h // 8 for r in range(8)], :][:, [c * w // 8
+                                                     for c in range(8)]]
+    mean = int(g8.sum()) // 64
+    ahash = pack((g8 > mean).reshape(-1))
+    g9 = luma[[r * h // 8 for r in range(8)], :][:, [c * w // 9
+                                                     for c in range(9)]]
+    dhash = pack((g9[:, :8] > g9[:, 1:]).reshape(-1))
+    return ahash, dhash
+
+
 def _rtf_expected(raw: bytes):
     """INDEPENDENT ground truth for the rtf_meta oracle: narrow regex
     re-reads of exactly the shapes rtf_doc emits — deliberately NOT
@@ -3259,6 +3351,11 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"img_width": None, "img_height": None,
                     "img_channels": None})
+    if row["media_kind"] == "png":
+        ah, dh = _phash_expected(raw)
+        row.update({"img_ahash": ah, "img_dhash": dh})
+    else:
+        row.update({"img_ahash": None, "img_dhash": None})
     if row["media_kind"] == "jpeg":
         eo, emk, ew, eh = _exif_expected(raw)
         row.update({"exif_orientation": eo, "exif_make": emk,
@@ -3444,6 +3541,7 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "audio_n_samples": pa.int64(), "audio_rms_x1000": pa.int64(),
         "img_width": pa.int32(), "img_height": pa.int32(),
         "img_channels": pa.int32(),
+        "img_ahash": pa.int64(), "img_dhash": pa.int64(),
         "video_duration_ms": pa.int64(), "video_n_tracks": pa.int32(),
         "video_width": pa.int32(), "video_height": pa.int32(),
         "mp3_n_frames": pa.int32(), "mp3_sr": pa.int32(),
