@@ -2699,8 +2699,13 @@ def _q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not agg-fed — the span_dedup salting finding does not apply).
     DISTINCT collapses multi-band hits before the (cheap) verify.
     Fixtures seed true near-dups: every 5th png clones its
-    predecessor with one inverted pixel (hamming > 0 but << 8)."""
-    ph = _image_phash_df(spark, sf_dir)
+    predecessor with one inverted pixel (hamming > 0 but << 8).
+    The signature table is localCheckpoint-materialized before the
+    self-join (winnowing/cc.py precedent): without the barrier both
+    join sides re-run the image decode — 2x the dominant cost at
+    10^12 images; with it the decode runs once and only the tiny
+    (url, 2x int64) signature rows feed both sides."""
+    ph = _image_phash_df(spark, sf_dir).localCheckpoint(eager=False)
     bands = ph.select(
         "url", "ahash", "dhash",
         F.posexplode(F.array(*[

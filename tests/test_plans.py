@@ -92,6 +92,35 @@ def test_ngram_jaccard_joins_on_band(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_image_neardup_joins_on_band(spark, sf_dir):
+    """Image near-dup candidates must come from the hamming-LSH
+    (band, value) equi-join — hashable by the optimizer — never a
+    cartesian; the url_a < url_b ordering rides as a post-join filter,
+    not a nested-loop condition. The signature table is checkpoint-
+    materialized so the image decode never appears in the join plan at
+    all (it would otherwise run TWICE, once per self-join side)."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["image_neardup"](spark, sf_dir), spark)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan   # decode ran once, pre-barrier
+
+
+def test_structured_data_map_only(spark, sf_dir):
+    """Structured-data mining stays pure JVM: no Python boundary, no
+    exchange except the determinism orderBy (rangepartitioning)."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["structured_data"](spark, sf_dir), spark)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "MapInArrow"):
+        assert bad not in plan, plan
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+
+
 def test_extract_query_parity_in_kernel(spark, sf_dir):
     """The accuracy/fast parity queries must be MAP-ONLY: matches_oracle
     is computed in-kernel from the same scan row — no join shuffling

@@ -83,7 +83,7 @@ NOTES = {
     "rtf_meta": "map-only RTF tokenizer inside the scan task (kernel/rtf.py control-word walk, codepage + \\uN decode, destination skipping); rows only for {\\rtf-magic payloads; visible text rides the extraction family via extract_any dispatch.",
     "structured_data": "pure-JVM schema.org/OpenGraph mining inside WholeStageCodegen (cast + regexp_extract/regexp_count, zero Python, zero joins); one range exchange for determinism only — scan-shaped at 100 TB.",
     "image_phash": "map-only Arrow-batched perceptual hashing on the pruned (url, html) scan: kernel PNG decode + integer aHash/dHash per batch; interlace gate is an IHDR-byte predicate, not a carried column; range exchange for determinism only.",
-    "image_neardup": "hamming-LSH band join over the phash table: 4x16-bit bands posexploded map-side, candidates via (band, value) equi-join (bucketed, never all-pairs), DISTINCT collapse, bit_count(xor) verify — the standard LSH shape; both join sides are scan-fed so AQE can split a degenerate hot bucket.",
+    "image_neardup": "hamming-LSH band join over the phash table: 4x16-bit bands posexploded map-side, candidates via (band, value) equi-join (bucketed, never all-pairs), DISTINCT collapse, bit_count(xor) verify — the standard LSH shape; the signature table is localCheckpoint-materialized so the image decode runs ONCE, not once per self-join side, and only (url, 2x int64) rows feed the join; a degenerate hot bucket is checkpoint-fed and AQE-splittable.",
     "odt_meta": "map-only OpenDocument walk inside the scan task (kernel/ziparc.py + kernel/odt.py mimetype-gated content.xml paragraph walk); text rides the extraction family via extract_any dispatch.",
     "feed_meta": "pure-JVM RSS/Atom mining inside WholeStageCodegen (cast + regexp_extract/regexp_count, zero Python); one range exchange for determinism only.",
     "warc_cdx": "CDX(J) index generation in the SAME file-per-task pass as ingestion: SURT/timestamp/digest/member-span computed in the scan task; only index rows cross the Arrow boundary; range exchange for the urlkey determinism orderBy (at CC scale this is the index's required sort, done once).",
