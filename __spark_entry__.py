@@ -261,6 +261,8 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         from zpdfspark.kernel.docx import DocxError
         from zpdfspark.kernel.epub import EpubError
         from zpdfspark.kernel.gif import GifError
+        from zpdfspark.kernel.odp import OdpError
+        from zpdfspark.kernel.ods import OdsError
         from zpdfspark.kernel.odt import OdtError
         from zpdfspark.kernel.pptx import PptxError
         from zpdfspark.kernel.rtf import RtfError
@@ -294,7 +296,7 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     except (NotImplementedError, PngError, JpegError,
                             WavError, GifError, TiffError, BmpError,
                             DocxError, EpubError, XlsxError, OdtError,
-                            PptxError, RtfError):
+                            OdsError, OdpError, PptxError, RtfError):
                         ok = False
                 out["url"].append(url)
                 out["n_bytes"].append(len(raw))
@@ -3840,6 +3842,94 @@ def _q_odt_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_ods_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument spreadsheet extraction facts (kernel/ods.py, r5 —
+    completes the ODF trio): sheet/expanded-cell/entry counts,
+    meta.xml dc:title/dc:creator, text length; grid TEXT (cells TAB,
+    rows newline, sheets \\x0c — the kernel/xlsx.py reduction rule)
+    rides the flagship extraction family via extract_any. Map-only
+    mapInPandas on the pruned (url, html) scan. Oracle: corpus-carried
+    columns from the INDEPENDENT fixtures-side stdlib re-read
+    (fixtures._ods_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.ods import OdsError, is_ods, parse_ods
+
+        for b in it:
+            rows = {"url": [], "n_sheets": [], "n_cells": [],
+                    "n_entries": [], "title": [], "creator": [],
+                    "n_text_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:4] != b"PK\x03\x04" or not is_ods(raw):
+                    continue
+                try:
+                    m = parse_ods(raw)
+                except OdsError:
+                    continue
+                rows["url"].append(url)
+                rows["n_sheets"].append(m["n_sheets"])
+                rows["n_cells"].append(m["n_cells"])
+                rows["n_entries"].append(m["n_entries"])
+                rows["title"].append(m["title"])
+                rows["creator"].append(m["creator"])
+                rows["n_text_chars"].append(len(m["text"]))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, n_sheets int, n_cells int, n_entries int, "
+        "title string, creator string, n_text_chars int"
+    ).orderBy("url")
+
+
+def _q_odp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument presentation extraction facts (kernel/odp.py, r5 —
+    the ODF sibling of pptx_meta): slide/frame/entry counts, meta.xml
+    dc:title/dc:creator, text length; slide TEXT (paragraphs/frames
+    newline, slides \\x0c — the kernel/pptx.py reduction rule) rides
+    the flagship extraction family via extract_any. Map-only
+    mapInPandas on the pruned (url, html) scan. Oracle: corpus-carried
+    columns from the INDEPENDENT fixtures-side stdlib re-read
+    (fixtures._odp_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.odp import OdpError, is_odp, parse_odp
+
+        for b in it:
+            rows = {"url": [], "n_slides": [], "n_frames": [],
+                    "n_entries": [], "title": [], "creator": [],
+                    "n_text_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:4] != b"PK\x03\x04" or not is_odp(raw):
+                    continue
+                try:
+                    m = parse_odp(raw)
+                except OdpError:
+                    continue
+                rows["url"].append(url)
+                rows["n_slides"].append(m["n_slides"])
+                rows["n_frames"].append(m["n_frames"])
+                rows["n_entries"].append(m["n_entries"])
+                rows["title"].append(m["title"])
+                rows["creator"].append(m["creator"])
+                rows["n_text_chars"].append(len(m["text"]))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, n_slides int, n_frames int, n_entries int, "
+        "title string, creator string, n_text_chars int"
+    ).orderBy("url")
+
+
 def _q_feed_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed mining — the crawl-DISCOVERY side-channel every
     production crawler runs (feeds seed the frontier with fresh URLs
@@ -4470,6 +4560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_data": _q_structured_data,
         "image_phash": _q_image_phash,
         "image_neardup": _q_image_neardup,
+        "ods_meta": _q_ods_meta,
+        "odp_meta": _q_odp_meta,
     }
 
 
@@ -4615,8 +4707,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes, "
             f"media_kind, "
             f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff', "
-            f"'bmp', 'docx', 'epub', 'xlsx', 'odt', 'pptx', 'rtf')) "
-            f"AS decode_ok "
+            f"'bmp', 'docx', 'epub', 'xlsx', 'odt', 'ods', 'odp', "
+            f"'pptx', 'rtf')) AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
         "image_stats": (
@@ -4792,6 +4884,24 @@ def oracle_sql() -> dict[str, str]:
             f"odt_creator AS creator, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'odt' ORDER BY url"
+        ),
+        "ods_meta": (
+            # carried package facts from the independent fixtures-side
+            # stdlib re-read w/ its own repeat-expansion (_ods_expected)
+            f"SELECT url, ods_n_sheets AS n_sheets, "
+            f"ods_n_cells AS n_cells, ods_n_entries AS n_entries, "
+            f"ods_title AS title, ods_creator AS creator, "
+            f"CAST(length(text) AS INTEGER) AS n_text_chars "
+            f"FROM {corpus} WHERE media_kind = 'ods' ORDER BY url"
+        ),
+        "odp_meta": (
+            # carried package facts from the independent fixtures-side
+            # stdlib re-read (_odp_expected)
+            f"SELECT url, odp_n_slides AS n_slides, "
+            f"odp_n_frames AS n_frames, odp_n_entries AS n_entries, "
+            f"odp_title AS title, odp_creator AS creator, "
+            f"CAST(length(text) AS INTEGER) AS n_text_chars "
+            f"FROM {corpus} WHERE media_kind = 'odp' ORDER BY url"
         ),
         "avif_meta": (
             # carried primary-item dims/channels from the independent

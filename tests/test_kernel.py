@@ -2792,3 +2792,164 @@ class TestOdt:
                 b[rng.randrange(len(b))] = rng.randrange(256)
             t, _, _ = extract_any(bytes(b))
             assert isinstance(t, str)
+
+
+class TestOds:
+    """kernel/ods.py (round 5): OpenDocument spreadsheet grid walk —
+    the ODF sibling of kernel/xlsx.py, same cells\\t rows\\n
+    sheets\\x0c reduction rule."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import _ods_expected, ods_doc, ods_plan
+        from zpdfspark.kernel.ods import is_ods, parse_ods
+
+        for i in range(24):
+            blob, text = ods_doc(i)
+            plan = ods_plan(i)
+            assert text == plan["text"]
+            assert is_ods(blob)
+            m = parse_ods(blob)
+            assert m["text"] == plan["text"], i
+            assert m["n_sheets"] == len(plan["sheets"]), i
+            assert m["n_cells"] == plan["n_cells"], i
+            assert m["title"] == plan["title"], i
+            assert m["creator"] == plan["creator"], i
+            assert (_ods_expected(blob) ==
+                    (m["n_sheets"], m["n_cells"], m["n_entries"],
+                     m["title"], m["creator"])), i
+
+    def test_repeat_covered_and_trailing_strip(self):
+        """Hand-authored grid: number-columns-repeated expansion, a
+        merge-covered empty slot mid-row (kept), trailing repeated
+        empties (stripped), a multi-paragraph cell (space-joined)."""
+        import io
+        import zipfile
+
+        from zpdfspark.kernel.ods import parse_ods
+
+        content = (
+            "<office:document-content xmlns:office=\"x\" "
+            "xmlns:table=\"y\" xmlns:text=\"z\"><office:body>"
+            "<office:spreadsheet><table:table table:name=\"S\">"
+            "<table:table-row>"
+            "<table:table-cell table:number-columns-repeated=\"2\">"
+            "<text:p>r</text:p></table:table-cell>"
+            "<table:covered-table-cell/>"
+            "<table:table-cell><text:p>end</text:p></table:table-cell>"
+            "<table:table-cell table:number-columns-repeated=\"9\"/>"
+            "</table:table-row>"
+            "<table:table-row>"
+            "<table:table-cell><text:p>one</text:p><text:p>two</text:p>"
+            "</table:table-cell></table:table-row>"
+            "</table:table></office:spreadsheet></office:body>"
+            "</office:document-content>")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("mimetype",
+                       "application/vnd.oasis.opendocument.spreadsheet")
+            z.writestr("content.xml", content)
+        m = parse_ods(buf.getvalue())
+        assert m["text"] == "r\tr\t\tend\none two"
+        assert m["n_cells"] == 5
+        assert m["n_sheets"] == 1
+
+    def test_wrong_class_rejected(self):
+        import pytest
+
+        from zpdfspark.fixtures import odt_doc
+        from zpdfspark.kernel.ods import OdsError, is_ods, parse_ods
+
+        blob, _ = odt_doc(0)
+        assert not is_ods(blob)
+        with pytest.raises(OdsError):
+            parse_ods(blob)
+
+    def test_extract_any_dispatch_and_fuzz(self):
+        import random
+
+        from zpdfspark.fixtures import ods_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        blob, text = ods_doc(7)
+        got, kind, doc = extract_any(blob)
+        assert kind == "ods" and doc is None and got == text
+        rng = random.Random(62)
+        for _ in range(300):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            t, _, _ = extract_any(bytes(b))
+            assert isinstance(t, str)
+
+
+class TestOdp:
+    """kernel/odp.py (round 5): OpenDocument presentation slide walk —
+    the ODF sibling of kernel/pptx.py, same paragraphs/frames newline,
+    slides \\x0c reduction rule."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import _odp_expected, odp_doc, odp_plan
+        from zpdfspark.kernel.odp import is_odp, parse_odp
+
+        for i in range(24):
+            blob, text = odp_doc(i)
+            plan = odp_plan(i)
+            assert text == plan["text"]
+            assert is_odp(blob)
+            m = parse_odp(blob)
+            assert m["text"] == plan["text"], i
+            assert m["n_slides"] == plan["n_slides"], i
+            assert m["n_frames"] == plan["n_frames"], i
+            assert m["title"] == plan["title"], i
+            assert m["creator"] == plan["creator"], i
+            assert (_odp_expected(blob) ==
+                    (m["n_slides"], m["n_frames"], m["n_entries"],
+                     m["title"], m["creator"])), i
+
+    def test_image_frame_and_empty_page(self):
+        """A text-less picture frame counts as a shape but contributes
+        no text (no stray separator); an empty page is a \\x0c-joined
+        empty slide."""
+        import io
+        import zipfile
+
+        from zpdfspark.kernel.odp import parse_odp
+
+        content = (
+            "<office:document-content xmlns:office=\"x\" "
+            "xmlns:draw=\"y\" xmlns:text=\"z\"><office:body>"
+            "<office:presentation>"
+            "<draw:page draw:name=\"p1\">"
+            "<draw:frame><draw:image xlink:href=\"P/i.png\"/></draw:frame>"
+            "<draw:frame><draw:text-box><text:p>hello</text:p>"
+            "</draw:text-box></draw:frame>"
+            "</draw:page>"
+            "<draw:page draw:name=\"p2\"></draw:page>"
+            "</office:presentation></office:body>"
+            "</office:document-content>")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("mimetype",
+                       "application/vnd.oasis.opendocument.presentation")
+            z.writestr("content.xml", content)
+        m = parse_odp(buf.getvalue())
+        assert m["text"] == "hello\x0c"
+        assert m["n_slides"] == 2
+        assert m["n_frames"] == 2
+
+    def test_extract_any_dispatch_and_fuzz(self):
+        import random
+
+        from zpdfspark.fixtures import odp_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        blob, text = odp_doc(13)
+        got, kind, doc = extract_any(blob)
+        assert kind == "odp" and doc is None and got == text
+        rng = random.Random(63)
+        for _ in range(300):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            t, _, _ = extract_any(bytes(b))
+            assert isinstance(t, str)

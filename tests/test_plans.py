@@ -819,7 +819,8 @@ def test_office_meta_map_only(spark, sf_dir):
     determinism orderBy as the ONLY exchange."""
     import __spark_entry__ as E
 
-    for q in ("docx_meta", "epub_meta", "xlsx_meta", "odt_meta"):
+    for q in ("docx_meta", "epub_meta", "xlsx_meta", "odt_meta",
+              "ods_meta", "odp_meta"):
         plan = _formatted(E.queries()[q](spark, sf_dir), spark)
         assert "MapInPandas" in plan, (q, plan)
         assert "hashpartitioning" not in plan, (q, plan)

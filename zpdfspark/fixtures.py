@@ -1635,6 +1635,206 @@ def odt_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
     return buf.getvalue(), plan["text"]
 
 
+def ods_plan(i: int) -> dict:
+    """The ods generator's authored content — post-expansion cell
+    grids per sheet plus meta properties, shared by the writer, tests
+    and the expected-text computation (cells TAB, rows newline,
+    sheets \\x0c — the kernel/xlsx.py reduction rule)."""
+    rows1 = [["Item", f"Qty {i % 5}", "Price & Tax"]]
+    if i % 4 == 0:
+        rows1.append(["dup"] * 3)            # number-columns-repeated=3
+    else:
+        rows1.append([f"row {i % 11}", "", f"x{i % 7}"])  # empty mid cell
+    rows1.append(["total", f"{i % 9}.5"])    # float cell, display text
+    if i % 5 == 2:
+        rows1.append(["tail strip"])         # xml adds 4 repeated empties
+    sheets = [("Tabelle1", rows1)]
+    if i % 3 == 0:
+        sheets.append(("Blatt zwei", [[f"zwei {i % 3}", f"{i % 13}"]]))
+    return {
+        "sheets": sheets,
+        "n_cells": sum(len(r) for _n, rows in sheets for r in rows),
+        "text": "\x0c".join("\n".join("\t".join(r) for r in rows)
+                            for _n, rows in sheets),
+        "title": f"Kalkulation {i % 5}" if i % 5 != 1 else None,
+        "creator": f"Autor {i % 3}" if i % 5 != 1 else None,
+        "deflate": i % 2 == 1,
+    }
+
+
+def ods_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic ODS package (v41) written with STDLIB zipfile
+    (reader = kernel/ziparc.py + kernel/ods.py). Rotations:
+    number-columns-repeated cell runs, empty cells both as plain
+    <table:table-cell/> and as merge-covered <table:covered-table-cell/>,
+    a value-typed float cell carrying its display <text:p>, trailing
+    repeated empty cells (must strip), a second sheet, meta.xml
+    present or absent. Returns (bytes, expected_text)."""
+    import io
+    import zipfile
+
+    plan = ods_plan(i)
+    tables = []
+    for name, rows in plan["sheets"]:
+        body_rows = []
+        for ridx, row in enumerate(rows):
+            cells = []
+            if row == ["dup"] * 3:
+                cells.append(
+                    "<table:table-cell table:number-columns-repeated=\"3\" "
+                    "office:value-type=\"string\"><text:p>dup</text:p>"
+                    "</table:table-cell>")
+            else:
+                for cidx, val in enumerate(row):
+                    if val == "":
+                        # both empty-slot spellings appear in real files
+                        cells.append(
+                            "<table:covered-table-cell/>"
+                            if (i // 4) % 2 else "<table:table-cell/>")
+                    elif val.endswith(".5") and row[0] == "total":
+                        cells.append(
+                            f"<table:table-cell office:value-type=\"float\" "
+                            f"office:value=\"{val}\"><text:p>{val}</text:p>"
+                            "</table:table-cell>")
+                    else:
+                        cells.append(
+                            "<table:table-cell office:value-type=\"string\">"
+                            f"<text:p>{_xml_esc(val)}</text:p>"
+                            "</table:table-cell>")
+            if rows is plan["sheets"][0][1] and row == ["tail strip"]:
+                cells.append(
+                    "<table:table-cell table:number-columns-repeated=\"4\"/>")
+            body_rows.append(
+                "<table:table-row>" + "".join(cells) + "</table:table-row>")
+        tables.append(f"<table:table table:name=\"{_xml_esc(name)}\">"
+                      + "".join(body_rows) + "</table:table>")
+    content = (
+        "<?xml version=\"1.0\"?><office:document-content "
+        "xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" "
+        "xmlns:table=\"urn:oasis:names:tc:opendocument:xmlns:table:1.0\" "
+        "xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\">"
+        "<office:body><office:spreadsheet>" + "".join(tables)
+        + "</office:spreadsheet></office:body></office:document-content>")
+    buf = io.BytesIO()
+    method = zipfile.ZIP_DEFLATED if plan["deflate"] else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w") as z:
+        _zip_writestr(z, "mimetype",
+                      "application/vnd.oasis.opendocument.spreadsheet",
+                      zipfile.ZIP_STORED)
+        _zip_writestr(z, "META-INF/manifest.xml",
+                      "<manifest:manifest/>", method)
+        _zip_writestr(z, "content.xml", content, method)
+        if plan["title"] is not None:
+            _zip_writestr(
+                z, "meta.xml",
+                "<?xml version=\"1.0\"?><office:document-meta "
+                "xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:"
+                "office:1.0\" xmlns:dc=\"http://purl.org/dc/elements/1.1/\">"
+                f"<office:meta><dc:title>{_xml_esc(plan['title'])}"
+                f"</dc:title><dc:creator>{_xml_esc(plan['creator'])}"
+                "</dc:creator></office:meta></office:document-meta>",
+                method)
+    return buf.getvalue(), plan["text"]
+
+
+def odp_plan(i: int) -> dict:
+    """The odp generator's authored content — frame paragraph lists
+    per slide plus meta properties. Reduction rule mirrors
+    kernel/pptx.py: paragraphs newline, frames newline, slides \\x0c."""
+    slides = []          # list[ list[ list[paragraph] ] ]
+    for k in range(1 + i % 3):
+        frames = [[f"Slide {k} & {i % 6}"]]
+        if k % 2 == 0:
+            frames.append([f"body one {i % 4}", "body two"])
+        if i % 4 == 1 and k == 0:
+            frames.append(["brk\nafter"])    # one para w/ text:line-break
+        slides.append(frames)
+    image_frame = i % 6 == 2                 # text-less picture frame
+    empty_slide = i % 5 == 3                 # <draw:page> with no frames
+    slide_texts = ["\n".join("\n".join(f) for f in fs) for fs in slides]
+    if empty_slide:
+        slide_texts.append("")
+    return {
+        "slides": slides,
+        "image_frame": image_frame,
+        "empty_slide": empty_slide,
+        "n_slides": len(slides) + (1 if empty_slide else 0),
+        "n_frames": sum(len(fs) for fs in slides) + (1 if image_frame else 0),
+        "text": "\x0c".join(slide_texts),
+        "title": f"Deck {i % 4}" if i % 4 != 2 else None,
+        "creator": f"Referent {i % 3}" if i % 4 != 2 else None,
+        "deflate": i % 2 == 1,
+    }
+
+
+def odp_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic ODP package (v41) written with STDLIB zipfile
+    (reader = kernel/ziparc.py + kernel/odp.py). Rotations:
+    multi-paragraph frames vs a single paragraph with
+    <text:line-break/> (both reduce to the same newline), a text-less
+    image frame (counts as a shape, contributes no text), an empty
+    trailing slide, meta.xml present or absent. Returns
+    (bytes, expected_text)."""
+    import io
+    import zipfile
+
+    plan = odp_plan(i)
+    pages = []
+    for k, frames in enumerate(plan["slides"]):
+        parts = []
+        if k == 0 and plan["image_frame"]:
+            parts.append("<draw:frame svg:width=\"10cm\">"
+                         "<draw:image xlink:href=\"Pictures/p.png\"/>"
+                         "</draw:frame>")
+        for paras in frames:
+            ptags = []
+            for p in paras:
+                if "\n" in p:
+                    a, b = p.split("\n", 1)
+                    ptags.append(f"<text:p>{_xml_esc(a)}<text:line-break/>"
+                                 f"{_xml_esc(b)}</text:p>")
+                else:
+                    ptags.append(f"<text:p>{_xml_esc(p)}</text:p>")
+            parts.append("<draw:frame presentation:class=\"outline\">"
+                         "<draw:text-box>" + "".join(ptags)
+                         + "</draw:text-box></draw:frame>")
+        pages.append(f"<draw:page draw:name=\"page{k + 1}\">"
+                     + "".join(parts) + "</draw:page>")
+    if plan["empty_slide"]:
+        # open/close pair (the shape real producers emit), not a
+        # self-closing <draw:page/> — the parser's element regex wants
+        # the body form and an empty deck page always has one
+        pages.append(f"<draw:page draw:name=\"page{len(pages) + 1}\">"
+                     "</draw:page>")
+    content = (
+        "<?xml version=\"1.0\"?><office:document-content "
+        "xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" "
+        "xmlns:draw=\"urn:oasis:names:tc:opendocument:xmlns:drawing:1.0\" "
+        "xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\">"
+        "<office:body><office:presentation>" + "".join(pages)
+        + "</office:presentation></office:body></office:document-content>")
+    buf = io.BytesIO()
+    method = zipfile.ZIP_DEFLATED if plan["deflate"] else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w") as z:
+        _zip_writestr(z, "mimetype",
+                      "application/vnd.oasis.opendocument.presentation",
+                      zipfile.ZIP_STORED)
+        _zip_writestr(z, "META-INF/manifest.xml",
+                      "<manifest:manifest/>", method)
+        _zip_writestr(z, "content.xml", content, method)
+        if plan["title"] is not None:
+            _zip_writestr(
+                z, "meta.xml",
+                "<?xml version=\"1.0\"?><office:document-meta "
+                "xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:"
+                "office:1.0\" xmlns:dc=\"http://purl.org/dc/elements/1.1/\">"
+                f"<office:meta><dc:title>{_xml_esc(plan['title'])}"
+                f"</dc:title><dc:creator>{_xml_esc(plan['creator'])}"
+                "</dc:creator></office:meta></office:document-meta>",
+                method)
+    return buf.getvalue(), plan["text"]
+
+
 def rss_feed(i: int = 0) -> Tuple[bytes, Optional[str]]:
     """Deterministic RSS 2.0 feed (v36): the crawl-discovery payload
     (feed_meta mines it pure-JVM; the oracle re-mines the same bytes
@@ -2203,6 +2403,14 @@ def _register():
     def g_odt(i):
         return odt_doc(i)
 
+    @var("ods")
+    def g_ods(i):
+        return ods_doc(i)
+
+    @var("odp")
+    def g_odp(i):
+        return odp_doc(i)
+
     @var("rss")
     def g_rss(i):
         return rss_feed(i)
@@ -2251,7 +2459,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v40"
+CORPUS_VERSION = "v41"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -2549,7 +2757,7 @@ def _sniff_media_kind(raw: bytes) -> str:
     if raw[:4] == b"PK\x03\x04":
         from .kernel.docx import is_docx
         from .kernel.epub import is_epub
-        from .kernel.odt import is_odt
+        from .kernel.odt import odf_class
         from .kernel.xlsx import is_xlsx
 
         if is_docx(raw):
@@ -2562,7 +2770,8 @@ def _sniff_media_kind(raw: bytes) -> str:
 
         if is_pptx(raw):
             return "pptx"
-        return "odt" if is_odt(raw) else "zip"
+        return {"text": "odt", "spreadsheet": "ods",
+                "presentation": "odp"}.get(odf_class(raw), "zip")
     from .kernel.htmltext import looks_like_feed
 
     if looks_like_feed(raw):
@@ -2613,6 +2822,10 @@ EXPECTED_COLUMNS = (
     "pptx_n_slides", "pptx_n_shapes", "pptx_n_entries", "pptx_title",
     "rtf_n_pars", "rtf_title",
     "odt_n_paras", "odt_n_entries", "odt_title", "odt_creator",
+    "ods_n_sheets", "ods_n_cells", "ods_n_entries", "ods_title",
+    "ods_creator",
+    "odp_n_slides", "odp_n_frames", "odp_n_entries", "odp_title",
+    "odp_creator",
 )
 
 
@@ -3050,6 +3263,79 @@ def _odt_expected(raw: bytes):
     return n_paras, len(names), title, creator
 
 
+def _ods_expected(raw: bytes):
+    """INDEPENDENT ground truth for the ods_meta oracle: STDLIB
+    zipfile read plus its own repeat-expansion/trailing-strip walk
+    over the shapes ods_doc emits — deliberately NOT kernel/ziparc.py
+    or kernel/ods.py. Returns (n_sheets, n_cells, n_entries, title,
+    creator)."""
+    import io
+    import re as _re
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(raw))
+    names = zf.namelist()
+    content = zf.read("content.xml").decode("utf-8")
+    tables = _re.findall(r"<table:table\b.*?</table:table>", content, _re.S)
+    n_cells = 0
+    for table in tables:
+        for row in _re.findall(
+                r"<table:table-row\b[^>]*>(.*?)</table:table-row>", table,
+                _re.S):
+            cells = []
+            for m in _re.finditer(
+                    r"<table:(?:covered-)?table-cell\b([^>]*?)(/?)>", row):
+                rep = _re.search(
+                    r'table:number-columns-repeated="(\d+)"', m.group(1))
+                n = int(rep.group(1)) if rep else 1
+                if m.group(2) == "/":
+                    cells.extend([""] * n)
+                else:
+                    tail = row[m.end():]
+                    body = tail[:tail.index("</table:")]
+                    txt = _re.sub(r"<[^>]*>", "", body)
+                    cells.extend([txt] * n)
+            while cells and cells[-1] == "":
+                cells.pop()
+            n_cells += len(cells)
+    title = creator = None
+    if "meta.xml" in names:
+        meta = zf.read("meta.xml").decode("utf-8")
+        tm = _re.search(r"<dc:title>(.*?)</dc:title>", meta)
+        cm = _re.search(r"<dc:creator>(.*?)</dc:creator>", meta)
+        if tm:
+            title = tm.group(1).replace("&amp;", "&")
+        if cm:
+            creator = cm.group(1).replace("&amp;", "&")
+    return len(tables), n_cells, len(names), title, creator
+
+
+def _odp_expected(raw: bytes):
+    """INDEPENDENT ground truth for the odp_meta oracle: STDLIB
+    zipfile read plus flat element counts over the shapes odp_doc
+    emits — deliberately NOT kernel/odp.py. Returns (n_slides,
+    n_frames, n_entries, title, creator)."""
+    import io
+    import re as _re
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(raw))
+    names = zf.namelist()
+    content = zf.read("content.xml").decode("utf-8")
+    n_slides = len(_re.findall(r"<draw:page\b", content))
+    n_frames = len(_re.findall(r"<draw:frame\b", content))
+    title = creator = None
+    if "meta.xml" in names:
+        meta = zf.read("meta.xml").decode("utf-8")
+        tm = _re.search(r"<dc:title>(.*?)</dc:title>", meta)
+        cm = _re.search(r"<dc:creator>(.*?)</dc:creator>", meta)
+        if tm:
+            title = tm.group(1).replace("&amp;", "&")
+        if cm:
+            creator = cm.group(1).replace("&amp;", "&")
+    return n_slides, n_frames, len(names), title, creator
+
+
 def _ogg_expected(raw: bytes):
     """INDEPENDENT ground truth for the Ogg oracle: a standalone page
     scan trusting only the layout build_ogg emits (whole packets per
@@ -3463,6 +3749,24 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
         row.update({"rtf_n_pars": np_, "rtf_title": title})
     else:
         row.update({"rtf_n_pars": None, "rtf_title": None})
+    if row["media_kind"] == "ods":
+        ns, nc, ne, title, creator = _ods_expected(raw)
+        row.update({"ods_n_sheets": ns, "ods_n_cells": nc,
+                    "ods_n_entries": ne, "ods_title": title,
+                    "ods_creator": creator})
+    else:
+        row.update({"ods_n_sheets": None, "ods_n_cells": None,
+                    "ods_n_entries": None, "ods_title": None,
+                    "ods_creator": None})
+    if row["media_kind"] == "odp":
+        ns, nf, ne, title, creator = _odp_expected(raw)
+        row.update({"odp_n_slides": ns, "odp_n_frames": nf,
+                    "odp_n_entries": ne, "odp_title": title,
+                    "odp_creator": creator})
+    else:
+        row.update({"odp_n_slides": None, "odp_n_frames": None,
+                    "odp_n_entries": None, "odp_title": None,
+                    "odp_creator": None})
     if row["media_kind"] == "odt":
         np_, ne, title, creator = _odt_expected(raw)
         row.update({"odt_n_paras": np_, "odt_n_entries": ne,
@@ -3580,6 +3884,12 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "rtf_n_pars": pa.int32(), "rtf_title": pa.string(),
         "odt_n_paras": pa.int32(), "odt_n_entries": pa.int32(),
         "odt_title": pa.string(), "odt_creator": pa.string(),
+        "ods_n_sheets": pa.int32(), "ods_n_cells": pa.int32(),
+        "ods_n_entries": pa.int32(), "ods_title": pa.string(),
+        "ods_creator": pa.string(),
+        "odp_n_slides": pa.int32(), "odp_n_frames": pa.int32(),
+        "odp_n_entries": pa.int32(), "odp_title": pa.string(),
+        "odp_creator": pa.string(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

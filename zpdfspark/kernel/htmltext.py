@@ -238,13 +238,28 @@ def extract_any(raw: bytes, mode: str = "accuracy"):
             except PptxError:
                 return "", "pptx", None
         if "content.xml" in names and "mimetype" in names:
-            from .odt import OdtError, is_odt, parse_odt
+            from .odt import OdtError, odf_class, parse_odt
 
-            if is_odt(raw):
+            cls = odf_class(raw)
+            if cls == "text":
                 try:
                     return parse_odt(raw)["text"], "odt", None
                 except OdtError:
                     return "", "odt", None
+            if cls == "spreadsheet":
+                from .ods import OdsError, parse_ods
+
+                try:
+                    return parse_ods(raw)["text"], "ods", None
+                except OdsError:
+                    return "", "ods", None
+            if cls == "presentation":
+                from .odp import OdpError, parse_odp
+
+                try:
+                    return parse_odp(raw)["text"], "odp", None
+                except OdpError:
+                    return "", "odp", None
     if raw[:5] == b"{\\rtf":
         from .rtf import RtfError, parse_rtf
 

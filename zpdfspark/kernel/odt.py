@@ -47,20 +47,35 @@ def _unesc(bs: bytes) -> str:
     return html_mod.unescape(bs.decode("utf-8", "replace"))
 
 
-def is_odt(raw: bytes) -> bool:
-    """Container probe: names-only walk for content.xml + mimetype,
-    then one stored-member read to check the declared class (ODS/ODP
-    share the layout; only the text class extracts here)."""
+# the three OASIS document classes this engine extracts; the shared
+# probe reads the declared mimetype once and each class module gates
+# its parser on its own constant (kernel/ods.py, kernel/odp.py)
+_ODF_CLASSES = {
+    b"application/vnd.oasis.opendocument.text": "text",
+    b"application/vnd.oasis.opendocument.spreadsheet": "spreadsheet",
+    b"application/vnd.oasis.opendocument.presentation": "presentation",
+}
+
+
+def odf_class(raw: bytes):
+    """Container probe shared by the ODF trio: names-only walk for
+    content.xml + mimetype, then ONE stored-member read to resolve the
+    declared class. Returns 'text' | 'spreadsheet' | 'presentation' |
+    None — dispatchers read the mimetype once instead of three times."""
     if raw[:4] != b"PK\x03\x04":
-        return False
+        return None
     try:
         names = zip_names(raw)
         if _CONTENT not in names or _MIME not in names:
-            return False
+            return None
         mime = parse_zip(raw, want={_MIME})[_MIME]
     except ZipError:
-        return False
-    return mime.strip() == _ODF_TEXT
+        return None
+    return _ODF_CLASSES.get(mime.strip())
+
+
+def is_odt(raw: bytes) -> bool:
+    return odf_class(raw) == "text"
 
 
 def _para_text(chunk: bytes) -> str:

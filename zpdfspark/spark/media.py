@@ -74,7 +74,7 @@ def sniff_kind(raw: bytes) -> str:
     if raw[:4] == b"PK\x03\x04":
         from zpdfspark.kernel.docx import is_docx
         from zpdfspark.kernel.epub import is_epub
-        from zpdfspark.kernel.odt import is_odt
+        from zpdfspark.kernel.odt import odf_class
         from zpdfspark.kernel.xlsx import is_xlsx
 
         if is_docx(raw):
@@ -87,7 +87,8 @@ def sniff_kind(raw: bytes) -> str:
 
         if is_pptx(raw):
             return "pptx"
-        return "odt" if is_odt(raw) else "zip"
+        return {"text": "odt", "spreadsheet": "ods",
+                "presentation": "odp"}.get(odf_class(raw), "zip")
     from zpdfspark.kernel.htmltext import looks_like_feed
 
     if looks_like_feed(raw):
@@ -141,6 +142,12 @@ def decode_media(raw: bytes, kind: str):
     if kind == "odt":
         from zpdfspark.kernel.odt import parse_odt
         return parse_odt(raw)
+    if kind == "ods":
+        from zpdfspark.kernel.ods import parse_ods
+        return parse_ods(raw)
+    if kind == "odp":
+        from zpdfspark.kernel.odp import parse_odp
+        return parse_odp(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
