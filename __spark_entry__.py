@@ -261,11 +261,14 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         from zpdfspark.kernel.docx import DocxError
         from zpdfspark.kernel.epub import EpubError
         from zpdfspark.kernel.gif import GifError
+        from zpdfspark.kernel.ico import IcoError
         from zpdfspark.kernel.odp import OdpError
         from zpdfspark.kernel.ods import OdsError
         from zpdfspark.kernel.odt import OdtError
         from zpdfspark.kernel.pptx import PptxError
         from zpdfspark.kernel.rtf import RtfError
+        from zpdfspark.kernel.svg import SvgError
+        from zpdfspark.kernel.tar import TarError
         from zpdfspark.kernel.xlsx import XlsxError
         from zpdfspark.kernel.htmltext import looks_like_html
         from zpdfspark.kernel.jpeg import JpegError
@@ -296,7 +299,8 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     except (NotImplementedError, PngError, JpegError,
                             WavError, GifError, TiffError, BmpError,
                             DocxError, EpubError, XlsxError, OdtError,
-                            OdsError, OdpError, PptxError, RtfError):
+                            OdsError, OdpError, PptxError, RtfError,
+                            SvgError, IcoError, TarError):
                         ok = False
                 out["url"].append(url)
                 out["n_bytes"].append(len(raw))
@@ -3930,6 +3934,174 @@ def _q_odp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tarball census (kernel/tar.py, r5) — crawls carry source
+    releases and dataset drops; the pipeline keeps the member census
+    (count/dirs/bytes/first regular name) without unpacking. Standalone
+    .tar reaches here by sniff; .tar.gz reaches the same walk through
+    extract_any's bounded gzip re-dispatch. Map-only mapInPandas on
+    the pruned (url, html) scan. Oracle: corpus-carried columns from
+    the INDEPENDENT fixtures-side stdlib tarfile re-read
+    (fixtures._tar_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.tar import TarError, is_tar, parse_tar
+
+        for b in it:
+            rows = {"url": [], "n_members": [], "n_dirs": [],
+                    "n_bytes": [], "first_name": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if raw[257:262] != b"ustar" or not is_tar(raw):
+                    continue
+                try:
+                    m = parse_tar(raw)
+                except TarError:
+                    continue
+                rows["url"].append(url)
+                rows["n_members"].append(m["n_members"])
+                rows["n_dirs"].append(m["n_dirs"])
+                rows["n_bytes"].append(m["n_bytes"])
+                rows["first_name"].append(m["first_name"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, n_members int, n_dirs int, n_bytes long, "
+        "first_name string"
+    ).orderBy("url")
+
+
+def _q_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM/Matroska facts (kernel/webm.py, r5) — the web's royalty-
+    free video container, the EBML sibling of video_stats/mp4:
+    DocType, duration from TimestampScale×Duration, track census,
+    video dims + codec ids. Frame decode honestly stubbed (no
+    VP8/VP9/AV1 codecs here), like mp4. Map-only mapInPandas on the
+    pruned (url, html) scan. Oracle: corpus-carried columns from the
+    INDEPENDENT fixtures-side explicit-stack EBML scan
+    (fixtures._webm_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.webm import WebmError, is_webm, parse_webm
+
+        for b in it:
+            rows = {"url": [], "doc_type": [], "duration_ms": [],
+                    "n_tracks": [], "width": [], "height": [],
+                    "video_codec": [], "audio_codec": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if not is_webm(raw):
+                    continue
+                try:
+                    m = parse_webm(raw)
+                except WebmError:
+                    continue
+                rows["url"].append(url)
+                rows["doc_type"].append(m["doc_type"])
+                rows["duration_ms"].append(m["duration_ms"])
+                rows["n_tracks"].append(m["n_tracks"])
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["video_codec"].append(m["video_codec"])
+                rows["audio_codec"].append(m["audio_codec"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, doc_type string, duration_ms long, n_tracks int, "
+        "width int, height int, video_codec string, audio_codec string"
+    ).orderBy("url")
+
+
+def _q_ico_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO favicon facts (kernel/ico.py, r5) — every crawler fetches
+    /favicon.ico per host: entry count, largest rendition's dims (the
+    directory's u8 dims where 0 means 256), whether any entry is a
+    modern embedded-PNG stream (kernel-decodable via entry_png).
+    Map-only mapInPandas on the pruned (url, html) scan. Oracle:
+    corpus-carried columns from the INDEPENDENT fixtures-side
+    directory re-read (fixtures._ico_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.ico import IcoError, is_ico, parse_ico
+
+        for b in it:
+            rows = {"url": [], "n_images": [], "width": [], "height": [],
+                    "any_png": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if not is_ico(raw):
+                    continue
+                try:
+                    m = parse_ico(raw)
+                except IcoError:
+                    continue
+                rows["url"].append(url)
+                rows["n_images"].append(m["n_images"])
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["any_png"].append(m["any_png"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, n_images int, width int, height int, any_png boolean"
+    ).orderBy("url")
+
+
+def _q_svg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVG canvas mining (r5) — the modern web's vector image format:
+    rendered dims (pixel width/height attrs, else the viewBox's
+    3rd/4th numbers — what renderers do), text/path element census,
+    accessible <title>. Mined PURE JVM like feed_meta: the binary
+    column casts to string and the regex set runs inside
+    WholeStageCodegen — zero Python, zero exchanges before the
+    determinism orderBy (scan-shaped at 100 TB). Text extraction of
+    the same payloads rides the flagship family via the HTML stripper
+    (an SVG document satisfies the markup sniff; kernel/svg.py serves
+    the media decode path). Oracle: the IDENTICAL regex set re-run by
+    DuckDB over the same bytes — a two-engine re-extraction, no
+    carried truth; rows scoped by the generator-authored media_kind."""
+    corpus = _corpus(spark, sf_dir)
+    s = F.col("html").cast("string")
+    tag = F.regexp_extract(s, r"(<svg[^>]*>)", 1)
+    w_attr = F.regexp_extract(tag, r'\bwidth="(\d{1,7})(?:px)?"', 1)
+    h_attr = F.regexp_extract(tag, r'\bheight="(\d{1,7})(?:px)?"', 1)
+    vb = r'viewBox="\s*[-0-9.]+[\s,]+[-0-9.]+[\s,]+([0-9.]+)[\s,]+([0-9.]+)'
+    vb_w = F.regexp_extract(tag, vb, 1)
+    vb_h = F.regexp_extract(tag, vb, 2)
+    return (
+        corpus
+        .where(s.rlike(r'^\s*(<\?xml[^>]*>\s*)?<svg'))
+        .select(
+            "url",
+            F.when((w_attr != "") & (h_attr != ""), w_attr.cast("int"))
+            .otherwise(F.nullif(vb_w, F.lit("")).cast("double").cast("int"))
+            .alias("width"),
+            F.when((w_attr != "") & (h_attr != ""), h_attr.cast("int"))
+            .otherwise(F.nullif(vb_h, F.lit("")).cast("double").cast("int"))
+            .alias("height"),
+            F.regexp_count(s, F.lit(r"<text[\s>]")).cast("int")
+            .alias("n_texts"),
+            F.regexp_count(s, F.lit(r"<path[\s>]")).cast("int")
+            .alias("n_paths"),
+            F.nullif(F.regexp_extract(s, r"<title[^>]*>([^<]*)</title>", 1),
+                     F.lit("")).alias("title"),
+        )
+        .orderBy("url")
+    )
+
+
 def _q_feed_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed mining — the crawl-DISCOVERY side-channel every
     production crawler runs (feeds seed the frontier with fresh URLs
@@ -4562,6 +4734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": _q_image_neardup,
         "ods_meta": _q_ods_meta,
         "odp_meta": _q_odp_meta,
+        "svg_meta": _q_svg_meta,
+        "ico_meta": _q_ico_meta,
+        "webm_meta": _q_webm_meta,
+        "tar_meta": _q_tar_meta,
     }
 
 
@@ -4708,7 +4884,7 @@ def oracle_sql() -> dict[str, str]:
             f"media_kind, "
             f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff', "
             f"'bmp', 'docx', 'epub', 'xlsx', 'odt', 'ods', 'odp', "
-            f"'pptx', 'rtf')) AS decode_ok "
+            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'tar')) AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
         "image_stats": (
@@ -4902,6 +5078,66 @@ def oracle_sql() -> dict[str, str]:
             f"odp_title AS title, odp_creator AS creator, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'odp' ORDER BY url"
+        ),
+        "tar_meta": (
+            # carried census from the independent fixtures-side stdlib
+            # tarfile re-read (_tar_expected)
+            f"SELECT url, tar_n_members AS n_members, "
+            f"tar_n_dirs AS n_dirs, tar_n_bytes AS n_bytes, "
+            f"tar_first_name AS first_name "
+            f"FROM {corpus} WHERE media_kind = 'tar' ORDER BY url"
+        ),
+        "webm_meta": (
+            # carried EBML facts from the independent fixtures-side
+            # explicit-stack scan (_webm_expected)
+            f"SELECT url, webm_doc_type AS doc_type, "
+            f"webm_duration_ms AS duration_ms, "
+            f"webm_n_tracks AS n_tracks, webm_w AS width, "
+            f"webm_h AS height, webm_vcodec AS video_codec, "
+            f"webm_acodec AS audio_codec "
+            f"FROM {corpus} WHERE media_kind = 'webm' ORDER BY url"
+        ),
+        "ico_meta": (
+            # carried directory facts from the independent
+            # fixtures-side offset re-read (_ico_expected)
+            f"SELECT url, ico_n_images AS n_images, ico_w AS width, "
+            f"ico_h AS height, ico_any_png AS any_png "
+            f"FROM {corpus} WHERE media_kind = 'ico' ORDER BY url"
+        ),
+        "svg_meta": (
+            # IDENTICAL regex set over the same bytes — two-engine
+            # re-extraction (RE2 here, Java regex in Spark); rows
+            # scoped by the regex predicate both sides
+            "WITH pre AS (SELECT url, decode(html) AS s FROM "
+            f"{corpus} WHERE media_kind = 'svg'), "
+            "f AS (SELECT url, s FROM pre WHERE regexp_matches(s, "
+            "'^\\s*(<\\?xml[^>]*>\\s*)?<svg')), "
+            "g AS (SELECT url, s, "
+            "regexp_extract(s, '(<svg[^>]*>)', 1) AS tag FROM f) "
+            "SELECT url, "
+            "CAST(CASE WHEN regexp_extract(tag, "
+            "'\\bwidth=\"(\\d{1,7})(?:px)?\"', 1) != '' "
+            "AND regexp_extract(tag, '\\bheight=\"(\\d{1,7})(?:px)?\"', 1) "
+            "!= '' THEN regexp_extract(tag, "
+            "'\\bwidth=\"(\\d{1,7})(?:px)?\"', 1) "
+            "ELSE nullif(regexp_extract(tag, "
+            "'viewBox=\"\\s*[-0-9.]+[\\s,]+[-0-9.]+[\\s,]+([0-9.]+)"
+            "[\\s,]+([0-9.]+)', 1), '') END AS DOUBLE)::INTEGER AS width, "
+            "CAST(CASE WHEN regexp_extract(tag, "
+            "'\\bwidth=\"(\\d{1,7})(?:px)?\"', 1) != '' "
+            "AND regexp_extract(tag, '\\bheight=\"(\\d{1,7})(?:px)?\"', 1) "
+            "!= '' THEN regexp_extract(tag, "
+            "'\\bheight=\"(\\d{1,7})(?:px)?\"', 1) "
+            "ELSE nullif(regexp_extract(tag, "
+            "'viewBox=\"\\s*[-0-9.]+[\\s,]+[-0-9.]+[\\s,]+([0-9.]+)"
+            "[\\s,]+([0-9.]+)', 2), '') END AS DOUBLE)::INTEGER AS height, "
+            "CAST(len(regexp_extract_all(s, '<text[\\s>]')) AS INTEGER) "
+            "AS n_texts, "
+            "CAST(len(regexp_extract_all(s, '<path[\\s>]')) AS INTEGER) "
+            "AS n_paths, "
+            "nullif(regexp_extract(s, '<title[^>]*>([^<]*)</title>', 1), "
+            "'') AS title "
+            "FROM g ORDER BY url"
         ),
         "avif_meta": (
             # carried primary-item dims/channels from the independent

@@ -2882,6 +2882,297 @@ class TestOds:
             assert isinstance(t, str)
 
 
+class TestGzTar:
+    """Standalone gzip re-dispatch (kernel/htmltext.py, round 5) and
+    the kernel/tar.py member census."""
+
+    def test_gz_rides_the_extraction_family(self):
+        from zpdfspark.fixtures import gz_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        kinds = set()
+        for i in range(24):
+            blob, text = gz_doc(i)
+            got, kind, _ = extract_any(blob)
+            assert got == text, i
+            assert kind.startswith("gz+"), kind
+            kinds.add(kind)
+        # svg inner payloads ride the html path (kind 'html' by design)
+        assert kinds == {"gz+html", "gz+rtf"}
+
+    def test_gz_bomb_and_corruption_posture(self):
+        """Nested gzip re-dispatches ONCE (no recursion bomb); corrupt
+        members extract empty, never raise."""
+        import gzip
+        import io
+
+        from zpdfspark.kernel.htmltext import extract_any
+
+        def gz(b):
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+                f.write(b)
+            return buf.getvalue()
+
+        double = gz(gz(b"<html><body><p>deep</p></body></html>"))
+        got, kind, _ = extract_any(double)
+        # inner layer is itself gzip: depth guard stops, empty text
+        assert kind == "gz+unknown" or got == "" or kind == "gz+gz", kind
+        corrupt = gz(b"payload")[:10] + b"\x00\x00garbage"
+        got, kind, _ = extract_any(corrupt)
+        assert (got, kind) == ("", "gz")
+
+    def test_tar_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import _tar_expected, tar_archive, tar_plan
+        from zpdfspark.kernel.tar import is_tar, parse_tar
+
+        for i in range(24):
+            blob, text = tar_archive(i)
+            p = tar_plan(i)
+            assert text is None and is_tar(blob), i
+            m = parse_tar(blob)
+            got = (m["n_members"], m["n_dirs"], m["n_bytes"],
+                   m["first_name"])
+            assert got == (p["n_members"], p["n_dirs"], p["n_bytes"],
+                           p["first_name"]), (i, got)
+            assert _tar_expected(blob) == got, i
+
+    def test_tar_gz_reaches_census_and_fuzz(self):
+        import gzip
+        import io
+        import random
+
+        from zpdfspark.fixtures import tar_archive
+        from zpdfspark.kernel.htmltext import extract_any
+        from zpdfspark.kernel.tar import TarError, is_tar, parse_tar
+
+        blob, _ = tar_archive(5)
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(blob)
+        got, kind, _ = extract_any(buf.getvalue())
+        assert (got, kind) == ("", "gz+tar")
+        rng = random.Random(67)
+        for _ in range(400):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 12)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            raw = bytes(b)
+            if is_tar(raw):
+                try:
+                    parse_tar(raw)
+                except TarError:
+                    pass
+            t, _, _ = extract_any(raw)
+            assert isinstance(t, str)
+
+
+class TestWebm:
+    """kernel/webm.py (round 5): EBML vint/tree walk — webm and
+    matroska DocTypes, unknown-size segments, non-minimal size vints,
+    cluster payloads skipped."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import _webm_expected, webm_plan, webm_video
+        from zpdfspark.kernel.webm import is_webm, parse_webm
+
+        for i in range(24):
+            blob, text = webm_video(i)
+            p = webm_plan(i)
+            assert text is None and is_webm(blob), i
+            m = parse_webm(blob)
+            assert m["doc_type"] == p["doc_type"], i
+            assert m["duration_ms"] == p["duration_ms"], i
+            assert m["n_tracks"] == p["n_tracks"], i
+            assert (m["width"], m["height"]) == (p["w"], p["h"]), i
+            assert m["video_codec"] == p["vcodec"], i
+            assert m["audio_codec"] == (p["acodec"] if p["audio"]
+                                        else None), i
+            assert (_webm_expected(blob) ==
+                    (m["doc_type"], m["duration_ms"], m["n_tracks"],
+                     m["width"], m["height"], m["video_codec"],
+                     m["audio_codec"])), i
+
+    def test_vint_edges(self):
+        """Hand-packed vints: 2-byte id, 3-byte non-minimal size,
+        all-ones unknown size, and the >4-byte-id rejection."""
+        import pytest
+
+        from zpdfspark.fixtures import _ebml_vint
+        from zpdfspark.kernel.webm import (WebmError, _read_id,
+                                           _read_size, parse_webm)
+
+        assert _read_id(b"\x42\x82", 0) == (0x4282, 2)
+        assert _read_size(_ebml_vint(300, 3), 0) == (300, 3)
+        assert _read_size(b"\xff", 0) == (None, 1)
+        assert _read_size(b"\x40\x1e", 0) == (30, 2)
+        with pytest.raises(WebmError):
+            _read_id(b"\x08\x00\x00\x00\x00", 0)   # 5-byte id
+        with pytest.raises(WebmError):
+            parse_webm(b"not ebml at all")
+
+    def test_truncation_and_fuzz_never_hang(self):
+        import random
+
+        from zpdfspark.fixtures import webm_video
+        from zpdfspark.kernel.webm import WebmError, is_webm, parse_webm
+
+        blob, _ = webm_video(3)
+        for cut in range(0, len(blob), 7):
+            try:
+                parse_webm(blob[:cut] if cut else b"")
+            except WebmError:
+                pass
+        rng = random.Random(66)
+        for _ in range(400):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 12)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            raw = bytes(b)
+            if is_webm(raw):
+                try:
+                    parse_webm(raw)
+                except WebmError:
+                    pass
+
+
+class TestIco:
+    """kernel/ico.py (round 5): ICONDIR favicon walk — weak-magic
+    sniff hardening, 0-means-256 dims, PNG-vs-DIB entry kinds with
+    kernel-decodable embedded PNG streams."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import _ico_expected, ico_image, ico_plan
+        from zpdfspark.kernel.ico import entry_png, is_ico, parse_ico
+        from zpdfspark.kernel.png import decode_png
+
+        for i in range(24):
+            blob, text = ico_image(i)
+            plan = ico_plan(i)
+            assert text is None
+            assert is_ico(blob), i
+            m = parse_ico(blob)
+            assert m["n_images"] == plan["n_images"], i
+            assert (m["width"], m["height"]) == (plan["w"], plan["h"]), i
+            assert m["any_png"] == plan["any_png"], i
+            assert (_ico_expected(blob) ==
+                    (m["n_images"], m["width"], m["height"],
+                     m["any_png"])), i
+            for idx, (w, h, kind) in enumerate(plan["entries"]):
+                if kind == "png":
+                    pw, ph, _pc, _px = decode_png(entry_png(blob, idx))
+                    assert (pw, ph) == (w, h), (i, idx)
+
+    def test_weak_magic_hardening(self):
+        """A 256-byte first box makes an MP4 start with the ICO magic
+        bytes; the structural directory checks must refuse it, along
+        with span-out-of-bounds directories."""
+        import struct
+
+        import pytest
+
+        from zpdfspark.fixtures import mp4_video
+        from zpdfspark.kernel.ico import IcoError, is_ico, parse_ico
+
+        fake_mp4 = b"\x00\x00\x01\x00ftyp" + b"\x00" * 300
+        assert not is_ico(fake_mp4)
+        assert not is_ico(mp4_video(0)[0])
+        # a directory whose entry span points past the payload
+        bad = (b"\x00\x00\x01\x00" + struct.pack("<H", 1)
+               + struct.pack("<BBBBHHII", 16, 16, 0, 0, 1, 32, 9999, 22)
+               + b"xx")
+        assert not is_ico(bad)
+        with pytest.raises(IcoError):
+            parse_ico(bad)
+
+    def test_fuzz_never_raises_through_sniff(self):
+        import random
+
+        from zpdfspark.fixtures import ico_image
+        from zpdfspark.kernel.ico import IcoError, is_ico, parse_ico
+
+        rng = random.Random(65)
+        blob, _ = ico_image(4)
+        for _ in range(400):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 12)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            raw = bytes(b)
+            if is_ico(raw):
+                try:
+                    parse_ico(raw)
+                except IcoError:
+                    pass
+
+
+class TestSvg:
+    """kernel/svg.py (round 5): standalone-SVG sniff + canvas
+    metadata mining; TEXT flows through the HTML stripper (pinned
+    per-rotation against the generator's authored visible strings)."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import svg_image, svg_plan
+        from zpdfspark.kernel.htmltext import extract_any
+        from zpdfspark.kernel.svg import looks_like_svg, parse_svg
+
+        for i in range(24):
+            blob, text = svg_image(i)
+            plan = svg_plan(i)
+            assert text == plan["text"]
+            assert looks_like_svg(blob), i
+            got, _kind, _ = extract_any(blob)
+            assert got == text, i
+            m = parse_svg(blob)
+            assert m["width"] == plan["w"], i
+            assert m["height"] == plan["h"], i
+            assert m["n_texts"] == len(plan["texts"]), i
+            assert m["n_paths"] == plan["n_paths"], i
+            assert m["title"] == plan["title"], i
+
+    def test_sniff_ordering_and_negatives(self):
+        """The svg sniff must fire before the generous html check and
+        must NOT fire on html/feed payloads or inline-svg pages."""
+        from zpdfspark.fixtures import atom_feed, html_page, rss_feed
+        from zpdfspark.kernel.svg import looks_like_svg
+
+        assert not looks_like_svg(html_page(0)[0])
+        assert not looks_like_svg(rss_feed(0)[0])
+        assert not looks_like_svg(atom_feed(0)[0])
+        # a page CONTAINING inline svg is still html
+        page = b"<!DOCTYPE html><html><body><svg width=\"5\"/></body></html>"
+        assert not looks_like_svg(page)
+        # doctype'd standalone svg IS svg
+        standalone = (b"<?xml version=\"1.0\"?>\n"
+                      b"<!DOCTYPE svg PUBLIC \"-//W3C//DTD SVG 1.1//EN\" >\n"
+                      b"<svg xmlns=\"x\" width=\"4\" height=\"4\"/>")
+        assert looks_like_svg(standalone)
+
+    def test_dims_precedence_and_fuzz(self):
+        """Pixel attrs win over viewBox; unit-suffixed lengths fall
+        through to the viewBox; mutation fuzz never raises."""
+        import random
+
+        from zpdfspark.fixtures import svg_image
+        from zpdfspark.kernel.htmltext import extract_any
+        from zpdfspark.kernel.svg import parse_svg
+
+        both = (b"<svg width=\"10\" height=\"20\" "
+                b"viewBox=\"0 0 99 88\"></svg>")
+        m = parse_svg(both)
+        assert (m["width"], m["height"]) == (10, 20)
+        units = b"<svg width=\"4cm\" height=\"3cm\" viewBox=\"0 0 40 30\"/>"
+        m = parse_svg(units)
+        assert (m["width"], m["height"]) == (40, 30)
+        rng = random.Random(64)
+        blob, _ = svg_image(5)
+        for _ in range(300):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            t, _, _ = extract_any(bytes(b))
+            assert isinstance(t, str)
+
+
 class TestOdp:
     """kernel/odp.py (round 5): OpenDocument presentation slide walk —
     the ODF sibling of kernel/pptx.py, same paragraphs/frames newline,

@@ -813,6 +813,20 @@ def test_feed_meta_pure_jvm(spark, sf_dir):
     assert "hashpartitioning" not in plan, plan
 
 
+def test_svg_meta_pure_jvm(spark, sf_dir):
+    """svg_meta is the same scan shape as feed_meta: regex mining
+    inside WholeStageCodegen, zero Python, no shuffle beyond the
+    determinism orderBy."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["svg_meta"](spark, sf_dir), spark)
+    assert "EvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+    assert "MapInArrow" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
 def test_office_meta_map_only(spark, sf_dir):
     """The four office/book package walks must run inside the scan
     task (mapInPandas on the pruned url+html scan) with the

@@ -1835,6 +1835,292 @@ def odp_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
     return buf.getvalue(), plan["text"]
 
 
+def gz_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic standalone gzip payload (v45) — servers ship
+    .html.gz / .txt.gz / .svg.gz as FILES (distinct from the
+    Content-Encoding layer the WARC reader strips): a rotating inner
+    document (html / rtf / svg, all with generator-truth text)
+    wrapped by STDLIB gzip with pinned mtime. Expected text is the
+    INNER document's — extract_any gunzips bounded and re-dispatches,
+    so gz rows ride the flagship extraction family."""
+    import gzip
+    import io
+
+    inner_gens = [html_page, rtf_doc, svg_image]
+    inner, text = inner_gens[i % 3](i)
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+        f.write(inner)
+    return buf.getvalue(), text
+
+
+def tar_plan(i: int) -> dict:
+    """The tar generator's authored member census."""
+    files = [(f"docs/readme{i % 7}.txt", 40 + (i % 5) * 17)]
+    if i % 3 >= 1:
+        files.append((f"data/part{i % 4}.bin", 700 + i % 11))
+    if i % 3 == 2:
+        # a path >100 chars exercises the ustar prefix split
+        files.append(("deep/" + "sub/" * 22 + f"leaf{i % 9}.dat",
+                      12 + i % 6))
+    return {
+        "files": files,
+        "dirs": ["docs/"] if i % 2 == 0 else [],
+        "n_members": len(files),
+        "n_dirs": 1 if i % 2 == 0 else 0,
+        "n_bytes": sum(sz for _n, sz in files),
+        "first_name": files[0][0],
+    }
+
+
+def tar_archive(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic tarball (v45) written with STDLIB tarfile
+    (reader = kernel/tar.py): USTAR format with the >100-char prefix
+    split on every third archive, GNU format otherwise; pinned
+    mtimes/ids. An archive of documents is not a document — no text
+    oracle; the census is the crawl signal (tar_meta)."""
+    import io
+    import tarfile
+
+    plan = tar_plan(i)
+    fmt = tarfile.USTAR_FORMAT if i % 3 == 2 else tarfile.GNU_FORMAT
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+        for d in plan["dirs"]:
+            ti = tarfile.TarInfo(d)
+            ti.type = tarfile.DIRTYPE
+            ti.mtime = 0
+            tf.addfile(ti)
+        for k, (name, size) in enumerate(plan["files"]):
+            ti = tarfile.TarInfo(name)
+            ti.size = size
+            ti.mtime = 0
+            data = bytes((j * 19 + i + k) % 256 for j in range(size))
+            tf.addfile(ti, io.BytesIO(data))
+    return buf.getvalue(), None
+
+
+def _ebml_vint(n: int, length: int = 0) -> bytes:
+    """Encode an EBML size vint (marker bit in the first byte). When
+    `length` is 0 the shortest form is used; a larger length pads —
+    real muxers emit non-minimal sizes, so fixtures rotate them."""
+    if not length:
+        length = 1
+        while n >= (1 << (7 * length)) - 1:
+            length += 1
+    out = bytearray(n.to_bytes(length, "big"))
+    out[0] |= 0x80 >> (length - 1)
+    return bytes(out)
+
+
+def _ebml_el(eid: bytes, payload: bytes, size_len: int = 0) -> bytes:
+    return eid + _ebml_vint(len(payload), size_len) + payload
+
+
+def webm_plan(i: int) -> dict:
+    """The webm generator's authored facts (shared by the writer,
+    tests and the carried expected columns)."""
+    matroska = i % 4 == 3
+    vcodecs = ["V_VP8", "V_VP9", "V_AV1"]
+    plan = {
+        "doc_type": "matroska" if matroska else "webm",
+        "doc_type_version": 4,
+        "scale": 500_000 if i % 5 == 0 else 1_000_000,
+        "explicit_scale": i % 5 == 0,
+        "duration": float(1500 + i * 10),      # exact in float32
+        "f64_duration": i % 3 == 0,
+        "vcodec": "V_MPEG4/ISO/AVC" if matroska else vcodecs[i % 3],
+        "w": 320 + (i % 5) * 16,
+        "h": 180 + (i % 3) * 60,
+        "audio": i % 2 == 0,
+        "acodec": ("A_AAC" if matroska else
+                   ("A_OPUS" if i % 4 == 0 else "A_VORBIS")),
+        "rate": 48000.0 if i % 4 == 0 else 44100.0,
+        "channels": 1 + i % 2,
+        "unknown_segment_size": i % 6 == 3,
+        "size_len": 2 if i % 2 else 0,         # non-minimal size vints
+    }
+    plan["n_tracks"] = 1 + (1 if plan["audio"] else 0)
+    plan["duration_ms"] = int(plan["duration"] * plan["scale"] / 1_000_000)
+    return plan
+
+
+def webm_video(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic WebM/Matroska (v44) written by fixtures' own
+    EBML encoder (reader = kernel/webm.py). Rotations: webm-vs-
+    matroska DocType, VP8/VP9/AV1 codecs, audio track presence,
+    float32-vs-float64 Duration, explicit TimestampScale, non-minimal
+    size vints, UNKNOWN-size Segment (live-muxed shape), junk
+    SimpleBlock clusters (skipped, never parsed). No text oracle."""
+    import struct as _struct
+
+    p = webm_plan(i)
+    sl = p["size_len"]
+    header = _ebml_el(b"\x1a\x45\xdf\xa3", b"".join([
+        _ebml_el(b"\x42\x86", b"\x01"),                     # EBMLVersion
+        _ebml_el(b"\x42\x82", p["doc_type"].encode(), sl),  # DocType
+        _ebml_el(b"\x42\x87", bytes([p["doc_type_version"]])),
+    ]), sl)
+    dur = (_struct.pack(">d", p["duration"]) if p["f64_duration"]
+           else _struct.pack(">f", p["duration"]))
+    info_parts = []
+    if p["explicit_scale"]:
+        info_parts.append(_ebml_el(b"\x2a\xd7\xb1",
+                                   p["scale"].to_bytes(3, "big")))
+    info_parts += [
+        _ebml_el(b"\x44\x89", dur),
+        _ebml_el(b"\x4d\x80", b"zpdfspark-fixtures"),       # MuxingApp
+    ]
+    info = _ebml_el(b"\x15\x49\xa9\x66", b"".join(info_parts), sl)
+    ventry = _ebml_el(b"\xae", b"".join([
+        _ebml_el(b"\xd7", b"\x01"),                         # TrackNumber
+        _ebml_el(b"\x83", b"\x01"),                         # TrackType
+        _ebml_el(b"\x86", p["vcodec"].encode(), sl),
+        _ebml_el(b"\xe0", b"".join([
+            _ebml_el(b"\xb0", p["w"].to_bytes(2, "big")),
+            _ebml_el(b"\xba", p["h"].to_bytes(2, "big")),
+        ])),
+    ]), sl)
+    entries = [ventry]
+    if p["audio"]:
+        entries.append(_ebml_el(b"\xae", b"".join([
+            _ebml_el(b"\xd7", b"\x02"),
+            _ebml_el(b"\x83", b"\x02"),
+            _ebml_el(b"\x86", p["acodec"].encode()),
+            _ebml_el(b"\xe1", b"".join([
+                _ebml_el(b"\xb5", _struct.pack(">f", p["rate"])),
+                _ebml_el(b"\x9f", bytes([p["channels"]])),
+            ])),
+        ]), sl))
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", b"".join(entries), sl)
+    junk = bytes((j * 31 + i) % 256 for j in range(40 + i % 60))
+    cluster = _ebml_el(b"\x1f\x43\xb6\x75", b"".join([
+        _ebml_el(b"\xe7", b"\x00"),                         # Timestamp
+        _ebml_el(b"\xa3", junk),                            # SimpleBlock
+    ]))
+    seg_body = info + tracks + cluster
+    if p["unknown_segment_size"]:
+        segment = b"\x18\x53\x80\x67" + b"\xff" + seg_body
+    else:
+        segment = _ebml_el(b"\x18\x53\x80\x67", seg_body)
+    return header + segment, None
+
+
+def ico_plan(i: int) -> dict:
+    """The ico generator's authored directory — (w, h, kind) per
+    entry. Largest-entry dims and any_png are derivable; a 0-byte
+    directory dim meaning 256 rotates in as a legacy DIB entry."""
+    entries = [(16, 16, "png")]
+    if i % 3 >= 1:
+        entries.append((32, 32, "dib"))
+    if i % 3 == 2:
+        entries.append((48, 48, "png"))
+    if i % 4 == 0:
+        entries.append((256, 256, "dib"))   # directory stores 0
+    return {
+        "entries": entries,
+        "n_images": len(entries),
+        "w": max(entries, key=lambda e: e[0] * e[1])[0],
+        "h": max(entries, key=lambda e: e[0] * e[1])[1],
+        "any_png": any(k == "png" for _w, _h, k in entries),
+    }
+
+
+def ico_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic ICO favicon (v43): ICONDIR + per-entry payloads —
+    PNG entries embed REAL kernel-decodable PNG streams (encode_png at
+    the directory dims), DIB entries carry a BITMAPINFOHEADER with the
+    format's DOUBLED height (image + AND mask) plus deterministic
+    pixel bytes; the 256 rendition is stored as directory dim 0 (the
+    quirk). No text oracle (not a text document)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from .kernel.png import encode_png
+
+    plan = ico_plan(i)
+    blobs = []
+    for k, (w, h, kind) in enumerate(plan["entries"]):
+        if kind == "png":
+            y, x = np.mgrid[0:h, 0:w].astype(np.uint8)
+            px = np.stack([(x * 7 + i) % 256, (y * 5 + k) % 256,
+                           (x + y) % 256], axis=-1).astype(np.uint8)
+            blobs.append(encode_png(px))
+        else:
+            # BITMAPINFOHEADER: height doubled for the AND mask rows
+            hdr = _struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0,
+                               0, 0, 0, 0, 0)
+            n = min(w * h, 64)              # token pixel run, size-true
+            data = bytes((j * 13 + i + k) % 256 for j in range(4 * n))
+            blobs.append(hdr + data)
+    count = len(blobs)
+    dir_entries = []
+    offset = 6 + 16 * count
+    for (w, h, _kind), blob in zip(plan["entries"], blobs):
+        dir_entries.append(_struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(blob), offset))
+        offset += len(blob)
+    return (b"\x00\x00\x01\x00" + _struct.pack("<H", count)
+            + b"".join(dir_entries) + b"".join(blobs)), None
+
+
+def svg_plan(i: int) -> dict:
+    """The svg generator's authored content — visible strings in
+    document order plus canvas facts. Expected TEXT is what the HTML
+    stripper yields for these narrow shapes (tag-strip + whitespace
+    collapse on one logical line; <style> dropped): the title, desc
+    and text-element strings space-joined."""
+    title = f"Logo {i % 7}" if i % 4 != 1 else None
+    desc = f"desc {i % 3}" if i % 5 == 0 else None
+    texts = [f"label {k} & {i % 6}" for k in range(1 + i % 3)]
+    visible = ([title] if title else []) + ([desc] if desc else []) + texts
+    return {
+        "title": title,
+        "desc": desc,
+        "texts": texts,
+        "has_style": i % 5 == 0,
+        "n_paths": i % 2 + (1 if i % 6 == 2 else 0),
+        "viewbox_only": i % 3 == 0,
+        "w": 120 + (i % 9) * 10,
+        "h": 80 + (i % 4) * 20,
+        "text": " ".join(visible),
+    }
+
+
+def svg_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic standalone SVG (v42) — the modern web's vector
+    image format. Rotations: pixel width/height attrs vs viewBox-only
+    dims, a <style> element (stripped from text), path census, an
+    entity in text labels, title/desc present or absent. TEXT flows
+    through the HTML stripper (kernel/htmltext.py — an SVG document
+    satisfies the markup sniff); METADATA via kernel/svg.py and the
+    pure-JVM svg_meta two-engine regex replay. Returns
+    (bytes, expected_text)."""
+    plan = svg_plan(i)
+    if plan["viewbox_only"]:
+        dims = f"viewBox=\"0 0 {plan['w']} {plan['h']}\""
+    else:
+        dims = f"width=\"{plan['w']}\" height=\"{plan['h']}\""
+    parts = [
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+        f"<svg xmlns=\"http://www.w3.org/2000/svg\" {dims}>",
+    ]
+    if plan["title"] is not None:
+        parts.append(f"<title>{_xml_esc(plan['title'])}</title>")
+    if plan["desc"] is not None:
+        parts.append(f"<desc>{_xml_esc(plan['desc'])}</desc>")
+    if plan["has_style"]:
+        parts.append("<style>.a{fill:#1e90ff}</style>")
+    for k in range(plan["n_paths"]):
+        parts.append(f"<path d=\"M0 {k}L10 {10 + k}\" class=\"a\"/>")
+    for k, t in enumerate(plan["texts"]):
+        parts.append(f"<text x=\"5\" y=\"{12 * (k + 1)}\">{_xml_esc(t)}"
+                     "</text>")
+    parts.append("</svg>")
+    return "\n".join(parts).encode(), plan["text"]
+
+
 def rss_feed(i: int = 0) -> Tuple[bytes, Optional[str]]:
     """Deterministic RSS 2.0 feed (v36): the crawl-discovery payload
     (feed_meta mines it pure-JVM; the oracle re-mines the same bytes
@@ -2411,6 +2697,26 @@ def _register():
     def g_odp(i):
         return odp_doc(i)
 
+    @var("svg")
+    def g_svg(i):
+        return svg_image(i)
+
+    @var("ico")
+    def g_ico(i):
+        return ico_image(i)
+
+    @var("webm")
+    def g_webm(i):
+        return webm_video(i)
+
+    @var("gz")
+    def g_gz(i):
+        return gz_doc(i)
+
+    @var("tar")
+    def g_tar(i):
+        return tar_archive(i)
+
     @var("rss")
     def g_rss(i):
         return rss_feed(i)
@@ -2459,7 +2765,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v41"
+CORPUS_VERSION = "v45"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -2741,6 +3047,8 @@ def _sniff_media_kind(raw: bytes) -> str:
         if raw[8:12] in (b"heic", b"heix"):
             return "heic"
         return "mp4"
+    if raw[:4] == b"\x1aE\xdf\xa3":
+        return "webm"
     if raw[:4] == b"fLaC":
         return "flac"
     if raw[:4] == b"OggS":
@@ -2749,11 +3057,21 @@ def _sniff_media_kind(raw: bytes) -> str:
         return "tiff"
     if raw[:2] == b"BM" and len(raw) >= 34 and raw[14] == 40:
         return "bmp"
+    from .kernel.ico import is_ico
+
+    if is_ico(raw):
+        return "ico"
     if raw[:3] == b"ID3" or (len(raw) >= 2 and raw[0] == 0xFF
                              and (raw[1] & 0xE0) == 0xE0):
         return "mp3"
     if raw[:5] == b"{\\rtf":
         return "rtf"
+    if raw[:2] == b"\x1f\x8b":
+        return "gz"
+    from .kernel.tar import is_tar
+
+    if raw[257:262] == b"ustar" and is_tar(raw):
+        return "tar"
     if raw[:4] == b"PK\x03\x04":
         from .kernel.docx import is_docx
         from .kernel.epub import is_epub
@@ -2773,7 +3091,10 @@ def _sniff_media_kind(raw: bytes) -> str:
         return {"text": "odt", "spreadsheet": "ods",
                 "presentation": "odp"}.get(odf_class(raw), "zip")
     from .kernel.htmltext import looks_like_feed
+    from .kernel.svg import looks_like_svg
 
+    if looks_like_svg(raw):
+        return "svg"
     if looks_like_feed(raw):
         return "feed"
     if looks_like_html(raw):
@@ -2826,6 +3147,10 @@ EXPECTED_COLUMNS = (
     "ods_creator",
     "odp_n_slides", "odp_n_frames", "odp_n_entries", "odp_title",
     "odp_creator",
+    "ico_n_images", "ico_w", "ico_h", "ico_any_png",
+    "webm_doc_type", "webm_duration_ms", "webm_n_tracks", "webm_w",
+    "webm_h", "webm_vcodec", "webm_acodec",
+    "tar_n_members", "tar_n_dirs", "tar_n_bytes", "tar_first_name",
 )
 
 
@@ -3261,6 +3586,116 @@ def _odt_expected(raw: bytes):
         if cm:
             creator = cm.group(1).replace("&amp;", "&")
     return n_paras, len(names), title, creator
+
+
+def _tar_expected(raw: bytes):
+    """INDEPENDENT ground truth for the tar_meta oracle: STDLIB
+    tarfile re-read — deliberately NOT kernel/tar.py. Returns
+    (n_members, n_dirs, n_bytes, first_name)."""
+    import io
+    import tarfile
+
+    n_members = n_dirs = n_bytes = 0
+    first = None
+    with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+        for m in tf:
+            if m.isdir():
+                n_dirs += 1
+            else:
+                n_members += 1
+                n_bytes += m.size
+                if first is None and m.isreg():
+                    first = m.name
+    return n_members, n_dirs, n_bytes, first
+
+
+def _webm_expected(raw: bytes):
+    """INDEPENDENT ground truth for the webm_meta oracle: an explicit-
+    stack, table-driven EBML scan — deliberately NOT kernel/webm.py's
+    recursive walk. Returns (doc_type, duration_ms, n_tracks, w, h,
+    vcodec, acodec)."""
+    import struct
+
+    def vint(pos, keep_marker):
+        b0 = raw[pos]
+        n = 1
+        while n <= 8 and not b0 & (0x80 >> (n - 1)):
+            n += 1
+        val = int.from_bytes(raw[pos:pos + n], "big")
+        if not keep_marker:
+            val &= (1 << (7 * n)) - 1
+            if val == (1 << (7 * n)) - 1:
+                return None, pos + n
+        return val, pos + n
+
+    masters = {0x1A45DFA3, 0x18538067, 0x1549A966, 0x1654AE6B, 0xAE,
+               0xE0, 0xE1}
+    doc_type = vcodec = acodec = None
+    scale, dur, n_tracks, w, h = 1_000_000, None, 0, None, None
+    ttype = 0
+    stack = [(0, len(raw))]
+    while stack:
+        pos, end = stack.pop()
+        while pos < end:
+            eid, pos = vint(pos, True)
+            size, pos = vint(pos, False)
+            nxt = end if size is None else min(pos + size, end)
+            if eid in masters:
+                if eid == 0xAE:
+                    n_tracks += 1
+                    # flat pre-scan of the entry for its TrackType
+                    q = pos
+                    ttype = 0
+                    while q < nxt:
+                        qid, q = vint(q, True)
+                        qsz, q = vint(q, False)
+                        qn = nxt if qsz is None else min(q + qsz, nxt)
+                        if qid == 0x83:
+                            ttype = int.from_bytes(raw[q:qn], "big")
+                        q = qn
+                stack.append((nxt, end))
+                end = nxt
+                continue
+            body = raw[pos:nxt]
+            if eid == 0x4282:
+                doc_type = body.decode("ascii", "replace")
+            elif eid == 0x2AD7B1:
+                scale = int.from_bytes(body, "big")
+            elif eid == 0x4489:
+                dur = struct.unpack(">d" if len(body) == 8 else ">f",
+                                    body)[0]
+            elif eid == 0x86:
+                if ttype == 1 and vcodec is None:
+                    vcodec = body.decode("ascii", "replace")
+                elif ttype == 2 and acodec is None:
+                    acodec = body.decode("ascii", "replace")
+            elif eid == 0xB0 and w is None:
+                w = int.from_bytes(body, "big")
+            elif eid == 0xBA and h is None:
+                h = int.from_bytes(body, "big")
+            pos = nxt
+    dur_ms = None if dur is None else int(dur * scale / 1_000_000)
+    return doc_type, dur_ms, n_tracks, w, h, vcodec, acodec
+
+
+def _ico_expected(raw: bytes):
+    """INDEPENDENT ground truth for the ico_meta oracle: a direct
+    offset re-read of the ICONDIR — deliberately NOT kernel/ico.py.
+    Returns (n_images, width, height, any_png)."""
+    import struct
+
+    (count,) = struct.unpack("<H", raw[4:6])
+    best = (0, 0)
+    any_png = False
+    for k in range(count):
+        off = 6 + 16 * k
+        w = raw[off] or 256
+        h = raw[off + 1] or 256
+        if w * h > best[0] * best[1]:
+            best = (w, h)
+        (data_off,) = struct.unpack("<I", raw[off + 12:off + 16])
+        any_png = any_png or raw[data_off:data_off + 8] == b"\x89PNG\r\n\x1a\n"
+    return count, best[0], best[1], any_png
 
 
 def _ods_expected(raw: bytes):
@@ -3749,6 +4184,29 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
         row.update({"rtf_n_pars": np_, "rtf_title": title})
     else:
         row.update({"rtf_n_pars": None, "rtf_title": None})
+    if row["media_kind"] == "tar":
+        nm, nd, nb, fn = _tar_expected(raw)
+        row.update({"tar_n_members": nm, "tar_n_dirs": nd,
+                    "tar_n_bytes": nb, "tar_first_name": fn})
+    else:
+        row.update({"tar_n_members": None, "tar_n_dirs": None,
+                    "tar_n_bytes": None, "tar_first_name": None})
+    if row["media_kind"] == "webm":
+        dt, dms, nt, ww, wh, vc, ac = _webm_expected(raw)
+        row.update({"webm_doc_type": dt, "webm_duration_ms": dms,
+                    "webm_n_tracks": nt, "webm_w": ww, "webm_h": wh,
+                    "webm_vcodec": vc, "webm_acodec": ac})
+    else:
+        row.update({"webm_doc_type": None, "webm_duration_ms": None,
+                    "webm_n_tracks": None, "webm_w": None, "webm_h": None,
+                    "webm_vcodec": None, "webm_acodec": None})
+    if row["media_kind"] == "ico":
+        ni, iw, ih, ap = _ico_expected(raw)
+        row.update({"ico_n_images": ni, "ico_w": iw, "ico_h": ih,
+                    "ico_any_png": ap})
+    else:
+        row.update({"ico_n_images": None, "ico_w": None, "ico_h": None,
+                    "ico_any_png": None})
     if row["media_kind"] == "ods":
         ns, nc, ne, title, creator = _ods_expected(raw)
         row.update({"ods_n_sheets": ns, "ods_n_cells": nc,
@@ -3890,6 +4348,14 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "odp_n_slides": pa.int32(), "odp_n_frames": pa.int32(),
         "odp_n_entries": pa.int32(), "odp_title": pa.string(),
         "odp_creator": pa.string(),
+        "ico_n_images": pa.int32(), "ico_w": pa.int32(),
+        "ico_h": pa.int32(), "ico_any_png": pa.bool_(),
+        "webm_doc_type": pa.string(), "webm_duration_ms": pa.int64(),
+        "webm_n_tracks": pa.int32(), "webm_w": pa.int32(),
+        "webm_h": pa.int32(), "webm_vcodec": pa.string(),
+        "webm_acodec": pa.string(),
+        "tar_n_members": pa.int32(), "tar_n_dirs": pa.int32(),
+        "tar_n_bytes": pa.int64(), "tar_first_name": pa.string(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

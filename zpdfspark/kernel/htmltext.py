@@ -191,11 +191,40 @@ def extract_main_text(raw: bytes) -> str:
         return ""
 
 
-def extract_any(raw: bytes, mode: str = "accuracy"):
+_GZ_CAP = 256 << 20          # the filters.py decompression-bomb bound
+
+
+def _gunzip_capped(raw: bytes):
+    """Bounded single-member gunzip for standalone .gz payloads; None
+    on corruption or when the cap is hit (bomb posture: data, not a
+    task failure)."""
+    import zlib
+
+    try:
+        d = zlib.decompressobj(31)
+        out = d.decompress(raw, _GZ_CAP)
+        if d.unconsumed_tail:
+            return None
+        return out
+    except zlib.error:
+        return None
+
+
+def extract_any(raw: bytes, mode: str = "accuracy", _depth: int = 0):
     """Dispatch on the payload: PDF bytes -> the PDF kernel, DOCX /
     XLSX / ODT -> the office-package walks (kernel/{docx,xlsx,odt}.py,
     r5), EPUB -> the spine walk (kernel/epub.py, r5), HTML ->
-    boilerplate strip. Returns (text, kind, doc_or_None)."""
+    boilerplate strip. Standalone gzip payloads (.html.gz / .txt.gz /
+    .tar.gz — servers ship them as files, distinct from the
+    Content-Encoding layer kernel/warc.py already strips) gunzip
+    bounded and re-dispatch ONCE (_depth guards nesting bombs).
+    Returns (text, kind, doc_or_None)."""
+    if raw[:2] == b"\x1f\x8b" and _depth == 0:
+        inner = _gunzip_capped(raw)
+        if inner is None:
+            return "", "gz", None
+        text, kind, doc = extract_any(inner, mode, _depth=1)
+        return text, "gz+" + kind, doc
     if raw.startswith(b"%PDF-"):
         from .document import Document
 
@@ -260,6 +289,10 @@ def extract_any(raw: bytes, mode: str = "accuracy"):
                     return parse_odp(raw)["text"], "odp", None
                 except OdpError:
                     return "", "odp", None
+    if raw[257:262] == b"ustar" and not looks_like_html(raw):
+        # an archive of documents is not a document: census via
+        # kernel/tar.py (tar_meta), no text reduction
+        return "", "tar", None
     if raw[:5] == b"{\\rtf":
         from .rtf import RtfError, parse_rtf
 

@@ -58,6 +58,8 @@ def sniff_kind(raw: bytes) -> str:
         if raw[8:12] in (b"heic", b"heix"):
             return "heic"
         return "mp4"
+    if raw[:4] == b"\x1aE\xdf\xa3":
+        return "webm"
     if raw[:4] == b"fLaC":
         return "flac"
     if raw[:4] == b"OggS":
@@ -66,11 +68,21 @@ def sniff_kind(raw: bytes) -> str:
         return "tiff"
     if raw[:2] == b"BM" and len(raw) >= 34 and raw[14] == 40:
         return "bmp"
+    from zpdfspark.kernel.ico import is_ico
+
+    if is_ico(raw):
+        return "ico"
     if raw[:3] == b"ID3" or (len(raw) >= 2 and raw[0] == 0xFF
                              and (raw[1] & 0xE0) == 0xE0):
         return "mp3"
     if raw[:5] == b"{\\rtf":
         return "rtf"
+    if raw[:2] == b"\x1f\x8b":
+        return "gz"
+    from zpdfspark.kernel.tar import is_tar
+
+    if raw[257:262] == b"ustar" and is_tar(raw):
+        return "tar"
     if raw[:4] == b"PK\x03\x04":
         from zpdfspark.kernel.docx import is_docx
         from zpdfspark.kernel.epub import is_epub
@@ -90,7 +102,10 @@ def sniff_kind(raw: bytes) -> str:
         return {"text": "odt", "spreadsheet": "ods",
                 "presentation": "odp"}.get(odf_class(raw), "zip")
     from zpdfspark.kernel.htmltext import looks_like_feed
+    from zpdfspark.kernel.svg import looks_like_svg
 
+    if looks_like_svg(raw):
+        return "svg"
     if looks_like_feed(raw):
         return "feed"
     return "binary"
@@ -148,6 +163,21 @@ def decode_media(raw: bytes, kind: str):
     if kind == "odp":
         from zpdfspark.kernel.odp import parse_odp
         return parse_odp(raw)
+    if kind == "svg":
+        from zpdfspark.kernel.svg import parse_svg
+        return parse_svg(raw)
+    if kind == "ico":
+        from zpdfspark.kernel.ico import parse_ico
+        return parse_ico(raw)
+    if kind == "gz":
+        from zpdfspark.kernel.htmltext import _gunzip_capped
+        inner = _gunzip_capped(raw)
+        if inner is None:
+            raise NotImplementedError("gzip payload corrupt or over cap")
+        return inner
+    if kind == "tar":
+        from zpdfspark.kernel.tar import parse_tar
+        return parse_tar(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
