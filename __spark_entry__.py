@@ -4059,6 +4059,106 @@ def _q_ico_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+_BM25_TERMS = ("spark", "scan", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str,
+                 topk: int = 10) -> DataFrame:
+    """BM25 ranked retrieval (r5) — the search-scoring twin of the
+    `postings` index build (Robertson/Sparck Jones; what a quality-
+    or dedup-pipeline's nearest text search actually runs): score the
+    corpus against a fixed query, return the top-k documents.
+
+    Scale shape: per-doc term frequencies are IN-ROW higher-order
+    filters over the split array (map-only — only the query's |Q|
+    terms are counted, the corpus is never exploded); corpus stats
+    (N, total length, per-term document frequencies) are ONE 1-row
+    aggregate broadcast back; the top-k is TakeOrderedAndProject
+    (never a global sort). Determinism across engines: the summed
+    score is quantized to round(score*1e6) BEFORE ranking and output,
+    ties broken by doc_id (the tfidf_topk integer micro-score rule)."""
+    d = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.col("text"), " "),
+                     lambda w: w != F.lit(""))
+
+    def tf_col(term):
+        # NOTE: a two-arg lambda (e.g. via a default-arg closure) reads
+        # as (element, index) to F.filter — the closure must be a
+        # factory like this one
+        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+    base = d.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        *[tf_col(t).alias(f"tf{k}") for k, t in enumerate(_BM25_TERMS)],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf{k}") > 0).cast("long")).alias(f"df{k}")
+          for k in range(len(_BM25_TERMS))],
+    )
+    k1, b = _BM25_K1, _BM25_B
+    scored = base.join(F.broadcast(stats))
+    score = None
+    for k in range(len(_BM25_TERMS)):
+        idf = F.log(1.0 + (F.col("n") - F.col(f"df{k}") + 0.5)
+                    / (F.col(f"df{k}") + 0.5))
+        norm = (F.col(f"tf{k}") * (k1 + 1)
+                / (F.col(f"tf{k}")
+                   + k1 * (1 - b + b * F.col("dl") * F.col("n")
+                           / F.col("sum_dl"))))
+        term = idf * norm
+        score = term if score is None else score + term
+    return (
+        scored.select(
+            "doc_id",
+            F.round(score * 1e6, 0).cast("long").alias("score_e6"))
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(topk)
+    )
+
+
+def _q_date_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-date mining (r5) — the freshness/recency signal every
+    curation pipeline keeps per article (CCNet metadata, news-corpus
+    slicing): the three real-CMS spellings in precedence order —
+    article:published_time meta, a visible <time datetime>, JSON-LD
+    datePublished — plus the author meta. Mined PURE JVM (cast +
+    regexp inside WholeStageCodegen — zero Python, scan-shaped at
+    100 TB); rows scoped by the generator-authored url path (the
+    charset_report scoping pattern). Oracle: the IDENTICAL regex set
+    re-run by DuckDB over the same bytes — two-engine re-extraction,
+    no carried truth."""
+    corpus = _corpus(spark, sf_dir)
+    s = F.col("html").cast("string")
+    d_meta = F.nullif(F.regexp_extract(
+        s, r'article:published_time"\s+content="(\d{4}-\d{2}-\d{2})', 1),
+        F.lit(""))
+    d_time = F.nullif(F.regexp_extract(
+        s, r'<time datetime="(\d{4}-\d{2}-\d{2})', 1), F.lit(""))
+    d_jsonld = F.nullif(F.regexp_extract(
+        s, r'"datePublished":"(\d{4}-\d{2}-\d{2})', 1), F.lit(""))
+    return (
+        corpus
+        .where(F.col("url").like("%/html_article/%"))
+        .select(
+            "url",
+            F.coalesce(d_meta, d_time, d_jsonld).alias("published"),
+            F.when(d_meta.isNotNull(), "meta")
+            .when(d_time.isNotNull(), "time")
+            .when(d_jsonld.isNotNull(), "jsonld")
+            .alias("date_source"),
+            F.nullif(F.regexp_extract(
+                s, r'<meta name="author" content="([^"]*)"', 1),
+                F.lit("")).alias("author"),
+        )
+        .orderBy("url")
+    )
+
+
 def _q_svg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SVG canvas mining (r5) — the modern web's vector image format:
     rendered dims (pixel width/height attrs, else the viewBox's
@@ -4738,6 +4838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ico_meta": _q_ico_meta,
         "webm_meta": _q_webm_meta,
         "tar_meta": _q_tar_meta,
+        "date_meta": _q_date_meta,
+        "bm25_topk": _q_bm25_topk,
     }
 
 
@@ -5078,6 +5180,56 @@ def oracle_sql() -> dict[str, str]:
             f"odp_title AS title, odp_creator AS creator, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'odp' ORDER BY url"
+        ),
+        "bm25_topk": (
+            # identical arithmetic via list lambdas; quantized integer
+            # micro-scores + doc_id tie-break make the top-k row SET
+            # engine-independent (the tfidf_topk rule)
+            "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x != '') AS ws FROM documents), "
+            "base AS (SELECT doc_id, len(ws) AS dl, "
+            "len(list_filter(ws, x -> x = 'spark')) AS tf0, "
+            "len(list_filter(ws, x -> x = 'scan')) AS tf1, "
+            "len(list_filter(ws, x -> x = 'window')) AS tf2 FROM w), "
+            "s AS (SELECT count(*) AS n, sum(dl) AS sum_dl, "
+            "sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0, "
+            "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, "
+            "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM base) "
+            "SELECT doc_id, CAST(round(("
+            "ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5)) * tf0*2.2/"
+            "(tf0 + 1.2*(1 - 0.75 + 0.75*dl*n/sum_dl)) + "
+            "ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)) * tf1*2.2/"
+            "(tf1 + 1.2*(1 - 0.75 + 0.75*dl*n/sum_dl)) + "
+            "ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2*2.2/"
+            "(tf2 + 1.2*(1 - 0.75 + 0.75*dl*n/sum_dl))"
+            ") * 1e6) AS BIGINT) AS score_e6 "
+            "FROM base, s "
+            "ORDER BY score_e6 DESC, doc_id ASC LIMIT 10"
+        ),
+        "date_meta": (
+            # IDENTICAL regex set over the same bytes — two-engine
+            # re-extraction; url-path scoping both sides
+            "WITH f AS (SELECT url, decode(html) AS s FROM "
+            f"{corpus} WHERE url LIKE '%/html_article/%') "
+            "SELECT url, "
+            "coalesce("
+            "nullif(regexp_extract(s, 'article:published_time\"\\s+"
+            "content=\"(\\d{4}-\\d{2}-\\d{2})', 1), ''), "
+            "nullif(regexp_extract(s, '<time datetime=\"(\\d{4}-\\d{2}-"
+            "\\d{2})', 1), ''), "
+            "nullif(regexp_extract(s, '\"datePublished\":\"(\\d{4}-"
+            "\\d{2}-\\d{2})', 1), '')) AS published, "
+            "CASE WHEN nullif(regexp_extract(s, "
+            "'article:published_time\"\\s+content=\"(\\d{4}-\\d{2}-"
+            "\\d{2})', 1), '') IS NOT NULL THEN 'meta' "
+            "WHEN nullif(regexp_extract(s, '<time datetime=\"(\\d{4}-"
+            "\\d{2}-\\d{2})', 1), '') IS NOT NULL THEN 'time' "
+            "WHEN nullif(regexp_extract(s, '\"datePublished\":\"(\\d{4}-"
+            "\\d{2}-\\d{2})', 1), '') IS NOT NULL THEN 'jsonld' "
+            "ELSE NULL END AS date_source, "
+            "nullif(regexp_extract(s, '<meta name=\"author\" "
+            "content=\"([^\"]*)\"', 1), '') AS author "
+            "FROM f ORDER BY url"
         ),
         "tar_meta": (
             # carried census from the independent fixtures-side stdlib

@@ -2882,6 +2882,29 @@ class TestOds:
             assert isinstance(t, str)
 
 
+class TestArticle:
+    """html_article fixtures (round 5): date markup rotations + the
+    <article> main-content restriction (nav/footer must vanish)."""
+
+    def test_rotations_and_restriction(self):
+        from zpdfspark.fixtures import article_plan, html_article
+        from zpdfspark.kernel.htmltext import extract_any
+
+        kinds = set()
+        for i in range(24):
+            blob, text = html_article(i)
+            plan = article_plan(i)
+            kinds.add(plan["date_kind"])
+            got, kind, _ = extract_any(blob)
+            assert kind == "html" and got == text, i
+            # boilerplate outside <article> never leaks into text
+            assert "Home" not in got and "example" not in got, i
+            # the visible <time> rotation carries the date in text;
+            # head-only spellings must NOT
+            assert (plan["date"] in got) == (plan["date_kind"] == "time"), i
+        assert kinds == {"meta", "time", "jsonld"}
+
+
 class TestGzTar:
     """Standalone gzip re-dispatch (kernel/htmltext.py, round 5) and
     the kernel/tar.py member census."""

@@ -814,17 +814,31 @@ def test_feed_meta_pure_jvm(spark, sf_dir):
 
 
 def test_svg_meta_pure_jvm(spark, sf_dir):
-    """svg_meta is the same scan shape as feed_meta: regex mining
-    inside WholeStageCodegen, zero Python, no shuffle beyond the
-    determinism orderBy."""
+    """svg_meta and date_meta are the same scan shape as feed_meta:
+    regex mining inside WholeStageCodegen, zero Python, no shuffle
+    beyond the determinism orderBy."""
     import __spark_entry__ as E
 
-    plan = _formatted(E.queries()["svg_meta"](spark, sf_dir), spark)
+    for q in ("svg_meta", "date_meta"):
+        plan = _formatted(E.queries()[q](spark, sf_dir), spark)
+        assert "EvalPython" not in plan, (q, plan)
+        assert "MapInPandas" not in plan, (q, plan)
+        assert "MapInArrow" not in plan, (q, plan)
+        assert "HashAggregate" not in plan, (q, plan)
+        assert "hashpartitioning" not in plan, (q, plan)
+
+
+def test_bm25_takeordered_no_global_sort(spark, sf_dir):
+    """bm25_topk: in-row tf counting (zero Python), ONE 1-row stats
+    aggregate broadcast back, top-k via TakeOrderedAndProject — never
+    a global sort, never a per-term explode."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["bm25_topk"](spark, sf_dir), spark)
+    assert "TakeOrderedAndProject" in plan, plan
     assert "EvalPython" not in plan, plan
-    assert "MapInPandas" not in plan, plan
-    assert "MapInArrow" not in plan, plan
-    assert "HashAggregate" not in plan, plan
-    assert "hashpartitioning" not in plan, plan
+    assert "Generate" not in plan, plan          # no explode
+    assert "hashpartitioning" not in plan, plan  # 1-row agg only
 
 
 def test_office_meta_map_only(spark, sf_dir):

@@ -2065,6 +2065,64 @@ def ico_image(i: int = 0) -> Tuple[bytes, Optional[str]]:
             + b"".join(dir_entries) + b"".join(blobs)), None
 
 
+def article_plan(i: int) -> dict:
+    """The html_article generator's authored facts: publish date (in
+    exactly one of the three places real CMSes put it — article meta,
+    <time datetime>, JSON-LD datePublished), author meta, and the
+    <article>-scoped body text (the main-content restriction path)."""
+    day = 1 + i % 27
+    date_kind = ("meta", "time", "jsonld")[i % 3]
+    date = f"2025-{3 + i % 3:02d}-{day:02d}"
+    paras = [f"Article body {i}-{k}: crawl curation prose."
+             for k in range(2 + i % 2)]
+    text_parts = [f"Story Headline {i % 11}"]
+    if date_kind == "time":
+        # the <time> element is VISIBLE body content
+        text_parts.append(f"Published {date}")
+    text_parts += paras
+    return {
+        "date": date,
+        "date_kind": date_kind,
+        "author": f"Reporter {i % 5}" if i % 4 != 1 else None,
+        "paras": paras,
+        "text": "\n".join(text_parts),
+    }
+
+
+def html_article(i: int = 0) -> Tuple[bytes, str]:
+    """A news-article page (v46): date markup rotating through the
+    three real-CMS spellings (article:published_time meta, a visible
+    <time datetime>, JSON-LD datePublished), an author meta, nav/
+    footer boilerplate around an <article> element — so these rows
+    also pin the main-content RESTRICTION (everything outside
+    <article> must vanish from extracted text)."""
+    plan = article_plan(i)
+    head_meta = []
+    if plan["date_kind"] == "meta":
+        head_meta.append('<meta property="article:published_time" '
+                         f'content="{plan["date"]}T08:30:00Z">')
+    if plan["date_kind"] == "jsonld":
+        head_meta.append('<script type="application/ld+json">'
+                         '{"@context":"https://schema.org","@type":'
+                         f'"NewsArticle","datePublished":"{plan["date"]}"'
+                         "}</script>")
+    if plan["author"] is not None:
+        head_meta.append(f'<meta name="author" content="{plan["author"]}">')
+    time_el = (f'<p>Published <time datetime="{plan["date"]}T06:00:00">'
+               f'{plan["date"]}</time></p>'
+               if plan["date_kind"] == "time" else "")
+    body = "".join(f"<p>{p}</p>" for p in plan["paras"])
+    doc = (
+        f"<!DOCTYPE html><html><head><title>Story {i}</title>"
+        + "".join(head_meta) +
+        "</head><body>"
+        f'<nav><a href="/home">Home</a> <a href="/news">News</a></nav>'
+        f"<article><h1>Story Headline {i % 11}</h1>{time_el}{body}"
+        "</article>"
+        f"<footer>&copy; example {i % 7}</footer></body></html>")
+    return doc.encode(), plan["text"]
+
+
 def svg_plan(i: int) -> dict:
     """The svg generator's authored content — visible strings in
     document order plus canvas facts. Expected TEXT is what the HTML
@@ -2741,6 +2799,10 @@ def _register():
     def g_html_bp(i):
         return html_boilerplate(i)
 
+    @var("html_article")
+    def g_html_article(i):
+        return html_article(i)
+
     @var("contents_array")
     def g_ca(i):
         return contents_array()
@@ -2765,7 +2827,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v45"
+CORPUS_VERSION = "v46"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
