@@ -4977,7 +4977,8 @@ def oracle_sql() -> dict[str, str]:
             f"media_kind, "
             f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff', "
             f"'bmp', 'docx', 'epub', 'xlsx', 'odt', 'ods', 'odp', "
-            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'tar')) AS decode_ok "
+            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar')) "
+            f"AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
         "image_stats": (

@@ -3267,3 +3267,87 @@ class TestOdp:
                 b[rng.randrange(len(b))] = rng.randrange(256)
             t, _, _ = extract_any(bytes(b))
             assert isinstance(t, str)
+
+
+class TestBz2Xz:
+    """Standalone bzip2/xz re-dispatch (kernel/htmltext.py, round 5)
+    and the honest zstd detection stub."""
+
+    def test_bz2_rides_the_extraction_family(self):
+        from zpdfspark.fixtures import bz2_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        kinds = set()
+        for i in range(24):
+            blob, text = bz2_doc(i)
+            got, kind, _ = extract_any(blob)
+            assert got == text, i
+            assert kind.startswith("bz2+"), kind
+            kinds.add(kind)
+        # svg inner payloads ride the html path (kind 'html' by design)
+        assert kinds == {"bz2+html", "bz2+rtf"}
+
+    def test_xz_rides_the_extraction_family(self):
+        from zpdfspark.fixtures import xz_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        kinds = set()
+        for i in range(24):
+            blob, text = xz_doc(i)
+            got, kind, _ = extract_any(blob)
+            assert got == text, i
+            assert kind.startswith("xz+"), kind
+            kinds.add(kind)
+        assert kinds == {"xz+html", "xz+rtf"}
+
+    def test_corruption_and_truncation_posture(self):
+        """Corrupt/truncated members extract empty with the OUTER kind,
+        never raise (bomb posture shared with gz)."""
+        import bz2
+        import lzma
+
+        from zpdfspark.kernel.htmltext import extract_any
+
+        b = bz2.compress(b"<html><body><p>x</p></body></html>")
+        x = lzma.compress(b"<html><body><p>x</p></body></html>",
+                          format=lzma.FORMAT_XZ)
+        for blob, outer in ((b, "bz2"), (x, "xz")):
+            got, kind, _ = extract_any(blob[: len(blob) // 2])
+            assert (got, kind) == ("", outer), (outer, kind)
+            mangled = blob[:8] + bytes(16) + blob[24:]
+            got, kind, _ = extract_any(mangled)
+            assert got == "" , (outer, kind)
+
+    def test_depth_guard_stops_nested_wrappers(self):
+        """bz2-of-gz re-dispatches exactly once: the inner gz layer is
+        reported, not unpacked (no recursion bomb)."""
+        import bz2
+        import gzip
+        import io
+
+        from zpdfspark.kernel.htmltext import extract_any
+
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(b"<html><body><p>deep</p></body></html>")
+        got, kind, _ = extract_any(bz2.compress(buf.getvalue()))
+        assert (got, kind) == ("", "bz2+gz")
+
+    def test_zstd_detected_never_guessed(self):
+        from zpdfspark.kernel.htmltext import extract_any
+        from zpdfspark.spark.media import sniff_kind
+
+        blob = b"\x28\xb5\x2f\xfd" + bytes(64)
+        got, kind, _ = extract_any(blob)
+        assert (got, kind) == ("", "zstd")
+        assert sniff_kind(blob) == "zstd"
+
+    def test_sniffers_agree(self):
+        from zpdfspark.fixtures import _sniff_media_kind, bz2_doc, xz_doc
+        from zpdfspark.spark.media import sniff_kind
+
+        for i in range(6):
+            for gen, kind in ((bz2_doc, "bz2"), (xz_doc, "xz")):
+                blob, _ = gen(i)
+                assert _sniff_media_kind(blob) == kind
+                assert sniff_kind(blob) == kind

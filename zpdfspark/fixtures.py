@@ -1854,6 +1854,32 @@ def gz_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
     return buf.getvalue(), text
 
 
+def bz2_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic standalone bzip2 payload (v47) — the classic
+    mirror/archive coding (.html.bz2, Wikipedia dump shards). Rotating
+    inner document with generator-truth text, compressed by STDLIB bz2
+    (reader = kernel/htmltext._bunzip2_capped + one re-dispatch).
+    Rotation is offset from gz_doc's so the two wrappers exercise
+    different inner kinds at the same corpus index."""
+    import bz2
+
+    inner_gens = [rtf_doc, svg_image, html_page]
+    inner, text = inner_gens[i % 3](i)
+    return bz2.compress(inner, compresslevel=1), text
+
+
+def xz_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic standalone xz payload (v47) — kernel sources,
+    wiki and dataset dumps ship as .xz. Rotating inner document with
+    generator-truth text, compressed by STDLIB lzma in FORMAT_XZ
+    (reader = kernel/htmltext._unxz_capped + one re-dispatch)."""
+    import lzma
+
+    inner_gens = [svg_image, html_page, rtf_doc]
+    inner, text = inner_gens[i % 3](i)
+    return lzma.compress(inner, format=lzma.FORMAT_XZ, preset=0), text
+
+
 def tar_plan(i: int) -> dict:
     """The tar generator's authored member census."""
     files = [(f"docs/readme{i % 7}.txt", 40 + (i % 5) * 17)]
@@ -2771,6 +2797,14 @@ def _register():
     def g_gz(i):
         return gz_doc(i)
 
+    @var("bz2")
+    def g_bz2(i):
+        return bz2_doc(i)
+
+    @var("xz")
+    def g_xz(i):
+        return xz_doc(i)
+
     @var("tar")
     def g_tar(i):
         return tar_archive(i)
@@ -2827,7 +2861,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v46"
+CORPUS_VERSION = "v47"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -3130,6 +3164,12 @@ def _sniff_media_kind(raw: bytes) -> str:
         return "rtf"
     if raw[:2] == b"\x1f\x8b":
         return "gz"
+    if raw[:3] == b"BZh" and raw[3:4].isdigit():
+        return "bz2"
+    if raw[:6] == b"\xfd7zXZ\x00":
+        return "xz"
+    if raw[:4] == b"\x28\xb5\x2f\xfd":
+        return "zstd"
     from .kernel.tar import is_tar
 
     if raw[257:262] == b"ustar" and is_tar(raw):

@@ -210,6 +210,41 @@ def _gunzip_capped(raw: bytes):
         return None
 
 
+def _bunzip2_capped(raw: bytes):
+    """Bounded bzip2 decompress for standalone .bz2 payloads (same
+    bomb posture as _gunzip_capped: corruption or cap -> None, never a
+    task failure). bzip2 is the classic mirror/archive coding crawls
+    still hit (.tar.bz2, .html.bz2 on software mirrors)."""
+    import bz2
+
+    try:
+        d = bz2.BZ2Decompressor()
+        out = d.decompress(raw, _GZ_CAP)
+        if not d.eof:
+            # cap hit mid-stream (bomb) or truncated input — either way
+            # the payload is not a document we can trust
+            return None
+        return out
+    except OSError:
+        return None
+
+
+def _unxz_capped(raw: bytes):
+    """Bounded xz decompress for standalone .xz payloads (bomb posture
+    as above). xz ships kernel sources, wikis and dataset dumps; the
+    format's own integrity checks make corruption loud."""
+    import lzma
+
+    try:
+        d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+        out = d.decompress(raw, _GZ_CAP)
+        if not d.eof:
+            return None
+        return out
+    except lzma.LZMAError:
+        return None
+
+
 def extract_any(raw: bytes, mode: str = "accuracy", _depth: int = 0):
     """Dispatch on the payload: PDF bytes -> the PDF kernel, DOCX /
     XLSX / ODT -> the office-package walks (kernel/{docx,xlsx,odt}.py,
@@ -219,12 +254,36 @@ def extract_any(raw: bytes, mode: str = "accuracy", _depth: int = 0):
     Content-Encoding layer kernel/warc.py already strips) gunzip
     bounded and re-dispatch ONCE (_depth guards nesting bombs).
     Returns (text, kind, doc_or_None)."""
-    if raw[:2] == b"\x1f\x8b" and _depth == 0:
+    if raw[:2] == b"\x1f\x8b":
+        if _depth > 0:       # nested wrapper: report, never unpack
+            return "", "gz", None
         inner = _gunzip_capped(raw)
         if inner is None:
             return "", "gz", None
         text, kind, doc = extract_any(inner, mode, _depth=1)
         return text, "gz+" + kind, doc
+    if raw[:3] == b"BZh" and raw[3:4].isdigit():
+        if _depth > 0:
+            return "", "bz2", None
+        inner = _bunzip2_capped(raw)
+        if inner is None:
+            return "", "bz2", None
+        text, kind, doc = extract_any(inner, mode, _depth=1)
+        return text, "bz2+" + kind, doc
+    if raw[:6] == b"\xfd7zXZ\x00":
+        if _depth > 0:
+            return "", "xz", None
+        inner = _unxz_capped(raw)
+        if inner is None:
+            return "", "xz", None
+        text, kind, doc = extract_any(inner, mode, _depth=1)
+        return text, "xz+" + kind, doc
+    if raw[:4] == b"\x28\xb5\x2f\xfd":
+        # zstd (RFC 8878): Content-Encoding zstd is live on the modern
+        # web, but this container has no zstd library and the format's
+        # FSE/Huffman entropy stage is out of honest from-scratch scope
+        # — detect and report, never guess at bytes
+        return "", "zstd", None
     if raw.startswith(b"%PDF-"):
         from .document import Document
 

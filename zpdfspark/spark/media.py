@@ -79,6 +79,12 @@ def sniff_kind(raw: bytes) -> str:
         return "rtf"
     if raw[:2] == b"\x1f\x8b":
         return "gz"
+    if raw[:3] == b"BZh" and raw[3:4].isdigit():
+        return "bz2"
+    if raw[:6] == b"\xfd7zXZ\x00":
+        return "xz"
+    if raw[:4] == b"\x28\xb5\x2f\xfd":
+        return "zstd"
     from zpdfspark.kernel.tar import is_tar
 
     if raw[257:262] == b"ustar" and is_tar(raw):
@@ -174,6 +180,18 @@ def decode_media(raw: bytes, kind: str):
         inner = _gunzip_capped(raw)
         if inner is None:
             raise NotImplementedError("gzip payload corrupt or over cap")
+        return inner
+    if kind == "bz2":
+        from zpdfspark.kernel.htmltext import _bunzip2_capped
+        inner = _bunzip2_capped(raw)
+        if inner is None:
+            raise NotImplementedError("bzip2 payload corrupt or over cap")
+        return inner
+    if kind == "xz":
+        from zpdfspark.kernel.htmltext import _unxz_capped
+        inner = _unxz_capped(raw)
+        if inner is None:
+            raise NotImplementedError("xz payload corrupt or over cap")
         return inner
     if kind == "tar":
         from zpdfspark.kernel.tar import parse_tar
