@@ -3934,6 +3934,92 @@ def _q_odp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_eml_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME email extraction facts (kernel/eml.py, r5 — mailing-list
+    archives are a classic LLM-training text source): RFC 2047-decoded
+    subject, sender address, RFC 5322 date as epoch seconds, MIME part
+    count (the stdlib email.walk() convention), text length. Body TEXT
+    (qp/base64 transfer decode, multipart walk, plain-over-html
+    selection) rides the flagship extraction family via extract_any.
+    Map-only mapInPandas on the pruned (url, html) scan. Oracle:
+    corpus-carried columns from the INDEPENDENT stdlib email-package
+    re-read (fixtures._eml_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.eml import EmlError, is_eml, parse_eml
+
+        for b in it:
+            rows = {"url": [], "subject": [], "from_addr": [],
+                    "date_ts": [], "n_parts": [], "n_text_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if not is_eml(raw):
+                    continue
+                try:
+                    m = parse_eml(raw)
+                except EmlError:
+                    continue
+                rows["url"].append(url)
+                rows["subject"].append(m["subject"])
+                rows["from_addr"].append(m["from_addr"])
+                rows["date_ts"].append(m["date_ts"])
+                rows["n_parts"].append(m["n_parts"])
+                rows["n_text_chars"].append(len(m["text"]))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, subject string, from_addr string, date_ts long, "
+        "n_parts int, n_text_chars int"
+    ).orderBy("url")
+
+
+def _q_mbox_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mbox archive census (kernel/eml.py::parse_mbox, r5): message
+    count, first subject/sender, span of parseable RFC 5322 dates. An
+    archive of messages is not one document (the tar rule) — census
+    only, mboxrd >From-quoting reversed per message. Map-only
+    mapInPandas on the pruned (url, html) scan. Oracle: corpus-carried
+    columns from the INDEPENDENT stdlib mailbox.mbox re-read
+    (fixtures._mbox_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.eml import EmlError, is_mbox, parse_mbox
+
+        for b in it:
+            rows = {"url": [], "n_messages": [], "first_subject": [],
+                    "first_from": [], "min_date_ts": [],
+                    "max_date_ts": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if not is_mbox(raw):
+                    continue
+                try:
+                    m = parse_mbox(raw)
+                except EmlError:
+                    continue
+                rows["url"].append(url)
+                rows["n_messages"].append(m["n_messages"])
+                rows["first_subject"].append(m["first_subject"])
+                rows["first_from"].append(m["first_from"])
+                rows["min_date_ts"].append(m["min_date_ts"])
+                rows["max_date_ts"].append(m["max_date_ts"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, n_messages int, first_subject string, "
+        "first_from string, min_date_ts long, max_date_ts long"
+    ).orderBy("url")
+
+
+
 def _q_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tarball census (kernel/tar.py, r5) — crawls carry source
     releases and dataset drops; the pipeline keeps the member census
@@ -4759,8 +4845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epub_meta": _q_epub_meta,
         "image_phash": _q_image_phash,
         "date_meta": _q_date_meta,
-        "tar_meta": _q_tar_meta,
-        "svg_meta": _q_svg_meta,
+        "eml_meta": _q_eml_meta,
+        "mbox_meta": _q_mbox_meta,
         # --- past the driver 50-row cap: driver-green in an earlier
         # round with unchanged semantics, or sample-capped twins ---
         "extract_metadata": _q_metadata,
@@ -4831,6 +4917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odp_meta": _q_odp_meta,
         "ico_meta": _q_ico_meta,
         "webm_meta": _q_webm_meta,
+        "tar_meta": _q_tar_meta,
+        "svg_meta": _q_svg_meta,
     }
 
 
@@ -4977,7 +5065,7 @@ def oracle_sql() -> dict[str, str]:
             f"media_kind, "
             f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff', "
             f"'bmp', 'docx', 'epub', 'xlsx', 'odt', 'ods', 'odp', "
-            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar')) "
+            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar', 'eml', 'mbox')) "
             f"AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
@@ -5230,6 +5318,23 @@ def oracle_sql() -> dict[str, str]:
             f"tar_n_dirs AS n_dirs, tar_n_bytes AS n_bytes, "
             f"tar_first_name AS first_name "
             f"FROM {corpus} WHERE media_kind = 'tar' ORDER BY url"
+        ),
+        "eml_meta": (
+            # carried facts from the independent stdlib email-package
+            # re-read (_eml_expected)
+            f"SELECT url, eml_subject AS subject, eml_from AS from_addr, "
+            f"eml_date_ts AS date_ts, eml_n_parts AS n_parts, "
+            f"CAST(length(text) AS INTEGER) AS n_text_chars "
+            f"FROM {corpus} WHERE media_kind = 'eml' ORDER BY url"
+        ),
+        "mbox_meta": (
+            # carried census from the independent stdlib mailbox.mbox
+            # re-read (_mbox_expected)
+            f"SELECT url, mbox_n_messages AS n_messages, "
+            f"mbox_first_subject AS first_subject, "
+            f"mbox_first_from AS first_from, mbox_min_ts AS min_date_ts, "
+            f"mbox_max_ts AS max_date_ts "
+            f"FROM {corpus} WHERE media_kind = 'mbox' ORDER BY url"
         ),
         "webm_meta": (
             # carried EBML facts from the independent fixtures-side

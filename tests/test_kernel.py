@@ -3351,3 +3351,141 @@ class TestBz2Xz:
                 blob, _ = gen(i)
                 assert _sniff_media_kind(blob) == kind
                 assert sniff_kind(blob) == kind
+
+
+class TestEml:
+    """MIME email kernel (kernel/eml.py, round 5) — writer is stdlib
+    email.mime, reader is the from-scratch parser; _eml_expected /
+    _mbox_expected are the stdlib re-reads the oracles carry."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import _eml_expected, eml_doc, eml_plan
+        from zpdfspark.kernel.eml import is_eml, parse_eml
+
+        kinds = set()
+        for i in range(36):
+            raw, text = eml_doc(i)
+            p = eml_plan(i)
+            kinds.add(p["kind"])
+            assert is_eml(raw), i
+            m = parse_eml(raw)
+            assert m["text"] == text, (i, p["kind"])
+            got = (m["subject"], m["from_addr"], m["date_ts"],
+                   m["n_parts"])
+            assert got == (p["subject"], p["addr"], p["date_ts"],
+                           p["n_parts"]), (i, got)
+            # the independent stdlib re-read agrees with both
+            assert _eml_expected(raw) == got, i
+        assert kinds == {"plain", "qp", "b64", "alternative", "mixed",
+                         "htmlonly"}
+
+    def test_extract_any_dispatch(self):
+        from zpdfspark.fixtures import eml_doc, mbox_archive
+        from zpdfspark.kernel.htmltext import extract_any
+
+        raw, text = eml_doc(3)
+        got, kind, _ = extract_any(raw)
+        assert (got, kind) == (text, "eml")
+        raw, _ = mbox_archive(2)
+        got, kind, _ = extract_any(raw)
+        assert (got, kind) == ("", "mbox")
+
+    def test_encoded_word_units(self):
+        from zpdfspark.kernel.eml import decode_encoded_words as dw
+
+        assert dw("=?utf-8?B?Y2Fmw6k=?=") == "café"
+        assert dw("=?iso-8859-1?Q?caf=E9_x?=") == "café x"
+        # WSP between two encoded words is dropped (RFC 2047 §6.2)
+        assert dw("=?utf-8?Q?a?= =?utf-8?Q?b?=") == "ab"
+        assert dw("plain =?utf-8?Q?mix?= tail") == "plain mix tail"
+        # undecodable runs stay literal
+        assert dw("=?utf-8?X?junk?=") == "=?utf-8?X?junk?="
+
+    def test_qp_and_b64_tolerance(self):
+        from zpdfspark.kernel.eml import _decode_transfer, _qp_decode
+
+        assert _qp_decode(b"a=0Ab=\r\nc") == b"a\nbc"
+        assert _qp_decode(b"bad=ZZesc") == b"bad=ZZesc"
+        assert _decode_transfer(b"Y2Fm\n  w6k=", "base64") == b"caf\xc3\xa9"
+        assert _decode_transfer(b"!!!not-base64", "base64") in (b"", b"\xb6")
+
+    def test_date_forms(self):
+        from zpdfspark.kernel.eml import parse_rfc5322_date as d
+
+        assert d("Tue, 01 Apr 2025 12:00:00 +0000") == 1743508800
+        assert d("1 Apr 2025 12:00:00 +0200") == 1743508800 - 7200
+        assert d("Tue, 01 Apr 2025 12:00:00 GMT") == 1743508800
+        assert d("01 Apr 25 12:00 EST") == 1743508800 + 5 * 3600
+        assert d("not a date") is None and d(None) is None
+
+    def test_mbox_census_matches_stdlib(self):
+        from zpdfspark.fixtures import (_mbox_expected, mbox_archive,
+                                        mbox_plan)
+        from zpdfspark.kernel.eml import is_eml, is_mbox, parse_mbox
+
+        for i in range(12):
+            raw, text = mbox_archive(i)
+            assert text is None and is_mbox(raw) and not is_eml(raw), i
+            p = mbox_plan(i)
+            m = parse_mbox(raw)
+            got = (m["n_messages"], m["first_subject"], m["first_from"],
+                   m["min_date_ts"], m["max_date_ts"])
+            assert got == (p["n_messages"], p["first_subject"],
+                           p["first_from"], p["min_date_ts"],
+                           p["max_date_ts"]), (i, got)
+            assert _mbox_expected(raw) == got, i
+
+    def test_depth_and_part_caps(self):
+        """A crafted multipart bomb stops at the caps, never recurses
+        unbounded; header-only and empty-boundary messages parse."""
+        from zpdfspark.kernel.eml import parse_eml
+
+        inner = "Content-Type: text/plain\n\nx"
+        for _ in range(12):
+            inner = ("Content-Type: multipart/mixed; boundary=b\n\n"
+                     "--b\n" + inner + "\n--b--\n")
+        raw = ("From: a@b.c\nSubject: bomb\n" + inner).encode()
+        m = parse_eml(raw)          # must terminate fast
+        assert m["n_parts"] <= 2 * 8  # bounded by _MAX_DEPTH, not input
+        hdr_only = b"From: a@b.c\nSubject: s\nDate: junk\n\n"
+        m = parse_eml(hdr_only)
+        assert m["text"] == "" and m["date_ts"] is None
+        nob = (b"From: a@b.c\nSubject: s\n"
+               b"Content-Type: multipart/mixed\n\nbody")
+        assert parse_eml(nob)["n_parts"] == 1
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from zpdfspark.fixtures import eml_doc, mbox_archive
+        from zpdfspark.kernel.eml import (EmlError, is_eml, is_mbox,
+                                          parse_eml, parse_mbox)
+
+        rng = random.Random(97)
+        base_e = eml_doc(4)[0]
+        base_m = mbox_archive(3)[0]
+        for _ in range(400):
+            src = base_e if rng.random() < 0.5 else base_m
+            b = bytearray(src)
+            for _ in range(rng.randint(1, 12)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            raw = bytes(b[:rng.randrange(1, len(b))]) \
+                if rng.random() < 0.3 else bytes(b)
+            try:
+                if is_eml(raw):
+                    parse_eml(raw)
+                if is_mbox(raw):
+                    parse_mbox(raw)
+            except EmlError:
+                pass
+
+    def test_sniffers_agree(self):
+        from zpdfspark.fixtures import (_sniff_media_kind, eml_doc,
+                                        mbox_archive)
+        from zpdfspark.spark.media import sniff_kind
+
+        for i in range(6):
+            for gen, kind in ((eml_doc, "eml"), (mbox_archive, "mbox")):
+                blob, _ = gen(i)
+                assert _sniff_media_kind(blob) == kind, (i, kind)
+                assert sniff_kind(blob) == kind, (i, kind)

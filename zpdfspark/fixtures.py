@@ -2805,6 +2805,14 @@ def _register():
     def g_xz(i):
         return xz_doc(i)
 
+    @var("eml")
+    def g_eml(i):
+        return eml_doc(i)
+
+    @var("mbox")
+    def g_mbox(i):
+        return mbox_archive(i)
+
     @var("tar")
     def g_tar(i):
         return tar_archive(i)
@@ -2861,7 +2869,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v47"
+CORPUS_VERSION = "v48"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -3192,9 +3200,14 @@ def _sniff_media_kind(raw: bytes) -> str:
             return "pptx"
         return {"text": "odt", "spreadsheet": "ods",
                 "presentation": "odp"}.get(odf_class(raw), "zip")
+    from .kernel.eml import is_eml, is_mbox
     from .kernel.htmltext import looks_like_feed
     from .kernel.svg import looks_like_svg
 
+    if is_eml(raw):
+        return "eml"
+    if is_mbox(raw):
+        return "mbox"
     if looks_like_svg(raw):
         return "svg"
     if looks_like_feed(raw):
@@ -3253,6 +3266,9 @@ EXPECTED_COLUMNS = (
     "webm_doc_type", "webm_duration_ms", "webm_n_tracks", "webm_w",
     "webm_h", "webm_vcodec", "webm_acodec",
     "tar_n_members", "tar_n_dirs", "tar_n_bytes", "tar_first_name",
+    "eml_subject", "eml_from", "eml_date_ts", "eml_n_parts",
+    "mbox_n_messages", "mbox_first_subject", "mbox_first_from",
+    "mbox_min_ts", "mbox_max_ts",
 )
 
 
@@ -3688,6 +3704,197 @@ def _odt_expected(raw: bytes):
         if cm:
             creator = cm.group(1).replace("&amp;", "&")
     return n_paras, len(names), title, creator
+
+
+def eml_plan(i: int) -> dict:
+    """The eml generator's authored content: body paragraphs, header
+    values, MIME packaging choice. Expected text is the text/plain
+    body (html-only rotation: the <p> paragraphs newline-joined, the
+    epub full-content reduction rule). n_parts counts the message
+    itself plus every MIME part — the stdlib email.walk() convention
+    the kernel mirrors."""
+    from datetime import datetime, timedelta, timezone
+
+    paras = [f"Mail body {i}: caf\u00e9 discussion {i % 9}.",
+             f"Second paragraph \u2014 item {i % 5}."]
+    body = "\n\n".join(paras)
+    kind = ["plain", "qp", "b64", "alternative", "mixed", "htmlonly"][i % 6]
+    subject = (f"R\u00e9sum\u00e9 digest {i % 7}" if i % 3 == 1
+               else f"List digest {i % 7}")
+    addr = f"sender{i % 5}@lists.example.org"
+    display = "B\u00e9a Maintainer" if i % 4 == 2 else "List Bot"
+    tz = [0, 120, -480][i % 3]
+    dt = (datetime(2025, 3, 1, tzinfo=timezone.utc)
+          + timedelta(hours=i % 500, minutes=i % 60))
+    n_parts = {"plain": 1, "qp": 1, "b64": 1, "alternative": 3,
+               "mixed": 3, "htmlonly": 1}[kind]
+    return {
+        "paras": paras, "body": body, "kind": kind, "subject": subject,
+        "addr": addr, "display": display,
+        "date_dt": dt, "tz_minutes": tz,
+        # astimezone() preserves the instant: the zone rotation changes
+        # the header SPELLING, never the epoch
+        "date_ts": int(dt.timestamp()),
+        "n_parts": n_parts,
+        "text": "\n".join(paras) if kind == "htmlonly" else body,
+    }
+
+
+def eml_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic RFC 5322 message (v48) written with STDLIB
+    email.mime (reader = the from-scratch kernel/eml.py). Rotations:
+    7bit / quoted-printable / base64 transfer codings,
+    multipart/alternative (plain wins), multipart/mixed with a base64
+    attachment, html-only (epub-rule reduction), RFC 2047
+    encoded-word subjects and display names, three timezone shapes.
+    Pinned boundaries/Message-ID — byte-deterministic."""
+    import html as html_mod
+    from email.header import Header
+    from email.mime.application import MIMEApplication
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+    from email.utils import format_datetime
+
+    from datetime import timedelta, timezone as _tz
+
+    plan = eml_plan(i)
+    body = plan["body"]
+    kind = plan["kind"]
+    if kind in ("plain",):
+        msg = MIMEText(body, "plain", "us-ascii"
+                       if body.isascii() else "utf-8")
+    elif kind == "qp":
+        msg = MIMEText("", "plain")
+        del msg["Content-Transfer-Encoding"]
+        msg["Content-Transfer-Encoding"] = "quoted-printable"
+        import quopri
+
+        msg.set_payload(quopri.encodestring(
+            body.encode("utf-8")).decode("ascii"))
+        msg.set_param("charset", "utf-8")
+    elif kind == "b64":
+        msg = MIMEText(body, "plain", "utf-8")      # stdlib emits base64
+    elif kind == "htmlonly":
+        html_body = ("<html><body>" + "".join(
+            f"<p>{html_mod.escape(p)}</p>" for p in plan["paras"])
+            + "</body></html>")
+        msg = MIMEText(html_body, "html", "utf-8")
+    else:
+        msg = MIMEMultipart(
+            "alternative" if kind == "alternative" else "mixed",
+            boundary=f"==zpdfspark-{i:04d}==")
+        msg.attach(MIMEText(body, "plain", "utf-8"))
+        if kind == "alternative":
+            msg.attach(MIMEText("<html><body><p>ignored twin</p>"
+                                "</body></html>", "html", "utf-8"))
+        else:
+            att = MIMEApplication(bytes(range(32)) * 4,
+                                  "octet-stream")
+            att.add_header("Content-Disposition", "attachment",
+                           filename=f"blob{i % 9}.bin")
+            msg.attach(att)
+    subj = plan["subject"]
+    msg["Subject"] = (Header(subj, "utf-8") if not subj.isascii() else subj)
+    disp = plan["display"]
+    if disp.isascii():
+        msg["From"] = f'{disp} <{plan["addr"]}>'
+    else:
+        msg["From"] = (f'{Header(disp, "utf-8").encode()} '
+                       f'<{plan["addr"]}>')
+    msg["To"] = "archive@lists.example.org"
+    msg["Message-ID"] = f"<fixture-{i:06d}@lists.example.org>"
+    msg["Date"] = format_datetime(plan["date_dt"].astimezone(
+        _tz(timedelta(minutes=plan["tz_minutes"]))))
+    return msg.as_bytes(), plan["text"]
+
+
+def _eml_expected(raw: bytes):
+    """INDEPENDENT ground truth for the eml_meta oracle: the STDLIB
+    email package re-read — deliberately NOT kernel/eml.py. Returns
+    (subject, from_addr, date_ts, n_parts)."""
+    import email
+    from email.header import decode_header
+    from email.utils import parseaddr, parsedate_to_datetime
+
+    m = email.message_from_bytes(raw)
+    parts = []
+    for frag, cs in decode_header(m.get("Subject", "")):
+        parts.append(frag.decode(cs or "ascii", "replace")
+                     if isinstance(frag, bytes) else frag)
+    subject = "".join(parts)
+    from_addr = parseaddr(m.get("From", ""))[1]
+    try:
+        date_ts = int(parsedate_to_datetime(m["Date"]).timestamp())
+    except (TypeError, ValueError):
+        date_ts = None
+    return subject, from_addr, date_ts, len(list(m.walk()))
+
+
+def mbox_plan(i: int) -> dict:
+    n = 2 + i % 3
+    idxs = [i * 7 + k for k in range(n)]
+    plans = [eml_plan(j) for j in idxs]
+    tss = [p["date_ts"] for p in plans]
+    return {"idxs": idxs, "n_messages": n,
+            "first_subject": plans[0]["subject"],
+            "first_from": plans[0]["addr"],
+            "min_date_ts": min(tss), "max_date_ts": max(tss)}
+
+
+def mbox_archive(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic mbox archive (v48): 2-4 eml_doc messages behind
+    `From ` separator lines with mboxrd From-munging. An archive of
+    messages is not one document (the tar rule) — census only, no
+    text reduction."""
+    plan = mbox_plan(i)
+    out = []
+    for j in plan["idxs"]:
+        body, _ = eml_doc(j)
+        body = body.replace(b"\nFrom ", b"\n>From ")
+        out.append(b"From archive@lists.example.org Sat Mar  1 00:00:00 2025\n"
+                   + body.rstrip(b"\n") + b"\n\n")
+    return b"".join(out), None
+
+
+def _mbox_expected(raw: bytes):
+    """INDEPENDENT ground truth for the mbox_meta oracle: STDLIB
+    mailbox.mbox over a temp file — deliberately NOT kernel/eml.py's
+    separator split. Returns (n_messages, first_subject, first_from,
+    min_date_ts, max_date_ts)."""
+    import mailbox
+    import os as _os
+    import tempfile
+    from email.header import decode_header
+    from email.utils import parseaddr, parsedate_to_datetime
+
+    fd, path = tempfile.mkstemp(suffix=".mbox")
+    try:
+        with _os.fdopen(fd, "wb") as f:
+            f.write(raw)
+        mb = mailbox.mbox(path)
+        n = 0
+        first_subject = first_from = None
+        lo = hi = None
+        for m in mb:
+            n += 1
+            if first_subject is None:
+                parts = []
+                for frag, cs in decode_header(m.get("Subject", "")):
+                    parts.append(frag.decode(cs or "ascii", "replace")
+                                 if isinstance(frag, bytes) else frag)
+                first_subject = "".join(parts)
+                first_from = parseaddr(m.get("From", ""))[1]
+            try:
+                ts = int(parsedate_to_datetime(m["Date"]).timestamp())
+            except (TypeError, ValueError):
+                continue
+            lo = ts if lo is None else min(lo, ts)
+            hi = ts if hi is None else max(hi, ts)
+        mb.close()
+        return n, first_subject, first_from, lo, hi
+    finally:
+        _os.unlink(path)
+
 
 
 def _tar_expected(raw: bytes):
@@ -4293,6 +4500,22 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"tar_n_members": None, "tar_n_dirs": None,
                     "tar_n_bytes": None, "tar_first_name": None})
+    if row["media_kind"] == "eml":
+        subj, frm, dts, np_ = _eml_expected(raw)
+        row.update({"eml_subject": subj, "eml_from": frm,
+                    "eml_date_ts": dts, "eml_n_parts": np_})
+    else:
+        row.update({"eml_subject": None, "eml_from": None,
+                    "eml_date_ts": None, "eml_n_parts": None})
+    if row["media_kind"] == "mbox":
+        nm, fs, ff, lo, hi = _mbox_expected(raw)
+        row.update({"mbox_n_messages": nm, "mbox_first_subject": fs,
+                    "mbox_first_from": ff, "mbox_min_ts": lo,
+                    "mbox_max_ts": hi})
+    else:
+        row.update({"mbox_n_messages": None, "mbox_first_subject": None,
+                    "mbox_first_from": None, "mbox_min_ts": None,
+                    "mbox_max_ts": None})
     if row["media_kind"] == "webm":
         dt, dms, nt, ww, wh, vc, ac = _webm_expected(raw)
         row.update({"webm_doc_type": dt, "webm_duration_ms": dms,
@@ -4458,6 +4681,11 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "webm_acodec": pa.string(),
         "tar_n_members": pa.int32(), "tar_n_dirs": pa.int32(),
         "tar_n_bytes": pa.int64(), "tar_first_name": pa.string(),
+        "eml_subject": pa.string(), "eml_from": pa.string(),
+        "eml_date_ts": pa.int64(), "eml_n_parts": pa.int32(),
+        "mbox_n_messages": pa.int32(), "mbox_first_subject": pa.string(),
+        "mbox_first_from": pa.string(), "mbox_min_ts": pa.int64(),
+        "mbox_max_ts": pa.int64(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

@@ -359,6 +359,20 @@ def extract_any(raw: bytes, mode: str = "accuracy", _depth: int = 0):
             return parse_rtf(raw)["text"], "rtf", None
         except RtfError:
             return "", "rtf", None
+    from .eml import EmlError, is_eml, is_mbox
+
+    if is_eml(raw):
+        # mailing-list archive mail: must sniff BEFORE the generous
+        # html check (an html body part satisfies it)
+        from .eml import parse_eml
+
+        try:
+            return parse_eml(raw)["text"], "eml", None
+        except EmlError:
+            return "", "eml", None
+    if is_mbox(raw):
+        # an archive of messages is not a document (the tar rule)
+        return "", "mbox", None
     if looks_like_html(raw):
         return extract_main_text(raw), "html", None
     from .document import Document

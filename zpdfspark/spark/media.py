@@ -107,9 +107,14 @@ def sniff_kind(raw: bytes) -> str:
             return "pptx"
         return {"text": "odt", "spreadsheet": "ods",
                 "presentation": "odp"}.get(odf_class(raw), "zip")
+    from zpdfspark.kernel.eml import is_eml, is_mbox
     from zpdfspark.kernel.htmltext import looks_like_feed
     from zpdfspark.kernel.svg import looks_like_svg
 
+    if is_eml(raw):
+        return "eml"
+    if is_mbox(raw):
+        return "mbox"
     if looks_like_svg(raw):
         return "svg"
     if looks_like_feed(raw):
@@ -196,6 +201,12 @@ def decode_media(raw: bytes, kind: str):
     if kind == "tar":
         from zpdfspark.kernel.tar import parse_tar
         return parse_tar(raw)
+    if kind == "eml":
+        from zpdfspark.kernel.eml import parse_eml
+        return parse_eml(raw)
+    if kind == "mbox":
+        from zpdfspark.kernel.eml import parse_mbox
+        return parse_mbox(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
