@@ -4020,6 +4020,51 @@ def _q_mbox_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_subtitle_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle extraction facts (kernel/subtitles.py, r5 — the
+    OpenSubtitles/caption lineage of LLM training text): container
+    kind (srt/vtt), cue count, last-cue end as duration. Transcript
+    TEXT (tag/override strip, NOTE/STYLE skip, karaoke timestamps)
+    rides the flagship extraction family via extract_any. Map-only
+    mapInPandas on the pruned (url, html) scan. Oracle: corpus-carried
+    columns from the INDEPENDENT fixtures-side flat regex re-read
+    (fixtures._subtitle_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.subtitles import (SubtitleError,
+                                                looks_like_srt,
+                                                looks_like_vtt,
+                                                parse_subtitles)
+
+        for b in it:
+            rows = {"url": [], "kind": [], "n_cues": [],
+                    "duration_ms": [], "n_text_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if not (looks_like_vtt(raw) or looks_like_srt(raw)):
+                    continue
+                try:
+                    m = parse_subtitles(raw)
+                except SubtitleError:
+                    continue
+                rows["url"].append(url)
+                rows["kind"].append(m["kind"])
+                rows["n_cues"].append(m["n_cues"])
+                rows["duration_ms"].append(m["duration_ms"])
+                rows["n_text_chars"].append(len(m["text"]))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, kind string, n_cues int, duration_ms long, "
+        "n_text_chars int"
+    ).orderBy("url")
+
+
+
 def _q_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tarball census (kernel/tar.py, r5) — crawls carry source
     releases and dataset drops; the pipeline keeps the member census
@@ -4919,6 +4964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webm_meta": _q_webm_meta,
         "tar_meta": _q_tar_meta,
         "svg_meta": _q_svg_meta,
+        "subtitle_meta": _q_subtitle_meta,
     }
 
 
@@ -5065,7 +5111,7 @@ def oracle_sql() -> dict[str, str]:
             f"media_kind, "
             f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff', "
             f"'bmp', 'docx', 'epub', 'xlsx', 'odt', 'ods', 'odp', "
-            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar', 'eml', 'mbox')) "
+            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar', 'eml', 'mbox', 'srt', 'vtt')) "
             f"AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
@@ -5326,6 +5372,15 @@ def oracle_sql() -> dict[str, str]:
             f"eml_date_ts AS date_ts, eml_n_parts AS n_parts, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'eml' ORDER BY url"
+        ),
+        "subtitle_meta": (
+            # carried facts from the independent fixtures-side flat
+            # regex re-read (_subtitle_expected)
+            f"SELECT url, sub_kind AS kind, sub_n_cues AS n_cues, "
+            f"sub_duration_ms AS duration_ms, "
+            f"CAST(length(text) AS INTEGER) AS n_text_chars "
+            f"FROM {corpus} WHERE media_kind IN ('srt', 'vtt') "
+            f"ORDER BY url"
         ),
         "mbox_meta": (
             # carried census from the independent stdlib mailbox.mbox

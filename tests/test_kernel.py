@@ -3489,3 +3489,90 @@ class TestEml:
                 blob, _ = gen(i)
                 assert _sniff_media_kind(blob) == kind, (i, kind)
                 assert sniff_kind(blob) == kind, (i, kind)
+
+
+class TestSubtitles:
+    """SRT/WebVTT kernel (kernel/subtitles.py, round 5)."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import (_subtitle_expected, srt_doc,
+                                        subtitle_plan, vtt_doc)
+        from zpdfspark.kernel.subtitles import parse_subtitles
+
+        for i in range(36):
+            for gen, kind in ((srt_doc, "srt"), (vtt_doc, "vtt")):
+                raw, text = gen(i)
+                p = subtitle_plan(i)
+                m = parse_subtitles(raw)
+                assert (m["kind"], m["text"], m["n_cues"],
+                        m["duration_ms"]) == (kind, text, p["n_cues"],
+                                              p["duration_ms"]), (i, kind)
+                assert _subtitle_expected(raw) == (
+                    kind, p["n_cues"], p["duration_ms"]), (i, kind)
+
+    def test_extract_any_dispatch(self):
+        from zpdfspark.fixtures import srt_doc, vtt_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        for gen, kind in ((srt_doc, "srt"), (vtt_doc, "vtt")):
+            raw, text = gen(7)
+            got, k, _ = extract_any(raw)
+            assert (got, k) == (text, kind)
+
+    def test_hand_authored_edges(self):
+        from zpdfspark.kernel.subtitles import parse_srt, parse_vtt
+
+        # SRT: index-less block, dot-ms tolerance, tags, entities
+        srt = (b"1\n00:00:01,000 --> 00:00:02.500\n"
+               b"<i>caf&eacute;</i> {\\an8}top\n\n"
+               b"00:00:03,000 --> 00:00:04,000 X1:0 X2:1\nsecond\n")
+        m = parse_srt(srt)
+        assert m["text"] == "café top\nsecond"
+        assert m["n_cues"] == 2 and m["duration_ms"] == 4000
+        # VTT: NOTE/STYLE skipped, id lines, hour-less, settings,
+        # voice + class + karaoke tags
+        vtt = (b"WEBVTT\n\nNOTE x\nskip me\n\nSTYLE\n::cue{}\n\n"
+               b"id-1\n01:02.000 --> 01:03.500 align:start\n"
+               b"<v Bob>hi <00:01:02.300>there</v>\n\n"
+               b"01:04.000 --> 01:05.000\n<c.yellow>bye</c>\n")
+        m = parse_vtt(vtt)
+        assert m["text"] == "hi there\nbye"
+        assert m["n_cues"] == 2 and m["duration_ms"] == 65000
+
+    def test_malformed_and_fuzz(self):
+        import random
+
+        from zpdfspark.fixtures import srt_doc, vtt_doc
+        from zpdfspark.kernel.subtitles import (SubtitleError,
+                                                looks_like_srt,
+                                                looks_like_vtt,
+                                                parse_subtitles)
+
+        for bad in (b"", b"WEBVTTX\n", b"1\nno timing\ntext\n\n",
+                    b"9\n00:00 -> bad\n"):
+            try:
+                parse_subtitles(bad)
+            except SubtitleError:
+                pass
+        rng = random.Random(31)
+        for base in (srt_doc(5)[0], vtt_doc(5)[0]):
+            for _ in range(200):
+                b = bytearray(base)
+                for _ in range(rng.randint(1, 10)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                raw = bytes(b)
+                if looks_like_srt(raw) or looks_like_vtt(raw):
+                    try:
+                        parse_subtitles(raw)
+                    except SubtitleError:
+                        pass
+
+    def test_sniffers_agree(self):
+        from zpdfspark.fixtures import _sniff_media_kind, srt_doc, vtt_doc
+        from zpdfspark.spark.media import sniff_kind
+
+        for i in range(6):
+            for gen, kind in ((srt_doc, "srt"), (vtt_doc, "vtt")):
+                blob, _ = gen(i)
+                assert _sniff_media_kind(blob) == kind
+                assert sniff_kind(blob) == kind

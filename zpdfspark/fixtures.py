@@ -2813,6 +2813,14 @@ def _register():
     def g_mbox(i):
         return mbox_archive(i)
 
+    @var("srt")
+    def g_srt(i):
+        return srt_doc(i)
+
+    @var("vtt")
+    def g_vtt(i):
+        return vtt_doc(i)
+
     @var("tar")
     def g_tar(i):
         return tar_archive(i)
@@ -2869,7 +2877,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v48"
+CORPUS_VERSION = "v49"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -3208,6 +3216,12 @@ def _sniff_media_kind(raw: bytes) -> str:
         return "eml"
     if is_mbox(raw):
         return "mbox"
+    from .kernel.subtitles import looks_like_srt, looks_like_vtt
+
+    if looks_like_vtt(raw):
+        return "vtt"
+    if looks_like_srt(raw):
+        return "srt"
     if looks_like_svg(raw):
         return "svg"
     if looks_like_feed(raw):
@@ -3269,6 +3283,7 @@ EXPECTED_COLUMNS = (
     "eml_subject", "eml_from", "eml_date_ts", "eml_n_parts",
     "mbox_n_messages", "mbox_first_subject", "mbox_first_from",
     "mbox_min_ts", "mbox_max_ts",
+    "sub_kind", "sub_n_cues", "sub_duration_ms",
 )
 
 
@@ -3897,6 +3912,137 @@ def _mbox_expected(raw: bytes):
 
 
 
+def subtitle_plan(i: int) -> dict:
+    """Authored cue content shared by the srt/vtt writers and tests.
+    Expected text: per-cue visible lines newline-joined, cues
+    newline-joined (kernel/subtitles.py's transcript reduction)."""
+    n_cues = 2 + i % 4
+    cues = []
+    for c in range(n_cues):
+        lines = [f"Speaker {c}: line one of cue {c} in file {i % 9}."]
+        if (i + c) % 3 == 0:
+            lines.append(f"continuation line {c} \u2014 caf\u00e9.")
+        cues.append(lines)
+    start0 = (i % 7) * 900
+    dur = 1800 + (i % 5) * 250
+    gap = 200
+    times = []
+    t = start0
+    for _ in range(n_cues):
+        times.append((t, t + dur))
+        t += dur + gap
+    return {
+        "cues": cues, "times": times, "n_cues": n_cues,
+        "duration_ms": times[-1][1],
+        "text": "\n".join("\n".join(c) for c in cues),
+    }
+
+
+def _fmt_ts(ms: int, sep: str) -> str:
+    h, rem = divmod(ms, 3600000)
+    m, rem = divmod(rem, 60000)
+    s_, ms_ = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s_:02d}{sep}{ms_:03d}"
+
+
+def srt_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic SRT subtitle file (v49) — reader is the
+    from-scratch kernel/subtitles.py. Rotations: <i>/<b>/<font> inline
+    markup, {\an8} ASS overrides, DVD-rip coordinate junk after the
+    timing line, an index-less cue block (wild-file tolerance), CRLF
+    line endings."""
+    plan = subtitle_plan(i)
+    out = []
+    for c, (lines, (t0, t1)) in enumerate(zip(plan["cues"],
+                                              plan["times"])):
+        if not (i % 5 == 2 and c == 1):      # index-less rotation
+            out.append(str(c + 1))
+        timing = f"{_fmt_ts(t0, ',')} --> {_fmt_ts(t1, ',')}"
+        if i % 4 == 1:
+            timing += " X1:100 X2:500 Y1:400 Y2:480"
+        out.append(timing)
+        for li, ln in enumerate(lines):
+            import html as _html
+
+            vis = _html.escape(ln) if (i + c) % 5 == 0 else ln
+            if (i + c) % 2 == 0:
+                vis = f"<i>{vis}</i>"
+            if c == 0 and i % 3 == 0:
+                vis = "{\\an8}" + vis
+            if li == 1 and i % 6 == 3:
+                vis = f'<font color="#ffff00">{vis}</font>'
+            out.append(vis)
+        out.append("")
+    body = "\n".join(out)
+    if i % 3 == 2:
+        body = body.replace("\n", "\r\n")
+    return body.encode("utf-8"), plan["text"]
+
+
+def vtt_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic WebVTT file (v49). Rotations: BOM, header
+    metadata, NOTE blocks, cue identifiers, <v Speaker>/<c.class>
+    tags, karaoke mid-cue timestamps, hour-less timings, cue
+    settings."""
+    plan = subtitle_plan(i)
+    out = ["WEBVTT - Kind: captions" if i % 2 == 0 else "WEBVTT", ""]
+    if i % 4 == 3:
+        out += ["NOTE", "generated fixture, do not edit", ""]
+    hourless = i % 3 == 1 and plan["duration_ms"] < 3600000
+    sep_ts = (lambda ms: _fmt_ts(ms, ".")[3:]) if hourless else \
+        (lambda ms: _fmt_ts(ms, "."))
+    for c, (lines, (t0, t1)) in enumerate(zip(plan["cues"],
+                                              plan["times"])):
+        if i % 2 == 1:
+            out.append(f"cue-{c + 1}")
+        timing = f"{sep_ts(t0)} --> {sep_ts(t1)}"
+        if i % 5 == 4:
+            timing += " align:start position:10%"
+        out.append(timing)
+        for li, ln in enumerate(lines):
+            vis = ln
+            if li == 0 and i % 6 == 2:
+                # karaoke mid-cue timestamp: inserted INSIDE the plain
+                # text (before any wrapping tags), replacing the first
+                # space so the tag strip leaves single spacing
+                k = vis.split(" ", 1)
+                vis = (k[0] + f" <{sep_ts(t0 + 300)}>" +
+                       (k[1] if len(k) == 2 else ""))
+            if (i + c) % 2 == 1:
+                vis = f"<v Speaker {c}>{vis}</v>"
+            elif c == 1:
+                vis = f"<c.yellow>{vis}</c>"
+            out.append(vis)
+        out.append("")
+    body = "\n".join(out)
+    raw = body.encode("utf-8")
+    if i % 4 == 2:
+        raw = b"\xef\xbb\xbf" + raw
+    return raw, plan["text"]
+
+
+def _subtitle_expected(raw: bytes):
+    """INDEPENDENT ground truth for the subtitle_meta oracle: a flat
+    whole-file regex re-read — deliberately NOT the kernel's
+    block/line state machine. Returns (kind, n_cues, duration_ms)."""
+    import re as _re
+
+    text = raw.decode("utf-8-sig", "replace")
+    kind = "vtt" if text.startswith("WEBVTT") else "srt"
+    pat = (_re.compile(r"(?:(\d{1,2}):)?(\d{2}):(\d{2})\.(\d{3})\s*-->"
+                       r"\s*(?:(\d{1,2}):)?(\d{2}):(\d{2})\.(\d{3})")
+           if kind == "vtt" else
+           _re.compile(r"(\d{1,2}):(\d{2}):(\d{2}),(\d{3})\s*-->"
+                       r"\s*(\d{1,2}):(\d{2}):(\d{2}),(\d{3})"))
+    ends = []
+    for m in pat.finditer(text):
+        h, mm, ss, ms = m.group(5), m.group(6), m.group(7), m.group(8)
+        ends.append(((int(h or 0) * 60 + int(mm)) * 60 + int(ss)) * 1000
+                    + int(ms))
+    return kind, len(ends), max(ends) if ends else 0
+
+
+
 def _tar_expected(raw: bytes):
     """INDEPENDENT ground truth for the tar_meta oracle: STDLIB
     tarfile re-read — deliberately NOT kernel/tar.py. Returns
@@ -4507,6 +4653,13 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"eml_subject": None, "eml_from": None,
                     "eml_date_ts": None, "eml_n_parts": None})
+    if row["media_kind"] in ("srt", "vtt"):
+        sk, snc, sdm = _subtitle_expected(raw)
+        row.update({"sub_kind": sk, "sub_n_cues": snc,
+                    "sub_duration_ms": sdm})
+    else:
+        row.update({"sub_kind": None, "sub_n_cues": None,
+                    "sub_duration_ms": None})
     if row["media_kind"] == "mbox":
         nm, fs, ff, lo, hi = _mbox_expected(raw)
         row.update({"mbox_n_messages": nm, "mbox_first_subject": fs,
@@ -4686,6 +4839,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "mbox_n_messages": pa.int32(), "mbox_first_subject": pa.string(),
         "mbox_first_from": pa.string(), "mbox_min_ts": pa.int64(),
         "mbox_max_ts": pa.int64(),
+        "sub_kind": pa.string(), "sub_n_cues": pa.int32(),
+        "sub_duration_ms": pa.int64(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

@@ -373,6 +373,18 @@ def extract_any(raw: bytes, mode: str = "accuracy", _depth: int = 0):
     if is_mbox(raw):
         # an archive of messages is not a document (the tar rule)
         return "", "mbox", None
+    from .subtitles import looks_like_srt, looks_like_vtt
+
+    if looks_like_vtt(raw) or looks_like_srt(raw):
+        # subtitle transcripts ARE training text (the OpenSubtitles /
+        # caption lineage)
+        from .subtitles import SubtitleError, parse_subtitles
+
+        try:
+            m = parse_subtitles(raw)
+            return m["text"], m["kind"], None
+        except SubtitleError:
+            return "", "srt", None
     if looks_like_html(raw):
         return extract_main_text(raw), "html", None
     from .document import Document

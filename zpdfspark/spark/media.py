@@ -115,6 +115,12 @@ def sniff_kind(raw: bytes) -> str:
         return "eml"
     if is_mbox(raw):
         return "mbox"
+    from zpdfspark.kernel.subtitles import looks_like_srt, looks_like_vtt
+
+    if looks_like_vtt(raw):
+        return "vtt"
+    if looks_like_srt(raw):
+        return "srt"
     if looks_like_svg(raw):
         return "svg"
     if looks_like_feed(raw):
@@ -207,6 +213,9 @@ def decode_media(raw: bytes, kind: str):
     if kind == "mbox":
         from zpdfspark.kernel.eml import parse_mbox
         return parse_mbox(raw)
+    if kind in ("srt", "vtt"):
+        from zpdfspark.kernel.subtitles import parse_subtitles
+        return parse_subtitles(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
