@@ -4065,6 +4065,53 @@ def _q_subtitle_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_ipynb_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter notebook mining (kernel/ipynb.py, r5 — the code-LLM
+    data source): cell census, kernel language (kernelspec precedence,
+    language_info fallback), nbformat version. Cell-source TEXT
+    (markdown+code, raw/outputs excluded) rides the flagship
+    extraction family via extract_any. Map-only mapInPandas on the
+    pruned (url, html) scan. Oracle: GENUINELY TWO-ENGINE — DuckDB
+    re-mines the same bytes with its own JSON engine
+    (decode(html)::JSON + json_array_length/json_extract), no carried
+    truth for any JSON-derived field."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.ipynb import (IpynbError, looks_like_ipynb,
+                                            parse_ipynb)
+
+        for b in it:
+            rows = {"url": [], "n_cells": [], "n_code": [],
+                    "n_markdown": [], "language": [], "nbformat": [],
+                    "n_text_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if not looks_like_ipynb(raw):
+                    continue
+                try:
+                    m = parse_ipynb(raw)
+                except IpynbError:
+                    continue
+                rows["url"].append(url)
+                rows["n_cells"].append(m["n_cells"])
+                rows["n_code"].append(m["n_code"])
+                rows["n_markdown"].append(m["n_markdown"])
+                rows["language"].append(m["language"])
+                rows["nbformat"].append(m["nbformat"])
+                rows["n_text_chars"].append(len(m["text"]))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, n_cells int, n_code int, n_markdown int, "
+        "language string, nbformat int, n_text_chars int"
+    ).orderBy("url")
+
+
+
 def _q_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tarball census (kernel/tar.py, r5) — crawls carry source
     releases and dataset drops; the pipeline keeps the member census
@@ -4965,6 +5012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_meta": _q_tar_meta,
         "svg_meta": _q_svg_meta,
         "subtitle_meta": _q_subtitle_meta,
+        "ipynb_meta": _q_ipynb_meta,
     }
 
 
@@ -5111,7 +5159,7 @@ def oracle_sql() -> dict[str, str]:
             f"media_kind, "
             f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff', "
             f"'bmp', 'docx', 'epub', 'xlsx', 'odt', 'ods', 'odp', "
-            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar', 'eml', 'mbox', 'srt', 'vtt')) "
+            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar', 'eml', 'mbox', 'srt', 'vtt', 'ipynb')) "
             f"AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
@@ -5372,6 +5420,26 @@ def oracle_sql() -> dict[str, str]:
             f"eml_date_ts AS date_ts, eml_n_parts AS n_parts, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'eml' ORDER BY url"
+        ),
+        "ipynb_meta": (
+            # TWO-ENGINE: DuckDB's own JSON functions re-mine the bytes
+            f"SELECT url, "
+            f"CAST(json_array_length(decode(html)::JSON, '$.cells') "
+            f"AS INTEGER) AS n_cells, "
+            f"CAST(len(list_filter(CAST(json_extract(decode(html)::JSON, "
+            f"'$.cells[*].cell_type') AS VARCHAR[]), "
+            f"x -> x = '\"code\"')) AS INTEGER) AS n_code, "
+            f"CAST(len(list_filter(CAST(json_extract(decode(html)::JSON, "
+            f"'$.cells[*].cell_type') AS VARCHAR[]), "
+            f"x -> x = '\"markdown\"')) AS INTEGER) AS n_markdown, "
+            f"COALESCE(json_extract_string(decode(html)::JSON, "
+            f"'$.metadata.kernelspec.language'), "
+            f"json_extract_string(decode(html)::JSON, "
+            f"'$.metadata.language_info.name')) AS language, "
+            f"CAST(json_extract(decode(html)::JSON, '$.nbformat') "
+            f"AS INTEGER) AS nbformat, "
+            f"CAST(length(text) AS INTEGER) AS n_text_chars "
+            f"FROM {corpus} WHERE media_kind = 'ipynb' ORDER BY url"
         ),
         "subtitle_meta": (
             # carried facts from the independent fixtures-side flat

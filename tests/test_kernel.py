@@ -3576,3 +3576,81 @@ class TestSubtitles:
                 blob, _ = gen(i)
                 assert _sniff_media_kind(blob) == kind
                 assert sniff_kind(blob) == kind
+
+
+class TestIpynb:
+    """Jupyter notebook kernel (kernel/ipynb.py, round 5)."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import ipynb_doc, ipynb_plan
+        from zpdfspark.kernel.ipynb import looks_like_ipynb, parse_ipynb
+
+        for i in range(30):
+            raw, text = ipynb_doc(i)
+            p = ipynb_plan(i)
+            assert looks_like_ipynb(raw), i
+            m = parse_ipynb(raw)
+            assert m["text"] == text, i
+            assert (m["n_cells"], m["n_code"], m["n_markdown"],
+                    m["language"], m["nbformat"]) == (
+                p["n_cells"], p["n_code"], p["n_markdown"],
+                p["language"], p["nbformat"]), (i, m)
+
+    def test_extract_any_dispatch(self):
+        from zpdfspark.fixtures import ipynb_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        raw, text = ipynb_doc(6)
+        got, kind, _ = extract_any(raw)
+        assert (got, kind) == (text, "ipynb")
+
+    def test_hostile_shapes(self):
+        from zpdfspark.kernel.ipynb import (IpynbError, looks_like_ipynb,
+                                            parse_ipynb)
+
+        import pytest
+
+        for bad in (b'{"cells": "notalist", "nbformat": 4}',
+                    b'{"cells": [1, 2], "nbformat"', b"{}"):
+            if looks_like_ipynb(bad):
+                try:
+                    m = parse_ipynb(bad)
+                    # non-dict cells are skipped, never raise
+                    assert m["n_code"] == 0
+                except IpynbError:
+                    pass
+        with pytest.raises(IpynbError):
+            parse_ipynb(b"<html></html>")
+        # source entries of the wrong type are dropped, not joined
+        ok = (b'{"cells": [{"cell_type": "code", '
+              b'"source": ["a", 1, "b"]}], "nbformat": 4}')
+        assert parse_ipynb(ok)["text"] == "ab"
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from zpdfspark.fixtures import ipynb_doc
+        from zpdfspark.kernel.ipynb import (IpynbError, looks_like_ipynb,
+                                            parse_ipynb)
+
+        rng = random.Random(53)
+        base = ipynb_doc(2)[0]
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            raw = bytes(b)
+            if looks_like_ipynb(raw):
+                try:
+                    parse_ipynb(raw)
+                except IpynbError:
+                    pass
+
+    def test_sniffers_agree(self):
+        from zpdfspark.fixtures import _sniff_media_kind, ipynb_doc
+        from zpdfspark.spark.media import sniff_kind
+
+        for i in range(6):
+            blob, _ = ipynb_doc(i)
+            assert _sniff_media_kind(blob) == "ipynb"
+            assert sniff_kind(blob) == "ipynb"

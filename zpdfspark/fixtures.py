@@ -2821,6 +2821,10 @@ def _register():
     def g_vtt(i):
         return vtt_doc(i)
 
+    @var("ipynb")
+    def g_ipynb(i):
+        return ipynb_doc(i)
+
     @var("tar")
     def g_tar(i):
         return tar_archive(i)
@@ -2877,7 +2881,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v49"
+CORPUS_VERSION = "v50"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -3222,6 +3226,10 @@ def _sniff_media_kind(raw: bytes) -> str:
         return "vtt"
     if looks_like_srt(raw):
         return "srt"
+    from .kernel.ipynb import looks_like_ipynb
+
+    if looks_like_ipynb(raw):
+        return "ipynb"
     if looks_like_svg(raw):
         return "svg"
     if looks_like_feed(raw):
@@ -4040,6 +4048,70 @@ def _subtitle_expected(raw: bytes):
         ends.append(((int(h or 0) * 60 + int(mm)) * 60 + int(ss)) * 1000
                     + int(ms))
     return kind, len(ends), max(ends) if ends else 0
+
+
+
+def ipynb_plan(i: int) -> dict:
+    """Authored notebook content. Expected text: markdown+code cell
+    sources in document order joined with blank lines (raw cells and
+    outputs excluded — kernel/ipynb.py's converter rule)."""
+    md = f"# Notebook {i % 9}\n\nAnalysis of caf\u00e9 sales \u2014 run {i % 5}."
+    code1 = f"import math\nprint(math.sqrt({i % 23}))"
+    code2 = f"total = {i} * 2\ntotal"
+    cells = [("markdown", md), ("code", code1)]
+    if i % 3 != 1:
+        cells.append(("code", code2))
+    if i % 4 == 2:
+        cells.append(("raw", "$$raw latex block$$"))
+    if i % 5 == 3:
+        cells.append(("markdown", ""))       # empty source: no text
+    lang = None if i % 6 == 4 else "python"
+    return {
+        "cells": cells,
+        "n_cells": len(cells),
+        "n_code": sum(1 for t, _ in cells if t == "code"),
+        "n_markdown": sum(1 for t, _ in cells if t == "markdown"),
+        "language": "julia" if lang is None else "python",
+        "nbformat": 4,
+        "text": "\n\n".join(src for t, src in cells
+                             if t in ("markdown", "code") and src),
+    }
+
+
+def ipynb_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic nbformat-4 notebook (v50). Rotations: source as
+    list-of-lines vs plain string, raw cells, empty sources, outputs
+    present (excluded from text), kernelspec absent with the
+    language_info.name fallback, Jupyter indent=1 vs compact JSON."""
+    import json as _json
+
+    plan = ipynb_plan(i)
+    cells = []
+    for c, (ctype, src) in enumerate(plan["cells"]):
+        if (i + c) % 2 == 0 and src:
+            source = [ln + "\n" for ln in src.split("\n")]
+            source[-1] = source[-1][:-1]
+        else:
+            source = src
+        cell = {"cell_type": ctype, "metadata": {}, "source": source}
+        if ctype == "code":
+            cell["execution_count"] = c
+            cell["outputs"] = ([{"output_type": "stream",
+                                 "name": "stdout",
+                                 "text": ["ignored output\n"]}]
+                               if i % 2 == 0 else [])
+        cells.append(cell)
+    meta = {"language_info": {"name": plan["language"], "version": "3"}}
+    if i % 6 != 4:
+        meta["kernelspec"] = {"language": plan["language"],
+                              "name": "kernel1", "display_name": "K"}
+    nb = {"cells": cells, "metadata": meta,
+          "nbformat": 4, "nbformat_minor": 5}
+    if i % 3 == 0:
+        raw = _json.dumps(nb, indent=1, ensure_ascii=False)
+    else:
+        raw = _json.dumps(nb, separators=(",", ":"), ensure_ascii=i % 2 == 1)
+    return raw.encode("utf-8"), plan["text"]
 
 
 

@@ -373,6 +373,16 @@ def extract_any(raw: bytes, mode: str = "accuracy", _depth: int = 0):
     if is_mbox(raw):
         # an archive of messages is not a document (the tar rule)
         return "", "mbox", None
+    from .ipynb import looks_like_ipynb
+
+    if looks_like_ipynb(raw):
+        # notebooks: markdown+code cell sources are training text
+        from .ipynb import IpynbError, parse_ipynb
+
+        try:
+            return parse_ipynb(raw)["text"], "ipynb", None
+        except IpynbError:
+            return "", "ipynb", None
     from .subtitles import looks_like_srt, looks_like_vtt
 
     if looks_like_vtt(raw) or looks_like_srt(raw):

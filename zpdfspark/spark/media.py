@@ -121,6 +121,10 @@ def sniff_kind(raw: bytes) -> str:
         return "vtt"
     if looks_like_srt(raw):
         return "srt"
+    from zpdfspark.kernel.ipynb import looks_like_ipynb
+
+    if looks_like_ipynb(raw):
+        return "ipynb"
     if looks_like_svg(raw):
         return "svg"
     if looks_like_feed(raw):
@@ -216,6 +220,9 @@ def decode_media(raw: bytes, kind: str):
     if kind in ("srt", "vtt"):
         from zpdfspark.kernel.subtitles import parse_subtitles
         return parse_subtitles(raw)
+    if kind == "ipynb":
+        from zpdfspark.kernel.ipynb import parse_ipynb
+        return parse_ipynb(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
