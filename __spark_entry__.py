@@ -4112,6 +4112,54 @@ def _q_ipynb_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_csv_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-table mining (kernel/csvdoc.py, r5): dialect,
+    record/column census, header heuristic. Grid TEXT (tab/newline
+    reduction, the xlsx rule) rides the flagship extraction family
+    via extract_any. Map-only mapInPandas on the pruned (url, html)
+    scan. Oracle: corpus-carried columns from the INDEPENDENT stdlib
+    csv-module re-read (fixtures._csv_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.csvdoc import (CsvError, looks_like_csv,
+                                             parse_csv)
+        from zpdfspark.kernel.htmltext import looks_like_html
+        from zpdfspark.spark.media import sniff_kind
+
+        for b in it:
+            rows = {"url": [], "delimiter": [], "n_records": [],
+                    "n_cols": [], "has_header": [], "n_text_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                # the csv sniff is last in dispatch: only payloads no
+                # other kernel claims reach it (sniff_kind encodes the
+                # full precedence)
+                if sniff_kind(raw) != "csv" or looks_like_html(raw) \
+                        or not looks_like_csv(raw):
+                    continue
+                try:
+                    m = parse_csv(raw)
+                except CsvError:
+                    continue
+                rows["url"].append(url)
+                rows["delimiter"].append(m["delimiter"])
+                rows["n_records"].append(m["n_records"])
+                rows["n_cols"].append(m["n_cols"])
+                rows["has_header"].append(m["has_header"])
+                rows["n_text_chars"].append(len(m["text"]))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, delimiter string, n_records int, n_cols int, "
+        "has_header boolean, n_text_chars int"
+    ).orderBy("url")
+
+
+
 def _q_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tarball census (kernel/tar.py, r5) — crawls carry source
     releases and dataset drops; the pipeline keeps the member census
@@ -5013,6 +5061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "svg_meta": _q_svg_meta,
         "subtitle_meta": _q_subtitle_meta,
         "ipynb_meta": _q_ipynb_meta,
+        "csv_meta": _q_csv_meta,
     }
 
 
@@ -5159,7 +5208,7 @@ def oracle_sql() -> dict[str, str]:
             f"media_kind, "
             f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff', "
             f"'bmp', 'docx', 'epub', 'xlsx', 'odt', 'ods', 'odp', "
-            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar', 'eml', 'mbox', 'srt', 'vtt', 'ipynb')) "
+            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar', 'eml', 'mbox', 'srt', 'vtt', 'ipynb', 'csv')) "
             f"AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
@@ -5420,6 +5469,15 @@ def oracle_sql() -> dict[str, str]:
             f"eml_date_ts AS date_ts, eml_n_parts AS n_parts, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'eml' ORDER BY url"
+        ),
+        "csv_meta": (
+            # carried facts from the independent stdlib csv re-read
+            # (_csv_expected)
+            f"SELECT url, csv_delim AS delimiter, "
+            f"csv_n_records AS n_records, csv_n_cols AS n_cols, "
+            f"csv_has_header AS has_header, "
+            f"CAST(length(text) AS INTEGER) AS n_text_chars "
+            f"FROM {corpus} WHERE media_kind = 'csv' ORDER BY url"
         ),
         "ipynb_meta": (
             # TWO-ENGINE: DuckDB's own JSON functions re-mine the bytes

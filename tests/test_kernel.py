@@ -3654,3 +3654,81 @@ class TestIpynb:
             blob, _ = ipynb_doc(i)
             assert _sniff_media_kind(blob) == "ipynb"
             assert sniff_kind(blob) == "ipynb"
+
+
+class TestCsv:
+    """Delimited-table kernel (kernel/csvdoc.py, round 5)."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import _csv_expected, csv_doc, csv_plan
+        from zpdfspark.kernel.csvdoc import looks_like_csv, parse_csv
+
+        for i in range(32):
+            raw, text = csv_doc(i)
+            p = csv_plan(i)
+            assert looks_like_csv(raw), i
+            m = parse_csv(raw)
+            assert m["text"] == text, i
+            got = (m["delimiter"], m["n_records"], m["n_cols"],
+                   m["has_header"])
+            assert got == (p["delimiter"], p["n_records"], p["n_cols"],
+                           p["has_header"]), (i, got)
+            assert _csv_expected(raw) == got, i
+
+    def test_extract_any_dispatch(self):
+        from zpdfspark.fixtures import csv_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        raw, text = csv_doc(9)
+        got, kind, _ = extract_any(raw)
+        assert (got, kind) == (text, "csv")
+
+    def test_rfc4180_edges(self):
+        from zpdfspark.kernel.csvdoc import parse_csv
+
+        raw = (b'a,b\r\n"x,1","say ""hi"""\r\n"multi\nline",2\r\n')
+        m = parse_csv(raw)
+        assert m["n_records"] == 3 and m["n_cols"] == 2
+        assert m["text"] == 'a\tb\nx,1\tsay "hi"\nmulti\nline\t2'
+        # a quote mid-field (not at field start) is literal
+        m = parse_csv(b'a,b\nit"s,2\n')
+        assert m["text"] == 'a\tb\nit"s\t2'
+
+    def test_free_text_is_not_a_table(self):
+        """The strict sniff rejects what trivially isn't tabular."""
+        from zpdfspark.kernel.csvdoc import looks_like_csv
+
+        assert not looks_like_csv(b"just a plain sentence\nand another\n")
+        assert not looks_like_csv(b"one,two\nthree\n")       # ragged
+        assert not looks_like_csv(b"single line, no second record")
+        assert not looks_like_csv(b"a,b\x00c,d\na,b\n")      # NUL
+        assert not looks_like_csv(b"")
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from zpdfspark.fixtures import csv_doc
+        from zpdfspark.kernel.csvdoc import (CsvError, looks_like_csv,
+                                             parse_csv)
+
+        rng = random.Random(41)
+        base = csv_doc(7)[0]
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            raw = bytes(b)
+            if looks_like_csv(raw):
+                try:
+                    parse_csv(raw)
+                except CsvError:
+                    pass
+
+    def test_sniffers_agree(self):
+        from zpdfspark.fixtures import _sniff_media_kind, csv_doc
+        from zpdfspark.spark.media import sniff_kind
+
+        for i in range(8):
+            blob, _ = csv_doc(i)
+            assert _sniff_media_kind(blob) == "csv", i
+            assert sniff_kind(blob) == "csv", i

@@ -2825,6 +2825,10 @@ def _register():
     def g_ipynb(i):
         return ipynb_doc(i)
 
+    @var("csv")
+    def g_csv(i):
+        return csv_doc(i)
+
     @var("tar")
     def g_tar(i):
         return tar_archive(i)
@@ -2881,7 +2885,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v50"
+CORPUS_VERSION = "v51"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -3230,6 +3234,11 @@ def _sniff_media_kind(raw: bytes) -> str:
 
     if looks_like_ipynb(raw):
         return "ipynb"
+    from .kernel.csvdoc import looks_like_csv
+    from .kernel.htmltext import looks_like_html as _llh
+
+    if not _llh(raw) and looks_like_csv(raw):
+        return "csv"
     if looks_like_svg(raw):
         return "svg"
     if looks_like_feed(raw):
@@ -3292,6 +3301,7 @@ EXPECTED_COLUMNS = (
     "mbox_n_messages", "mbox_first_subject", "mbox_first_from",
     "mbox_min_ts", "mbox_max_ts",
     "sub_kind", "sub_n_cues", "sub_duration_ms",
+    "csv_delim", "csv_n_records", "csv_n_cols", "csv_has_header",
 )
 
 
@@ -4115,6 +4125,77 @@ def ipynb_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
 
 
 
+def csv_plan(i: int) -> dict:
+    """Authored table content. Expected text: cells tab-joined,
+    records newline-joined (the xlsx grid rule)."""
+    delim = [",", "\t", ";", "|"][i % 4]
+    n_rows = 3 + i % 4
+    header = ["name", "qty", "note"] if i % 3 != 1 else None
+    rows = []
+    for r in range(n_rows):
+        note = f"plain note {r}"
+        if (i + r) % 4 == 0:
+            note = f"quoted{delim}note {r}"          # embedded delimiter
+        if (i + r) % 5 == 3:
+            note = f"multi\nline {r}"                # embedded newline
+        if (i + r) % 7 == 5:
+            note = f'has ""quotes"" {r}'.replace('""', '"')
+        rows.append([f"item-{i % 9}-{r}", str(10 * r + i % 10), note])
+    grid = ([header] if header else []) + rows
+    return {
+        "delimiter": delim, "grid": grid,
+        "n_records": len(grid), "n_cols": 3,
+        "has_header": header is not None,
+        "text": "\n".join("\t".join(r) for r in grid),
+    }
+
+
+def csv_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic delimited table (v51) written with STDLIB
+    csv.writer (reader = the from-scratch kernel/csvdoc.py state
+    machine). Rotations: comma/tab/semicolon/pipe dialects, quoted
+    fields with embedded delimiters/newlines/escaped quotes, CRLF vs
+    LF records, header present/absent."""
+    import csv as _csv
+    import io
+
+    plan = csv_plan(i)
+    buf = io.StringIO()
+    w = _csv.writer(buf, delimiter=plan["delimiter"],
+                    lineterminator="\r\n" if i % 5 == 2 else "\n",
+                    quoting=_csv.QUOTE_MINIMAL)
+    for row in plan["grid"]:
+        w.writerow(row)
+    return buf.getvalue().encode("utf-8"), plan["text"]
+
+
+def _csv_expected(raw: bytes):
+    """INDEPENDENT ground truth for the csv_meta oracle: STDLIB
+    csv.reader with a field-count-consistency delimiter pick —
+    deliberately NOT kernel/csvdoc.py's byte state machine. Returns
+    (delimiter, n_records, n_cols, has_header)."""
+    import csv as _csv
+    import io
+    import re as _re
+
+    text = raw.decode("utf-8", "replace")
+    chosen = None
+    for d in (",", "\t", ";", "|"):
+        rows = list(_csv.reader(io.StringIO(text), delimiter=d))
+        if len(rows) >= 2 and len({len(r) for r in rows}) == 1 \
+                and len(rows[0]) > 1:
+            chosen = (d, rows)
+            break
+    if chosen is None:
+        return None, None, None, None
+    d, rows = chosen
+    num = _re.compile(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+    first_num = any(num.match(f) for f in rows[0])
+    later_num = any(num.match(f) for r in rows[1:8] for f in r)
+    return d, len(rows), len(rows[0]), (not first_num) and later_num
+
+
+
 def _tar_expected(raw: bytes):
     """INDEPENDENT ground truth for the tar_meta oracle: STDLIB
     tarfile re-read — deliberately NOT kernel/tar.py. Returns
@@ -4732,6 +4813,13 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"sub_kind": None, "sub_n_cues": None,
                     "sub_duration_ms": None})
+    if row["media_kind"] == "csv":
+        cd, cnr, cnc, chh = _csv_expected(raw)
+        row.update({"csv_delim": cd, "csv_n_records": cnr,
+                    "csv_n_cols": cnc, "csv_has_header": chh})
+    else:
+        row.update({"csv_delim": None, "csv_n_records": None,
+                    "csv_n_cols": None, "csv_has_header": None})
     if row["media_kind"] == "mbox":
         nm, fs, ff, lo, hi = _mbox_expected(raw)
         row.update({"mbox_n_messages": nm, "mbox_first_subject": fs,
@@ -4913,6 +5001,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "mbox_max_ts": pa.int64(),
         "sub_kind": pa.string(), "sub_n_cues": pa.int32(),
         "sub_duration_ms": pa.int64(),
+        "csv_delim": pa.string(), "csv_n_records": pa.int32(),
+        "csv_n_cols": pa.int32(), "csv_has_header": pa.bool_(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

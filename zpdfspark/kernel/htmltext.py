@@ -397,6 +397,16 @@ def extract_any(raw: bytes, mode: str = "accuracy", _depth: int = 0):
             return "", "srt", None
     if looks_like_html(raw):
         return extract_main_text(raw), "html", None
+    from .csvdoc import CsvError, looks_like_csv
+
+    if looks_like_csv(raw):
+        # delimited tables: tab/newline grid reduction (the xlsx rule)
+        from .csvdoc import parse_csv
+
+        try:
+            return parse_csv(raw)["text"], "csv", None
+        except CsvError:
+            return "", "csv", None
     from .document import Document
 
     doc = Document(raw)

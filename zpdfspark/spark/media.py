@@ -129,6 +129,11 @@ def sniff_kind(raw: bytes) -> str:
         return "svg"
     if looks_like_feed(raw):
         return "feed"
+    from zpdfspark.kernel.csvdoc import looks_like_csv
+    from zpdfspark.kernel.htmltext import looks_like_html
+
+    if not looks_like_html(raw) and looks_like_csv(raw):
+        return "csv"
     return "binary"
 
 
@@ -223,6 +228,9 @@ def decode_media(raw: bytes, kind: str):
     if kind == "ipynb":
         from zpdfspark.kernel.ipynb import parse_ipynb
         return parse_ipynb(raw)
+    if kind == "csv":
+        from zpdfspark.kernel.csvdoc import parse_csv
+        return parse_csv(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
