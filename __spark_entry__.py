@@ -4160,6 +4160,52 @@ def _q_csv_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_tex_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LaTeX source mining (kernel/latex.py, r5 — the arXiv-source
+    payload class of the Pile/RedPajama slices): documentclass, title,
+    section/citation/equation counts. Detexed TEXT (scoped reduction:
+    math dropped, skip-environments, kept-arg prose commands) rides
+    the flagship extraction family via extract_any. Map-only
+    mapInPandas on the pruned (url, html) scan. Oracle: TWO-ENGINE —
+    DuckDB re-mines the same bytes with the IDENTICAL regex set (the
+    svg_meta pattern); text length is generator truth."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.latex import (LatexError, looks_like_tex,
+                                            parse_latex)
+
+        for b in it:
+            rows = {"url": [], "documentclass": [], "title": [],
+                    "n_sections": [], "n_cites": [], "n_equations": [],
+                    "n_text_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if not looks_like_tex(raw):
+                    continue
+                try:
+                    m = parse_latex(raw)
+                except LatexError:
+                    continue
+                rows["url"].append(url)
+                rows["documentclass"].append(m["documentclass"])
+                rows["title"].append(m["title"])
+                rows["n_sections"].append(m["n_sections"])
+                rows["n_cites"].append(m["n_cites"])
+                rows["n_equations"].append(m["n_equations"])
+                rows["n_text_chars"].append(len(m["text"]))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, documentclass string, title string, "
+        "n_sections int, n_cites int, n_equations int, n_text_chars int"
+    ).orderBy("url")
+
+
+
 def _q_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tarball census (kernel/tar.py, r5) — crawls carry source
     releases and dataset drops; the pipeline keeps the member census
@@ -5062,6 +5108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtitle_meta": _q_subtitle_meta,
         "ipynb_meta": _q_ipynb_meta,
         "csv_meta": _q_csv_meta,
+        "tex_meta": _q_tex_meta,
     }
 
 
@@ -5208,7 +5255,7 @@ def oracle_sql() -> dict[str, str]:
             f"media_kind, "
             f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff', "
             f"'bmp', 'docx', 'epub', 'xlsx', 'odt', 'ods', 'odp', "
-            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar', 'eml', 'mbox', 'srt', 'vtt', 'ipynb', 'csv')) "
+            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar', 'eml', 'mbox', 'srt', 'vtt', 'ipynb', 'csv', 'tex')) "
             f"AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
@@ -5469,6 +5516,24 @@ def oracle_sql() -> dict[str, str]:
             f"eml_date_ts AS date_ts, eml_n_parts AS n_parts, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'eml' ORDER BY url"
+        ),
+        "tex_meta": (
+            # TWO-ENGINE: identical regex set re-mined by DuckDB
+            f"SELECT url, "
+            f"regexp_extract(decode(html), "
+            f"'\\\\documentclass(\\[[^\\]]*\\])?\\{{([^}}]*)\\}}', 2) "
+            f"AS documentclass, "
+            f"regexp_extract(decode(html), '\\\\title\\{{([^}}]*)\\}}', 1) "
+            f"AS title, "
+            f"CAST(len(regexp_extract_all(decode(html), "
+            f"'\\\\section\\{{')) AS INTEGER) AS n_sections, "
+            f"CAST(len(regexp_extract_all(decode(html), "
+            f"'\\\\cite[pt]?\\{{')) AS INTEGER) AS n_cites, "
+            f"CAST(len(regexp_extract_all(decode(html), "
+            f"'\\\\begin\\{{(equation|align)\\*?\\}}')) AS INTEGER) "
+            f"AS n_equations, "
+            f"CAST(length(text) AS INTEGER) AS n_text_chars "
+            f"FROM {corpus} WHERE media_kind = 'tex' ORDER BY url"
         ),
         "csv_meta": (
             # carried facts from the independent stdlib csv re-read

@@ -3732,3 +3732,77 @@ class TestCsv:
             blob, _ = csv_doc(i)
             assert _sniff_media_kind(blob) == "csv", i
             assert sniff_kind(blob) == "csv", i
+
+
+class TestLatex:
+    """LaTeX detex kernel (kernel/latex.py, round 5)."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import latex_doc, latex_plan
+        from zpdfspark.kernel.latex import looks_like_tex, parse_latex
+
+        for i in range(40):
+            raw, text = latex_doc(i)
+            p = latex_plan(i)
+            assert looks_like_tex(raw), i
+            m = parse_latex(raw)
+            assert m["text"] == text, i
+            assert (m["documentclass"], m["title"], m["n_sections"],
+                    m["n_cites"], m["n_equations"]) == (
+                p["documentclass"], p["title"], p["n_sections"],
+                p["n_cites"], p["n_equations"]), i
+
+    def test_extract_any_dispatch(self):
+        from zpdfspark.fixtures import latex_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        raw, text = latex_doc(11)
+        got, kind, _ = extract_any(raw)
+        assert (got, kind) == (text, "tex")
+
+    def test_detex_edges(self):
+        from zpdfspark.kernel.latex import parse_latex
+
+        raw = (b"\\documentclass{article}\\begin{document}\n"
+               b"A \\emph{kept} word, a \\cite{x} gone, \\& escaped,\n"
+               b"math $a+b$ gone, \\[ display \\] gone,\n"
+               b"tie~here, 100\\% sure. % comment gone\n\n"
+               b"\\begin{tabular}{ll}a&b\\\\\\end{tabular}"
+               b"Second para.\n\\end{document}")
+        m = parse_latex(raw)
+        assert m["text"] == ("A kept word, a gone, & escaped, math gone, "
+                             "gone, tie here, 100% sure.\nSecond para.")
+        # unterminated math / environments never hang or raise
+        for bad in (b"\\begin{document}$unclosed",
+                    b"\\begin{document}\\begin{equation} x",
+                    b"\\begin{document}\\emph{unclosed"):
+            parse_latex(b"\\documentclass{a}" + bad)
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from zpdfspark.fixtures import latex_doc
+        from zpdfspark.kernel.latex import (LatexError, looks_like_tex,
+                                            parse_latex)
+
+        rng = random.Random(73)
+        base = latex_doc(3)[0]
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            raw = bytes(b)
+            if looks_like_tex(raw):
+                try:
+                    parse_latex(raw)
+                except LatexError:
+                    pass
+
+    def test_sniffers_agree(self):
+        from zpdfspark.fixtures import _sniff_media_kind, latex_doc
+        from zpdfspark.spark.media import sniff_kind
+
+        for i in range(6):
+            blob, _ = latex_doc(i)
+            assert _sniff_media_kind(blob) == "tex"
+            assert sniff_kind(blob) == "tex"

@@ -2825,6 +2825,10 @@ def _register():
     def g_ipynb(i):
         return ipynb_doc(i)
 
+    @var("tex")
+    def g_tex(i):
+        return latex_doc(i)
+
     @var("csv")
     def g_csv(i):
         return csv_doc(i)
@@ -2885,7 +2889,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v51"
+CORPUS_VERSION = "v52"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -3234,6 +3238,10 @@ def _sniff_media_kind(raw: bytes) -> str:
 
     if looks_like_ipynb(raw):
         return "ipynb"
+    from .kernel.latex import looks_like_tex
+
+    if looks_like_tex(raw):
+        return "tex"
     from .kernel.csvdoc import looks_like_csv
     from .kernel.htmltext import looks_like_html as _llh
 
@@ -4193,6 +4201,84 @@ def _csv_expected(raw: bytes):
     first_num = any(num.match(f) for f in rows[0])
     later_num = any(num.match(f) for r in rows[1:8] for f in r)
     return d, len(rows), len(rows[0]), (not first_num) and later_num
+
+
+
+def latex_plan(i: int) -> dict:
+    """Authored LaTeX article content. Expected text: detexed
+    paragraphs (whitespace collapsed) newline-joined — the scoped
+    reduction kernel/latex.py documents."""
+    title = f"On Caf\u00e9 Dynamics {i % 7}"
+    sec = f"Results {i % 5}"
+    p1 = f"We study system {i % 9} & its dynamics at 100% load."
+    p2 = ("As shown in prior work, the effect is strong. "
+          "The value is large.")
+    p3 = f"Item one of run {i % 4}\nItem two of run {i % 4}"
+    paras = [title, p1, sec, p2]
+    if i % 2 == 0:
+        paras.append(p3)
+    if i % 3 == 2:
+        paras.append("Emphasis matters here.")
+    return {
+        "title": title, "section": sec,
+        "documentclass": "article" if i % 4 != 3 else "revtex4-2",
+        "n_sections": 1, "n_cites": 2 if i % 2 == 0 else 1,
+        "n_equations": 1 if i % 3 == 0 else 0,
+        "text": "\n".join(paras),
+    }
+
+
+def latex_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic LaTeX article (v52 — the arXiv-source payload
+    class). Rotations: comments, inline+display math dropped, skipped
+    equation/figure environments, itemize, \\emph/\\textbf kept-arg
+    markup, \\cite/\\ref/\\label dropped-arg markup, TeX escapes
+    (\\& \\%), ~ ties, revtex documentclass."""
+    plan = latex_plan(i)
+    cites = "\\cite{ref1}" + ("\\citep{ref2}" if i % 2 == 0 else "")
+    body = []
+    body.append("\\maketitle")
+    body.append("")
+    body.append(
+        f"We study system {i % 9} \\& its dynamics at 100\\% load."
+        + cites.replace("\\cite{ref1}", "")  # cites attach below
+    )
+    # paragraph 1 with cites + a comment + inline math dropped
+    p1 = (f"We study system {i % 9} \\& its dynamics at "
+          f"100\\% load. % trailing comment\n"
+          f"$E = mc^2$" + cites)
+    body = ["\\maketitle", "", p1, ""]
+    body.append(f"\\section{{{plan['section']}}}")
+    body.append("")
+    body.append("As shown in \\label{sec:r} prior~work, the effect is "
+                "\\emph{strong}. $x \\geq 0$ The value is "
+                "\\textbf{large}.")
+    if i % 3 == 0:
+        body.append("\\begin{equation}\nE=mc^2\n\\end{equation}")
+    if i % 2 == 0:
+        body.append("\\begin{itemize}\n"
+                    f"\\item Item one of run {i % 4}\n"
+                    f"\\item Item two of run {i % 4}\n"
+                    "\\end{itemize}")
+    if i % 5 == 4:
+        body.append("\\begin{figure}\n"
+                    "\\includegraphics[width=\\linewidth]{fig1}\n"
+                    "\\caption{dropped with the figure}\n"
+                    "\\end{figure}")
+    if i % 3 == 2:
+        body.append("")
+        body.append("\\unknowncmd \\emph{Emphasis matters} here.")
+    doc = (
+        f"\\documentclass[11pt]{{{plan['documentclass']}}}\n"
+        "\\usepackage{amsmath}\n"
+        f"\\title{{{plan['title']}}}\n"
+        "% preamble comment\n"
+        "\\begin{document}\n"
+        f"\\title{{{plan['title']}}}\n"
+        + "\n".join(body) + "\n"
+        "\\end{document}\n"
+        "trailing junk after end is ignored\n")
+    return doc.encode("utf-8"), plan["text"]
 
 
 

@@ -383,6 +383,16 @@ def extract_any(raw: bytes, mode: str = "accuracy", _depth: int = 0):
             return parse_ipynb(raw)["text"], "ipynb", None
         except IpynbError:
             return "", "ipynb", None
+    from .latex import looks_like_tex
+
+    if looks_like_tex(raw):
+        # arXiv-source payloads: scoped detex reduction
+        from .latex import LatexError, parse_latex
+
+        try:
+            return parse_latex(raw)["text"], "tex", None
+        except LatexError:
+            return "", "tex", None
     from .subtitles import looks_like_srt, looks_like_vtt
 
     if looks_like_vtt(raw) or looks_like_srt(raw):

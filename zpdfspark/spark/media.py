@@ -125,6 +125,10 @@ def sniff_kind(raw: bytes) -> str:
 
     if looks_like_ipynb(raw):
         return "ipynb"
+    from zpdfspark.kernel.latex import looks_like_tex
+
+    if looks_like_tex(raw):
+        return "tex"
     if looks_like_svg(raw):
         return "svg"
     if looks_like_feed(raw):
@@ -231,6 +235,9 @@ def decode_media(raw: bytes, kind: str):
     if kind == "csv":
         from zpdfspark.kernel.csvdoc import parse_csv
         return parse_csv(raw)
+    if kind == "tex":
+        from zpdfspark.kernel.latex import parse_latex
+        return parse_latex(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
