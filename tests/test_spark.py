@@ -1300,3 +1300,53 @@ def test_snapshot_delta_classes(spark, tmp_path):
     assert got[1]["status"] == "unchanged"
     assert got[13]["status"] == "unchanged"
     assert all(g["in_cur"] for i, g in got.items() if i != 5)
+
+
+def test_jsonl_export_roundtrip_and_determinism(spark, corpus_path,
+                                                tmp_path):
+    """JSONL sink (r5): the C4/Dolma interchange shards re-read
+    line-for-line — texts byte-match the extraction kernel per url,
+    in-shard url order holds, and a second run writes byte-identical
+    files (pinned gzip mtime, sorted compact JSON keys)."""
+    import glob
+    import gzip
+    import hashlib
+    import json
+
+    from zpdfspark.kernel.htmltext import extract_any
+    from zpdfspark.spark.warc_sink import write_jsonl
+
+    df = spark.read.parquet(corpus_path)
+    out = str(tmp_path / "jsonl")
+    summaries = write_jsonl(df, out, partitions=3).collect()
+    files = sorted(glob.glob(os.path.join(out, "*.jsonl.gz")))
+    assert files and len(files) == len(summaries) <= 3
+    assert not glob.glob(os.path.join(out, ".*tmp*"))
+
+    expected = {r["url"]: extract_any(bytes(r["html"]), "accuracy")[0]
+                for r in df.select("url", "html").collect()}
+    got = {}
+    total = 0
+    for path in files:
+        urls_in_file = []
+        with gzip.open(path, "rt", encoding="utf-8") as f:
+            for line in f:
+                o = json.loads(line)
+                assert set(o) == {"kind", "lang", "n_chars", "text",
+                                  "ts", "url"}
+                assert o["n_chars"] == len(o["text"])
+                got[o["url"]] = o["text"]
+                urls_in_file.append(o["url"])
+                total += 1
+        assert urls_in_file == sorted(urls_in_file)
+    assert got == expected
+    assert total == sum(s["n_records"] for s in summaries) == df.count()
+    assert all(s["n_bytes"] == os.path.getsize(os.path.join(out, s["file"]))
+               for s in summaries)
+
+    hashes = {os.path.basename(p): hashlib.md5(
+        open(p, "rb").read()).hexdigest() for p in files}
+    write_jsonl(df, out, partitions=3).collect()
+    for p in files:
+        assert hashlib.md5(open(p, "rb").read()).hexdigest() \
+            == hashes[os.path.basename(p)]

@@ -270,6 +270,82 @@ def _archive_derivative_batches(out_dir: str, suffix: str,
     return fn
 
 
+def write_jsonl(df: DataFrame, out_dir: str, mode: str = "accuracy",
+                partitions: Optional[int] = None) -> DataFrame:
+    """df(url, warc_ts, html, lang) -> gzipped JSONL shards under
+    out_dir — the interchange shape LLM dataset releases use (C4 /
+    Dolma / RedPajama ship exactly this: one JSON object per document
+    with text + provenance). One `jsonl-NNNNN.jsonl.gz` per
+    partition; objects carry {url, ts, lang, kind, n_chars, text}.
+
+    Same scale/determinism contract as write_wet: extraction,
+    serialization and the file write FUSE into one mapInPandas pass
+    (blobs never cross a stage boundary), membership is
+    hash(url) % partitions, rows sort by url within the shard, gzip
+    mtime is pinned and JSON uses sorted compact keys — byte-identical
+    re-runs, written temp + atomic os.replace. Returns the lazy
+    (file, n_records, n_bytes) summary."""
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    os.makedirs(out_dir, exist_ok=True)
+    src = (df.select("url", "warc_ts", "html", "lang")
+           .repartition(n, "url")
+           .sortWithinPartitions("url"))
+
+    def batches(it):
+        import gzip
+        import json
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from zpdfspark.kernel.htmltext import extract_any
+
+        ctx = TaskContext.get()
+        name = f"jsonl-{ctx.partitionId():05d}.jsonl.gz"
+        tmp = os.path.join(out_dir, f".{name}.tmp-{ctx.taskAttemptId()}")
+        n_records = n_bytes = 0
+        f = gz = None
+        try:
+            for b in it:
+                for url, ts, blob, lang in zip(b["url"], b["warc_ts"],
+                                               b["html"], b["lang"]):
+                    raw = bytes(blob) if blob is not None else b""
+                    text, kind, _ = extract_any(raw, mode)
+                    line = json.dumps(
+                        {"kind": kind, "lang": lang,
+                         "n_chars": len(text), "text": text,
+                         "ts": _wdate(ts), "url": url},
+                        ensure_ascii=False, sort_keys=True,
+                        separators=(",", ":")) + "\n"
+                    if f is None:
+                        f = open(tmp, "wb")
+                        # filename="" keeps the attempt-suffixed tmp
+                        # name OUT of the gzip header (determinism)
+                        gz = gzip.GzipFile(filename="", fileobj=f,
+                                           mode="wb", mtime=0)
+                    gz.write(line.encode("utf-8"))
+                    n_records += 1
+        finally:
+            if gz is not None:
+                gz.close()
+            if f is not None:
+                f.close()
+        if n_records == 0:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            yield pd.DataFrame({"file": [], "n_records": [],
+                                "n_bytes": []})
+            return
+        n_bytes = os.path.getsize(tmp)
+        os.replace(tmp, os.path.join(out_dir, name))
+        yield pd.DataFrame({"file": [name], "n_records": [n_records],
+                            "n_bytes": [n_bytes]})
+
+    return src.mapInPandas(batches, _SUMMARY_SCHEMA)
+
+
+
 def archive_wet_batches(out_dir: str, mode: str = "accuracy"):
     """Per-archive WET writer (see _archive_derivative_batches):
     payload = the extraction kernel's text for each response body."""
