@@ -854,3 +854,22 @@ def test_office_meta_map_only(spark, sf_dir):
         assert "hashpartitioning" not in plan, (q, plan)
         assert "HashAggregate" not in plan, (q, plan)
         assert "ReadSchema: struct<url:string,html:binary>" in plan, (q, plan)
+
+
+def test_new_format_metas_are_map_only(spark, sf_dir):
+    """The r5 per-format meta queries (eml/mbox/subtitle/ipynb/csv/
+    tex) share the map-only shape: pruned (url, html) scan -> one
+    MapInPandas kernel -> the single determinism range exchange. No
+    joins, no aggregates, no per-row Python."""
+    import __spark_entry__ as E
+
+    for name in ("eml_meta", "mbox_meta", "subtitle_meta", "ipynb_meta",
+                 "csv_meta", "tex_meta"):
+        plan = _formatted(E.queries()[name](spark, sf_dir), spark)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, (name,
+                                                                 plan)
+        assert "rangepartitioning" in plan, name
+        assert "MapInPandas" in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "Join" not in plan, name
+        assert "ReadSchema" in plan and "html" in plan, name

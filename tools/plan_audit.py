@@ -102,6 +102,12 @@ NOTES = {
     "sentence_stats": "sentence-level quality signals as pure in-row higher-order expressions (regex split + transform/aggregate) — map-only, zero exchanges at any corpus size (plan-guarded).",
     "sequence_pack": "training-sequence packing manifest: the shard_assign two-level prefix sum (bucket-partitioned running sums + a B-row exclusive prefix + broadcast-back) gives every doc its global token offset without a global sort; the L=128 span math is per-row codegen. Plan-guarded to exactly two windows with the unpartitioned one fed by the B-row aggregate.",
     "snapshot_delta": "crawl-over-crawl URL diff: each snapshot projects to (key, md5) inside its own scan, so the full-outer hash join shuffles 16-byte digests — document bodies never leave the scan (plan-guarded: no text in any exchange key set); per-key cardinality is the snapshot count, so no skewed key exists by construction.",
+    "eml_meta": "map-only mapInPandas MIME parse on the pruned (url, html) scan; one range exchange for the determinism orderBy — the per-format meta shape.",
+    "mbox_meta": "map-only archive census (the tar shape): blobs never shuffle, one range exchange for orderBy.",
+    "subtitle_meta": "map-only cue parse on the pruned scan; one range exchange for orderBy.",
+    "ipynb_meta": "map-only JSON cell census; one range exchange for orderBy. The oracle side re-mines with DuckDB's JSON engine — no carried truth.",
+    "csv_meta": "map-only RFC 4180 state machine on the pruned scan; the strict consistency sniff runs inside the same task (no second pass); one range exchange for orderBy.",
+    "tex_meta": "map-only detex + regex mining; one range exchange for orderBy; metadata regexes identical in both engines.",
 }
 
 

@@ -91,6 +91,12 @@ def is_eml(raw: bytes) -> bool:
 def _split_headers(raw: bytes) -> Tuple[List[Tuple[str, str]], bytes]:
     """(ordered header list, body). Unfolds continuations; stops at the
     first empty line. Tolerates bare-LF and CRLF line endings."""
+    # a LEADING blank line means an empty header block (digest parts:
+    # `--boundary\n\n<embedded message>` — real-producer sweep msg_02)
+    if raw[:2] == b"\r\n":
+        return [], raw[2:]
+    if raw[:1] == b"\n":
+        return [], raw[1:]
     for sep in (b"\r\n\r\n", b"\n\n"):
         idx = raw.find(sep)
         if idx != -1:
@@ -184,8 +190,11 @@ def _decode_transfer(body: bytes, cte: str) -> bytes:
     return body                               # 7bit / 8bit / binary
 
 
-def _content_type(fields) -> Tuple[str, Dict[str, str]]:
-    v = _header(fields, "content-type") or "text/plain; charset=us-ascii"
+def _content_type(fields, default: str = "text/plain"
+                  ) -> Tuple[str, Dict[str, str]]:
+    v = _header(fields, "content-type")
+    if v is None:
+        return default, {"charset": "us-ascii"}
     bits = v.split(";")
     ctype = bits[0].strip().lower()
     params: Dict[str, str] = {}
@@ -193,8 +202,21 @@ def _content_type(fields) -> Tuple[str, Dict[str, str]]:
         if "=" not in p:
             continue
         k, _, pv = p.partition("=")
-        params[k.strip().lower()] = pv.strip().strip('"')
-    return ctype or "text/plain", params
+        k = k.strip().lower()
+        pv = pv.strip().strip('"')
+        if k.endswith("*"):
+            # RFC 2231 extended parameter: charset''percent-encoded
+            # (found live: FreeBSD-list mail spells boundary*= this
+            # way; without the decode the multipart walk finds no
+            # parts at all). Continuations (*0*, *1*) are out of
+            # scope — real archive mail keeps boundaries short.
+            k = k.rstrip("*").rstrip("0123456789").rstrip("*")
+            if "''" in pv:
+                pv = pv.split("''", 1)[1]
+            pv = re.sub(r"%([0-9A-Fa-f]{2})",
+                        lambda m: chr(int(m.group(1), 16)), pv)
+        params.setdefault(k, pv)
+    return ctype or default, params
 
 
 def _split_multipart(body: bytes, boundary: bytes) -> List[bytes]:
@@ -222,23 +244,34 @@ def _html_part_text(data: bytes) -> str:
     return _xhtml_text(data)
 
 
-def _walk(raw: bytes, depth: int, state: dict) -> None:
+def _walk(raw: bytes, depth: int, state: dict,
+          default_ctype: str = "text/plain") -> None:
     """Collect (order, kind, text) leaves into state; count parts."""
     if depth > _MAX_DEPTH or state["n_parts"] >= _MAX_PARTS:
         return
     fields, body = _split_headers(raw)
-    ctype, params = _content_type(fields)
+    ctype, params = _content_type(fields, default_ctype)
     state["n_parts"] += 1
     if ctype.startswith("multipart/"):
         boundary = params.get("boundary", "")
         if not boundary:
             return
+        # RFC 2046 §5.1.5: inside multipart/digest the part default is
+        # message/rfc822, not text/plain (real-producer sweep: CPython
+        # msg_02 — without this a digest reads as raw header text)
+        child_default = ("message/rfc822" if ctype == "multipart/digest"
+                         else "text/plain")
         for part in _split_multipart(body, boundary.encode("ascii",
                                                            "replace")):
-            _walk(part, depth + 1, state)
+            _walk(part, depth + 1, state, child_default)
         return
-    if ctype == "message/rfc822":
-        return                                # counted, not descended
+    if ctype.startswith("message/") and ctype != "message/delivery-status":
+        # embedded messages (rfc822 digests/forwards, external-body):
+        # descend like stdlib walk() — digest bodies ARE text
+        _walk(_decode_transfer(
+            body, _header(fields, "content-transfer-encoding")),
+            depth + 1, state)
+        return
     data = _decode_transfer(body,
                             _header(fields, "content-transfer-encoding"))
     if ctype == "text/plain":
@@ -280,7 +313,14 @@ def _from_addr(value: str) -> str:
     m = _ADDR.search(value)
     if m:
         return m.group(1).strip()
-    return decode_encoded_words(value).strip().strip('"')
+    # old-style `addr (Display Name)` — RFC 5322 comments are not part
+    # of the address (found by the CPython test_email real-producer
+    # sweep: every pre-2000 message in it uses this form)
+    v = re.sub(r"\([^)]*\)", "", decode_encoded_words(value)).strip()
+    for tok in v.split():
+        if "@" in tok:
+            return tok.strip('"<>')
+    return v.strip('"')
 
 
 def parse_rfc5322_date(value: Optional[str]) -> Optional[int]:
