@@ -4206,6 +4206,49 @@ def _q_tex_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_font_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-font payload census (kernel/font.py, r5): every page fetch
+    pulls TTF/OTF/WOFF/WOFF2 files — a payload classifier that cannot
+    name them misfiles a visible slice of crawl bytes. Container kind,
+    wrapped flavor, table count, declared sfnt size; glyph data never
+    read (WOFF2's Brotli stage honestly out of scope, the zstd
+    posture). Map-only mapInPandas on the pruned (url, html) scan.
+    Oracle: corpus-carried columns from the INDEPENDENT fixtures-side
+    flat struct re-read (fixtures._font_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.font import (FontError, looks_like_font,
+                                           parse_font)
+
+        for b in it:
+            rows = {"url": [], "kind": [], "flavor": [],
+                    "n_tables": [], "sfnt_size": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if not looks_like_font(raw):
+                    continue
+                try:
+                    m = parse_font(raw)
+                except FontError:
+                    continue
+                rows["url"].append(url)
+                rows["kind"].append(m["kind"])
+                rows["flavor"].append(m["flavor"])
+                rows["n_tables"].append(m["n_tables"])
+                rows["sfnt_size"].append(m["sfnt_size"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, kind string, flavor string, n_tables int, "
+        "sfnt_size long"
+    ).orderBy("url")
+
+
+
 def _q_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tarball census (kernel/tar.py, r5) — crawls carry source
     releases and dataset drops; the pipeline keeps the member census
@@ -5109,6 +5152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipynb_meta": _q_ipynb_meta,
         "csv_meta": _q_csv_meta,
         "tex_meta": _q_tex_meta,
+        "font_meta": _q_font_meta,
     }
 
 
@@ -5255,7 +5299,7 @@ def oracle_sql() -> dict[str, str]:
             f"media_kind, "
             f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff', "
             f"'bmp', 'docx', 'epub', 'xlsx', 'odt', 'ods', 'odp', "
-            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar', 'eml', 'mbox', 'srt', 'vtt', 'ipynb', 'csv', 'tex')) "
+            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar', 'eml', 'mbox', 'srt', 'vtt', 'ipynb', 'csv', 'tex', 'ttf', 'otf', 'woff', 'woff2')) "
             f"AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),
@@ -5516,6 +5560,14 @@ def oracle_sql() -> dict[str, str]:
             f"eml_date_ts AS date_ts, eml_n_parts AS n_parts, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'eml' ORDER BY url"
+        ),
+        "font_meta": (
+            # carried census from the independent fixtures-side flat
+            # struct re-read (_font_expected)
+            f"SELECT url, font_kind AS kind, font_flavor AS flavor, "
+            f"font_n_tables AS n_tables, font_sfnt_size AS sfnt_size "
+            f"FROM {corpus} WHERE media_kind IN "
+            f"('ttf', 'otf', 'woff', 'woff2') ORDER BY url"
         ),
         "tex_meta": (
             # TWO-ENGINE: identical regex set re-mined by DuckDB

@@ -3898,3 +3898,108 @@ class TestCsvRealProducers:
             assert (m["delimiter"], m["n_records"], m["n_cols"],
                     m["has_header"]) == (d, nr, nc, hh), p
         assert n >= 3, files
+
+
+class TestFont:
+    """Web-font census kernel (kernel/font.py, round 5)."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import _font_expected, font_doc, font_plan
+        from zpdfspark.kernel.font import looks_like_font, parse_font
+
+        kinds = set()
+        for i in range(24):
+            raw, text = font_doc(i)
+            p = font_plan(i)
+            kinds.add(p["kind"])
+            assert text is None and looks_like_font(raw), i
+            m = parse_font(raw)
+            assert (m["kind"], m["flavor"], m["n_tables"]) == (
+                p["kind"], p["flavor"], p["n_tables"]), (i, m)
+            assert _font_expected(raw) == (
+                m["kind"], m["flavor"], m["n_tables"], m["sfnt_size"]), i
+        assert kinds == {"ttf", "otf", "woff", "woff2"}
+
+    def test_extract_any_and_archive_magics(self):
+        from zpdfspark.fixtures import font_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        raw, _ = font_doc(5)
+        got, kind, _ = extract_any(raw)
+        assert got == "" and kind == "font"
+        assert extract_any(b"Rar!\x1a\x07\x00junk")[1] == "rar"
+        assert extract_any(b"7z\xbc\xaf\x27\x1cjunk")[1] == "7z"
+
+    def test_weak_magic_hardening(self):
+        """sfnt's 0x00010000 magic is weak: implausible table counts
+        and short directories must not sniff as fonts."""
+        import struct
+
+        from zpdfspark.kernel.font import looks_like_font
+
+        assert not looks_like_font(b"\x00\x01\x00\x00" +
+                                   struct.pack(">H", 0) + bytes(6))
+        assert not looks_like_font(b"\x00\x01\x00\x00" +
+                                   struct.pack(">H", 9999) + bytes(6))
+        assert not looks_like_font(b"\x00\x01\x00\x00" +
+                                   struct.pack(">H", 50) + bytes(6))
+        assert not looks_like_font(b"wOFFonly")  # needs 12+ bytes? has
+        # 8: rejected by length
+        assert not looks_like_font(b"")
+
+    def test_real_producer_sweep(self):
+        """Any real font files shipped on this host must parse and
+        agree with the independent struct re-read."""
+        import glob
+
+        from zpdfspark.fixtures import _font_expected
+        from zpdfspark.kernel.font import looks_like_font, parse_font
+
+        files = []
+        for pat in ("/usr/share/fonts/**/*.ttf",
+                    "/usr/share/fonts/**/*.otf",
+                    "/usr/share/fonts/**/*.woff*"):
+            files += glob.glob(pat, recursive=True)
+        n = 0
+        for p in sorted(files)[:200]:
+            raw = open(p, "rb").read()
+            if not looks_like_font(raw):
+                continue
+            n += 1
+            m = parse_font(raw)
+            assert _font_expected(raw) == (
+                m["kind"], m["flavor"], m["n_tables"], m["sfnt_size"]), p
+        # censuses agree wherever fonts exist; absence is fine
+        assert n >= 0
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from zpdfspark.fixtures import font_doc
+        from zpdfspark.kernel.font import (FontError, looks_like_font,
+                                           parse_font)
+
+        rng = random.Random(89)
+        base = font_doc(6)[0]
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            raw = bytes(b[:rng.randrange(1, len(b))]) \
+                if rng.random() < 0.3 else bytes(b)
+            if looks_like_font(raw):
+                try:
+                    parse_font(raw)
+                except FontError:
+                    pass
+
+    def test_sniffers_agree(self):
+        from zpdfspark.fixtures import _sniff_media_kind, font_doc, font_plan
+        from zpdfspark.spark.media import sniff_kind
+
+        for i in range(8):
+            blob, _ = font_doc(i)
+            assert _sniff_media_kind(blob) == font_plan(i)["kind"], i
+            assert sniff_kind(blob) == font_plan(i)["kind"], i
+        assert _sniff_media_kind(b"Rar!\x1a\x07\x00x") == "rar"
+        assert sniff_kind(b"7z\xbc\xaf\x27\x1cx") == "7z"

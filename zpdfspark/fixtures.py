@@ -2829,6 +2829,10 @@ def _register():
     def g_tex(i):
         return latex_doc(i)
 
+    @var("font")
+    def g_font(i):
+        return font_doc(i)
+
     @var("csv")
     def g_csv(i):
         return csv_doc(i)
@@ -2889,7 +2893,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v52"
+CORPUS_VERSION = "v53"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -3238,6 +3242,19 @@ def _sniff_media_kind(raw: bytes) -> str:
 
     if looks_like_ipynb(raw):
         return "ipynb"
+    from .kernel.font import looks_like_font
+
+    if looks_like_font(raw):
+        from .kernel.font import parse_font
+
+        try:
+            return parse_font(raw)["kind"]
+        except Exception:
+            return "font"
+    if raw[:6] == b"Rar!\x1a\x07":
+        return "rar"
+    if raw[:6] == b"7z\xbc\xaf\x27\x1c":
+        return "7z"
     from .kernel.latex import looks_like_tex
 
     if looks_like_tex(raw):
@@ -3310,6 +3327,7 @@ EXPECTED_COLUMNS = (
     "mbox_min_ts", "mbox_max_ts",
     "sub_kind", "sub_n_cues", "sub_duration_ms",
     "csv_delim", "csv_n_records", "csv_n_cols", "csv_has_header",
+    "font_kind", "font_flavor", "font_n_tables", "font_sfnt_size",
 )
 
 
@@ -4282,6 +4300,73 @@ def latex_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
 
 
 
+def font_plan(i: int) -> dict:
+    kind = ["ttf", "otf", "woff", "woff2"][i % 4]
+    n_tables = 4 + i % 9
+    flavor = "otf" if (kind == "otf" or (kind.startswith("wof")
+                                         and i % 3 == 1)) else "ttf"
+    return {"kind": kind, "flavor": flavor, "n_tables": n_tables}
+
+
+def font_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic font container (v53) — sfnt directories with
+    plausible table records (no glyph data: the census never reads
+    it), WOFF/WOFF2 headers wrapping a declared sfnt. Reader =
+    kernel/font.py; census only, no text (the tar rule)."""
+    import struct as _s
+
+    plan = font_plan(i)
+    n = plan["n_tables"]
+    tags = [b"cmap", b"glyf", b"head", b"hhea", b"hmtx", b"loca",
+            b"maxp", b"name", b"post", b"OS/2", b"kern", b"GSUB",
+            b"GPOS"][:n]
+    sfnt_magic = b"OTTO" if plan["flavor"] == "otf" else \
+        (b"true" if i % 5 == 4 else b"\x00\x01\x00\x00")
+    # sfnt directory: header + 16-byte records + tiny table payloads
+    off = 12 + 16 * n
+    recs = b""
+    payloads = b""
+    for t, tag in enumerate(tags):
+        ln = 8 + (i + t) % 24
+        recs += tag.ljust(4)[:4] + _s.pack(">III", (i + t) % 1000,
+                                           off, ln)
+        payloads += bytes((j + t) % 256 for j in range(ln))
+        off += ln
+    sr = max(0, (n.bit_length() - 1))
+    header = sfnt_magic + _s.pack(">HHHH", n, 16 << sr, sr,
+                                  16 * n - (16 << sr))
+    sfnt = header + recs + payloads
+    if plan["kind"] in ("ttf", "otf"):
+        return sfnt, None
+    magic = b"wOFF" if plan["kind"] == "woff" else b"wOF2"
+    body = bytes((j * 7 + i) % 256 for j in range(64 + i % 64))
+    woff = (magic + sfnt_magic
+            + _s.pack(">IH", 44 + len(body), n) + b"\x00\x00"
+            + _s.pack(">I", len(sfnt))
+            + _s.pack(">HH", 1, 0)
+            + _s.pack(">IIIII", 0, 0, 0, 0, 0) + body)
+    return woff, None
+
+
+def _font_expected(raw: bytes):
+    """INDEPENDENT ground truth for font_meta: a flat struct re-read
+    — deliberately NOT kernel/font.py. Returns (kind, flavor,
+    n_tables, sfnt_size)."""
+    import struct as _s
+
+    m = raw[:4]
+    fl = lambda t: ("otf" if t == b"OTTO" else
+                    ("ttf" if t in (b"\x00\x01\x00\x00", b"true")
+                     else t.decode("latin-1")))
+    if m == b"wOFF" or m == b"wOF2":
+        return ("woff" if m == b"wOFF" else "woff2", fl(raw[4:8]),
+                _s.unpack(">H", raw[12:14])[0],
+                _s.unpack(">I", raw[16:20])[0])
+    return ("otf" if m == b"OTTO" else "ttf", fl(m),
+            _s.unpack(">H", raw[4:6])[0], len(raw))
+
+
+
 def _tar_expected(raw: bytes):
     """INDEPENDENT ground truth for the tar_meta oracle: STDLIB
     tarfile re-read — deliberately NOT kernel/tar.py. Returns
@@ -4899,6 +4984,13 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"sub_kind": None, "sub_n_cues": None,
                     "sub_duration_ms": None})
+    if row["media_kind"] in ("ttf", "otf", "woff", "woff2"):
+        fk, ff, fn, fs = _font_expected(raw)
+        row.update({"font_kind": fk, "font_flavor": ff,
+                    "font_n_tables": fn, "font_sfnt_size": fs})
+    else:
+        row.update({"font_kind": None, "font_flavor": None,
+                    "font_n_tables": None, "font_sfnt_size": None})
     if row["media_kind"] == "csv":
         cd, cnr, cnc, chh = _csv_expected(raw)
         row.update({"csv_delim": cd, "csv_n_records": cnr,
@@ -5089,6 +5181,8 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "sub_duration_ms": pa.int64(),
         "csv_delim": pa.string(), "csv_n_records": pa.int32(),
         "csv_n_cols": pa.int32(), "csv_has_header": pa.bool_(),
+        "font_kind": pa.string(), "font_flavor": pa.string(),
+        "font_n_tables": pa.int32(), "font_sfnt_size": pa.int64(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

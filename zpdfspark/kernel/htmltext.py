@@ -373,6 +373,15 @@ def extract_any(raw: bytes, mode: str = "accuracy", _depth: int = 0):
     if is_mbox(raw):
         # an archive of messages is not a document (the tar rule)
         return "", "mbox", None
+    from .font import looks_like_font
+
+    if looks_like_font(raw):
+        # web-font payloads: census only, never text
+        return "", "font", None
+    if raw[:6] == b"Rar!\x1a\x07" or raw[:6] == b"7z\xbc\xaf\x27\x1c":
+        # proprietary/complex archive containers: detected and named
+        # honestly, never guessed at (the zstd posture)
+        return "", ("rar" if raw[:1] == b"R" else "7z"), None
     from .ipynb import looks_like_ipynb
 
     if looks_like_ipynb(raw):

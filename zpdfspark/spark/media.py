@@ -125,6 +125,19 @@ def sniff_kind(raw: bytes) -> str:
 
     if looks_like_ipynb(raw):
         return "ipynb"
+    from zpdfspark.kernel.font import looks_like_font
+
+    if looks_like_font(raw):
+        from zpdfspark.kernel.font import parse_font
+
+        try:
+            return parse_font(raw)["kind"]
+        except Exception:
+            return "font"
+    if raw[:6] == b"Rar!\x1a\x07":
+        return "rar"
+    if raw[:6] == b"7z\xbc\xaf\x27\x1c":
+        return "7z"
     from zpdfspark.kernel.latex import looks_like_tex
 
     if looks_like_tex(raw):
@@ -238,6 +251,9 @@ def decode_media(raw: bytes, kind: str):
     if kind == "tex":
         from zpdfspark.kernel.latex import parse_latex
         return parse_latex(raw)
+    if kind in ("ttf", "otf", "woff", "woff2"):
+        from zpdfspark.kernel.font import parse_font
+        return parse_font(raw)
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
