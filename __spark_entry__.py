@@ -5299,7 +5299,7 @@ def oracle_sql() -> dict[str, str]:
             f"media_kind, "
             f"(media_kind IN ('pdf', 'png', 'jpeg', 'wav', 'gif', 'tiff', "
             f"'bmp', 'docx', 'epub', 'xlsx', 'odt', 'ods', 'odp', "
-            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar', 'eml', 'mbox', 'srt', 'vtt', 'ipynb', 'csv', 'tex', 'ttf', 'otf', 'woff', 'woff2')) "
+            f"'pptx', 'rtf', 'svg', 'ico', 'gz', 'bz2', 'xz', 'tar', 'eml', 'mbox', 'srt', 'vtt', 'ipynb', 'csv', 'tex', 'ttf', 'otf', 'woff', 'woff2', 'txt')) "
             f"AS decode_ok "
             f"FROM {corpus} ORDER BY url"
         ),

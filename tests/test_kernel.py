@@ -4003,3 +4003,43 @@ class TestFont:
             assert sniff_kind(blob) == font_plan(i)["kind"], i
         assert _sniff_media_kind(b"Rar!\x1a\x07\x00x") == "rar"
         assert sniff_kind(b"7z\xbc\xaf\x27\x1cx") == "7z"
+
+
+class TestTxtFallback:
+    """Plain-text last-resort dispatch (round 5)."""
+
+    def test_rotations_match_plan(self):
+        from zpdfspark.fixtures import _sniff_media_kind, txt_doc
+        from zpdfspark.kernel.htmltext import extract_any
+        from zpdfspark.spark.media import sniff_kind
+
+        for i in range(24):
+            raw, text = txt_doc(i)
+            got, kind, _ = extract_any(raw)
+            assert (got, kind) == (text, "txt"), i
+            assert _sniff_media_kind(raw) == "txt", i
+            assert sniff_kind(raw) == "txt", i
+
+    def test_binary_never_reads_as_text(self):
+        import os as _os
+
+        from zpdfspark.kernel.htmltext import looks_like_text
+
+        assert not looks_like_text(b"")
+        assert not looks_like_text(b"abc\x00def")
+        assert not looks_like_text(bytes(range(256)) * 16)
+        assert not looks_like_text(b"\xff\xfe" + _os.urandom(64))
+        # latin-1 high bytes that are NOT valid utf-8: rejected (the
+        # documented posture — charset-less legacy text is ambiguous)
+        assert not looks_like_text("café".encode("latin-1") * 40)
+
+    def test_structured_kinds_win(self):
+        """Every structured sniff outranks the text fallback."""
+        from zpdfspark.fixtures import (csv_doc, eml_doc, latex_doc,
+                                        rss_feed, srt_doc)
+        from zpdfspark.kernel.htmltext import extract_any
+
+        for gen, kind in ((csv_doc, "csv"), (eml_doc, "eml"),
+                          (latex_doc, "tex"), (srt_doc, "srt")):
+            assert extract_any(gen(3)[0])[1] == kind, kind
+        assert extract_any(rss_feed(1)[0])[1] != "txt"

@@ -2833,6 +2833,10 @@ def _register():
     def g_font(i):
         return font_doc(i)
 
+    @var("txt")
+    def g_txt(i):
+        return txt_doc(i)
+
     @var("csv")
     def g_csv(i):
         return csv_doc(i)
@@ -2893,7 +2897,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v53"
+CORPUS_VERSION = "v54"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -3264,6 +3268,10 @@ def _sniff_media_kind(raw: bytes) -> str:
 
     if not _llh(raw) and looks_like_csv(raw):
         return "csv"
+    from .kernel.htmltext import looks_like_text
+
+    if not _llh(raw) and looks_like_text(raw):
+        return "txt"
     if looks_like_svg(raw):
         return "svg"
     if looks_like_feed(raw):
@@ -4364,6 +4372,28 @@ def _font_expected(raw: bytes):
                 _s.unpack(">I", raw[16:20])[0])
     return ("otf" if m == b"OTTO" else "ttf", fl(m),
             _s.unpack(">H", raw[4:6])[0], len(raw))
+
+
+
+def txt_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic plain-text payload (v54) — text/plain is a huge
+    crawl class and IS training text; extract_any's last-resort
+    fallback picks it up once every structured sniff has passed.
+    Rotations: CRLF, UTF-8 BOM, trailing blank lines, unicode prose.
+    Expected text: newline-normalized, BOM dropped, right-stripped."""
+    paras = [f"Plain note {i % 9}: caf\u00e9 thoughts \u2014 {i % 5}.",
+             f"Second paragraph of file {i}.",
+             "Tabs\tsurvive here." if i % 3 == 0 else "Final line."]
+    text = "\n\n".join(paras)
+    raw = text
+    if i % 4 == 1:
+        raw = raw.replace("\n", "\r\n")
+    if i % 5 == 2:
+        raw += "\n\n\n"
+    out = raw.encode("utf-8")
+    if i % 6 == 3:
+        out = b"\xef\xbb\xbf" + out
+    return out, text
 
 
 

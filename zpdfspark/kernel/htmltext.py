@@ -191,6 +191,37 @@ def extract_main_text(raw: bytes) -> str:
         return ""
 
 
+_TEXT_WINDOW = 4096
+# bytes that keep a payload "texty": printable ASCII + common WS; high
+# bytes are allowed (utf-8 multibyte) — control bytes are the signal
+_CTRL = frozenset(range(0x20)) - {0x09, 0x0A, 0x0D}
+
+
+def looks_like_text(raw: bytes) -> bool:
+    """Plain-text sniff for the LAST dispatch slot: non-empty, no NULs,
+    <0.5% control bytes and valid-enough UTF-8 in the head window.
+    Every structured sniff must run first — this accepts almost any
+    prose."""
+    if not raw:
+        return False
+    head = raw[:_TEXT_WINDOW]
+    if b"\x00" in head:
+        return False
+    ctrl = sum(1 for b in head if b in _CTRL)
+    if ctrl * 200 > len(head):
+        return False
+    try:
+        head.decode("utf-8")
+    except UnicodeDecodeError:
+        # a multibyte char cut at the window edge is fine; real binary
+        # is not — retry without the tail fragment
+        try:
+            head[:-4].decode("utf-8")
+        except UnicodeDecodeError:
+            return False
+    return True
+
+
 _GZ_CAP = 256 << 20          # the filters.py decompression-bomb bound
 
 
@@ -426,6 +457,16 @@ def extract_any(raw: bytes, mode: str = "accuracy", _depth: int = 0):
             return parse_csv(raw)["text"], "csv", None
         except CsvError:
             return "", "csv", None
+    if looks_like_text(raw):
+        # text/plain payloads are a huge crawl class and ARE training
+        # text: last-resort fallback once every structured sniff has
+        # passed. Newlines normalize, trailing whitespace strips —
+        # byte content otherwise untouched.
+        text = raw.decode(sniff_charset(raw), "replace")
+        if text[:1] == "﻿":
+            text = text[1:]
+        return text.replace("\r\n", "\n").replace("\r", "\n").rstrip(), \
+            "txt", None
     from .document import Document
 
     doc = Document(raw)

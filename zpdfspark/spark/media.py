@@ -151,6 +151,10 @@ def sniff_kind(raw: bytes) -> str:
 
     if not looks_like_html(raw) and looks_like_csv(raw):
         return "csv"
+    from zpdfspark.kernel.htmltext import looks_like_text
+
+    if not looks_like_html(raw) and looks_like_text(raw):
+        return "txt"
     return "binary"
 
 
@@ -254,6 +258,9 @@ def decode_media(raw: bytes, kind: str):
     if kind in ("ttf", "otf", "woff", "woff2"):
         from zpdfspark.kernel.font import parse_font
         return parse_font(raw)
+    if kind == "txt":
+        from zpdfspark.kernel.htmltext import extract_any
+        return extract_any(raw)[0]
     raise NotImplementedError(f"media decode for {kind!r} not available "
                               "in this environment")
 
