@@ -25,7 +25,7 @@ from zpdfspark.kernel.htmltext import extract_any  # noqa: E402
 GENS = [fixtures.eml_doc, fixtures.mbox_archive, fixtures.srt_doc,
         fixtures.vtt_doc, fixtures.ipynb_doc, fixtures.csv_doc,
         fixtures.latex_doc, fixtures.bz2_doc, fixtures.xz_doc,
-        fixtures.gz_doc]
+        fixtures.gz_doc, fixtures.font_doc, fixtures.txt_doc]
 
 WATCHDOG_S = 3
 

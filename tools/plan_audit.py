@@ -108,6 +108,7 @@ NOTES = {
     "ipynb_meta": "map-only JSON cell census; one range exchange for orderBy. The oracle side re-mines with DuckDB's JSON engine — no carried truth.",
     "csv_meta": "map-only RFC 4180 state machine on the pruned scan; the strict consistency sniff runs inside the same task (no second pass); one range exchange for orderBy.",
     "tex_meta": "map-only detex + regex mining; one range exchange for orderBy; metadata regexes identical in both engines.",
+    "font_meta": "map-only header census on the pruned scan; one range exchange for orderBy; glyph data never read.",
 }
 
 
