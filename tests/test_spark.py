@@ -1350,3 +1350,27 @@ def test_jsonl_export_roundtrip_and_determinism(spark, corpus_path,
     for p in files:
         assert hashlib.md5(open(p, "rb").read()).hexdigest() \
             == hashes[os.path.basename(p)]
+
+
+def test_format_job_jsonl(spark, corpus_path, tmp_path):
+    """--format jsonl: the dataset-release sink through the CLI job
+    surface — summary counts match the corpus, shards parse."""
+    import glob
+    import gzip
+    import json
+
+    from zpdfspark.spark.pipeline import run_format_job
+
+    out = str(tmp_path / "jsonl_fmt")
+    res = run_format_job(spark, corpus_path, out, "jsonl", partitions=2)
+    assert res["format"] == "jsonl"
+    assert res["rows"] == spark.read.parquet(corpus_path).count()
+    files = sorted(glob.glob(os.path.join(out, "data", "*.jsonl.gz")))
+    assert len(files) == res["files"] <= 2
+    n = 0
+    for p in files:
+        with gzip.open(p, "rt", encoding="utf-8") as f:
+            for line in f:
+                json.loads(line)
+                n += 1
+    assert n == res["rows"]

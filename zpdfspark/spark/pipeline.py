@@ -666,20 +666,26 @@ def run_format_job(spark: SparkSession, input_path: str, output_path: str,
         if page_range is not None:
             raise ValueError("--pages does not apply to --format info")
         out = metadata_dataframe(df)
-    elif output_format in ("wet", "wat"):
-        # Common Crawl derivative exports: *.warc.wet.gz conversion
-        # records / *.warc.wat.gz metadata records (spark/warc_sink.py
-        # — fused mine+serialize+write, one file per partition,
-        # deterministic + idempotent)
+    elif output_format in ("wet", "wat", "jsonl"):
+        # derivative exports: *.warc.wet.gz conversion records /
+        # *.warc.wat.gz metadata records / *.jsonl.gz dataset-release
+        # shards (spark/warc_sink.py — fused mine+serialize+write, one
+        # file per partition, deterministic + idempotent)
         if page_range is not None:
             raise ValueError(
                 f"--pages does not apply to --format {output_format}")
-        from zpdfspark.spark.warc_sink import write_wat, write_wet
+        from zpdfspark.spark.warc_sink import (write_jsonl, write_wat,
+                                               write_wet)
 
         data_path = os.path.join(output_path, "data")
         if output_format == "wet":
             sink = write_wet(df, data_path, mode=mode,
                              partitions=partitions)
+        elif output_format == "jsonl":
+            if "lang" not in df.columns:
+                df = df.withColumn("lang", F.lit(None).cast("string"))
+            sink = write_jsonl(df, data_path, mode=mode,
+                               partitions=partitions)
         else:
             sink = write_wat(df, data_path, partitions=partitions)
         summaries = sink.collect()
@@ -705,7 +711,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--mode", choices=("accuracy", "fast"), default="accuracy")
     ap.add_argument("--format",
                     choices=("text", "json", "markdown", "info", "wet",
-                             "wat", "zipnum", "cdx"),
+                             "wat", "jsonl", "zipnum", "cdx"),
                     default="text",
                     help="text = full extraction rows with lineage/resume "
                          "(the scale pipeline); json = one {metadata, "
@@ -716,7 +722,10 @@ def main(argv: Optional[List[str]] = None) -> None:
                          "conversion records of the extracted text; "
                          "wat = *.warc.wat.gz per-capture JSON "
                          "metadata records (lengths, head metadata, "
-                         "outlinks); zipnum = ZipNum-clustered CDX "
+                         "outlinks); jsonl = gzipped one-object-per-"
+                         "document *.jsonl.gz shards (the C4/Dolma "
+                         "dataset-release interchange); "
+                         "zipnum = ZipNum-clustered CDX "
                          "blocks + cluster.idx; cdx = CDX(J) index "
                          "rows as sorted parquet (both WARC input "
                          "only)")
