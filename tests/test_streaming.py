@@ -474,3 +474,61 @@ def test_streaming_warc_wat_per_archive(spark, tmp_path):
             for p in wats} == hashes
     man = spark.read.parquet(out + "/data")
     assert man.count() == 2
+
+
+def test_streaming_warc_jsonl_per_archive(spark, tmp_path):
+    """Streaming JSONL twin: each dropped archive yields exactly one
+    `<stem>.jsonl.gz` whose objects match the kernel extraction of the
+    archive's own response payloads in capture order; restart with no
+    new files is byte-identical (pinned gzip header + mtime)."""
+    import glob
+    import gzip
+    import hashlib
+    import json
+    import os as _os
+
+    from zpdfspark.fixtures import write_warc_fixture
+    from zpdfspark.kernel.htmltext import extract_any
+    from zpdfspark.kernel.warc import iter_warc_records
+    from zpdfspark.spark.streaming import start_streaming_warc_jsonl
+
+    drop = tmp_path / "drop"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    drop.mkdir()
+    write_warc_fixture(str(drop), 24, seed=37, shards=2)
+
+    q = start_streaming_warc_jsonl(spark, str(drop), out, ckpt)
+    q.awaitTermination(120)
+
+    archives = sorted(glob.glob(str(drop / "*.warc.gz")))
+    shards = sorted(glob.glob(_os.path.join(out, "jsonl", "*.jsonl.gz")))
+    assert len(shards) == len(archives) == 2
+    for arch in archives:
+        stem = _os.path.basename(arch)[: -len(".warc.gz")]
+        shard = _os.path.join(out, "jsonl", stem + ".jsonl.gz")
+        assert shard in shards
+        want = []
+        for rec in iter_warc_records(open(arch, "rb").read()):
+            if rec.error or not rec.target_uri \
+                    or rec.warc_type != "response":
+                continue
+            text, kind, _ = extract_any(rec.body, "accuracy")
+            want.append((rec.target_uri, rec.warc_date, kind, text))
+        got = []
+        with gzip.open(shard, "rt", encoding="utf-8") as f:
+            for line in f:
+                o = json.loads(line)
+                assert o["n_chars"] == len(o["text"])
+                assert o["lang"] is None
+                got.append((o["url"], o["ts"], o["kind"], o["text"]))
+        assert got == want  # capture order + archive dates preserved
+
+    hashes = {p: hashlib.md5(open(p, "rb").read()).hexdigest()
+              for p in shards}
+    q2 = start_streaming_warc_jsonl(spark, str(drop), out, ckpt)
+    q2.awaitTermination(120)
+    assert {p: hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in shards} == hashes
+    man = spark.read.parquet(out + "/data")
+    assert man.count() == 2

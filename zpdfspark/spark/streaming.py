@@ -459,6 +459,51 @@ def start_streaming_warc_wet(
     return writer.start()
 
 
+def start_streaming_warc_jsonl(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    mode: str = "accuracy",
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """readStream(binaryFile over a .warc.gz drop directory) -> one
+    `<stem>.jsonl.gz` dataset-release shard PER ARCHIVE under
+    output_dir/jsonl plus the idempotent manifest — the streaming twin
+    of `--format jsonl`: as a crawler drops archives, the release
+    mirror stays current. Same belt-and-braces exactly-once as the
+    WET/WAT twins: offsets checkpoint, and the writer is idempotent
+    without them (output bytes are pure functions of the archive)."""
+    from zpdfspark.spark.warc_sink import archive_jsonl_batches
+
+    jl_dir = os.path.join(output_dir, "jsonl")
+    os.makedirs(jl_dir, exist_ok=True)
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger or 8))
+        .load(input_dir)
+    )
+    manifest_sink = _idempotent_batch_writer(spark, output_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        summary = batch_df.select("path", "content").mapInPandas(
+            archive_jsonl_batches(jl_dir, mode),
+            "file string, n_records long, n_bytes long")
+        manifest_sink(summary, batch_id)
+
+    writer = reader.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_streaming_warc_wat(
     spark: SparkSession,
     input_dir: str,

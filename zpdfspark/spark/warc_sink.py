@@ -346,6 +346,84 @@ def write_jsonl(df: DataFrame, out_dir: str, mode: str = "accuracy",
 
 
 
+def archive_jsonl_batches(out_dir: str, mode: str = "accuracy"):
+    """Per-archive JSONL writer (the dataset-release twin of
+    archive_wet_batches): every (path, content) row writes
+    `<archive-stem>.jsonl.gz` — one JSON object per response record
+    in capture order, the same sorted-compact shape write_jsonl emits
+    (lang is null: archives carry no language column). Output name
+    and bytes are pure functions of the archive (pinned gzip mtime +
+    empty header filename), so streaming batch replay overwrites
+    byte-identically."""
+
+    def fn(it):
+        import gzip
+        import json
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from zpdfspark.kernel import warc as _warc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        attempt = TaskContext.get().taskAttemptId()
+        for b in it:
+            out = {"file": [], "n_records": [], "n_bytes": []}
+            for path, content in zip(b["path"], b["content"]):
+                raw = bytes(content)
+                stem = os.path.basename(str(path))
+                if stem.endswith(".warc.gz"):
+                    stem = stem[: -len(".warc.gz")]
+                elif stem.endswith(".warc"):
+                    stem = stem[: -len(".warc")]
+                name = stem + ".jsonl.gz"
+                tmp = os.path.join(out_dir, f".{name}.tmp-{attempt}")
+                n_records = 0
+                f = gz = None
+                try:
+                    try:
+                        for rec in _warc.iter_warc_records(raw):
+                            if (rec.error or not rec.target_uri
+                                    or rec.warc_type != "response"):
+                                continue
+                            text, kind, _ = extract_any(rec.body, mode)
+                            line = json.dumps(
+                                {"kind": kind, "lang": None,
+                                 "n_chars": len(text), "text": text,
+                                 "ts": rec.warc_date
+                                 or "1970-01-01T00:00:00Z",
+                                 "url": rec.target_uri},
+                                ensure_ascii=False, sort_keys=True,
+                                separators=(",", ":")) + "\n"
+                            if f is None:
+                                f = open(tmp, "wb")
+                                gz = gzip.GzipFile(
+                                    filename="", fileobj=f, mode="wb",
+                                    mtime=0)
+                            gz.write(line.encode("utf-8"))
+                            n_records += 1
+                    except _warc.WarcError:
+                        n_records = 0  # file-level garbage: skip
+                finally:
+                    if gz is not None:
+                        gz.close()
+                    if f is not None:
+                        f.close()
+                if n_records == 0:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
+                    continue
+                n_bytes = os.path.getsize(tmp)
+                os.replace(tmp, os.path.join(out_dir, name))
+                out["file"].append(name)
+                out["n_records"].append(n_records)
+                out["n_bytes"].append(n_bytes)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+
 def archive_wet_batches(out_dir: str, mode: str = "accuracy"):
     """Per-archive WET writer (see _archive_derivative_batches):
     payload = the extraction kernel's text for each response body."""
