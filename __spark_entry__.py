@@ -1564,6 +1564,59 @@ def _q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) as published:
+    keep lines ending in terminal punctuation, drop lines under 3
+    words, drop lines containing "javascript", flag pages containing
+    "lorem ipsum" or a curly brace, and count sentences over the
+    retained lines (pages under 5 sentences drop). Completes the
+    named-pipeline set next to Gopher, CCNet, DSIR and RefinedWeb.
+
+    Pure JVM higher-order expressions over the line split — map-only
+    inside whole-stage codegen, zero exchanges at any corpus size.
+    The synthetic corpus is punctuation-poor, so deterministic seed
+    lines are appended on both sides (the sentence_stats convention):
+    doc_id%3==0 gets five proper sentences, %13==4 a javascript+brace
+    line, %17==6 a lorem-ipsum line — every flag has true positives
+    AND true negatives to find."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(
+            "\nAlpha one two. Beta three four. Gamma five six. "
+            "Delta seven eight. Epsilon nine ten.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 4,
+               F.lit("\nvar x = 1; javascript {")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 6,
+               F.lit("\nlorem ipsum dolor sit amet.")).otherwise(
+            F.lit("")))
+    lines = F.filter(F.split(seeded, "\n"),
+                     lambda ln: F.length(ln) > 0)
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike('[.!?"\']$')
+        & (F.size(F.filter(F.split(ln, " "),
+                           lambda w: F.length(w) > 0)) >= 3)
+        & ~F.lower(ln).contains("javascript"))
+    kept_text = F.array_join(kept, "\n")
+    sentences = F.filter(F.split(kept_text, r"[.!?]+\s+"),
+                         lambda x: F.length(x) > 0)
+    n_sent = F.size(sentences)
+    has_lorem = F.lower(seeded).contains("lorem ipsum")
+    has_brace = seeded.contains("{")
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        F.length(kept_text).cast("long").alias("kept_chars"),
+        n_sent.cast("int").alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        ((n_sent >= 5) & ~has_lorem & ~has_brace).alias("c4_keep"),
+    ).orderBy("doc_id")
+
+
+
 def _q_sequence_pack(spark: SparkSession, sf_dir: str,
                      seq_len: int = 128, n_buckets: int = 16) -> DataFrame:
     """Training-sequence packing manifest (r5) — the step that turns a
@@ -5153,6 +5206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_meta": _q_csv_meta,
         "tex_meta": _q_tex_meta,
         "font_meta": _q_font_meta,
+        "c4_filters": _q_c4_filters,
     }
 
 
@@ -6995,6 +7049,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, host, priority, CAST(seq AS BIGINT) AS seq, "
             "CAST(seq * delay_ms AS BIGINT) AS start_offset_ms, worker "
             "FROM s ORDER BY url"
+        ),
+        "c4_filters": (
+            # identical seeding + line/sentence lambdas (Raffel et al.
+            # 2020 rules), replayed in DuckDB list functions
+            "WITH sd AS (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+            "'Alpha one two. Beta three four. Gamma five six. "
+            "Delta seven eight. Epsilon nine ten.' ELSE '' END || "
+            "CASE WHEN doc_id % 13 = 4 THEN chr(10) || "
+            "'var x = 1; javascript {' ELSE '' END || "
+            "CASE WHEN doc_id % 17 = 6 THEN chr(10) || "
+            "'lorem ipsum dolor sit amet.' ELSE '' END AS t "
+            "FROM documents), "
+            "l AS (SELECT doc_id, t, list_filter(string_split(t, "
+            "chr(10)), x -> len(x) > 0) AS lines FROM sd), "
+            "k AS (SELECT doc_id, t, lines, list_filter(lines, x -> "
+            "regexp_matches(x, '[.!?\"'']$') AND "
+            "len(list_filter(string_split(x, ' '), "
+            "w -> len(w) > 0)) >= 3 AND "
+            "NOT contains(lower(x), 'javascript')) AS kept FROM l), "
+            "c AS (SELECT doc_id, t, lines, kept, "
+            # array_to_string(empty) is NULL in DuckDB: coalesce to ''
+            # so the empty-kept shape matches Spark's array_join
+            "coalesce(array_to_string(kept, chr(10)), '') AS kt "
+            "FROM k), "
+            "f AS (SELECT doc_id, t, lines, kept, kt, "
+            "len(list_filter(regexp_split_to_array(kt, '[.!?]+\\s+'), "
+            "x -> len(x) > 0)) AS ns, "
+            "contains(lower(t), 'lorem ipsum') AS lor, "
+            "contains(t, '{') AS br FROM c) "
+            "SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines, "
+            "CAST(len(kept) AS INTEGER) AS n_kept_lines, "
+            "CAST(length(kt) AS BIGINT) AS kept_chars, "
+            "CAST(ns AS INTEGER) AS n_sentences, "
+            "lor AS has_lorem_ipsum, br AS has_curly_brace, "
+            "(ns >= 5 AND NOT lor AND NOT br) AS c4_keep "
+            "FROM f ORDER BY doc_id"
         ),
         "sentence_stats": (
             # identical seeding (slice-joins) and sentence arithmetic

@@ -873,3 +873,19 @@ def test_new_format_metas_are_map_only(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
         assert "Join" not in plan, name
         assert "ReadSchema" in plan and "html" in plan, name
+
+
+def test_c4_filters_pure_jvm_map_only(spark, sf_dir):
+    """The C4 rules must evaluate entirely inside whole-stage codegen:
+    no Python boundary of any kind, no joins/aggregates/windows, only
+    the determinism range exchange."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["c4_filters"](spark, sf_dir), spark)
+    assert "EvalPython" not in plan, plan
+    assert "MapInPandas" not in plan and "MapInArrow" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # pre-execution AQE plans do not print codegen ids; the Project-
+    # over-Scan shape with no Python boundary IS the codegen claim
+    assert re.search(r"\(\d+\) Project", plan), plan

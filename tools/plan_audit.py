@@ -109,6 +109,7 @@ NOTES = {
     "csv_meta": "map-only RFC 4180 state machine on the pruned scan; the strict consistency sniff runs inside the same task (no second pass); one range exchange for orderBy.",
     "tex_meta": "map-only detex + regex mining; one range exchange for orderBy; metadata regexes identical in both engines.",
     "font_meta": "map-only header census on the pruned scan; one range exchange for orderBy; glyph data never read.",
+    "c4_filters": "the published C4 line/page rules as in-row higher-order expressions — pure JVM inside whole-stage codegen, zero Python, single determinism range exchange (plan-guarded).",
 }
 
 
