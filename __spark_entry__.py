@@ -1564,6 +1564,58 @@ def _q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level quality features — the FineWeb/RefinedWeb URL-filter
+    signals computed before a page is even fetched: host digit
+    fraction (spam farms), subdomain depth, path depth, query-param
+    count, tld, and a blocklist-token flag over the full url (the
+    URL-side sibling of badwords_filter). Pure JVM regexp/array
+    arithmetic — map-only, zero Python, single determinism exchange.
+    Messy urls are seeded deterministically from doc_id (numbered spam
+    hosts, deep subdomains, long paths, param strings, blocklist
+    tokens) and replayed identically in the oracle."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 5 == 2,
+               F.concat(F.lit("w"), (F.col("doc_id") % 97).cast("string"),
+                        F.lit("34x"))).otherwise(F.lit("news")),
+        F.when(F.col("doc_id") % 4 == 1, F.lit(".cdn.static"))
+        .otherwise(F.lit("")),
+        F.lit(".example"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".org"),
+        F.lit("/a/b"),
+        F.when(F.col("doc_id") % 6 == 3, F.lit("/c/d/e/f"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 4, F.lit("/free-casino-slots"))
+        .otherwise(F.lit("/article")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?p=1&q=2&utm=3"))
+        .otherwise(F.lit("")),
+    )
+    host = F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1)
+    path = F.regexp_extract(url, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    host_len = F.length(host)
+    host_digits = host_len - F.length(F.regexp_replace(host, r"[0-9]", ""))
+    subd = F.size(F.split(host, r"\.")) - 2
+    pathd = F.size(F.filter(F.split(path, "/"),
+                            lambda x: F.length(x) > 0))
+    nq = F.when(q == "", F.lit(0)).otherwise(F.size(F.split(q, "&")))
+    tld = F.regexp_extract(host, r"\.([a-z0-9]+)$", 1)
+    blocked = url.rlike("casino|viagra|xxx")
+    return d.select(
+        "doc_id", url.alias("url"),
+        F.floor(host_digits * 1000 / host_len).cast("int")
+        .alias("host_digit_pm"),
+        subd.cast("int").alias("subdomain_depth"),
+        pathd.cast("int").alias("path_depth"),
+        nq.cast("int").alias("n_query_params"),
+        tld.alias("tld"),
+        blocked.alias("url_blocklisted"),
+    ).orderBy("doc_id")
+
+
+
 def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4 cleaning rules (Raffel et al. 2020 §2.2) as published:
     keep lines ending in terminal punctuation, drop lines under 3
@@ -5207,6 +5259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tex_meta": _q_tex_meta,
         "font_meta": _q_font_meta,
         "c4_filters": _q_c4_filters,
+        "url_features": _q_url_features,
     }
 
 
@@ -7049,6 +7102,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, host, priority, CAST(seq AS BIGINT) AS seq, "
             "CAST(seq * delay_ms AS BIGINT) AS start_offset_ms, worker "
             "FROM s ORDER BY url"
+        ),
+        "url_features": (
+            # identical url seeding + regex/array arithmetic
+            "WITH u AS (SELECT doc_id, 'https://' || "
+            "CASE WHEN doc_id % 5 = 2 THEN 'w' || "
+            "CAST(doc_id % 97 AS VARCHAR) || '34x' ELSE 'news' END || "
+            "CASE WHEN doc_id % 4 = 1 THEN '.cdn.static' ELSE '' END "
+            "|| '.example' || CAST(doc_id % 3 AS VARCHAR) || '.org' "
+            "|| '/a/b' || "
+            "CASE WHEN doc_id % 6 = 3 THEN '/c/d/e/f' ELSE '' END || "
+            "CASE WHEN doc_id % 7 = 4 THEN '/free-casino-slots' "
+            "ELSE '/article' END || "
+            "CASE WHEN doc_id % 2 = 0 THEN '?p=1&q=2&utm=3' "
+            "ELSE '' END AS url FROM documents), "
+            "f AS (SELECT doc_id, url, "
+            "regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host, "
+            "regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) "
+            "AS path, "
+            "regexp_extract(url, '\\?([^#]*)', 1) AS q FROM u) "
+            "SELECT doc_id, url, "
+            "CAST(floor((length(host) - length(regexp_replace(host, "
+            "'[0-9]', '', 'g'))) * 1000 / length(host)) AS INTEGER) "
+            "AS host_digit_pm, "
+            "CAST(len(string_split(host, '.')) - 2 AS INTEGER) "
+            "AS subdomain_depth, "
+            "CAST(len(list_filter(string_split(path, '/'), "
+            "x -> len(x) > 0)) AS INTEGER) AS path_depth, "
+            "CAST(CASE WHEN q = '' THEN 0 ELSE "
+            "len(string_split(q, '&')) END AS INTEGER) "
+            "AS n_query_params, "
+            "regexp_extract(host, '\\.([a-z0-9]+)$', 1) AS tld, "
+            "regexp_matches(url, 'casino|viagra|xxx') "
+            "AS url_blocklisted "
+            "FROM f ORDER BY doc_id"
         ),
         "c4_filters": (
             # identical seeding + line/sentence lambdas (Raffel et al.
