@@ -5158,9 +5158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_agg": _q_dedup_exact_agg,
         "ann_ivf": _q_ann_ivf,
         "mp3_stats": _q_mp3_stats,
-        "flac_meta": _q_flac_meta,
-        "ogg_meta": _q_ogg_meta,
-        "tiff_meta": _q_tiff_meta,
+        "c4_filters": _q_c4_filters,
+        "url_features": _q_url_features,
+        "ipynb_meta": _q_ipynb_meta,
         "warc_ingest": _q_warc_ingest,
         "line_dedup": _q_line_dedup,
         "dsir_weights": _q_dsir_weights,
@@ -5254,12 +5254,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_meta": _q_tar_meta,
         "svg_meta": _q_svg_meta,
         "subtitle_meta": _q_subtitle_meta,
-        "ipynb_meta": _q_ipynb_meta,
         "csv_meta": _q_csv_meta,
         "tex_meta": _q_tex_meta,
         "font_meta": _q_font_meta,
-        "c4_filters": _q_c4_filters,
-        "url_features": _q_url_features,
+        "flac_meta": _q_flac_meta,
+        "ogg_meta": _q_ogg_meta,
+        "tiff_meta": _q_tiff_meta,
     }
 
 
