@@ -110,6 +110,7 @@ NOTES = {
     "tex_meta": "map-only detex + regex mining; one range exchange for orderBy; metadata regexes identical in both engines.",
     "font_meta": "map-only header census on the pruned scan; one range exchange for orderBy; glyph data never read.",
     "c4_filters": "the published C4 line/page rules as in-row higher-order expressions — pure JVM inside whole-stage codegen, zero Python, single determinism range exchange (plan-guarded).",
+    "url_features": "pre-fetch URL filter signals as pure JVM regexp/array arithmetic — map-only, single determinism range exchange.",
 }
 
 
