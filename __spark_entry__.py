@@ -3115,6 +3115,85 @@ def _q_url_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_host_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-URL cardinality via a from-scratch mergeable
+    HyperLogLog sketch (Flajolet et al. 2007) — the crawl-census
+    question ("how many unique pages does each host have?") that
+    count(DISTINCT url) cannot answer at 10^12 rows without shuffling
+    every URL string to its host's reducer.
+
+    Scale shape: each url maps to ONE (register_index, rank) pair —
+    pure-JVM md5 bit-slicing, no explode — and the sketch COLLAPSES
+    via groupBy(host, ridx).max(rank): partial aggregation caps every
+    partition's shuffle output at hosts x m rows of three small
+    integers (m=64 here so register collisions are observable at test
+    scale; production p=14 -> m=16384 gives ~0.8% error at ~16 KB/host,
+    and max(rank) register merge is what makes sketches from disjoint
+    crawl segments combinable without re-reading them). The estimate
+    is pure post-agg arithmetic on the <= m-row-per-host register
+    table: the 2^-M_j harmonic sum is EXACT integer math
+    (shiftleft(1, 33-M_j), summed as BIGINT), with the standard
+    linear-counting fallback m*ln(m/V) for the small-cardinality
+    regime; transcendental outputs rounded to 3 decimals (the
+    unigram_logprob determinism rule). The exact n_distinct_true
+    column is the TEST-scale accuracy oracle only — production runs
+    emit the sketch estimate precisely to avoid that expensive exact
+    pass. Rank arithmetic is engine-portable: leading-zero count is
+    computed on the md5 HEX string (regexp_replace + first-nonzero-
+    nibble CASE), no float log2, so DuckDB replays the registers
+    bit-for-bit.
+
+    Hosts 0-2 get a 13-page site (linear-counting branch, V>0); hosts
+    3-6 get a ~971-page site (raw-estimate branch, E > 2.5m) — both
+    correction regimes exercised and oracled."""
+    M = 64  # registers (p=6); ALPHA below is the m=64 constant
+    urls = _docs(spark, sf_dir).select(
+        F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"))
+        .alias("host"),
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/p/"),
+            F.when(F.col("doc_id") % 7 < 3, F.col("doc_id") % 13)
+            .otherwise(F.col("doc_id") % 971).cast("string"),
+        ).alias("url"))
+    hhex = F.md5(F.col("url"))
+    ridx = F.conv(F.substring(hhex, 1, 8), 16, 10).cast("long") % M
+    # rank of the NEXT 32 hash bits (chars 9-16, disjoint from the
+    # index bits): 1 + number of leading zero bits, from hex nibbles
+    t = F.regexp_replace(F.substring(hhex, 9, 8), "^0+", "")
+    dval = F.conv(F.substring(t, 1, 1), 16, 10).cast("int")
+    extra = (F.when(dval == 1, 3).when(dval <= 3, 2)
+             .when(dval <= 7, 1).otherwise(0))
+    rho = (F.when(F.length(t) == 0, F.lit(33))
+           .otherwise((F.lit(8) - F.length(t)) * 4 + extra + 1))
+    regs = (
+        urls.select("host", ridx.alias("ridx"), rho.alias("rho"))
+        .groupBy("host", "ridx").agg(F.max("rho").alias("mj")))
+    sketch = regs.groupBy("host").agg(
+        F.count("*").alias("nobs"),
+        F.sum(F.expr("shiftleft(1L, int(33 - mj))")).alias("s_obs"))
+    truth = urls.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("url").alias("n_distinct_true"))
+    v = F.lit(M) - F.col("nobs")
+    s = (F.col("s_obs") + v * F.lit(2 ** 33)).cast("double")
+    e_raw = F.lit(0.709) * F.lit(M * M) * F.lit(float(2 ** 33)) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * M)) & (v > 0),
+        F.lit(M) * F.log(F.lit(float(M)) / v.cast("double"))
+    ).otherwise(e_raw)
+    return (
+        truth.join(sketch, "host")
+        .select(
+            "host", "n_urls", "n_distinct_true",
+            v.cast("int").alias("n_regs_zero"),
+            F.round(est, 3).alias("est_distinct_r3"),
+            F.round(F.abs(est - F.col("n_distinct_true"))
+                    / F.col("n_distinct_true"), 3).alias("rel_err_r3"))
+        .orderBy("host")
+    )
+
+
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID heuristic (deterministic SQL both sides)."""
     d = _docs(spark, sf_dir)
@@ -5260,6 +5339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flac_meta": _q_flac_meta,
         "ogg_meta": _q_ogg_meta,
         "tiff_meta": _q_tiff_meta,
+        "hll_host_distinct": _q_hll_host_distinct,
     }
 
 
@@ -5505,6 +5585,49 @@ def oracle_sql() -> dict[str, str]:
             # carried dims from the independent header re-read
             f"SELECT url, img_width AS width, img_height AS height "
             f"FROM {corpus} WHERE media_kind = 'webp' ORDER BY url"
+        ),
+        "hll_host_distinct": (
+            # bit-identical HyperLogLog register replay: same md5
+            # nibble slicing, same exact-integer harmonic sum, same
+            # linear-counting fallback; transcendentals rounded r3
+            "WITH u AS (SELECT 'site' || (doc_id % 7) AS host, "
+            "'https://site' || (doc_id % 7) || '.com/p/' || "
+            "(CASE WHEN doc_id % 7 < 3 THEN doc_id % 13 "
+            "ELSE doc_id % 971 END) AS url FROM documents), "
+            "h AS (SELECT host, url, "
+            "(CAST(('0x' || substr(md5(url), 1, 8)) AS UBIGINT)::BIGINT "
+            "% 64) AS ridx, "
+            "regexp_replace(substr(md5(url), 9, 8), '^0+', '') AS t "
+            "FROM u), "
+            "r0 AS (SELECT host, ridx, CASE WHEN length(t) = 0 THEN 33 "
+            "ELSE (8 - length(t)) * 4 + (CASE "
+            "WHEN CAST(('0x' || substr(t, 1, 1)) AS UBIGINT)::BIGINT = 1 "
+            "THEN 3 "
+            "WHEN CAST(('0x' || substr(t, 1, 1)) AS UBIGINT)::BIGINT <= 3 "
+            "THEN 2 "
+            "WHEN CAST(('0x' || substr(t, 1, 1)) AS UBIGINT)::BIGINT <= 7 "
+            "THEN 1 ELSE 0 END) + 1 END AS rho FROM h), "
+            "regs AS (SELECT host, ridx, max(rho) AS mj "
+            "FROM r0 GROUP BY 1, 2), "
+            "sk AS (SELECT host, count(*) AS nobs, "
+            "sum((1::BIGINT << CAST(33 - mj AS INT))) AS s_obs "
+            "FROM regs GROUP BY 1), "
+            "tr AS (SELECT host, count(*) AS n_urls, "
+            "count(DISTINCT url) AS n_distinct_true FROM u GROUP BY 1), "
+            "e AS (SELECT tr.host, tr.n_urls, tr.n_distinct_true, "
+            "(64 - sk.nobs) AS v, "
+            "CAST(0.709 AS DOUBLE) * 4096 * CAST(8589934592 AS DOUBLE) "
+            "/ CAST(sk.s_obs + (64 - sk.nobs) * 8589934592 AS DOUBLE) "
+            "AS e_raw FROM tr JOIN sk ON tr.host = sk.host), "
+            "f AS (SELECT host, n_urls, n_distinct_true, v, "
+            "CASE WHEN e_raw <= 160.0 AND v > 0 "
+            "THEN 64 * ln(64.0 / v) ELSE e_raw END AS est FROM e) "
+            "SELECT host, CAST(n_urls AS BIGINT) AS n_urls, "
+            "CAST(n_distinct_true AS BIGINT) AS n_distinct_true, "
+            "CAST(v AS INT) AS n_regs_zero, "
+            "round(est, 3) AS est_distinct_r3, "
+            "round(abs(est - n_distinct_true) / n_distinct_true, 3) "
+            "AS rel_err_r3 FROM f ORDER BY host"
         ),
         "docx_meta": (
             # carried package facts from the independent fixtures-side

@@ -338,6 +338,25 @@ def test_host_stats_single_exchange_no_window(spark, sf_dir):
     assert plan.count("hashpartitioning") <= 2, plan  # host + distinct stage
 
 
+def test_hll_sketch_no_explode_no_python(spark, sf_dir):
+    """The HLL register build must be one (ridx,rho) pair per url —
+    no Generate (explode), no Python boundary, no window; the sketch
+    side reaches its host agg through partial aggregation so the
+    shuffle is capped at hosts x m rows. (The exchanges beyond the
+    sketch's two belong to the TEST-ONLY exact-countDistinct truth
+    column and the final orderBy.)"""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["hll_host_distinct"](spark, sf_dir),
+                      spark)
+    assert "EvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_max" in plan or "partial" in plan, plan
+
+
 def test_ppl_buckets_window_input_is_histogram(spark, sf_dir):
     """The tertile window must run over the rounded-score HISTOGRAM
     (cardinality-bounded by the 3-decimal rounding), never over docs:
