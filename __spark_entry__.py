@@ -3194,6 +3194,60 @@ def _q_hll_host_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency estimation via a from-scratch Count-Min sketch
+    (Cormode & Muthukrishnan 2005) — the heavy-hitter question ("how
+    often does this token/host/n-gram occur?") answered WITHOUT a
+    distinct-key shuffle: an exact groupBy(word) at crawl scale
+    shuffles one row per distinct token (billions for web text),
+    while the CMS shuffle is capped by partial aggregation at
+    partitions x (d x w) counter cells — bounded by sketch geometry,
+    INDEPENDENT of vocabulary size, and cell-wise ADDITIVE so
+    per-segment sketches merge by summing without re-reading.
+
+    Scale shape: words explode once (inherent to tokenization), each
+    word emits its d=(row, md5-derived column) cells via posexplode —
+    map-side combine collapses them to <= d*w rows per partition
+    before the only data-sized shuffle; the d x w counter table
+    (512 cells here) is THE broadcast artifact, and probes are
+    map-only broadcast lookups + a d-way min (CMS guarantees
+    estimate >= truth; collisions only inflate). w=16, d=2 in-test
+    (the synthetic vocabulary is ~31 words, so 16 columns force
+    observable collisions); production w=2^20 x d=4 keeps
+    epsilon ~ 2e-6 of total mass in ~32 MB. The exact true_count
+    column on the 20-word probe set is TEST-scale accuracy evidence
+    (same posture as hll_host_distinct's truth column). All hashing
+    is the md5-hex-slice idiom, replayed bit-for-bit in DuckDB."""
+    W, D = 16, 2
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.col("text"), " ")).alias("w"))
+
+    def cell(i):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), F.col("w"))),
+                        1, 8), 16, 10).cast("long") % W
+
+    cms = (
+        words.select(F.posexplode(F.array(*[cell(i) for i in range(D)]))
+                     .alias("row", "col"))
+        .groupBy("row", "col").agg(F.count("*").alias("c")))
+    top = (
+        words.groupBy("w").agg(F.count("*").alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("w")).limit(20))
+    probes = (
+        top.select("w", "true_count",
+                   F.posexplode(F.array(*[cell(i) for i in range(D)]))
+                   .alias("row", "col"))
+        .join(F.broadcast(cms), ["row", "col"])
+        .groupBy("w", "true_count").agg(F.min("c").alias("cms_est")))
+    return (
+        probes.select(
+            "w", "true_count", "cms_est",
+            (F.col("cms_est") - F.col("true_count")).alias("overcount"))
+        .orderBy(F.desc("true_count"), F.asc("w"))
+    )
+
+
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID heuristic (deterministic SQL both sides)."""
     d = _docs(spark, sf_dir)
@@ -5340,6 +5394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogg_meta": _q_ogg_meta,
         "tiff_meta": _q_tiff_meta,
         "hll_host_distinct": _q_hll_host_distinct,
+        "cms_token_freq": _q_cms_token_freq,
     }
 
 
@@ -5585,6 +5640,30 @@ def oracle_sql() -> dict[str, str]:
             # carried dims from the independent header re-read
             f"SELECT url, img_width AS width, img_height AS height "
             f"FROM {corpus} WHERE media_kind = 'webp' ORDER BY url"
+        ),
+        "cms_token_freq": (
+            # bit-identical Count-Min replay: same md5 cell hashing,
+            # same additive cells, same d-way min point queries
+            "WITH words AS (SELECT unnest(string_split(text, ' ')) AS w "
+            "FROM documents), "
+            "cells AS (SELECT i AS ri, "
+            "(CAST(('0x' || substr(md5('cms' || i || ':' || w), 1, 8)) "
+            "AS UBIGINT)::BIGINT % 16) AS ci "
+            "FROM words CROSS JOIN range(2) t(i)), "
+            "cms AS (SELECT ri, ci, count(*) AS c "
+            "FROM cells GROUP BY 1, 2), "
+            "top AS (SELECT w, count(*) AS true_count FROM words "
+            "GROUP BY 1 ORDER BY true_count DESC, w ASC LIMIT 20), "
+            "pr AS (SELECT t.w, t.true_count, i AS ri, "
+            "(CAST(('0x' || substr(md5('cms' || i || ':' || t.w), 1, 8)) "
+            "AS UBIGINT)::BIGINT % 16) AS ci "
+            "FROM top t CROSS JOIN range(2) r(i)), "
+            "est AS (SELECT pr.w, pr.true_count, min(cms.c) AS cms_est "
+            "FROM pr JOIN cms USING (ri, ci) GROUP BY 1, 2) "
+            "SELECT w, CAST(true_count AS BIGINT) AS true_count, "
+            "CAST(cms_est AS BIGINT) AS cms_est, "
+            "CAST(cms_est - true_count AS BIGINT) AS overcount "
+            "FROM est ORDER BY true_count DESC, w ASC"
         ),
         "hll_host_distinct": (
             # bit-identical HyperLogLog register replay: same md5

@@ -357,6 +357,23 @@ def test_hll_sketch_no_explode_no_python(spark, sf_dir):
     assert "partial_max" in plan or "partial" in plan, plan
 
 
+def test_cms_probe_is_broadcast_no_python(spark, sf_dir):
+    """The Count-Min probe side must reach the d x w counter table
+    through a broadcast hash join (the sketch IS the broadcast
+    artifact) — no sort-merge join, no Python boundary, no window;
+    the cell build goes through partial aggregation so the shuffle
+    is capped at d*w counter rows per partition."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["cms_token_freq"](spark, sf_dir),
+                      spark)
+    assert "EvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_ppl_buckets_window_input_is_histogram(spark, sf_dir):
     """The tertile window must run over the rounded-score HISTOGRAM
     (cardinality-bounded by the 3-decimal rounding), never over docs:

@@ -112,6 +112,7 @@ NOTES = {
     "c4_filters": "the published C4 line/page rules as in-row higher-order expressions — pure JVM inside whole-stage codegen, zero Python, single determinism range exchange (plan-guarded).",
     "url_features": "pre-fetch URL filter signals as pure JVM regexp/array arithmetic — map-only, single determinism range exchange.",
     "hll_host_distinct": "mergeable HLL sketch: one (ridx,rho) pair per url (no explode), partial-agg-capped (host,ridx) exchange of hosts*m tiny rows, exact-integer harmonic sum post-agg; the countDistinct truth side is TEST-scale accuracy evidence only.",
+    "cms_token_freq": "Count-Min sketch: word explode (inherent to tokenization) -> d cells via posexplode, partial agg caps the shuffle at d*w counter rows per partition (vocabulary-independent); probes are broadcast lookups + d-way min; the exact top-20 truth side is TEST-scale accuracy evidence only.",
 }
 
 
