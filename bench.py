@@ -368,7 +368,8 @@ def main() -> None:
         qs = entry_mod.queries()
         for name in ("extract_fast", "extract_spans", "dedup_exact",
                      "minhash_signatures", "token_counts", "ann_topk",
-                     "substring_dedup"):
+                     "substring_dedup", "hll_host_distinct",
+                     "cms_token_freq"):
             df = qs[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.collect()
