@@ -3248,6 +3248,67 @@ def _q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kl_host_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host unigram KL divergence to the corpus distribution —
+    the domain-shift monitor behind data-mixing decisions (which
+    hosts/domains drift from the corpus language model, the
+    slice-level sibling of dsir_weights' per-document importance
+    scores).
+
+    Scale shape: everything happens on AGGREGATE outputs — per-(host,
+    word) counts and per-word corpus counts are both map-side-combined
+    before their exchanges (bounded by hosts x vocab and vocab, never
+    corpus size), and the only join is between those two aggregates on
+    the word key; host totals and the corpus total ride in as tiny
+    broadcast aggregates. Each KL term p*ln(p/q) is QUANTIZED to
+    integer nano-units before the per-host sum (the kmeans/tfidf
+    micro-score rule): floating addition is partition-order-dependent,
+    integer addition is not, so the result is deterministic under any
+    shuffle layout and replayed exactly by DuckDB; the final value is
+    rounded r3 (the unigram_logprob transcendental rule). KL >= 0 by
+    Gibbs' inequality; host vocabularies are subsets of the corpus
+    vocabulary so q > 0 wherever p > 0 and no smoothing is needed."""
+    d = _docs(spark, sf_dir)
+    # seed ONE drifted host (spam-vocabulary injection on site0) so the
+    # monitor's separation is observable: site0's KL must dominate the
+    # uniform-slice hosts' near-zero baseline
+    drifted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"),
+                 F.lit(" buy promo casino buy promo casino buy promo"))
+    ).otherwise(F.col("text"))
+    words = d.select(
+        F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"))
+        .alias("host"),
+        F.explode(F.split(drifted, " ")).alias("w"))
+    # materialize the (host,word) aggregate ONCE: the three derived
+    # totals form a diamond, and without the lineage cut Catalyst
+    # re-derives each branch from the scan — four corpus explodes
+    # (caught by the Generate-count plan guard)
+    hw = (words.groupBy("host", "w").agg(F.count("*").alias("c_hw"))
+          .localCheckpoint(eager=False))
+    h_tot = hw.groupBy("host").agg(F.sum("c_hw").alias("n_h"))
+    w_tot = hw.groupBy("w").agg(F.sum("c_hw").alias("c_w"))
+    corpus_tot = w_tot.agg(F.sum("c_w").alias("n_corpus"))
+    p = F.col("c_hw").cast("double") / F.col("n_h").cast("double")
+    q = F.col("c_w").cast("double") / F.col("n_corpus").cast("double")
+    term_nano = F.round(p * F.log(p / q) * F.lit(1e9), 0).cast("long")
+    return (
+        hw.join(w_tot, "w")
+        .join(F.broadcast(h_tot), "host")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select("host", "n_h", term_nano.alias("t"))
+        .groupBy("host", "n_h").agg(
+            F.count("*").alias("n_vocab"),
+            F.sum("t").alias("kl_nano"))
+        .select(
+            "host", F.col("n_h").alias("n_tokens"),
+            F.col("n_vocab").cast("long").alias("n_vocab"),
+            F.round(F.col("kl_nano") / F.lit(1e9), 3).alias("kl_r3"))
+        .orderBy("host")
+    )
+
+
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID heuristic (deterministic SQL both sides)."""
     d = _docs(spark, sf_dir)
@@ -5395,6 +5456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_meta": _q_tiff_meta,
         "hll_host_distinct": _q_hll_host_distinct,
         "cms_token_freq": _q_cms_token_freq,
+        "kl_host_shift": _q_kl_host_shift,
     }
 
 
@@ -5640,6 +5702,31 @@ def oracle_sql() -> dict[str, str]:
             # carried dims from the independent header re-read
             f"SELECT url, img_width AS width, img_height AS height "
             f"FROM {corpus} WHERE media_kind = 'webp' ORDER BY url"
+        ),
+        "kl_host_shift": (
+            # identical nano-quantized KL terms: integer sums are
+            # partition-order-free, so both engines agree exactly
+            "WITH seeded AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+            "THEN text || ' buy promo casino buy promo casino buy promo' "
+            "ELSE text END AS text FROM documents), "
+            "words AS (SELECT 'site' || (doc_id % 7) AS host, "
+            "unnest(string_split(text, ' ')) AS w FROM seeded), "
+            "hw AS (SELECT host, w, count(*) AS c_hw FROM words "
+            "GROUP BY 1, 2), "
+            "ht AS (SELECT host, sum(c_hw) AS n_h FROM hw GROUP BY 1), "
+            "wt AS (SELECT w, sum(c_hw) AS c_w FROM hw GROUP BY 1), "
+            "ct AS (SELECT sum(c_w) AS n_corpus FROM wt), "
+            "terms AS (SELECT hw.host, ht.n_h, "
+            "CAST(round((CAST(c_hw AS DOUBLE) / CAST(n_h AS DOUBLE)) "
+            "* ln((CAST(c_hw AS DOUBLE) / CAST(n_h AS DOUBLE)) "
+            "/ (CAST(c_w AS DOUBLE) / CAST(n_corpus AS DOUBLE))) "
+            "* 1e9) AS BIGINT) AS t "
+            "FROM hw JOIN wt ON hw.w = wt.w "
+            "JOIN ht ON hw.host = ht.host CROSS JOIN ct) "
+            "SELECT host, CAST(n_h AS BIGINT) AS n_tokens, "
+            "CAST(count(*) AS BIGINT) AS n_vocab, "
+            "round(sum(t) / 1e9, 3) AS kl_r3 "
+            "FROM terms GROUP BY host, n_h ORDER BY host"
         ),
         "cms_token_freq": (
             # bit-identical Count-Min replay: same md5 cell hashing,

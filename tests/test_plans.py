@@ -374,6 +374,25 @@ def test_cms_probe_is_broadcast_no_python(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_kl_host_shift_agg_join_no_python(spark, sf_dir):
+    """The KL monitor must join AGGREGATE outputs only: the (host,
+    word) count table is localCheckpoint-materialized (the phash
+    rule), so the corpus scan+explode runs ONCE and the three derived
+    totals read the materialized aggregate (Scan ExistingRDD), not
+    four re-derived explodes of the corpus (the diamond-reuse failure
+    this guard caught live). No Python boundary, no window, no
+    Generate above the materialization boundary."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["kl_host_shift"](spark, sf_dir),
+                      spark)
+    assert "EvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Generate") == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
 def test_ppl_buckets_window_input_is_histogram(spark, sf_dir):
     """The tertile window must run over the rounded-score HISTOGRAM
     (cardinality-bounded by the 3-decimal rounding), never over docs:

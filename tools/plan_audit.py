@@ -113,6 +113,7 @@ NOTES = {
     "url_features": "pre-fetch URL filter signals as pure JVM regexp/array arithmetic — map-only, single determinism range exchange.",
     "hll_host_distinct": "mergeable HLL sketch: one (ridx,rho) pair per url (no explode), partial-agg-capped (host,ridx) exchange of hosts*m tiny rows, exact-integer harmonic sum post-agg; the countDistinct truth side is TEST-scale accuracy evidence only.",
     "cms_token_freq": "Count-Min sketch: word explode (inherent to tokenization) -> d cells via posexplode, partial agg caps the shuffle at d*w counter rows per partition (vocabulary-independent); probes are broadcast lookups + d-way min; the exact top-20 truth side is TEST-scale accuracy evidence only.",
+    "kl_host_shift": "domain-shift monitor on AGGREGATE outputs only: (host,word) and word counts map-side combine before their exchanges (bounded by vocab, not corpus), one word-key join between the two aggregates, tiny broadcast totals; KL terms nano-quantized to integers so the sum is partition-order-free.",
 }
 
 
