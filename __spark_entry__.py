@@ -3309,6 +3309,65 @@ def _q_kl_host_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document-length percentiles (P50/P90/P99) from a
+    mergeable equi-width histogram — the distribution monitor a 100 TB
+    pipeline dashboards instead of sorting: an exact percentile needs
+    a per-host global sort of every document, while the histogram
+    collapses via map-side combine to hosts x 256 bucket counters
+    (cell-wise additive across crawl segments, the CMS merge
+    property), and percentile extraction is a cumulative-count walk
+    over that BOUNDED histogram — the ppl_buckets window-input
+    discipline, <= 256 rows per host, never a window over documents.
+
+    Every value is an exact integer (bucket counts, cumulative sums,
+    ceil-rank thresholds, bucket upper bounds) — no floats anywhere,
+    so cross-engine agreement is trivial rather than ulp-lucky. The
+    reported percentile is the bucket UPPER bound (conservative: true
+    percentile <= reported, error < one 64-char bucket width). Bucket
+    255 is the open overflow tail, reported as upper bound -1
+    (unbounded)."""
+    W, NB = 64, 256
+    d = _docs(spark, sf_dir)
+    b = F.least(F.floor(F.length("text") / W).cast("int"), F.lit(NB - 1))
+    hist = (
+        d.select(
+            F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"))
+            .alias("host"),
+            b.alias("bucket"))
+        .groupBy("host", "bucket").agg(F.count("*").alias("c")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("host").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select(
+        "host", "bucket", "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("host")).alias("n"))
+    # smallest bucket whose cumulative count reaches ceil(q*n): ranks
+    # via integer ceil_div(q_num * n, 100) — no float quantile math;
+    # pick the min qualifying BUCKET in the agg, map to its upper
+    # bound after (the overflow bucket's sentinel must not win a min)
+    def pick(q_num):
+        thr = F.floor((F.lit(q_num) * F.col("n") + 99) / 100)
+        return (F.min(F.when(F.col("cum") >= thr, F.col("bucket")))
+                .alias(f"p{q_num}_b"))
+
+    def ub(col):
+        return (F.when(F.col(col) == NB - 1, F.lit(-1))
+                .otherwise((F.col(col) + 1) * W - 1).cast("int"))
+
+    return (
+        cum.groupBy("host")
+        .agg(F.max("n").alias("n_docs"),
+             pick(50), pick(90), pick(99),
+             F.max("bucket").cast("int").alias("max_bucket"))
+        .select("host", "n_docs",
+                ub("p50_b").alias("p50_ub"), ub("p90_b").alias("p90_ub"),
+                ub("p99_b").alias("p99_ub"), "max_bucket")
+        .orderBy("host")
+    )
+
+
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID heuristic (deterministic SQL both sides)."""
     d = _docs(spark, sf_dir)
@@ -5457,6 +5516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_host_distinct": _q_hll_host_distinct,
         "cms_token_freq": _q_cms_token_freq,
         "kl_host_shift": _q_kl_host_shift,
+        "length_quantiles": _q_length_quantiles,
     }
 
 
@@ -5702,6 +5762,37 @@ def oracle_sql() -> dict[str, str]:
             # carried dims from the independent header re-read
             f"SELECT url, img_width AS width, img_height AS height "
             f"FROM {corpus} WHERE media_kind = 'webp' ORDER BY url"
+        ),
+        "length_quantiles": (
+            # identical integer histogram walk: bucket counts,
+            # cumulative sums, ceil-rank thresholds, bucket bounds —
+            # no float quantile semantics from either engine
+            "WITH h AS (SELECT 'site' || (doc_id % 7) AS host, "
+            "least(CAST(floor(length(text) / 64) AS INT), 255) "
+            "AS bucket FROM documents), "
+            "hist AS (SELECT host, bucket, count(*) AS c FROM h "
+            "GROUP BY 1, 2), "
+            "cum AS (SELECT host, bucket, c, "
+            "sum(c) OVER (PARTITION BY host ORDER BY bucket "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            "sum(c) OVER (PARTITION BY host) AS n FROM hist), "
+            "px AS (SELECT host, CAST(max(n) AS BIGINT) AS n_docs, "
+            "min(CASE WHEN cum >= (50 * n + 99) // 100 THEN bucket "
+            "END) AS p50_b, "
+            "min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bucket "
+            "END) AS p90_b, "
+            "min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket "
+            "END) AS p99_b, "
+            "CAST(max(bucket) AS INT) AS max_bucket FROM cum "
+            "GROUP BY host) "
+            "SELECT host, n_docs, "
+            "CAST(CASE WHEN p50_b = 255 THEN -1 "
+            "ELSE (p50_b + 1) * 64 - 1 END AS INT) AS p50_ub, "
+            "CAST(CASE WHEN p90_b = 255 THEN -1 "
+            "ELSE (p90_b + 1) * 64 - 1 END AS INT) AS p90_ub, "
+            "CAST(CASE WHEN p99_b = 255 THEN -1 "
+            "ELSE (p99_b + 1) * 64 - 1 END AS INT) AS p99_ub, "
+            "max_bucket FROM px ORDER BY host"
         ),
         "kl_host_shift": (
             # identical nano-quantized KL terms: integer sums are

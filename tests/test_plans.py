@@ -393,6 +393,24 @@ def test_kl_host_shift_agg_join_no_python(spark, sf_dir):
     assert "ExistingRDD" in plan, plan
 
 
+def test_length_quantiles_window_over_histogram(spark, sf_dir):
+    """The percentile walk must run over the BOUNDED bucket histogram
+    (<= 256 rows per host), never over documents: the Window's
+    subtree must contain the (host,bucket) HashAggregate — the
+    ppl_buckets/tokenize_ids bounded-window-input discipline. No
+    Python, no joins, no explode anywhere."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["length_quantiles"](spark, sf_dir),
+                      spark)
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert plan.count("Window") >= 1, plan
+    m = re.search(r"Window[\s\S]{0,600}?HashAggregate", plan)
+    assert m, plan
+
+
 def test_ppl_buckets_window_input_is_histogram(spark, sf_dir):
     """The tertile window must run over the rounded-score HISTOGRAM
     (cardinality-bounded by the 3-decimal rounding), never over docs:
