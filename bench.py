@@ -336,11 +336,18 @@ def main() -> None:
         # their same-window hardware ceilings; neither is cherry-picked
         # — 4->16 keeps cross-round comparability, 2->8 is the honest
         # single-box analogue of the north rule's cluster protocol.
+        # Half-size legs for this pair: 2-core legs on the full scaling
+        # corpus run ~45 s each and only ~3 rounds fit the budget; at
+        # half size (~20 s) the min estimator gets ~5 rounds of quiet
+        # sub-windows to sample, same reasoning as the r5 4->16 change.
+        scaling_n2 = max(scaling_n // 2, 1000)
+        scaling_path2 = _bench_corpus_path(sf_dir, n=scaling_n2)
         t2: dict[int, float] = {}
         m2: dict[int, float] = {}
         trials2 = []
+        sdocs2 = 0
         t2_start = time.perf_counter()
-        for round_idx in range(5):
+        for round_idx in range(6):
             if round_idx > 0 and time.perf_counter() - t2_start > 240:
                 break
             rv = {}
@@ -348,9 +355,9 @@ def main() -> None:
             if round_idx % 2:
                 legs = (legs[1], legs[0])
             for cores, sp in legs:
-                wall, _ = _run_extraction(cores, sf_dir,
-                                          shuffle_partitions=sp,
-                                          corpus_path=scaling_path)
+                wall, sdocs2 = _run_extraction(cores, sf_dir,
+                                               shuffle_partitions=sp,
+                                               corpus_path=scaling_path2)
                 t2[cores] = min(t2.get(cores, wall), wall)
                 rv[f"spark{cores}"] = round(wall, 3)
                 if blobs:
@@ -369,6 +376,11 @@ def main() -> None:
                         and med_now >= 0.795:
                     break
         eff2 = t2[2] / (4 * t2[8])
+        queries["scaling_n_docs_2_8"] = sdocs2
+        queries["extract_docs_per_sec_local2"] = round(sdocs2 / t2[2], 1)
+        queries["extract_docs_per_sec_local8"] = round(sdocs2 / t2[8], 1)
+        queries["extract_secs_local2"] = round(t2[2], 3)
+        queries["extract_secs_local8"] = round(t2[8], 3)
         queries["scaling_efficiency_2_8"] = round(eff2, 3)
         queries["scaling_trials_2_8"] = trials2
         p28 = sorted(r["spark2"] / (4 * r["spark8"]) for r in trials2)
