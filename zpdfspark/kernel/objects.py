@@ -418,26 +418,26 @@ class Parser:
         m = _NUMREF_RE.match(self.data, self.pos)
         if not m:
             raise ParseError("invalid number")
-        text = m.group(1)
+        text, second_text, g_r, follow2, follow1 = m.group(1, 2, 3, 4, 5)
         if b"." in text:
             self.pos = m.end(1)
             return float(text)
         first = int(text)
-        if m.group(2) is not None:  # second integer present
-            if first >= 0 and m.group(3) is not None:  # "G R" hit
-                gen = int(m.group(2))
+        if second_text is not None:  # second integer present
+            if first >= 0 and g_r is not None:  # "G R" hit
+                gen = int(second_text)
                 if gen <= 65535:
                     self.pos = m.end()
                     return Ref(first, gen)
                 self.pos = m.end(1)
                 return first  # same outcome as the general backtrack
-            if m.group(4) not in (b"R", b"%"):
+            if follow2 not in (b"R", b"%"):
                 # provable miss: the general path would parse the
                 # second number, skip plain whitespace, fail the 'R'
                 # check and backtrack to exactly this position
                 self.pos = m.end(1)
                 return first
-        elif m.group(5) != b"%":
+        elif follow1 != b"%":
             # no second integer and no comment that could hide one
             self.pos = m.end(1)
             return first
