@@ -39,7 +39,11 @@ def normalize(rows, cols):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(8, "oracle-check")
+    # ZPDF_ORACLE_CPUS: cross-width determinism replays — running the
+    # same gate at a different core/shuffle-partition count shakes out
+    # partition-order nondeterminism the fixed-width run can't see
+    cpus = int(os.environ.get("ZPDF_ORACLE_CPUS", "8"))
+    spark = get_spark(cpus, "oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
