@@ -88,10 +88,23 @@ def main():
         # fail hard on the known driver-red shape: decimal (HUGEINT)
         # vs integer; warn on anything else.
         try:
+            import pyarrow as pa
+
+            def _ty(t):
+                # structural type string: list item field NAMES differ
+                # between engines (duckdb "l" vs spark "element") with
+                # no value meaning — drop them; keep struct field names
+                if pa.types.is_list(t) or pa.types.is_large_list(t):
+                    return f"list<{_ty(t.value_type)}>"
+                if pa.types.is_struct(t):
+                    return ("struct<" + ",".join(
+                        f"{f.name}:{_ty(f.type)}" for f in t) + ">")
+                return str(t)
+
             duck_schema = con.execute(sql).arrow().schema
             spark_schema = df.limit(0).toArrow().schema
-            dmap = {f.name: str(f.type) for f in duck_schema}
-            smap = {f.name: str(f.type) for f in spark_schema}
+            dmap = {f.name: _ty(f.type) for f in duck_schema}
+            smap = {f.name: _ty(f.type) for f in spark_schema}
             for c in cols:
                 st, dt = smap.get(c), dmap.get(c)
                 if st == dt:
