@@ -152,6 +152,26 @@ def _q_extract(mode: str):
     return q
 
 
+def _q_encryption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encryption triage over the corpus: how many documents are
+    encrypted, and of those how many the empty-password Standard-handler
+    path (kernel/crypto.py, beyond the reference's detection-only
+    root.zig:292-302) actually opened. `decrypted` is re-derived
+    distributed from the raw bytes (is_encrypted AND error_count == 0 —
+    an undecryptable doc always carries the 'encrypted' error record);
+    the oracle replays it from the corpus-carried truth columns.
+    Map-only + one partial-agg exchange of ≤4 groups."""
+    from zpdfspark.spark.udfs import extract_dataframe
+
+    ex = extract_dataframe(_corpus(spark, sf_dir), mode="fast")
+    return (ex.groupBy(
+                F.col("is_encrypted"),
+                (F.col("is_encrypted") & (F.col("error_count") == 0))
+                .alias("decrypted"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("is_encrypted", "decrypted"))
+
+
 def _q_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zpdfspark.spark.udfs import metadata_dataframe
 
@@ -5517,6 +5537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_freq": _q_cms_token_freq,
         "kl_host_shift": _q_kl_host_shift,
         "length_quantiles": _q_length_quantiles,
+        "encryption_stats": _q_encryption_stats,
     }
 
 
@@ -5793,6 +5814,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN p99_b = 255 THEN -1 "
             "ELSE (p99_b + 1) * 64 - 1 END AS INT) AS p99_ub, "
             "max_bucket FROM px ORDER BY host"
+        ),
+        "encryption_stats": (
+            # corpus-carried truth columns: is_enc + err_n are written by
+            # the pinned eager kernel at corpus build (fixtures.
+            # expected_row); the Spark side re-derives both distributed
+            # from the raw bytes, decrypting the empty-password class
+            f"SELECT is_enc AS is_encrypted, "
+            f"(is_enc AND err_n = 0) AS decrypted, "
+            f"CAST(count(*) AS BIGINT) AS n_docs "
+            f"FROM {corpus} GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "kl_host_shift": (
             # identical nano-quantized KL terms: integer sums are

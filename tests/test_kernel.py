@@ -294,6 +294,7 @@ GOLDEN_CASES = [
     "a85_fl", "xref_stream", "differences", "ligatures", "surrogate",
     "form_xobject", "tagged", "missing_length", "big", "cff",
     "quote_ops", "vertical",
+    "enc_rc4_40", "enc_rc4_128", "enc_aes128", "enc_aes256", "enc_objstm",
 ]
 
 
@@ -331,11 +332,122 @@ def test_incremental_update_wins():
 
 
 def test_encrypted_detection():
+    # /O //U-less Encrypt dict: authentication impossible, the
+    # reference's detection-only posture holds (root.zig:292-302)
     pdf, _ = fixtures.encrypted()
     doc = Document(pdf)
     assert doc.is_encrypted
+    assert not doc.decrypted
     assert any(kind == "encrypted" for kind, _, _ in doc.errors)
     assert doc.page_count == 1
+
+
+class TestCrypto:
+    """kernel/crypto.py: cipher primitives pinned by PUBLISHED vectors
+    (classic RC4 vectors; FIPS-197 App. C; SP 800-38A F.2) and the
+    Standard security handler pinned by the write-direction fixture
+    encryptor (zpdfspark/fixtures.py, independent implementation)."""
+
+    def test_rc4_published_vectors(self):
+        from zpdfspark.kernel.crypto import rc4
+        assert rc4(b"Key", b"Plaintext") == bytes.fromhex("bbf316e8d940af0ad3")
+        assert rc4(b"Wiki", b"pedia") == bytes.fromhex("1021bf0420")
+        assert rc4(b"Secret", b"Attack at dawn") == bytes.fromhex(
+            "45a01f645fc35b383552544b9bf5")
+        # symmetric
+        assert rc4(b"Key", rc4(b"Key", b"round trip")) == b"round trip"
+
+    def test_aes_fips197_appendix_c(self):
+        from zpdfspark.kernel.crypto import aes_decrypt_block, aes_encrypt_block
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        k128 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        k192 = bytes.fromhex("000102030405060708090a0b0c0d0e0f1011121314151617")
+        k256 = bytes.fromhex(
+            "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f")
+        c1 = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")  # C.1
+        c2 = bytes.fromhex("dda97ca4864cdfe06eaf70a0ec0d7191")  # C.2
+        c3 = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")  # C.3
+        assert aes_encrypt_block(k128, pt) == c1
+        assert aes_encrypt_block(k192, pt) == c2
+        assert aes_encrypt_block(k256, pt) == c3
+        assert aes_decrypt_block(k128, c1) == pt
+        assert aes_decrypt_block(k192, c2) == pt
+        assert aes_decrypt_block(k256, c3) == pt
+
+    def test_aes_cbc_sp800_38a_f2(self):
+        from zpdfspark.kernel.crypto import aes_cbc_decrypt, aes_cbc_encrypt
+        key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+        iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        pt = bytes.fromhex(
+            "6bc1bee22e409f96e93d7e117393172a"
+            "ae2d8a571e03ac9c9eb76fac45af8e51"
+            "30c81c46a35ce411e5fbc1191a0a52ef"
+            "f69f2445df4f9b17ad2b417be66c3710")
+        ct = bytes.fromhex(
+            "7649abac8119b246cee98e9b12e9197d"
+            "5086cb9b507219ee95db113a917678b2"
+            "73bed6b8e3c1743b7116e69e22229516"
+            "3ff1caa1681fac09120eca307586e1a7")
+        assert aes_cbc_encrypt(key, iv, pt) == ct        # F.2.1
+        assert aes_cbc_decrypt(key, iv, ct) == pt        # F.2.2
+
+    def test_pkcs7_strip(self):
+        from zpdfspark.kernel.crypto import _strip_pkcs7
+        assert _strip_pkcs7(b"abc" + b"\x02\x02") == b"abc"
+        assert _strip_pkcs7(b"\x10" * 16) == b""
+        assert _strip_pkcs7(b"abc\x00") == b"abc\x00"    # 0 is not a pad
+        assert _strip_pkcs7(b"ab\x03\x03") == b"ab\x03\x03"  # malformed kept
+        assert _strip_pkcs7(b"") == b""
+
+    def test_hash_2b_read_write_agreement(self):
+        # the two independently-written Algorithm 2.B implementations
+        # (kernel read-direction vs fixture write-direction) must agree
+        from zpdfspark.fixtures import _hash_2b_write
+        from zpdfspark.kernel.crypto import _hash_2b
+        for pw, salt, udata in [
+            (b"", b"saltsalt", b""),
+            (b"pw", b"12345678", b"U" * 48),
+        ]:
+            assert _hash_2b(pw, salt, udata) == _hash_2b_write(pw, salt, udata)
+
+    @pytest.mark.parametrize("gen,title", [
+        ("encrypted_rc4_r2", None),
+        ("encrypted_rc4_r3", "Locked title 5"),
+        ("encrypted_aes128", None),
+        ("encrypted_aes256", "Locked 256 5"),
+        ("encrypted_objstm", None),
+    ])
+    def test_empty_password_documents_decrypt(self, gen, title):
+        pdf, want = getattr(fixtures, gen)(5)
+        doc = Document(pdf)
+        assert doc.is_encrypted and doc.decrypted
+        assert not any(kind == "encrypted" for kind, _, _ in doc.errors)
+        assert doc.extract_all("accuracy") == want
+        assert doc.extract_all("fast") == want
+        if title is not None:
+            assert doc.metadata()["title"] == title
+
+    def test_owner_empty_recovery_path(self):
+        # user password set, owner password empty: Algorithm 3 key from
+        # the empty owner password opens /O, Algorithm 7 recovers the
+        # user password, extraction proceeds
+        pdf, want = fixtures.encrypted_owner_empty(2)
+        doc = Document(pdf)
+        assert doc.decrypted
+        assert doc.extract_all() == want
+
+    def test_real_password_keeps_detection_posture(self):
+        pdf, want = fixtures.encrypted_password_locked()
+        assert want is None
+        doc = Document(pdf)
+        assert doc.is_encrypted and not doc.decrypted
+        assert any(kind == "encrypted" for kind, _, _ in doc.errors)
+
+    def test_unencrypted_documents_unaffected(self):
+        pdf, want = fixtures.minimal("No crypt here")
+        doc = Document(pdf)
+        assert not doc.is_encrypted and not doc.decrypted
+        assert doc.extract_all() == want
 
 
 def test_search():

@@ -114,6 +114,7 @@ NOTES = {
     "hll_host_distinct": "mergeable HLL sketch: one (ridx,rho) pair per url (no explode), partial-agg-capped (host,ridx) exchange of hosts*m tiny rows, exact-integer harmonic sum post-agg; the countDistinct truth side is TEST-scale accuracy evidence only.",
     "cms_token_freq": "Count-Min sketch: word explode (inherent to tokenization) -> d cells via posexplode, partial agg caps the shuffle at d*w counter rows per partition (vocabulary-independent); probes are broadcast lookups + d-way min; the exact top-20 truth side is TEST-scale accuracy evidence only.",
     "kl_host_shift": "domain-shift monitor on AGGREGATE outputs only: (host,word) and word counts map-side combine before their exchanges (bounded by vocab, not corpus), one word-key join between the two aggregates, tiny broadcast totals; KL terms nano-quantized to integers so the sum is partition-order-free.",
+    "encryption_stats": "map-only kernel (decrypting the empty-password Standard-handler class in-batch) + one partial-agg exchange of <=4 boolean groups — nothing scales with doc count past the scan.",
     "length_quantiles": "mergeable equi-width length histogram (map-side combine caps the shuffle at hosts*256 counters); the percentile walk is a window over the BOUNDED histogram, never over docs (plan-guarded); all-integer arithmetic, no float quantile semantics.",
 }
 

@@ -176,6 +176,337 @@ def encrypted() -> Tuple[bytes, str]:
     return b.finish(7, extra_trailer=b"/Encrypt 6 0 R "), "Secret"
 
 
+# -- Encrypted-document fixtures ---------------------------------------------
+# WRITE-direction Standard security handler (ISO 32000-1 §7.6.3 / -2
+# §7.6.4), implemented here independently of the READ-direction code in
+# kernel/crypto.py: these fixtures compute /O //U (/UE //OE) with the
+# publishing algorithms (3, 4/5, 8, 9) and the kernel must AUTHENTICATE
+# the empty user password and decrypt (Algorithms 2, 2.A, 6, 7). Only
+# the raw cipher primitives (RC4 / AES-CBC) are shared with the kernel —
+# those are pinned by published RC4 / FIPS-197 / SP 800-38A vectors in
+# tests/test_kernel.py::TestCrypto, so sharing them cannot mask a
+# handler-level disagreement. The reference DETECTS encryption only
+# (src/root.zig:292-302); decryption is a beyond-reference capability
+# for the owner-password-only "permissions encryption" class.
+
+_ENC_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _md5(b: bytes) -> bytes:
+    return hashlib.md5(b).digest()
+
+
+def _enc_pad_pw(pw: bytes) -> bytes:
+    return (pw + _ENC_PAD)[:32]
+
+
+def _rc4_keystream_xor(key: bytes, data: bytes) -> bytes:
+    from .kernel.crypto import rc4
+    return rc4(key, data)
+
+
+def _aes_cbc_enc(key: bytes, iv: bytes, data: bytes) -> bytes:
+    from .kernel.crypto import aes_cbc_encrypt
+    return aes_cbc_encrypt(key, iv, data)
+
+
+class _StdEncryptor:
+    """Write-direction state for one document: the /Encrypt dict body and
+    an ``encrypt(num, gen, data)`` callable for stream/string payloads."""
+
+    def __init__(self, enc_dict: bytes, file_key: bytes, cfm: str,
+                 id0: bytes, v: int):
+        self.enc_dict = enc_dict
+        self.file_key = file_key
+        self.cfm = cfm          # "rc4" | "aesv2" | "aesv3"
+        self.id0 = id0
+        self.v = v
+
+    def _object_key(self, num: int, gen: int) -> bytes:
+        if self.v == 5:
+            return self.file_key
+        h = hashlib.md5()
+        h.update(self.file_key)
+        h.update((num & 0xFFFFFF).to_bytes(3, "little"))
+        h.update((gen & 0xFFFF).to_bytes(2, "little"))
+        if self.cfm != "rc4":
+            h.update(b"sAlT")
+        return h.digest()[:min(len(self.file_key) + 5, 16)]
+
+    def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        key = self._object_key(num, gen)
+        if self.cfm == "rc4":
+            return _rc4_keystream_xor(key, data)
+        # AES-CBC, deterministic per-object IV, PKCS#7 pad, IV prefix
+        iv = _md5(b"fixture-iv:%d:%d" % (num, gen))
+        padn = 16 - (len(data) % 16)
+        return iv + _aes_cbc_enc(key, iv, data + bytes([padn]) * padn)
+
+    def id_trailer(self) -> bytes:
+        h = self.id0.hex().encode()
+        return b"/ID [<%s> <%s>] " % (h, h)
+
+
+def _make_rc4_encryptor(r: int, key_bits: int, seed: int, v: int,
+                        owner_pw: bytes = b"own3r-pw",
+                        user_pw: bytes = b"",
+                        p: int = -44, aes: bool = False) -> _StdEncryptor:
+    """/R 2-4 handler state (Algorithms 3, 2, 4/5 in the write
+    direction). ``user_pw=b"" `` is the extractable permissions-
+    encryption class; a non-empty user_pw with ``owner_pw=b""`` pins
+    the kernel's Algorithm-3/7 empty-OWNER recovery path."""
+    id0 = hashlib.blake2b(b"encdoc:%d" % seed, digest_size=16).digest()
+    keylen = 5 if r == 2 else key_bits // 8
+    # Algorithm 3: /O from the owner password — used AS GIVEN even when
+    # empty (the writer class whose /O the empty-owner recovery opens)
+    d = _md5(_enc_pad_pw(owner_pw))
+    if r >= 3:
+        for _ in range(50):
+            d = _md5(d)
+    okey = d[:keylen]
+    o = _enc_pad_pw(user_pw)
+    if r == 2:
+        o = _rc4_keystream_xor(okey, o)
+    else:
+        for i in range(20):
+            o = _rc4_keystream_xor(bytes(x ^ i for x in okey), o)
+    # Algorithm 2: file key from the user password
+    h = hashlib.md5()
+    h.update(_enc_pad_pw(user_pw))
+    h.update(o)
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = _md5(key[:keylen])
+    key = key[:keylen]
+    # Algorithm 4 (R2) / 5 (R>=3): /U
+    if r == 2:
+        u = _rc4_keystream_xor(key, _ENC_PAD)
+    else:
+        x = _md5(_ENC_PAD + id0)
+        x = _rc4_keystream_xor(key, x)
+        for i in range(1, 20):
+            x = _rc4_keystream_xor(bytes(b ^ i for b in key), x)
+        u = x + b"\xde\xad" * 8  # 16 arbitrary pad bytes, never compared
+    if v == 4:
+        cfm = b"/AESV2" if aes else b"/V2"
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length %d"
+            b" /CF << /StdCF << /CFM %s /Length %d /AuthEvent /DocOpen >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+            b" /O <%s> /U <%s> /P %d >>"
+            % (key_bits, cfm, keylen, o.hex().encode(), u.hex().encode(), p))
+    else:
+        enc_dict = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d"
+            b" /O <%s> /U <%s> /P %d >>"
+            % (v, r, key_bits, o.hex().encode(), u.hex().encode(), p))
+    return _StdEncryptor(enc_dict, key, "aesv2" if aes else "rc4", id0, v)
+
+
+def _hash_2b_write(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B, written here from the published
+    pseudo-code independently of kernel/crypto._hash_2b."""
+    k = hashlib.sha256(pw + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = _aes_cbc_enc(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _make_aes256_encryptor(seed: int,
+                           owner_pw: bytes = b"own3r-pw") -> _StdEncryptor:
+    """/V 5 /R 6 handler state for an EMPTY user password (Algorithms
+    8 and 9 in the write direction; key unwrap is the kernel's job)."""
+    id0 = hashlib.blake2b(b"encdoc256:%d" % seed, digest_size=16).digest()
+    file_key = hashlib.sha256(b"fixture-file-key:%d" % seed).digest()
+    vs = hashlib.blake2b(b"vs:%d" % seed, digest_size=8).digest()
+    ks = hashlib.blake2b(b"ks:%d" % seed, digest_size=8).digest()
+    u = _hash_2b_write(b"", vs, b"") + vs + ks
+    ue = _aes_cbc_enc(_hash_2b_write(b"", ks, b""), b"\x00" * 16, file_key)
+    ovs = hashlib.blake2b(b"ovs:%d" % seed, digest_size=8).digest()
+    oks = hashlib.blake2b(b"oks:%d" % seed, digest_size=8).digest()
+    o = _hash_2b_write(owner_pw, ovs, u) + ovs + oks
+    oe = _aes_cbc_enc(_hash_2b_write(owner_pw, oks, u), b"\x00" * 16,
+                      file_key)
+    enc_dict = (
+        b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+        b" /CF << /StdCF << /CFM /AESV3 /Length 32 /AuthEvent /DocOpen >> >>"
+        b" /StmF /StdCF /StrF /StdCF"
+        b" /O <%s> /U <%s> /OE <%s> /UE <%s> /P -44 >>"
+        % (o.hex().encode(), u.hex().encode(),
+           oe.hex().encode(), ue.hex().encode()))
+    return _StdEncryptor(enc_dict, file_key, "aesv3", id0, 5)
+
+
+def _encrypted_page_pdf(enc: _StdEncryptor, text: str,
+                        compress: bool = False,
+                        info_title: Optional[str] = None) -> bytes:
+    """Classic-xref single-page document whose content stream (and /Info
+    strings, when given) are encrypted with ``enc``."""
+    tb = text.encode("latin-1")
+    content = b"BT\n/F1 12 Tf\n100 700 Td\n(%s) Tj\nET\n" % _escape_pdf_string(tb)
+    dict_extra = b""
+    if compress:
+        content = zlib.compress(content)
+        dict_extra = b"/Filter /FlateDecode "
+    b = _PdfBuilder()
+    b.obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    b.stream_obj(4, dict_extra, enc.encrypt(4, 0, content))
+    b.obj(5, _HELVETICA)
+    b.obj(6, enc.enc_dict)
+    size = 7
+    extra_trailer = b"/Encrypt 6 0 R " + enc.id_trailer()
+    if info_title is not None:
+        ct = enc.encrypt(7, 0, info_title.encode("latin-1"))
+        b.obj(7, b"<< /Title <%s> >>" % ct.hex().encode())
+        size = 8
+        extra_trailer += b"/Info 7 0 R "
+    return b.finish(size, extra_trailer=extra_trailer)
+
+
+def encrypted_rc4_r2(i: int = 0) -> Tuple[bytes, str]:
+    """/V 1 /R 2 40-bit RC4, empty user password: text must decrypt."""
+    text = f"RC4-40 secret {i}"
+    enc = _make_rc4_encryptor(r=2, key_bits=40, seed=1000 + i, v=1)
+    return _encrypted_page_pdf(enc, text), text
+
+
+def encrypted_rc4_r3(i: int = 0) -> Tuple[bytes, str]:
+    """/V 2 /R 3 128-bit RC4 + encrypted /Info /Title string."""
+    text = f"RC4-128 secret {i}"
+    enc = _make_rc4_encryptor(r=3, key_bits=128, seed=2000 + i, v=2)
+    return _encrypted_page_pdf(enc, text, info_title=f"Locked title {i}"), text
+
+
+def encrypted_aes128(i: int = 0) -> Tuple[bytes, str]:
+    """/V 4 /R 4 AESV2 crypt filter over a FlateDecode content stream:
+    decrypt must run BEFORE filter decoding."""
+    text = f"AES-128 secret {i}"
+    enc = _make_rc4_encryptor(r=4, key_bits=128, seed=3000 + i, v=4,
+                              aes=True)
+    return _encrypted_page_pdf(enc, text, compress=True), text
+
+
+def encrypted_aes256(i: int = 0) -> Tuple[bytes, str]:
+    """/V 5 /R 6 AES-256 (SHA-2 Algorithm 2.B), empty user password."""
+    text = f"AES-256 secret {i}"
+    enc = _make_aes256_encryptor(seed=4000 + i)
+    return _encrypted_page_pdf(enc, text, compress=True,
+                               info_title=f"Locked 256 {i}"), text
+
+
+def encrypted_objstm(i: int = 0) -> Tuple[bytes, str]:
+    """PDF 1.5 xref-stream layout under AESV2 encryption: the ObjStm
+    CONTAINER stream is encrypted (then its members parse from the
+    decrypted plaintext and are never re-decrypted, ISO 32000-1 §7.6.2);
+    the xref stream itself stays plaintext per spec."""
+    text = f"ObjStm secret {i}"
+    enc = _make_rc4_encryptor(r=4, key_bits=128, seed=6000 + i, v=4,
+                              aes=True)
+    tb = text.encode("latin-1")
+    content = b"BT\n/F1 12 Tf\n100 700 Td\n(%s) Tj\nET\n" % _escape_pdf_string(tb)
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: Dict[int, int] = {}
+
+    packed_objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+        (5, _HELVETICA),
+    ]
+    body = bytearray()
+    header = bytearray()
+    for num, objbody in packed_objs:
+        header += b"%d %d " % (num, len(body))
+        body += objbody + b"\n"
+    first = len(header)
+    # stored bytes = encrypt(deflate(plain)): readers decrypt, then inflate
+    stored = enc.encrypt(6, 0, zlib.compress(bytes(header) + bytes(body)))
+    offsets[6] = len(buf)
+    buf += (b"6 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d"
+            b" /Filter /FlateDecode >>\nstream\n"
+            % (len(packed_objs), first, len(stored)))
+    buf += stored
+    buf += b"\nendstream\nendobj\n"
+
+    stored_c = enc.encrypt(4, 0, zlib.compress(content))
+    offsets[4] = len(buf)
+    buf += (b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+            % len(stored_c))
+    buf += stored_c
+    buf += b"\nendstream\nendobj\n"
+
+    # the /Encrypt dictionary: direct object, never encrypted
+    offsets[8] = len(buf)
+    buf += b"8 0 obj\n" + enc.enc_dict + b"\nendobj\n"
+
+    xref_offset = len(buf)
+    entries = [(0, 0, 255)]
+    for num in (1, 2, 3):
+        idx = [j for j, (n, _) in enumerate(packed_objs) if n == num][0]
+        entries.append((2, 6, idx))
+    entries.append((1, offsets[4], 0))
+    idx5 = [j for j, (n, _) in enumerate(packed_objs) if n == 5][0]
+    entries.append((2, 6, idx5))
+    entries.append((1, offsets[6], 0))
+    entries.append((1, xref_offset, 0))   # obj 7: the xref stream
+    entries.append((1, offsets[8], 0))
+    rows = [bytes([t]) + f2.to_bytes(2, "big") + bytes([f3])
+            for t, f2, f3 in entries]
+    encoded = bytearray()
+    prev = b"\x00" * 4
+    for row in rows:
+        encoded.append(2)
+        encoded += bytes((row[j] - prev[j]) & 0xFF for j in range(4))
+        prev = row
+    comp_xref = zlib.compress(bytes(encoded))
+    idh = enc.id0.hex().encode()
+    buf += (b"7 0 obj\n<< /Type /XRef /Size 9 /W [1 2 1] /Root 1 0 R"
+            b" /Encrypt 8 0 R /ID [<%s> <%s>]"
+            b" /Filter /FlateDecode"
+            b" /DecodeParms << /Predictor 12 /Columns 4 >> /Length %d"
+            b" >>\nstream\n" % (idh, idh, len(comp_xref)))
+    buf += comp_xref
+    buf += b"\nendstream\nendobj\n"
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_offset
+    return bytes(buf), text
+
+
+def encrypted_owner_empty(i: int = 0) -> Tuple[bytes, str]:
+    """USER password set but OWNER password empty: the kernel's
+    Algorithm-3/7 fallback recovers the user password from /O and the
+    document still decrypts (test-only; not a corpus generator)."""
+    text = f"Owner-path secret {i}"
+    enc = _make_rc4_encryptor(r=3, key_bits=128, seed=7000 + i, v=2,
+                              owner_pw=b"", user_pw=b"upw")
+    return _encrypted_page_pdf(enc, text), text
+
+
+def encrypted_password_locked() -> Tuple[bytes, Optional[str]]:
+    """USER password set (not empty) — authentication must fail and the
+    kernel must keep the reference's detection-only posture."""
+    enc = _make_rc4_encryptor(r=3, key_bits=128, seed=5000, v=2,
+                              user_pw=b"real-secret")
+    return _encrypted_page_pdf(enc, "never extracted"), None
+
+
 def cid_font() -> Tuple[bytes, str]:
     """testpdf.zig:204-294: Type0 + Identity-H + ToUnicode bfchar incl.
     U+4E2D, hex-string show. Expected 'Hello 中'."""
@@ -2881,6 +3212,26 @@ def _register():
     def g_inh(i):
         return inherited_attrs()
 
+    @var("enc_rc4_40")
+    def g_enc_r2(i):
+        return encrypted_rc4_r2(i)
+
+    @var("enc_rc4_128")
+    def g_enc_r3(i):
+        return encrypted_rc4_r3(i)
+
+    @var("enc_aes128")
+    def g_enc_a2(i):
+        return encrypted_aes128(i)
+
+    @var("enc_aes256")
+    def g_enc_a3(i):
+        return encrypted_aes256(i)
+
+    @var("enc_objstm")
+    def g_enc_os(i):
+        return encrypted_objstm(i)
+
 
 _register()
 
@@ -2893,11 +3244,12 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
     "cyclic_pages": cyclic_pages,
     "deep_nesting": deep_nesting,
     "encrypted": lambda: (encrypted()[0], None),
+    "encrypted_locked": encrypted_password_locked,
 }
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v54"
+CORPUS_VERSION = "v55"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -4787,6 +5139,15 @@ GENERATOR_TRUTH = {
     "utf16be": {"meta_title": "Unicode Título 中", "n_outline": 1,
                 "n_pages": 1},
     "malformed_encrypted": {"is_enc": True},
+    # decrypting generators: err_n == 0 anchors that the empty-password
+    # authentication + transparent decryption actually ran (a regression
+    # to detection-only would carry the 'encrypted' error)
+    "enc_rc4_40": {"is_enc": True, "err_n": 0, "n_pages": 1},
+    "enc_rc4_128": {"is_enc": True, "err_n": 0, "n_pages": 1},
+    "enc_aes128": {"is_enc": True, "err_n": 0, "n_pages": 1},
+    "enc_aes256": {"is_enc": True, "err_n": 0, "n_pages": 1},
+    "enc_objstm": {"is_enc": True, "err_n": 0, "n_pages": 1},
+    "malformed_encrypted_locked": {"is_enc": True},
     # authored from the html_boilerplate block plan (docstring), NOT by
     # running the classifier: nav(bad), heading(short->bad),
     # long-good, tiny(short->good), long-good, neargood->good,

@@ -26,6 +26,7 @@ import time
 from typing import Dict, List, Optional, Tuple
 
 from . import content as content_mod
+from . import crypto
 from . import layout as layout_mod
 from . import pagetree, structtree, xref as xref_mod
 from .content import (
@@ -160,10 +161,35 @@ class Document:
             self.errors.append((ERR_INVALID_XREF, 0, "Failed to parse XRef table"))
             return
         if self.xref.trailer.get("Encrypt") is not None:
-            self.errors.append((
-                ERR_ENCRYPTED, 0,
-                "PDF is encrypted; text extraction will produce incorrect results",
-            ))
+            # Beyond the reference (detection only, root.zig:292-302):
+            # authenticate the EMPTY password against the Standard
+            # handler — the owner-password-only "permissions encryption"
+            # class real crawls are full of — and install the crypt
+            # context so resolve_ref decrypts transparently
+            # (kernel/crypto.py). Password-protected documents keep the
+            # reference's posture: error record, ciphertext extraction.
+            ctx = None
+            try:
+                enc_obj = self.xref.trailer["Encrypt"]
+                enc = self.resolve(enc_obj)
+                ids = self.xref.trailer.get("ID")
+                id0 = b""
+                if (isinstance(ids, list) and ids
+                        and type(ids[0]) is bytes):
+                    id0 = ids[0]
+                if isinstance(enc, dict):
+                    ctx = crypto.build_crypt_context(enc, id0, self.resolve)
+                if ctx is not None:
+                    ctx.encrypt_num = (enc_obj.num
+                                       if isinstance(enc_obj, Ref) else -1)
+                    self.object_cache[crypto.CRYPT_CACHE_KEY] = ctx
+            except Exception:
+                ctx = None
+            if ctx is None:
+                self.errors.append((
+                    ERR_ENCRYPTED, 0,
+                    "PDF is encrypted; text extraction will produce incorrect results",
+                ))
         try:
             self.pages = pagetree.build_page_tree(data, self.xref, self.object_cache)
         except Exception:
@@ -177,6 +203,12 @@ class Document:
     @property
     def is_encrypted(self) -> bool:
         return self.xref.trailer.get("Encrypt") is not None
+
+    @property
+    def decrypted(self) -> bool:
+        """True when the empty password authenticated and the document's
+        streams/strings decrypt transparently (kernel/crypto.py)."""
+        return crypto.CRYPT_CACHE_KEY in self.object_cache
 
     @property
     def page_count(self) -> int:

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
-from . import filters
+from . import crypto, filters
 from .objects import (
     Name,
     Parser,
@@ -68,6 +68,9 @@ def resolve_ref(data: bytes, xref: XRefTable, ref: Ref, cache: Dict[int, object]
             _num, _gen, obj = p.parse_indirect_object()
         except ParseError:
             return None
+        ctx = cache.get(crypto.CRYPT_CACHE_KEY)
+        if ctx is not None and _num != ctx.encrypt_num:
+            obj = crypto.transform_object(obj, _num, _gen, ctx)
         cache[ref.num] = obj
         return obj
     # COMPRESSED: inside an object stream
@@ -97,6 +100,12 @@ def _resolve_compressed(data: bytes, xref: XRefTable, objstm_num: int, index: in
             return None
         if not isinstance(obj, Stream):
             return None
+        # the CONTAINER stream decrypts; members inside it are covered by
+        # the container's encryption and are never re-decrypted
+        # (ISO 32000-1 §7.6.2; kernel/crypto.py)
+        ctx = cache.get(crypto.CRYPT_CACHE_KEY)
+        if ctx is not None:
+            obj = crypto.transform_object(obj, _num, _gen, ctx)
         try:
             decoded = filters.decompress_stream(obj.raw, obj.dict.get("Filter"), obj.dict.get("DecodeParms"))
         except filters.DecompressError:
