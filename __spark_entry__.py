@@ -4584,6 +4584,51 @@ def _q_tex_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_wiki_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MediaWiki XML-export mining (kernel/wikitext.py, r5 — the
+    Wikipedia-dump / Special:Export payload class behind the
+    Pile/Dolma wiki slices): page/redirect census, first title,
+    escaped-ref count. Reduced wikitext (WikiExtractor-lineage scoped
+    reduction: templates/tables/refs/File/Category dropped, links to
+    labels, redirect pages skipped) rides the flagship extraction
+    family via extract_any. Map-only mapInPandas on the pruned
+    (url, html) scan. Oracle: TWO-ENGINE — DuckDB re-mines the same
+    bytes with the IDENTICAL regex set (the tex_meta pattern); text
+    length is generator truth."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.wikitext import (WikiError, looks_like_wiki,
+                                               parse_wiki)
+
+        for b in it:
+            rows = {"url": [], "n_pages": [], "n_redirects": [],
+                    "first_title": [], "n_refs": [], "n_text_chars": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if not looks_like_wiki(raw):
+                    continue
+                try:
+                    m = parse_wiki(raw)
+                except WikiError:
+                    continue
+                rows["url"].append(url)
+                rows["n_pages"].append(m["n_pages"])
+                rows["n_redirects"].append(m["n_redirects"])
+                rows["first_title"].append(m["first_title"])
+                rows["n_refs"].append(m["n_refs"])
+                rows["n_text_chars"].append(len(m["text"]))
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, n_pages int, n_redirects int, first_title string, "
+        "n_refs int, n_text_chars int"
+    ).orderBy("url")
+
+
 def _q_font_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-font payload census (kernel/font.py, r5): every page fetch
     pulls TTF/OTF/WOFF/WOFF2 files — a payload classifier that cannot
@@ -5529,6 +5574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtitle_meta": _q_subtitle_meta,
         "csv_meta": _q_csv_meta,
         "tex_meta": _q_tex_meta,
+        "wiki_meta": _q_wiki_meta,
         "font_meta": _q_font_meta,
         "flac_meta": _q_flac_meta,
         "ogg_meta": _q_ogg_meta,
@@ -6104,6 +6150,22 @@ def oracle_sql() -> dict[str, str]:
             f"AS n_equations, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'tex' ORDER BY url"
+        ),
+        "wiki_meta": (
+            # TWO-ENGINE: identical regex set re-mined by DuckDB
+            # (n_refs counts the XML-escaped spelling refs carry
+            # inside an export's text nodes)
+            f"SELECT url, "
+            f"CAST(len(regexp_extract_all(decode(html), '<page>')) "
+            f"AS INTEGER) AS n_pages, "
+            f"CAST(len(regexp_extract_all(decode(html), '<redirect')) "
+            f"AS INTEGER) AS n_redirects, "
+            f"regexp_extract(decode(html), '<title>([^<]*)</title>', 1) "
+            f"AS first_title, "
+            f"CAST(len(regexp_extract_all(decode(html), '&lt;ref')) "
+            f"AS INTEGER) AS n_refs, "
+            f"CAST(length(text) AS INTEGER) AS n_text_chars "
+            f"FROM {corpus} WHERE media_kind = 'wiki' ORDER BY url"
         ),
         "csv_meta": (
             # carried facts from the independent stdlib csv re-read

@@ -3920,6 +3920,102 @@ class TestLatex:
             assert sniff_kind(blob) == "tex"
 
 
+class TestWiki:
+    """MediaWiki XML-export wikitext reduction (kernel/wikitext.py,
+    round 5 — the WikiExtractor/Pile lineage)."""
+
+    def test_all_rotations_match_plan(self):
+        from zpdfspark.fixtures import wiki_doc, wiki_plan
+        from zpdfspark.kernel.wikitext import looks_like_wiki, parse_wiki
+
+        for i in range(40):
+            raw, text = wiki_doc(i)
+            p = wiki_plan(i)
+            assert looks_like_wiki(raw), i
+            m = parse_wiki(raw)
+            assert m["text"] == text, i
+            assert (m["n_pages"], m["n_redirects"], m["first_title"],
+                    m["n_refs"]) == (p["n_pages"], p["n_redirects"],
+                                     p["first_title"], p["n_refs"]), i
+
+    def test_extract_any_dispatch(self):
+        from zpdfspark.fixtures import wiki_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        raw, text = wiki_doc(7)
+        got, kind, _ = extract_any(raw)
+        assert (got, kind) == (text, "wiki")
+
+    def test_reduction_rules(self):
+        from zpdfspark.kernel.wikitext import reduce_wikitext
+
+        # each documented rule, hand-authored
+        assert reduce_wikitext(
+            "{{t|{{u}}}}A [[x|y]] and [[z]].<ref>c</ref>\n"
+            "== H ==\n* item\n[[File:a.png|cap [[l]] x]]\n"
+            "[[Category:C]]\n'''b''' ''i'' [http://e.x lab] "
+            "[http://e.x]\n{| t \n|}\n<!--gone--><br/>tail"
+        ) == "A y and z.\nH\nitem\nb i lab\ntail"
+        # unterminated spans drop to end, never hang
+        assert reduce_wikitext("pre {{never closed") == "pre"
+        assert reduce_wikitext("pre {| never closed") == "pre"
+        assert reduce_wikitext("pre [[File:never closed") == "pre"
+
+    def test_redirect_pages_skipped(self):
+        from zpdfspark.kernel.wikitext import parse_wiki
+
+        raw = (b"<mediawiki>\n"
+               b"<page><title>A</title><redirect title=\"B\" />"
+               b"<revision><text>#REDIRECT [[B]]</text></revision>"
+               b"</page>\n"
+               b"<page><title>B</title><revision>"
+               b"<text>#redirect [[C]] body-form redirect</text>"
+               b"</revision></page>\n"
+               b"<page><title>C</title><revision><text>Real.</text>"
+               b"</revision></page>\n"
+               b"</mediawiki>")
+        m = parse_wiki(raw)
+        assert m["n_pages"] == 3
+        assert m["n_redirects"] == 1  # the element form only (the regex)
+        assert m["text"] == "C\nReal."
+
+    def test_sniff_ordering(self):
+        from zpdfspark.fixtures import (_sniff_media_kind, html_page,
+                                        rss_feed, wiki_doc)
+        from zpdfspark.kernel.htmltext import looks_like_feed
+        from zpdfspark.kernel.wikitext import looks_like_wiki
+        from zpdfspark.spark.media import sniff_kind
+
+        for i in range(6):
+            blob, _ = wiki_doc(i)
+            assert _sniff_media_kind(blob) == "wiki"
+            assert sniff_kind(blob) == "wiki"
+            assert not looks_like_feed(blob)
+        # wiki sniff never claims html pages or feeds
+        assert not looks_like_wiki(html_page(0)[0])
+        assert not looks_like_wiki(rss_feed(0)[0])
+
+    def test_fuzz_never_raises(self):
+        import random
+
+        from zpdfspark.fixtures import wiki_doc
+        from zpdfspark.kernel.wikitext import (WikiError, looks_like_wiki,
+                                               parse_wiki)
+
+        rng = random.Random(74)
+        base = wiki_doc(4)[0]
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            raw = bytes(b)
+            if looks_like_wiki(raw):
+                try:
+                    parse_wiki(raw)
+                except WikiError:
+                    pass
+
+
 class TestEmlRealProducers:
     """Differential sweep over CPython's own test_email corpus — real
     messages written by real MUAs (the testtar.tar pattern): the

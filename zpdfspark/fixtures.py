@@ -3160,6 +3160,10 @@ def _register():
     def g_tex(i):
         return latex_doc(i)
 
+    @var("wiki")
+    def g_wiki(i):
+        return wiki_doc(i)
+
     @var("font")
     def g_font(i):
         return font_doc(i)
@@ -3249,7 +3253,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v55"
+CORPUS_VERSION = "v56"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -3615,6 +3619,10 @@ def _sniff_media_kind(raw: bytes) -> str:
 
     if looks_like_tex(raw):
         return "tex"
+    from .kernel.wikitext import looks_like_wiki
+
+    if looks_like_wiki(raw):
+        return "wiki"
     from .kernel.csvdoc import looks_like_csv
     from .kernel.htmltext import looks_like_html as _llh
 
@@ -4580,6 +4588,111 @@ def _csv_expected(raw: bytes):
     later_num = any(num.match(f) for r in rows[1:8] for f in r)
     return d, len(rows), len(rows[0]), (not first_num) and later_num
 
+
+
+def _xml_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(
+        ">", "&gt;")
+
+
+def wiki_plan(i: int) -> dict:
+    """Authored MediaWiki-export content + census. Expected text: the
+    scoped wikitext reduction kernel/wikitext.py documents — per-page
+    title + reduced body, redirect pages skipped, pages joined \\x0c."""
+    main_title = f"Article {i % 7} Alpha"
+    heading = f"History {i % 5}"
+    has_redirect = i % 3 == 1
+    has_beta = i % 2 == 0
+    main_lines = [
+        main_title,
+        f"Article {i % 7} Alpha is a thing that links to other pages "
+        f"and Plain Link {i % 9}.",
+        heading,
+        "The founders met at the about page in 1990 & prospered.",
+        f"First point of run {i % 4}",
+        "Second point",
+    ]
+    if i % 3 == 2:
+        main_lines.append("Line one and two")
+    texts = ["\n".join(main_lines)]
+    if has_beta:
+        texts.append(f"Beta {i % 5}\nBeta {i % 5} is short. "
+                     f"See Article {i % 7} Alpha.")
+    return {
+        "n_pages": 1 + int(has_redirect) + int(has_beta),
+        "n_redirects": int(has_redirect),
+        "first_title": main_title,
+        "n_refs": 2,
+        "text": "\x0c".join(texts),
+    }
+
+
+def wiki_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic MediaWiki XML export (v56 — the Wikipedia-dump /
+    Special:Export payload class; the Pile/Dolma wiki-slice shape).
+    Rotations: nested templates, wikitable, paired + self-closing
+    refs, File links with nested caption links, Category links,
+    bold/italic runs, internal links both forms, labeled + bare
+    external links, headings, list markers, & entity through the XML
+    escape layer, inline <br/>, redirect pages (census-only), a second
+    short page."""
+    plan = wiki_plan(i)
+    wt = (
+        "{{Infobox thing\n"
+        "| name = {{nested|x}}\n"
+        "| year = 2020\n"
+        "}}\n"
+        f"'''Article {i % 7} Alpha''' is a ''thing'' that links to "
+        f"[[Other Page|other pages]] and [[Plain Link {i % 9}]]."
+        "<ref>Cited source</ref>\n"
+        "\n"
+        f"== History {i % 5} ==\n"
+        "The founders met at [https://example.org/about the about page] "
+        "in 1990 & prospered.<ref name=\"a\"/> "
+        "[https://example.org/bare]\n"
+        "{| class=\"wikitable\"\n"
+        "|-\n"
+        "| cell || cell\n"
+        "|}\n"
+        f"* First point of run {i % 4}\n"
+        "* Second point\n"
+        f"[[File:Photo {i % 3}.png|thumb|A [[caption link]] here]]\n"
+        "[[Category:Things]]\n"
+    )
+    if i % 3 == 2:
+        wt += "<!-- hidden comment -->Line one <br/> and two\n"
+    pages = [
+        "  <page>\n"
+        f"    <title>{plan['first_title']}</title>\n"
+        "    <ns>0</ns>\n"
+        f"    <revision><text xml:space=\"preserve\">"
+        f"{_xml_escape(wt)}</text></revision>\n"
+        "  </page>\n"
+    ]
+    if i % 3 == 1:
+        pages.append(
+            "  <page>\n"
+            f"    <title>Old Name {i % 11}</title>\n"
+            f"    <redirect title=\"{plan['first_title']}\" />\n"
+            "    <revision><text>#REDIRECT "
+            f"[[{plan['first_title']}]]</text></revision>\n"
+            "  </page>\n")
+    if i % 2 == 0:
+        beta = (f"Beta {i % 5} is short. "
+                f"See [[Article {i % 7} Alpha]].")
+        pages.append(
+            "  <page>\n"
+            f"    <title>Beta {i % 5}</title>\n"
+            "    <ns>0</ns>\n"
+            f"    <revision><text>{_xml_escape(beta)}</text></revision>\n"
+            "  </page>\n")
+    doc = (
+        "<mediawiki xmlns=\"http://www.mediawiki.org/xml/export-0.11/\" "
+        "version=\"0.11\" xml:lang=\"en\">\n"
+        "  <siteinfo><sitename>Fixturepedia</sitename></siteinfo>\n"
+        + "".join(pages) +
+        "</mediawiki>\n")
+    return doc.encode("utf-8"), plan["text"]
 
 
 def latex_plan(i: int) -> dict:

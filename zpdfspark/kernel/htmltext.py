@@ -433,6 +433,18 @@ def extract_any(raw: bytes, mode: str = "accuracy", _depth: int = 0):
             return parse_latex(raw)["text"], "tex", None
         except LatexError:
             return "", "tex", None
+    from .wikitext import looks_like_wiki
+
+    if looks_like_wiki(raw):
+        # MediaWiki XML exports (the Pile/Dolma wiki-slice shape):
+        # scoped wikitext reduction; must sniff BEFORE the generous
+        # html check (export XML satisfies it)
+        from .wikitext import WikiError, parse_wiki
+
+        try:
+            return parse_wiki(raw)["text"], "wiki", None
+        except WikiError:
+            return "", "wiki", None
     from .subtitles import looks_like_srt, looks_like_vtt
 
     if looks_like_vtt(raw) or looks_like_srt(raw):

@@ -142,6 +142,10 @@ def sniff_kind(raw: bytes) -> str:
 
     if looks_like_tex(raw):
         return "tex"
+    from zpdfspark.kernel.wikitext import looks_like_wiki
+
+    if looks_like_wiki(raw):
+        return "wiki"
     if looks_like_svg(raw):
         return "svg"
     if looks_like_feed(raw):
