@@ -4629,6 +4629,54 @@ def _q_wiki_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_code_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-code file mining (r5) — crawls carry raw source files
+    and code is first-class LLM training data (the StarCoder /
+    CodeParrot lineage). Over every text/plain payload (code IS plain
+    text; prose classifies 'text' — the negatives ride along):
+    language by a spec'd precedence (python shebang > #include >
+    def/import > function/const/module.exports), line census in the
+    wc -l convention (n_lines = newline count), comment lines (open
+    with # or // or /*), blank lines (n_lines minus
+    lines-with-a-non-space-char — defined by subtraction so no
+    zero-width regex counting is needed cross-engine), license-marker
+    flag (SPDX/Apache/MIT/GPL). CR and CRLF normalize to LF FIRST on
+    both engines (Java's multiline '^' treats bare CR as a terminator,
+    RE2's does not — normalizing removes the divergence class). Mined
+    PURE JVM inside WholeStageCodegen — zero Python, zero joins, one
+    determinism exchange (scan-shaped at 100 TB). Oracle: the
+    IDENTICAL regex set re-run by DuckDB over the same bytes — a
+    two-engine re-extraction, no carried truth."""
+    corpus = _corpus(spark, sf_dir)
+    s = F.regexp_replace(
+        F.regexp_replace(F.col("html").cast("string"), "\r\n", "\n"),
+        "\r", "\n")
+    lang = (
+        F.when(s.rlike("^#![^\n]*python"), "python")
+        .when(s.rlike("(^|\n)#include[ <\"]"), "c")
+        .when(s.rlike("(^|\n)(def|import) "), "python")
+        .when(s.rlike("(^|\n)function ") | s.rlike("module\\.exports")
+              | s.rlike("(^|\n)const "), "javascript")
+        .otherwise("text"))
+    n_lines = F.regexp_count(s, F.lit("\n")).cast("int")
+    nonblank = F.regexp_count(s, F.lit("(?m)^[ \t]*[^ \t\n]")).cast("int")
+    return (
+        corpus.where(F.col("media_kind") == "txt")
+        .select(
+            "url",
+            lang.alias("lang"),
+            n_lines.alias("n_lines"),
+            F.regexp_count(s, F.lit("(?m)^[ \t]*(#|//|/\\*)")).cast("int")
+            .alias("comment_lines"),
+            (n_lines - nonblank).alias("blank_lines"),
+            s.rlike("(SPDX-License-Identifier|Apache License|"
+                    "MIT License|GNU General Public License)")
+            .alias("has_license"),
+        )
+        .orderBy("url")
+    )
+
+
 def _q_font_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-font payload census (kernel/font.py, r5): every page fetch
     pulls TTF/OTF/WOFF/WOFF2 files — a payload classifier that cannot
@@ -5575,6 +5623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_meta": _q_csv_meta,
         "tex_meta": _q_tex_meta,
         "wiki_meta": _q_wiki_meta,
+        "code_meta": _q_code_meta,
         "font_meta": _q_font_meta,
         "flac_meta": _q_flac_meta,
         "ogg_meta": _q_ogg_meta,
@@ -6166,6 +6215,34 @@ def oracle_sql() -> dict[str, str]:
             f"AS INTEGER) AS n_refs, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'wiki' ORDER BY url"
+        ),
+        "code_meta": (
+            # TWO-ENGINE: identical regex set re-mined by DuckDB over
+            # the same bytes (CR/CRLF normalized first on both sides)
+            f"WITH t AS (SELECT url, replace(replace(decode(html), "
+            f"chr(13) || chr(10), chr(10)), chr(13), chr(10)) AS s "
+            f"FROM {corpus} WHERE media_kind = 'txt') "
+            f"SELECT url, "
+            f"CASE WHEN regexp_matches(s, '^#![^\\n]*python') "
+            f"THEN 'python' "
+            f"WHEN regexp_matches(s, '(^|\\n)#include[ <\"]') THEN 'c' "
+            f"WHEN regexp_matches(s, '(^|\\n)(def|import) ') "
+            f"THEN 'python' "
+            f"WHEN regexp_matches(s, '(^|\\n)function ') "
+            f"OR regexp_matches(s, 'module\\.exports') "
+            f"OR regexp_matches(s, '(^|\\n)const ') THEN 'javascript' "
+            f"ELSE 'text' END AS lang, "
+            f"CAST(len(regexp_extract_all(s, '\\n')) AS INTEGER) "
+            f"AS n_lines, "
+            f"CAST(len(regexp_extract_all(s, "
+            f"'(?m)^[ \\t]*(#|//|/\\*)')) AS INTEGER) AS comment_lines, "
+            f"CAST(len(regexp_extract_all(s, '\\n')) "
+            f"- len(regexp_extract_all(s, '(?m)^[ \\t]*[^ \\t\\n]')) "
+            f"AS INTEGER) AS blank_lines, "
+            f"regexp_matches(s, '(SPDX-License-Identifier|"
+            f"Apache License|MIT License|GNU General Public License)') "
+            f"AS has_license "
+            f"FROM t ORDER BY url"
         ),
         "csv_meta": (
             # carried facts from the independent stdlib csv re-read

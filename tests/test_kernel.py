@@ -4016,6 +4016,70 @@ class TestWiki:
                     pass
 
 
+class TestCode:
+    """Source-code payload class (round 5 — the StarCoder lineage):
+    code files dispatch through the txt fallback and code_meta's
+    two-engine census is pinned here by an INDEPENDENT Python-re
+    recompute of the same spec."""
+
+    def test_dispatch_and_text(self):
+        from zpdfspark.fixtures import _sniff_media_kind, code_doc
+        from zpdfspark.kernel.htmltext import extract_any
+        from zpdfspark.spark.media import sniff_kind
+
+        for i in range(24):
+            raw, text = code_doc(i)
+            assert _sniff_media_kind(raw) == "txt", i
+            assert sniff_kind(raw) == "txt", i
+            got, kind, _ = extract_any(raw)
+            assert (got, kind) == (text, "txt"), i
+
+    def test_census_matches_plan(self):
+        import re
+
+        from zpdfspark.fixtures import code_doc, code_plan
+
+        for i in range(24):
+            raw, _ = code_doc(i)
+            p = code_plan(i)
+            s = raw.decode().replace("\r\n", "\n").replace("\r", "\n")
+            if re.search(r"^#![^\n]*python", s):
+                lang = "python"
+            elif re.search(r"(^|\n)#include[ <\"]", s):
+                lang = "c"
+            elif re.search(r"(^|\n)(def|import) ", s):
+                lang = "python"
+            elif (re.search(r"(^|\n)function ", s)
+                  or "module.exports" in s
+                  or re.search(r"(^|\n)const ", s)):
+                lang = "javascript"
+            else:
+                lang = "text"
+            n_lines = s.count("\n")
+            comment = len(re.findall(r"(?m)^[ \t]*(#|//|/\*)", s))
+            nonblank = len(re.findall(r"(?m)^[ \t]*[^ \t\n]", s))
+            assert lang == p["lang"], i
+            assert n_lines == p["n_lines"], i
+            assert comment == p["comment_lines"], i
+            assert n_lines - nonblank == p["blank_lines"], i
+            lic = bool(re.search(
+                r"(SPDX-License-Identifier|Apache License|MIT License|"
+                r"GNU General Public License)", s))
+            assert lic == p["has_license"], i
+
+    def test_prose_classifies_text(self):
+        import re
+
+        from zpdfspark.fixtures import txt_doc
+
+        for i in range(12):
+            raw, _ = txt_doc(i)
+            s = raw.decode("utf-8-sig")
+            assert not re.search(
+                r"^#!|(^|\n)#include[ <\"]|(^|\n)(def|import) |"
+                r"(^|\n)function |module\.exports|(^|\n)const ", s), i
+
+
 class TestEmlRealProducers:
     """Differential sweep over CPython's own test_email corpus — real
     messages written by real MUAs (the testtar.tar pattern): the

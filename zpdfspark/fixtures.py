@@ -3172,6 +3172,10 @@ def _register():
     def g_txt(i):
         return txt_doc(i)
 
+    @var("code")
+    def g_code(i):
+        return code_doc(i)
+
     @var("csv")
     def g_csv(i):
         return csv_doc(i)
@@ -3253,7 +3257,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v56"
+CORPUS_VERSION = "v57"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -4860,6 +4864,94 @@ def txt_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
         out = b"\xef\xbb\xbf" + out
     return out, text
 
+
+
+def code_plan(i: int) -> dict:
+    """Authored source-code file content + the code_meta census the
+    two-engine regex spec defines: lang (shebang > #include >
+    def/import > function/const precedence), n_lines (newline count —
+    the wc -l convention), comment_lines (lines opening # or // or
+    /*), blank_lines (n_lines - lines with a non-space char),
+    has_license (SPDX/Apache/MIT/GPL markers)."""
+    cls = i % 3
+    lic = i % 4 == 0
+    shebang = i % 2 == 0
+    if cls == 0:
+        lines = []
+        if shebang:
+            lines.append("#!/usr/bin/env python3")
+        if lic:
+            lines.append("# SPDX-License-Identifier: MIT")
+        lines += [
+            f"# build helper for run {i % 5}",
+            "import os",
+            "",
+            "",
+            f"def frob_{i % 7}(x):",
+            "    # add the offset",
+            f"    return x + {i % 9}",
+            "",
+            "",
+            "class Thing:",
+            "    pass",
+        ]
+        lang = "python"
+        comment = 2 + int(shebang) + int(lic)
+        blank = 4
+    elif cls == 1:
+        lines = []
+        if lic:
+            lines.append("// SPDX-License-Identifier: MIT")
+        lines += [
+            f"// helper for run {i % 5}",
+            f"const N = {i % 9};",
+            "",
+            "function frob(x) {",
+            "  return x + N;",
+            "}",
+            "",
+            "module.exports = { frob };",
+        ]
+        lang = "javascript"
+        comment = 1 + int(lic)
+        blank = 2
+    else:
+        lines = []
+        if lic:
+            lines.append("/* SPDX-License-Identifier: MIT */")
+        lines += [
+            f"/* block comment for run {i % 5} */",
+            "#include <stdio.h>",
+            "",
+            "// entry point",
+            "int main(void) {",
+            f"    printf(\"run %d\\n\", {i % 9});",
+            "    return 0;",
+            "}",
+        ]
+        lang = "c"
+        comment = 3 + int(lic)
+        blank = 1
+    text = "\n".join(lines)
+    return {
+        "lang": lang,
+        "n_lines": len(lines),
+        "comment_lines": comment,
+        "blank_lines": blank,
+        "has_license": lic,
+        "text": text,
+    }
+
+
+def code_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic source-code file (v57 — crawls carry raw source
+    files and code is first-class LLM training data, the StarCoder /
+    CodeParrot lineage). Rotates python/javascript/c with shebang and
+    SPDX-license-header variants; dispatches through the txt fallback
+    (code IS plain text), so the file content rides the flagship
+    extraction family; code_meta mines the census."""
+    plan = code_plan(i)
+    return (plan["text"] + "\n").encode("utf-8"), plan["text"]
 
 
 def _tar_expected(raw: bytes):
