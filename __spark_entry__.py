@@ -4629,6 +4629,52 @@ def _q_wiki_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (r5) — the gzip-compressibility
+    filter real curation pipelines run next to Gopher/C4 rules:
+    template farms and keyword-stuffed spam compress far better than
+    prose, so deflate(text)/len(text) is a cheap repetition detector
+    that catches patterns n-gram rules miss. Map-only Arrow-batched
+    zlib (level 6, pinned) over the pruned (url, text) scan — blobs
+    never shuffle, one determinism exchange. The ratio is integer
+    permille ((zlib_len*1000) DIV raw_len) so cross-engine agreement
+    is exact. Oracle: corpus-carried text_zlib_len computed at
+    generation time by the same pinned zlib level (eager differential
+    — both sides run CPython's bundled zlib; the distributed claim is
+    the plumbing + the arithmetic, documented in fixtures.py)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        import zlib
+
+        for b in it:
+            rows = {"url": [], "raw_len": [], "zlib_len": []}
+            for url, text in zip(b["url"], b["text"]):
+                if text is None:
+                    continue
+                enc = text.encode("utf-8")
+                if not enc:
+                    continue
+                rows["url"].append(url)
+                rows["raw_len"].append(len(enc))
+                rows["zlib_len"].append(len(zlib.compress(enc, 6)))
+            yield pd.DataFrame(rows)
+
+    out = corpus.select("url", "text").mapInPandas(
+        batches, "url string, raw_len int, zlib_len int")
+    permille = F.expr("CAST((zlib_len * 1000) DIV raw_len AS INT)")
+    return (
+        out.select(
+            "url", "raw_len", "zlib_len",
+            permille.alias("permille"),
+            (permille < 200).alias("is_repetitive"),
+        )
+        .orderBy("url")
+    )
+
+
 def _q_code_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-code file mining (r5) — crawls carry raw source files
     and code is first-class LLM training data (the StarCoder /
@@ -5624,6 +5670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tex_meta": _q_tex_meta,
         "wiki_meta": _q_wiki_meta,
         "code_meta": _q_code_meta,
+        "compressibility": _q_compressibility,
         "font_meta": _q_font_meta,
         "flac_meta": _q_flac_meta,
         "ogg_meta": _q_ogg_meta,
@@ -6215,6 +6262,19 @@ def oracle_sql() -> dict[str, str]:
             f"AS INTEGER) AS n_refs, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'wiki' ORDER BY url"
+        ),
+        "compressibility": (
+            # carried text_zlib_len (eager differential at the same
+            # pinned zlib level); raw_len/permille re-derived by DuckDB
+            f"SELECT url, "
+            f"CAST(octet_length(encode(text)) AS INTEGER) AS raw_len, "
+            f"text_zlib_len AS zlib_len, "
+            f"CAST((text_zlib_len * 1000) // octet_length(encode(text)) "
+            f"AS INTEGER) AS permille, "
+            f"((text_zlib_len * 1000) // octet_length(encode(text))) "
+            f"< 200 AS is_repetitive "
+            f"FROM {corpus} WHERE text IS NOT NULL "
+            f"AND octet_length(encode(text)) > 0 ORDER BY url"
         ),
         "code_meta": (
             # TWO-ENGINE: identical regex set re-mined by DuckDB over

@@ -794,6 +794,22 @@ def test_mojibake_fix_map_only(spark, sf_dir):
     assert "hashpartitioning" not in plan, plan
 
 
+def test_compressibility_map_only(spark, sf_dir):
+    """compressibility (r5): one Arrow-batched zlib pass on the pruned
+    (url, text) scan — no join, no aggregate, no hash exchange before
+    the determinism orderBy."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["compressibility"](spark, sf_dir),
+                      spark)
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "ReadSchema" in plan and "html" not in plan.split(
+        "ReadSchema")[1][:200], plan  # blobs pruned from the scan
+
+
 def test_postings_two_aggs_no_window(spark, sf_dir):
     """postings (r5): two map-side-combining aggregates, top posting
     via struct-max — never a per-term row_number window (a hot term

@@ -3257,7 +3257,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v57"
+CORPUS_VERSION = "v58"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -3700,6 +3700,7 @@ EXPECTED_COLUMNS = (
     "sub_kind", "sub_n_cues", "sub_duration_ms",
     "csv_delim", "csv_n_records", "csv_n_cols", "csv_has_header",
     "font_kind", "font_flavor", "font_n_tables", "font_sfnt_size",
+    "text_zlib_len",
 )
 
 
@@ -5644,6 +5645,12 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     else:
         row.update({"odt_n_paras": None, "odt_n_entries": None,
                     "odt_title": None, "odt_creator": None})
+    # compressibility ground truth (eager differential, same pinned
+    # zlib level 6 the distributed query uses — the curation signal is
+    # the RATIO; both sides run CPython's bundled zlib, documented)
+    row["text_zlib_len"] = (
+        len(zlib.compress(text.encode("utf-8"), 6))
+        if text is not None else None)
     return row
 
 
@@ -5779,6 +5786,7 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "csv_n_cols": pa.int32(), "csv_has_header": pa.bool_(),
         "font_kind": pa.string(), "font_flavor": pa.string(),
         "font_n_tables": pa.int32(), "font_sfnt_size": pa.int64(),
+        "text_zlib_len": pa.int32(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —
