@@ -1689,6 +1689,101 @@ def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style per-document curation verdict (r5) — the composite
+    row a user of the WHOLE pipeline materializes: every named filter
+    family evaluated in one scan pass plus the exact-dup keeper, with
+    the FIRST failing stage as the reject reason (language -> gopher ->
+    c4 -> exact-dup; the published pipeline order: CCNet/FineWeb
+    language slice first, quality heuristics next, dedup last so the
+    reasons attribute drops to the cheapest responsible stage). Every
+    flag reuses the EXACT expressions of its standalone query
+    (gopher_quality, c4_filters including its seeding convention,
+    dedup_exact_agg's salted agg-join keeper) so the composite and the
+    components cannot drift. Plan shape at 100 TB: all flags are
+    map-side projections on one scan; the only exchanges are the dup
+    keeper's map-side-combining groupBy and the explicitly SALTED join
+    back (AQE cannot skew-split an agg-fed join side — the measured r4
+    finding), and the fact side carries only (doc_id, h, 3 booleans):
+    text never shuffles.
+
+    The synthetic corpus has no exact duplicates, so every 31st doc is
+    replaced by a shared filter-passing boilerplate page (the
+    pii_scrub/c4_filters seeding convention, replayed identically by
+    the oracle) — all four reject reasons AND the keep branch have
+    live positives at sf0.01."""
+    SALT = 8
+    DUP_SEED = ("The quick brown fox jumps over the lazy dog near the "
+                "quiet river bank. It walks on. It runs on. It rests "
+                "now. It sleeps well.")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 31 == 5, F.lit(DUP_SEED))
+        .otherwise(F.col("text")).alias("text"),
+        "lang")
+    # gopher flags — identical to _q_gopher_quality
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    n_chars_nospace = F.length(F.regexp_replace("text", " ", ""))
+    mean_wl = F.floor(n_chars_nospace * 100 / n_words).cast("long")
+    n_symbols = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^A-Za-z0-9 ]", ""))
+    sym = F.floor(n_symbols * 1000 / F.length("text")).cast("long")
+    has_stop = (F.col("text").like("% the %") | F.col("text").like("% a %")
+                | F.col("text").like("% and %"))
+    gopher_ok = ((n_words >= 10) & (n_words <= 100000)
+                 & (mean_wl >= 200) & (mean_wl <= 1000)
+                 & (sym <= 100) & has_stop)
+    # c4 keep — identical to _q_c4_filters incl. its seeding convention
+    seeded = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(
+            "\nAlpha one two. Beta three four. Gamma five six. "
+            "Delta seven eight. Epsilon nine ten.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 4,
+               F.lit("\nvar x = 1; javascript {")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 6,
+               F.lit("\nlorem ipsum dolor sit amet.")).otherwise(
+            F.lit("")))
+    lines = F.filter(F.split(seeded, "\n"), lambda ln: F.length(ln) > 0)
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike('[.!?"\']$')
+        & (F.size(F.filter(F.split(ln, " "),
+                           lambda w: F.length(w) > 0)) >= 3)
+        & ~F.lower(ln).contains("javascript"))
+    kept_text = F.array_join(kept, "\n")
+    n_sent = F.size(F.filter(F.split(kept_text, r"[.!?]+\s+"),
+                             lambda x: F.length(x) > 0))
+    has_lorem = F.lower(seeded).contains("lorem ipsum")
+    has_brace = seeded.contains("{")
+    c4_ok = (n_sent >= 5) & ~has_lorem & ~has_brace
+    lang_ok = F.col("lang") == "en"
+
+    flags = d.select(
+        "doc_id", F.md5(F.col("text")).alias("h"),
+        lang_ok.alias("lang_ok"), gopher_ok.alias("gopher_ok"),
+        c4_ok.alias("c4_ok"))
+    fact = flags.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(SALT)))
+    keepers = (
+        d.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .groupBy("h").agg(F.min("doc_id").alias("keeper_doc_id"))
+        .withColumn("salt", F.explode(
+            F.sequence(F.lit(0), F.lit(SALT - 1)).cast("array<bigint>")))
+    )
+    j = fact.join(keepers, ["h", "salt"])
+    is_dup = F.col("doc_id") != F.col("keeper_doc_id")
+    reason = (F.when(~F.col("lang_ok"), "language")
+              .when(~F.col("gopher_ok"), "gopher")
+              .when(~F.col("c4_ok"), "c4")
+              .when(is_dup, "duplicate"))
+    return j.select(
+        "doc_id", "lang_ok", "gopher_ok", "c4_ok",
+        is_dup.alias("is_dup"), reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    ).orderBy("doc_id")
+
+
 def _q_sequence_pack(spark: SparkSession, sf_dir: str,
                      seq_len: int = 128, n_buckets: int = 16) -> DataFrame:
     """Training-sequence packing manifest (r5) — the step that turns a
@@ -5671,6 +5766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiki_meta": _q_wiki_meta,
         "code_meta": _q_code_meta,
         "compressibility": _q_compressibility,
+        "curation_verdict": _q_curation_verdict,
         "font_meta": _q_font_meta,
         "flac_meta": _q_flac_meta,
         "ogg_meta": _q_ogg_meta,
@@ -7783,6 +7879,64 @@ def oracle_sql() -> dict[str, str]:
             "lor AS has_lorem_ipsum, br AS has_curly_brace, "
             "(ns >= 5 AND NOT lor AND NOT br) AS c4_keep "
             "FROM f ORDER BY doc_id"
+        ),
+        "curation_verdict": (
+            # the composite replays each component's exact oracle
+            # arithmetic (gopher_quality, c4_filters incl. seeding,
+            # dedup keeper via min() over the md5 partition), the
+            # duplicate seeding (every 31st doc = one shared
+            # boilerplate page) and the first-failing-stage precedence
+            "WITH s0 AS (SELECT doc_id, lang, "
+            "CASE WHEN doc_id % 31 = 5 THEN "
+            "'The quick brown fox jumps over the lazy dog near the "
+            "quiet river bank. It walks on. It runs on. It rests now. "
+            "It sleeps well.' ELSE text END AS text FROM documents), "
+            "sd AS (SELECT doc_id, text, lang, text || "
+            "CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+            "'Alpha one two. Beta three four. Gamma five six. "
+            "Delta seven eight. Epsilon nine ten.' ELSE '' END || "
+            "CASE WHEN doc_id % 13 = 4 THEN chr(10) || "
+            "'var x = 1; javascript {' ELSE '' END || "
+            "CASE WHEN doc_id % 17 = 6 THEN chr(10) || "
+            "'lorem ipsum dolor sit amet.' ELSE '' END AS t "
+            "FROM s0), "
+            "m AS (SELECT doc_id, lang, t, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS w, "
+            "CAST(floor(length(replace(text, ' ', '')) * 100 / "
+            "len(string_split(text, ' '))) AS BIGINT) AS mwl, "
+            "CAST(floor((length(text) - length(regexp_replace(text, "
+            "'[^A-Za-z0-9 ]', '', 'g'))) * 1000 / length(text)) "
+            "AS BIGINT) AS sym, "
+            "(text LIKE '% the %' OR text LIKE '% a %' "
+            "OR text LIKE '% and %') AS stop, "
+            "min(doc_id) OVER (PARTITION BY md5(text)) AS keeper "
+            "FROM sd), "
+            "k AS (SELECT *, coalesce(array_to_string(list_filter("
+            "list_filter(string_split(t, chr(10)), x -> len(x) > 0), "
+            "x -> regexp_matches(x, '[.!?\"'']$') AND "
+            "len(list_filter(string_split(x, ' '), "
+            "w2 -> len(w2) > 0)) >= 3 AND "
+            "NOT contains(lower(x), 'javascript')), chr(10)), '') "
+            "AS kt FROM m), "
+            "f AS (SELECT doc_id, keeper, "
+            "(lang = 'en') AS lang_ok, "
+            "((w >= 10 AND w <= 100000) AND (mwl >= 200 AND mwl <= 1000) "
+            "AND sym <= 100 AND stop) AS gopher_ok, "
+            "(len(list_filter(regexp_split_to_array(kt, '[.!?]+\\s+'), "
+            "x -> len(x) > 0)) >= 5 AND "
+            "NOT contains(lower(t), 'lorem ipsum') "
+            "AND NOT contains(t, '{')) AS c4_ok "
+            "FROM k), "
+            "v AS (SELECT doc_id, lang_ok, gopher_ok, c4_ok, "
+            "(doc_id <> keeper) AS is_dup, "
+            "CASE WHEN NOT lang_ok THEN 'language' "
+            "WHEN NOT gopher_ok THEN 'gopher' "
+            "WHEN NOT c4_ok THEN 'c4' "
+            "WHEN doc_id <> keeper THEN 'duplicate' END AS reject_reason "
+            "FROM f) "
+            "SELECT doc_id, lang_ok, gopher_ok, c4_ok, is_dup, "
+            "reject_reason, (reject_reason IS NULL) AS keep "
+            "FROM v ORDER BY doc_id"
         ),
         "sentence_stats": (
             # identical seeding (slice-joins) and sentence arithmetic

@@ -219,6 +219,23 @@ def test_dedup_exact_agg_has_no_window(spark, sf_dir):
     assert "EvalPython" not in plan, plan
 
 
+def test_curation_verdict_no_window_text_never_shuffles(spark, sf_dir):
+    """curation_verdict (r5): all filter flags are map-side projections
+    on the scan; the only exchanges belong to the dup keeper's groupBy
+    + salted join (the dedup_exact_agg shape) — no window, no Python,
+    and no exchange carries the text column (only doc_id/h/flags)."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["curation_verdict"](spark, sf_dir),
+                      spark)
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for ex in plan.split("Exchange")[1:]:
+        keys = ex.split("\n")[0]
+        assert "text" not in keys, keys
+
+
 def test_decontaminate_probe_is_broadcast_semi(spark, sf_dir):
     """Decontamination must probe the (tiny) benchmark n-gram set via a
     broadcast LEFT SEMI join — the training corpus side must never
