@@ -1689,6 +1689,59 @@ def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per document (r5) — the mC4/CCNet
+    script-consistency signal: a page whose declared language disagrees
+    with its dominant script, or that mixes scripts heavily, is usually
+    mojibake, spam cloaking or mislabeled boilerplate. Char counts per
+    script class via explicit codepoint-range regexes (BYTE-IDENTICAL
+    pattern strings in both engines — actual range characters are
+    embedded, never engine-specific \\p{...} spellings whose Unicode
+    tables may skew); dominant script by max count with a documented
+    tie-break precedence (latin > cjk > cyrillic > arabic); mixed flag
+    when ≥2 scripts occur. Pure JVM map-only inside WholeStageCodegen.
+    The synthetic corpus is all-ASCII, so deterministic script
+    suffixes seed every 6th/7th/11th doc (the pii_scrub convention,
+    replayed identically by the oracle) — every script class and the
+    mixed flag have live positives. Oracle: identical seeding +
+    identical patterns re-run by DuckDB."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 6 == 1,
+               F.lit(" 中文片段")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 2,
+               F.lit(" русский "
+                     "текст")).otherwise(
+            F.lit("")),
+        F.when(F.col("doc_id") % 11 == 3,
+               F.lit(" نص عربي"))
+        .otherwise(F.lit("")))
+
+    def _count(pattern: str):
+        return (F.length(seeded)
+                - F.length(F.regexp_replace(seeded, pattern, ""))
+                ).cast("long")
+
+    latin = _count("[A-Za-z]")
+    cjk = _count("[一-鿿]")
+    cyr = _count("[Ѐ-ӿ]")
+    arab = _count("[؀-ۿ]")
+    dominant = (
+        F.when((latin >= cjk) & (latin >= cyr) & (latin >= arab), "latin")
+        .when((cjk >= cyr) & (cjk >= arab), "cjk")
+        .when(cyr >= arab, "cyrillic")
+        .otherwise("arabic"))
+    n_scripts = ((latin > 0).cast("int") + (cjk > 0).cast("int")
+                 + (cyr > 0).cast("int") + (arab > 0).cast("int"))
+    return d.select(
+        "doc_id", latin.alias("n_latin"), cjk.alias("n_cjk"),
+        cyr.alias("n_cyrillic"), arab.alias("n_arabic"),
+        dominant.alias("dominant_script"),
+        (n_scripts >= 2).alias("is_mixed"),
+    ).orderBy("doc_id")
+
+
 def _q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FineWeb-style per-document curation verdict (r5) — the composite
     row a user of the WHOLE pipeline materializes: every named filter
@@ -5767,6 +5820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_meta": _q_code_meta,
         "compressibility": _q_compressibility,
         "curation_verdict": _q_curation_verdict,
+        "script_mix": _q_script_mix,
         "font_meta": _q_font_meta,
         "flac_meta": _q_flac_meta,
         "ogg_meta": _q_ogg_meta,
@@ -7879,6 +7933,35 @@ def oracle_sql() -> dict[str, str]:
             "lor AS has_lorem_ipsum, br AS has_curly_brace, "
             "(ns >= 5 AND NOT lor AND NOT br) AS c4_keep "
             "FROM f ORDER BY doc_id"
+        ),
+        "script_mix": (
+            # identical seeding + BYTE-IDENTICAL codepoint-range
+            # patterns (actual range chars embedded, no \\p{} spellings)
+            "WITH s AS (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 6 = 1 THEN ' 中文片段' ELSE '' END || "
+            "CASE WHEN doc_id % 7 = 2 THEN ' русский текст' "
+            "ELSE '' END || "
+            "CASE WHEN doc_id % 11 = 3 THEN ' نص عربي' ELSE '' END "
+            "AS t FROM documents), "
+            "m AS (SELECT doc_id, "
+            "CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', "
+            "'', 'g')) AS BIGINT) AS latin, "
+            "CAST(length(t) - length(regexp_replace(t, '[一-鿿]', "
+            "'', 'g')) AS BIGINT) AS cjk, "
+            "CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', "
+            "'', 'g')) AS BIGINT) AS cyr, "
+            "CAST(length(t) - length(regexp_replace(t, '[؀-ۿ]', "
+            "'', 'g')) AS BIGINT) AS arab FROM s) "
+            "SELECT doc_id, latin AS n_latin, cjk AS n_cjk, "
+            "cyr AS n_cyrillic, arab AS n_arabic, "
+            "CASE WHEN latin >= cjk AND latin >= cyr AND latin >= arab "
+            "THEN 'latin' WHEN cjk >= cyr AND cjk >= arab THEN 'cjk' "
+            "WHEN cyr >= arab THEN 'cyrillic' ELSE 'arabic' END "
+            "AS dominant_script, "
+            "(CAST(latin > 0 AS INTEGER) + CAST(cjk > 0 AS INTEGER) "
+            "+ CAST(cyr > 0 AS INTEGER) + CAST(arab > 0 AS INTEGER)) "
+            ">= 2 AS is_mixed "
+            "FROM m ORDER BY doc_id"
         ),
         "curation_verdict": (
             # the composite replays each component's exact oracle

@@ -391,6 +391,35 @@ class TestCrypto:
         assert aes_cbc_encrypt(key, iv, pt) == ct        # F.2.1
         assert aes_cbc_decrypt(key, iv, ct) == pt        # F.2.2
 
+    def test_libcrypto_fast_path_cross_pinned(self):
+        """The optional platform-OpenSSL EVP fast path must be
+        byte-identical to the pure-Python reference on random vectors
+        at every key size, both directions, including the
+        ragged-tail-truncation decrypt contract. (When libcrypto is
+        absent the public functions ARE the reference and this is a
+        self-identity check — still meaningful for the ragged path.)"""
+        import random
+
+        from zpdfspark.kernel.crypto import (_aes_cbc_decrypt_py,
+                                             _aes_cbc_encrypt_py,
+                                             aes_cbc_decrypt,
+                                             aes_cbc_encrypt)
+
+        rng = random.Random(23)
+        for _ in range(40):
+            key = bytes(rng.randrange(256)
+                        for _ in range(rng.choice([16, 24, 32])))
+            iv = bytes(rng.randrange(256) for _ in range(16))
+            data = bytes(rng.randrange(256)
+                         for _ in range(16 * rng.randint(1, 6)))
+            assert aes_cbc_encrypt(key, iv, data) == \
+                _aes_cbc_encrypt_py(key, iv, data)
+            assert aes_cbc_decrypt(key, iv, data) == \
+                _aes_cbc_decrypt_py(key, iv, data)
+            ragged = data + b"\x01\x02\x03"
+            assert aes_cbc_decrypt(key, iv, ragged) == \
+                _aes_cbc_decrypt_py(key, iv, ragged)
+
     def test_pkcs7_strip(self):
         from zpdfspark.kernel.crypto import _strip_pkcs7
         assert _strip_pkcs7(b"abc" + b"\x02\x02") == b"abc"

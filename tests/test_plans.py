@@ -236,6 +236,18 @@ def test_curation_verdict_no_window_text_never_shuffles(spark, sf_dir):
         assert "text" not in keys, keys
 
 
+def test_script_mix_map_only(spark, sf_dir):
+    """script_mix (r5): per-script char counts are scan projections —
+    no Python, no join, no aggregate, no hash exchange."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["script_mix"](spark, sf_dir), spark)
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
 def test_decontaminate_probe_is_broadcast_semi(spark, sf_dir):
     """Decontamination must probe the (tiny) benchmark n-gram set via a
     broadcast LEFT SEMI join — the training corpus side must never

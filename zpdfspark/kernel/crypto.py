@@ -181,9 +181,9 @@ def aes_decrypt_block(key: bytes, block: bytes) -> bytes:
     return _decrypt_block(block, rks, nr)
 
 
-def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """CBC encrypt WITHOUT padding (len(data) must be a multiple of 16).
-    Used by Algorithm 2.B and by the fixture encryptor (which pads)."""
+def _aes_cbc_encrypt_py(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Pure-Python CBC encrypt WITHOUT padding — the from-scratch
+    reference implementation (FIPS-197/SP 800-38A vector-pinned)."""
     if len(data) % 16:
         raise ValueError("aes_cbc_encrypt needs 16-byte-aligned input")
     rks, nr = _expand_key(key)
@@ -196,8 +196,9 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """CBC decrypt WITHOUT padding removal (truncates ragged tails)."""
+def _aes_cbc_decrypt_py(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Pure-Python CBC decrypt WITHOUT padding removal (truncates
+    ragged tails) — the from-scratch reference implementation."""
     n = len(data) - (len(data) % 16)
     rks, nr = _expand_key(key)
     out = bytearray()
@@ -208,6 +209,120 @@ def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
         out += bytes(a ^ b for a, b in zip(pt, prev))
         prev = blk
     return bytes(out)
+
+
+def _load_libcrypto():
+    """Optional AES fast path through the PLATFORM's OpenSSL libcrypto
+    (the library CPython's own ssl module links — no new dependency,
+    public EVP API only). The ISO 32000-2 Algorithm 2.B hardened KDF
+    encrypts ~18k AES blocks per R6 document; at ~40 µs/block the
+    pure-Python reference costs ~0.75 s/doc, which a crawl-scale
+    extraction job cannot pay per encrypted PDF. Both implementations
+    are pinned to the same published vectors and cross-checked in
+    tests; every call falls back to the reference on any failure."""
+    try:
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("crypto")
+        if not name:
+            return None
+        lib = ctypes.CDLL(name)
+        lib.EVP_CIPHER_CTX_new.restype = ctypes.c_void_p
+        lib.EVP_CIPHER_CTX_free.argtypes = [ctypes.c_void_p]
+        for fn in ("EVP_aes_128_cbc", "EVP_aes_192_cbc",
+                   "EVP_aes_256_cbc"):
+            getattr(lib, fn).restype = ctypes.c_void_p
+        for fn in ("EVP_EncryptInit_ex", "EVP_DecryptInit_ex"):
+            getattr(lib, fn).argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_char_p, ctypes.c_char_p]
+        lib.EVP_CIPHER_CTX_set_padding.argtypes = [ctypes.c_void_p,
+                                                   ctypes.c_int]
+        for fn in ("EVP_EncryptUpdate", "EVP_DecryptUpdate"):
+            getattr(lib, fn).argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_char_p,
+                ctypes.c_int]
+        for fn in ("EVP_EncryptFinal_ex", "EVP_DecryptFinal_ex"):
+            getattr(lib, fn).argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int)]
+        # smoke: one known FIPS-197 block must round-trip before the
+        # fast path is trusted
+        k = bytes(range(16))
+        pt = bytes(range(16))
+        ct = _evp_cbc(lib, k, b"\x00" * 16, pt, True)
+        if ct is None or _evp_cbc(lib, k, b"\x00" * 16, ct, False) != pt:
+            return None
+        if ct != _aes_cbc_encrypt_py(k, b"\x00" * 16, pt):
+            return None
+        return lib
+    except Exception:
+        return None
+
+
+def _evp_cbc(lib, key: bytes, iv: bytes, data: bytes, encrypt: bool):
+    """One EVP CBC pass (padding disabled); None on any EVP failure."""
+    import ctypes
+
+    cipher = {16: lib.EVP_aes_128_cbc, 24: lib.EVP_aes_192_cbc,
+              32: lib.EVP_aes_256_cbc}.get(len(key))
+    if cipher is None:
+        return None
+    ctx = lib.EVP_CIPHER_CTX_new()
+    if not ctx:
+        return None
+    try:
+        init = (lib.EVP_EncryptInit_ex if encrypt
+                else lib.EVP_DecryptInit_ex)
+        update = (lib.EVP_EncryptUpdate if encrypt
+                  else lib.EVP_DecryptUpdate)
+        final = (lib.EVP_EncryptFinal_ex if encrypt
+                 else lib.EVP_DecryptFinal_ex)
+        if init(ctx, cipher(), None, key, iv) != 1:
+            return None
+        lib.EVP_CIPHER_CTX_set_padding(ctx, 0)
+        out = ctypes.create_string_buffer(len(data) + 16)
+        n1 = ctypes.c_int(0)
+        if update(ctx, out, ctypes.byref(n1), data, len(data)) != 1:
+            return None
+        n2 = ctypes.c_int(0)
+        tail = ctypes.create_string_buffer(16)
+        if final(ctx, tail, ctypes.byref(n2)) != 1:
+            return None
+        return out.raw[:n1.value] + tail.raw[:n2.value]
+    finally:
+        lib.EVP_CIPHER_CTX_free(ctx)
+
+
+_LIBCRYPTO = _load_libcrypto()
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt WITHOUT padding (len(data) must be a multiple of 16).
+    Used by Algorithm 2.B and by the fixture encryptor (which pads).
+    Platform-OpenSSL fast path when available; pure-Python reference
+    otherwise (identical output, cross-pinned in tests)."""
+    if len(data) % 16:
+        raise ValueError("aes_cbc_encrypt needs 16-byte-aligned input")
+    if _LIBCRYPTO is not None:
+        out = _evp_cbc(_LIBCRYPTO, key, iv, data, True)
+        if out is not None:
+            return out
+    return _aes_cbc_encrypt_py(key, iv, data)
+
+
+def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC decrypt WITHOUT padding removal (truncates ragged tails).
+    Platform-OpenSSL fast path when available; pure-Python reference
+    otherwise (identical output, cross-pinned in tests)."""
+    n = len(data) - (len(data) % 16)
+    if _LIBCRYPTO is not None and n:
+        out = _evp_cbc(_LIBCRYPTO, key, iv, data[:n], False)
+        if out is not None:
+            return out
+    return _aes_cbc_decrypt_py(key, iv, data)
 
 
 def _strip_pkcs7(data: bytes) -> bytes:
