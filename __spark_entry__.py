@@ -4777,6 +4777,66 @@ def _q_wiki_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_md_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown census (r5) — READMEs/docs are a huge GitHub-and-web
+    crawl class; the payload stays raw text for training (the Dolma
+    convention, via the txt fallback) and this census is the signal:
+    heading lines, inline links, fenced-code openers, list items, and
+    an is_markdown flag defined as headings AND at least one of
+    links/lists/fences (a bare '#' comment line in source code must
+    not read as markdown — code docs ride along as live negatives).
+    CR/CRLF normalize first (the code_meta divergence rule). Pure JVM
+    inside WholeStageCodegen; oracle = the IDENTICAL regex set re-run
+    by DuckDB (two-engine re-extraction, no carried truth)."""
+    corpus = _corpus(spark, sf_dir)
+    s = F.regexp_replace(
+        F.regexp_replace(F.col("html").cast("string"), "\r\n", "\n"),
+        "\r", "\n")
+    heads = F.regexp_count(s, F.lit("(?m)^#{1,6} ")).cast("int")
+    links = F.regexp_count(
+        s, F.lit(r"\[[^\]]*\]\([^)]*\)")).cast("int")
+    fences = F.regexp_count(s, F.lit("(?m)^```")).cast("int")
+    items = F.regexp_count(s, F.lit("(?m)^[-*+] ")).cast("int")
+    return (
+        corpus.where(F.col("media_kind") == "txt")
+        .select(
+            "url", heads.alias("n_headings"), links.alias("n_links"),
+            fences.alias("n_code_fences"), items.alias("n_list_items"),
+            ((heads > 0) & ((links > 0) | (items > 0) | (fences > 0)))
+            .alias("is_markdown"),
+        )
+        .orderBy("url")
+    )
+
+
+def _q_json_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON / JSON-Lines census (r5) — API responses, configs and
+    dataset shards (the layout this repo's own write_jsonl sink
+    emits). Data, not prose: dispatch extracts no text (the tar rule)
+    and this census is the signal — top-level kind plus item count
+    (object: top-level keys; array: length; jsonl: non-empty lines).
+    GENUINELY TWO-ENGINE: Spark's JVM json functions
+    (json_object_keys / json_array_length) vs DuckDB's json extension
+    re-mine the same bytes; nothing is carried. Pure JVM, map-only."""
+    corpus = _corpus(spark, sf_dir)
+    s = F.col("html").cast("string")
+    is_lines = F.col("media_kind") == "jsonl"
+    kind = (F.when(is_lines, "jsonl")
+            .when(F.ltrim(s).startswith("{"), "object")
+            .otherwise("array"))
+    n_items = (
+        F.when(is_lines, F.size(F.filter(
+            F.split(s, "\n"), lambda x: F.length(F.trim(x)) > 0)))
+        .when(F.ltrim(s).startswith("{"),
+              F.size(F.json_object_keys(s)))
+        .otherwise(F.json_array_length(s))).cast("int")
+    return (
+        corpus.where(F.col("media_kind").isin("json", "jsonl"))
+        .select("url", kind.alias("kind"), n_items.alias("n_items"))
+        .orderBy("url")
+    )
+
+
 def _q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal (r5) — the gzip-compressibility
     filter real curation pipelines run next to Gopher/C4 rules:
@@ -5821,6 +5881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compressibility": _q_compressibility,
         "curation_verdict": _q_curation_verdict,
         "script_mix": _q_script_mix,
+        "md_meta": _q_md_meta,
+        "json_meta": _q_json_meta,
         "font_meta": _q_font_meta,
         "flac_meta": _q_flac_meta,
         "ogg_meta": _q_ogg_meta,
@@ -6412,6 +6474,45 @@ def oracle_sql() -> dict[str, str]:
             f"AS INTEGER) AS n_refs, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'wiki' ORDER BY url"
+        ),
+        "md_meta": (
+            # TWO-ENGINE: identical regex set re-mined by DuckDB
+            # (CR/CRLF normalized first, the code_meta rule)
+            f"WITH t AS (SELECT url, replace(replace(decode(html), "
+            f"chr(13) || chr(10), chr(10)), chr(13), chr(10)) AS s "
+            f"FROM {corpus} WHERE media_kind = 'txt') "
+            f"SELECT url, "
+            f"CAST(len(regexp_extract_all(s, '(?m)^#{{1,6}} ')) "
+            f"AS INTEGER) AS n_headings, "
+            f"CAST(len(regexp_extract_all(s, "
+            f"'\\[[^\\]]*\\]\\([^)]*\\)')) AS INTEGER) AS n_links, "
+            f"CAST(len(regexp_extract_all(s, '(?m)^```')) AS INTEGER) "
+            f"AS n_code_fences, "
+            f"CAST(len(regexp_extract_all(s, '(?m)^[-*+] ')) "
+            f"AS INTEGER) AS n_list_items, "
+            f"(len(regexp_extract_all(s, '(?m)^#{{1,6}} ')) > 0 AND "
+            f"(len(regexp_extract_all(s, '\\[[^\\]]*\\]\\([^)]*\\)')) > 0 "
+            f"OR len(regexp_extract_all(s, '(?m)^[-*+] ')) > 0 "
+            f"OR len(regexp_extract_all(s, '(?m)^```')) > 0)) "
+            f"AS is_markdown "
+            f"FROM t ORDER BY url"
+        ),
+        "json_meta": (
+            # GENUINELY TWO-ENGINE: DuckDB's json extension re-mines
+            # the same bytes vs Spark's JVM json functions
+            f"SELECT url, "
+            f"CASE WHEN media_kind = 'jsonl' THEN 'jsonl' "
+            f"WHEN ltrim(decode(html))[1] = '{{' THEN 'object' "
+            f"ELSE 'array' END AS kind, "
+            f"CAST(CASE WHEN media_kind = 'jsonl' THEN "
+            f"len(list_filter(string_split(decode(html), chr(10)), "
+            f"x -> len(trim(x)) > 0)) "
+            f"WHEN ltrim(decode(html))[1] = '{{' THEN "
+            f"len(json_keys(decode(html)::JSON)) "
+            f"ELSE json_array_length(decode(html)::JSON) END "
+            f"AS INTEGER) AS n_items "
+            f"FROM {corpus} WHERE media_kind IN ('json', 'jsonl') "
+            f"ORDER BY url"
         ),
         "compressibility": (
             # carried text_zlib_len (eager differential at the same

@@ -4109,6 +4109,78 @@ class TestCode:
                 r"(^|\n)function |module\.exports|(^|\n)const ", s), i
 
 
+class TestMdJson:
+    """Markdown census + JSON/JSONL payload class (round 5)."""
+
+    def test_md_dispatch_and_census(self):
+        import re
+
+        from zpdfspark.fixtures import _sniff_media_kind, md_doc, md_plan
+        from zpdfspark.kernel.htmltext import extract_any
+
+        for i in range(20):
+            raw, exp = md_doc(i)
+            assert _sniff_media_kind(raw) == "txt", i
+            t, kind, _ = extract_any(raw)
+            assert (t, kind) == (exp, "txt"), i
+            p = md_plan(i)
+            s = raw.decode()
+            assert len(re.findall(r"(?m)^#{1,6} ", s)) == p["n_headings"]
+            assert len(re.findall(r"\[[^\]]*\]\([^)]*\)", s)) == p["n_links"]
+            assert len(re.findall(r"(?m)^```", s)) == p["n_fences"]
+            assert len(re.findall(r"(?m)^[-*+] ", s)) == p["n_list_items"]
+
+    def test_code_is_not_markdown(self):
+        """The is_markdown spec (headings AND links/lists/fences) must
+        reject source files whose '#' comments look like headings."""
+        import re
+
+        from zpdfspark.fixtures import code_doc
+
+        for i in range(12):
+            s = code_doc(i)[0].decode()
+            heads = len(re.findall(r"(?m)^#{1,6} ", s))
+            other = (len(re.findall(r"\[[^\]]*\]\([^)]*\)", s))
+                     + len(re.findall(r"(?m)^[-*+] ", s))
+                     + len(re.findall(r"(?m)^```", s)))
+            assert not (heads > 0 and other > 0), i
+
+    def test_json_dispatch(self):
+        from zpdfspark.fixtures import (_sniff_media_kind, ipynb_doc,
+                                        json_doc, json_plan, txt_doc)
+        from zpdfspark.kernel.htmltext import extract_any
+        from zpdfspark.kernel.jsondoc import looks_like_json
+        from zpdfspark.spark.media import sniff_kind
+
+        for i in range(18):
+            raw, _ = json_doc(i)
+            want = "jsonl" if json_plan(i)["kind"] == "jsonl" else "json"
+            assert _sniff_media_kind(raw) == want, i
+            assert sniff_kind(raw) == want, i
+            t, kind, _ = extract_any(raw)
+            assert (t, kind) == ("", want), i
+        # notebooks stay ipynb (looks_like_ipynb runs first), prose
+        # stays txt, and invalid json never claims
+        assert _sniff_media_kind(ipynb_doc(0)[0]) == "ipynb"
+        assert not looks_like_json(txt_doc(0)[0])
+        assert not looks_like_json(b'{"unterminated": ')
+        assert not looks_like_json(b"{ not json }")
+
+    def test_json_fuzz_never_raises(self):
+        import random
+
+        from zpdfspark.fixtures import json_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        rng = random.Random(31)
+        base = json_doc(5)[0]
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            extract_any(bytes(b), "accuracy")
+
+
 class TestEmlRealProducers:
     """Differential sweep over CPython's own test_email corpus — real
     messages written by real MUAs (the testtar.tar pattern): the

@@ -947,17 +947,18 @@ def test_svg_meta_pure_jvm(spark, sf_dir):
 
 
 def test_code_meta_pure_jvm(spark, sf_dir):
-    """code_meta is the same scan shape as feed/svg/date_meta: regex
-    mining inside WholeStageCodegen, zero Python, no shuffle beyond
-    the determinism orderBy."""
+    """code_meta, md_meta and json_meta are the same scan shape as
+    feed/svg/date_meta: JVM mining inside WholeStageCodegen, zero
+    Python, no shuffle beyond the determinism orderBy."""
     import __spark_entry__ as E
 
-    plan = _formatted(E.queries()["code_meta"](spark, sf_dir), spark)
-    assert "EvalPython" not in plan, plan
-    assert "MapInPandas" not in plan, plan
-    assert "MapInArrow" not in plan, plan
-    assert "HashAggregate" not in plan, plan
-    assert "hashpartitioning" not in plan, plan
+    for q in ("code_meta", "md_meta", "json_meta"):
+        plan = _formatted(E.queries()[q](spark, sf_dir), spark)
+        assert "EvalPython" not in plan, (q, plan)
+        assert "MapInPandas" not in plan, (q, plan)
+        assert "MapInArrow" not in plan, (q, plan)
+        assert "HashAggregate" not in plan, (q, plan)
+        assert "hashpartitioning" not in plan, (q, plan)
 
 
 def test_bm25_takeordered_no_global_sort(spark, sf_dir):

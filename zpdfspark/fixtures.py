@@ -3176,6 +3176,14 @@ def _register():
     def g_code(i):
         return code_doc(i)
 
+    @var("md")
+    def g_md(i):
+        return md_doc(i)
+
+    @var("json")
+    def g_json(i):
+        return json_doc(i)
+
     @var("csv")
     def g_csv(i):
         return csv_doc(i)
@@ -3257,7 +3265,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v58"
+CORPUS_VERSION = "v59"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -3606,6 +3614,12 @@ def _sniff_media_kind(raw: bytes) -> str:
 
     if looks_like_ipynb(raw):
         return "ipynb"
+    from .kernel.jsondoc import looks_like_json, looks_like_jsonl
+
+    if looks_like_jsonl(raw):
+        return "jsonl"
+    if looks_like_json(raw):
+        return "json"
     from .kernel.font import looks_like_font
 
     if looks_like_font(raw):
@@ -4953,6 +4967,93 @@ def code_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
     extraction family; code_meta mines the census."""
     plan = code_plan(i)
     return (plan["text"] + "\n").encode("utf-8"), plan["text"]
+
+
+def md_plan(i: int) -> dict:
+    """Authored markdown README content + the md_meta census the
+    two-engine regex spec defines: heading lines (#{1,6} + space),
+    inline [text](url) links, fenced-code openers/closers (^```),
+    list items (^[-*+] + space), and the is_markdown flag (headings
+    AND at least one of links/lists/fences — a bare '#' comment line
+    in source code must not read as markdown)."""
+    fence = i % 2 == 0
+    lines = [
+        f"# Project {i % 7}",
+        "",
+        f"Intro paragraph with a [link](https://example.org/{i % 5}) "
+        "and *emphasis*.",
+        "",
+        f"## Usage {i % 4}",
+        "",
+        f"- item one of run {i % 3}",
+        "- item two",
+    ]
+    if fence:
+        lines += ["", "```python", f"print({i % 9})", "```"]
+    if i % 5 == 4:
+        lines += ["", f"See the [docs](https://docs.example/{i % 3})."]
+    text = "\n".join(lines)
+    return {
+        "n_headings": 2,
+        "n_links": 1 + (1 if i % 5 == 4 else 0),
+        "n_fences": 2 if fence else 0,
+        "n_list_items": 2,
+        "is_markdown": True,
+        "text": text,
+    }
+
+
+def md_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic markdown file (v59 — READMEs/docs are a huge
+    GitHub-and-web crawl class and first-class training text).
+    Dispatches through the txt fallback (markdown IS plain text, kept
+    raw — the Dolma convention); md_meta mines the census."""
+    plan = md_plan(i)
+    return (plan["text"] + "\n").encode("utf-8"), plan["text"]
+
+
+def json_plan(i: int) -> dict:
+    """Authored JSON payload + the census BOTH query engines re-mine
+    with their own JSON machinery (Spark JVM json functions vs
+    DuckDB's json extension — this plan only records the expected
+    values for unit pins): top-level kind and item count (object:
+    top-level keys; array: length; jsonl: non-empty lines)."""
+    cls = i % 3
+    if cls == 0:
+        n = 3 + i % 4
+        kind, items = "object", n
+    elif cls == 1:
+        n = 2 + i % 5
+        kind, items = "array", n
+    else:
+        n = 2 + i % 4
+        kind, items = "jsonl", n
+    return {"kind": kind, "n_items": items}
+
+
+def json_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic JSON / JSONL payload (v59 — API responses and
+    dataset shards). Data, not prose: no text oracle (the tar rule);
+    the json_meta census is the crawl signal. Written with stdlib
+    json.dumps (a third engine relative to the two query engines)."""
+    import json as _json
+
+    plan = json_plan(i)
+    if plan["kind"] == "object":
+        obj = {f"key_{k}": (k * i) % 97 for k in range(plan["n_items"] - 2)}
+        obj["name"] = f"record {i % 11}"
+        obj["tags"] = [f"t{j}" for j in range(i % 3 + 1)]
+        out = _json.dumps(obj, sort_keys=True,
+                          indent=2 if i % 4 == 0 else None)
+    elif plan["kind"] == "array":
+        arr = [{"id": j, "v": (j * i) % 13} for j in range(plan["n_items"])]
+        out = _json.dumps(arr, indent=1 if i % 4 == 1 else None)
+    else:
+        rows = [_json.dumps({"id": j, "text": f"line {j} of {i % 7}"},
+                            sort_keys=True)
+                for j in range(plan["n_items"])]
+        out = "\n".join(rows) + ("\n" if i % 2 == 0 else "")
+    return out.encode("utf-8"), None
 
 
 def _tar_expected(raw: bytes):

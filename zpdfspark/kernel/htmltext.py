@@ -423,6 +423,14 @@ def extract_any(raw: bytes, mode: str = "accuracy", _depth: int = 0):
             return parse_ipynb(raw)["text"], "ipynb", None
         except IpynbError:
             return "", "ipynb", None
+    from .jsondoc import looks_like_json, looks_like_jsonl
+
+    if looks_like_jsonl(raw):
+        # dataset shards / API dumps: data, not prose (the tar rule);
+        # must run AFTER looks_like_ipynb (notebooks are json WITH text)
+        return "", "jsonl", None
+    if looks_like_json(raw):
+        return "", "json", None
     from .latex import looks_like_tex
 
     if looks_like_tex(raw):

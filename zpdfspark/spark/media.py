@@ -125,6 +125,12 @@ def sniff_kind(raw: bytes) -> str:
 
     if looks_like_ipynb(raw):
         return "ipynb"
+    from zpdfspark.kernel.jsondoc import looks_like_json, looks_like_jsonl
+
+    if looks_like_jsonl(raw):
+        return "jsonl"
+    if looks_like_json(raw):
+        return "json"
     from zpdfspark.kernel.font import looks_like_font
 
     if looks_like_font(raw):
