@@ -4777,6 +4777,75 @@ def _q_wiki_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def _q_ps_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostScript DSC header census (r5) — legacy academic/print
+    payloads crawls still carry. Text extraction from PS needs an
+    interpreter (honestly out of scope; the reference has none):
+    census-only posture, mined PURE JVM inside WholeStageCodegen.
+    Oracle: the IDENTICAL regex set re-run by DuckDB over the same
+    bytes (two-engine, no carried truth)."""
+    corpus = _corpus(spark, sf_dir)
+    s = F.col("html").cast("string")
+    return (
+        corpus.where(F.col("media_kind") == "ps")
+        .select(
+            "url",
+            F.regexp_extract(s, r"^%!PS-Adobe-([0-9.]+)", 1)
+            .alias("dsc_version"),
+            F.instr(F.substring(s, 1, 64), "EPSF").cast("boolean")
+            .alias("is_eps"),
+            F.nullif(F.regexp_extract(s, r"%%Pages: *([0-9]+)", 1),
+                     F.lit("")).cast("int").alias("n_pages"),
+            F.nullif(F.regexp_extract(s, r"%%Title: *([^\n]*)", 1),
+                     F.lit("")).alias("title"),
+        )
+        .orderBy("url")
+    )
+
+
+def _q_sqlite_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite database-file census (r5) — kernel/sqlitedb.py header
+    parse over payloads the REAL SQLite library wrote (the fixture
+    generator uses stdlib sqlite3, the format's reference producer —
+    a true real-producer differential). valid_size cross-checks
+    page_size × n_pages against the payload length (torn downloads).
+    Map-only mapInPandas on the pruned (url, html) scan. Oracle:
+    corpus-carried columns from the INDEPENDENT fixtures-side flat
+    struct re-read (fixtures._sqlite_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.sqlitedb import (SqliteError, is_sqlite,
+                                               parse_sqlite)
+
+        for b in it:
+            rows = {"url": [], "page_size": [], "n_pages": [],
+                    "encoding": [], "user_version": [], "valid_size": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if not is_sqlite(raw):
+                    continue
+                try:
+                    m = parse_sqlite(raw)
+                except SqliteError:
+                    continue
+                rows["url"].append(url)
+                rows["page_size"].append(m["page_size"])
+                rows["n_pages"].append(m["n_pages"])
+                rows["encoding"].append(m["encoding"])
+                rows["user_version"].append(m["user_version"])
+                rows["valid_size"].append(m["valid_size"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, page_size int, n_pages int, encoding string, "
+        "user_version int, valid_size boolean"
+    ).orderBy("url")
+
+
 def _q_md_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown census (r5) — READMEs/docs are a huge GitHub-and-web
     crawl class; the payload stays raw text for training (the Dolma
@@ -5883,6 +5952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix": _q_script_mix,
         "md_meta": _q_md_meta,
         "json_meta": _q_json_meta,
+        "ps_meta": _q_ps_meta,
+        "sqlite_meta": _q_sqlite_meta,
         "font_meta": _q_font_meta,
         "flac_meta": _q_flac_meta,
         "ogg_meta": _q_ogg_meta,
@@ -6474,6 +6545,27 @@ def oracle_sql() -> dict[str, str]:
             f"AS INTEGER) AS n_refs, "
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'wiki' ORDER BY url"
+        ),
+        "ps_meta": (
+            # TWO-ENGINE: identical regex set re-mined by DuckDB
+            f"SELECT url, "
+            f"regexp_extract(decode(html), '^%!PS-Adobe-([0-9.]+)', 1) "
+            f"AS dsc_version, "
+            f"contains(decode(html)[1:64], 'EPSF') AS is_eps, "
+            f"CAST(nullif(regexp_extract(decode(html), "
+            f"'%%Pages: *([0-9]+)', 1), '') AS INTEGER) AS n_pages, "
+            f"nullif(regexp_extract(decode(html), "
+            f"'%%Title: *([^\\n]*)', 1), '') AS title "
+            f"FROM {corpus} WHERE media_kind = 'ps' ORDER BY url"
+        ),
+        "sqlite_meta": (
+            # carried facts from the independent fixtures-side flat
+            # struct re-read (_sqlite_expected)
+            f"SELECT url, sqlite_page_size AS page_size, "
+            f"sqlite_n_pages AS n_pages, sqlite_encoding AS encoding, "
+            f"sqlite_user_version AS user_version, "
+            f"sqlite_valid_size AS valid_size "
+            f"FROM {corpus} WHERE media_kind = 'sqlite' ORDER BY url"
         ),
         "md_meta": (
             # TWO-ENGINE: identical regex set re-mined by DuckDB

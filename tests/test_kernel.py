@@ -4181,6 +4181,83 @@ class TestMdJson:
             extract_any(bytes(b), "accuracy")
 
 
+class TestPsSqlite:
+    """PostScript DSC census + SQLite header census (round 5)."""
+
+    def test_ps_dispatch_and_census(self):
+        import re
+
+        from zpdfspark.fixtures import _sniff_media_kind, ps_doc, ps_plan
+        from zpdfspark.kernel.htmltext import extract_any
+
+        for i in range(16):
+            raw, _ = ps_doc(i)
+            p = ps_plan(i)
+            assert _sniff_media_kind(raw) == "ps", i
+            t, kind, _ = extract_any(raw)
+            assert (t, kind) == ("", "ps"), i
+            s = raw.decode()
+            assert re.match(r"^%!PS-Adobe-([0-9.]+)",
+                            s).group(1) == p["dsc_version"]
+            assert ("EPSF" in s[:64]) == p["is_eps"], i
+            assert int(re.search(r"%%Pages: *([0-9]+)",
+                                 s).group(1)) == p["n_pages"]
+            assert re.search(r"%%Title: *([^\n]*)",
+                             s).group(1) == p["title"]
+
+    def test_sqlite_real_producer_roundtrip(self):
+        """The from-scratch header reader must agree with the
+        independent struct re-read on databases the REAL SQLite
+        library wrote, across page sizes and encodings."""
+        from zpdfspark.fixtures import _sqlite_expected, sqlite_doc
+        from zpdfspark.kernel.sqlitedb import parse_sqlite
+
+        sizes = set()
+        for i in range(20):
+            raw, _ = sqlite_doc(i)
+            m = parse_sqlite(raw)
+            assert (m["page_size"], m["n_pages"], m["encoding"],
+                    m["user_version"],
+                    m["valid_size"]) == _sqlite_expected(raw), i
+            assert m["valid_size"], i
+            sizes.add(m["page_size"])
+        assert sizes == {512, 1024, 2048, 4096}
+
+    def test_sqlite_hostile(self):
+        import random
+
+        from zpdfspark.fixtures import sqlite_doc
+        from zpdfspark.kernel.htmltext import extract_any
+        from zpdfspark.kernel.sqlitedb import (SqliteError, is_sqlite,
+                                               parse_sqlite)
+
+        # torn download: header intact, body truncated -> valid_size
+        # False (the crawl-integrity signal), never a raise
+        raw = sqlite_doc(2)[0]
+        assert parse_sqlite(raw[:len(raw) // 2])["valid_size"] is False
+        # invalid page size rejects
+        bad = bytearray(raw)
+        bad[16:18] = b"\x00\x03"
+        try:
+            parse_sqlite(bytes(bad))
+            raise AssertionError("page size 3 must reject")
+        except SqliteError:
+            pass
+        assert not is_sqlite(raw[:50])
+        rng = random.Random(41)
+        for _ in range(300):
+            b = bytearray(raw[:600])
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            blob = bytes(b)
+            if is_sqlite(blob):
+                try:
+                    parse_sqlite(blob)
+                except SqliteError:
+                    pass
+            extract_any(blob, "accuracy")
+
+
 class TestEmlRealProducers:
     """Differential sweep over CPython's own test_email corpus — real
     messages written by real MUAs (the testtar.tar pattern): the

@@ -952,7 +952,7 @@ def test_code_meta_pure_jvm(spark, sf_dir):
     Python, no shuffle beyond the determinism orderBy."""
     import __spark_entry__ as E
 
-    for q in ("code_meta", "md_meta", "json_meta"):
+    for q in ("code_meta", "md_meta", "json_meta", "ps_meta"):
         plan = _formatted(E.queries()[q](spark, sf_dir), spark)
         assert "EvalPython" not in plan, (q, plan)
         assert "MapInPandas" not in plan, (q, plan)

@@ -3184,6 +3184,14 @@ def _register():
     def g_json(i):
         return json_doc(i)
 
+    @var("ps")
+    def g_ps(i):
+        return ps_doc(i)
+
+    @var("sqlite")
+    def g_sqlite(i):
+        return sqlite_doc(i)
+
     @var("csv")
     def g_csv(i):
         return csv_doc(i)
@@ -3265,7 +3273,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v59"
+CORPUS_VERSION = "v60"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -3566,6 +3574,12 @@ def _sniff_media_kind(raw: bytes) -> str:
         return "mp3"
     if raw[:5] == b"{\\rtf":
         return "rtf"
+    if raw[:4] == b"%!PS":
+        return "ps"
+    from .kernel.sqlitedb import is_sqlite
+
+    if is_sqlite(raw):
+        return "sqlite"
     if raw[:2] == b"\x1f\x8b":
         return "gz"
     if raw[:3] == b"BZh" and raw[3:4].isdigit():
@@ -3715,6 +3729,8 @@ EXPECTED_COLUMNS = (
     "csv_delim", "csv_n_records", "csv_n_cols", "csv_has_header",
     "font_kind", "font_flavor", "font_n_tables", "font_sfnt_size",
     "text_zlib_len",
+    "sqlite_page_size", "sqlite_n_pages", "sqlite_encoding",
+    "sqlite_user_version", "sqlite_valid_size",
 )
 
 
@@ -5056,6 +5072,89 @@ def json_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
     return out.encode("utf-8"), None
 
 
+def ps_plan(i: int) -> dict:
+    """Authored PostScript DSC header values (the census ps_meta's
+    two-engine regex spec defines)."""
+    return {
+        "dsc_version": "3.0" if i % 3 else "2.1",
+        "is_eps": i % 4 == 1,
+        "n_pages": 1 + i % 5,
+        "title": f"Figure {i % 7} draft",
+    }
+
+
+def ps_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic PostScript document (v60 — legacy academic/print
+    payloads crawls still carry). DSC comment header + trivial drawing
+    body; text extraction from PS needs an interpreter (out of honest
+    scope — the reference has none either), so the posture is
+    census-only (the tar rule): ps_meta mines the DSC header pure-JVM
+    with a DuckDB regex twin."""
+    p = ps_plan(i)
+    eps = " EPSF-3.0" if p["is_eps"] else ""
+    body = []
+    for pg in range(p["n_pages"]):
+        body += [f"%%Page: {pg + 1} {pg + 1}",
+                 "newpath 72 72 moveto 144 144 lineto stroke",
+                 f"/Helvetica findfont {10 + i % 4} scalefont setfont",
+                 "showpage"]
+    doc = (f"%!PS-Adobe-{p['dsc_version']}{eps}\n"
+           f"%%Title: {p['title']}\n"
+           f"%%Pages: {p['n_pages']}\n"
+           "%%BoundingBox: 0 0 612 792\n"
+           "%%EndComments\n"
+           + "\n".join(body) + "\n%%EOF\n")
+    return doc.encode("ascii"), None
+
+
+def sqlite_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic REAL SQLite database (v60) written by the stdlib
+    sqlite3 module — the actual SQLite C library, so the from-scratch
+    header reader (kernel/sqlitedb.py) is pinned against the format's
+    reference producer. Rotations: page size 512<<(i%4), user_version,
+    row volume (page count varies), utf-16le encoding on every 5th db.
+    A database is data, not a document — census only, no text."""
+    import os as _os
+    import sqlite3 as _sq
+    import tempfile as _tmp
+
+    fd, path = _tmp.mkstemp(suffix=".sqlite")
+    _os.close(fd)
+    try:
+        con = _sq.connect(path)
+        con.execute(f"PRAGMA page_size={512 << (i % 4)}")
+        if i % 5 == 4:
+            con.execute("PRAGMA encoding='UTF-16le'")
+        con.execute(f"PRAGMA user_version={i % 9}")
+        con.execute("CREATE TABLE t(a INTEGER PRIMARY KEY, b TEXT)")
+        con.executemany(
+            "INSERT INTO t(b) VALUES (?)",
+            [(f"row {j} of db {i}" * (1 + i % 3),)
+             for j in range(20 + 60 * (i % 4))])
+        con.commit()
+        con.close()
+        with open(path, "rb") as f:
+            return f.read(), None
+    finally:
+        _os.unlink(path)
+
+
+def _sqlite_expected(raw: bytes):
+    """INDEPENDENT ground truth for sqlite_meta: a flat struct re-read
+    of the 100-byte header — deliberately NOT kernel/sqlitedb.py.
+    Returns (page_size, n_pages, encoding, user_version, valid_size)."""
+    import struct as _s
+
+    ps = _s.unpack(">H", raw[16:18])[0]
+    if ps == 1:
+        ps = 65536
+    n = _s.unpack(">I", raw[28:32])[0]
+    enc = {1: "utf-8", 2: "utf-16le", 3: "utf-16be"}[
+        _s.unpack(">I", raw[56:60])[0]]
+    uv = _s.unpack(">i", raw[60:64])[0]
+    return ps, n, enc, uv, ps * n == len(raw)
+
+
 def _tar_expected(raw: bytes):
     """INDEPENDENT ground truth for the tar_meta oracle: STDLIB
     tarfile re-read — deliberately NOT kernel/tar.py. Returns
@@ -5752,6 +5851,15 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
     row["text_zlib_len"] = (
         len(zlib.compress(text.encode("utf-8"), 6))
         if text is not None else None)
+    if row["media_kind"] == "sqlite":
+        sp, sn, se, suv, sv = _sqlite_expected(raw)
+        row.update({"sqlite_page_size": sp, "sqlite_n_pages": sn,
+                    "sqlite_encoding": se, "sqlite_user_version": suv,
+                    "sqlite_valid_size": sv})
+    else:
+        row.update({"sqlite_page_size": None, "sqlite_n_pages": None,
+                    "sqlite_encoding": None, "sqlite_user_version": None,
+                    "sqlite_valid_size": None})
     return row
 
 
@@ -5888,6 +5996,10 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "font_kind": pa.string(), "font_flavor": pa.string(),
         "font_n_tables": pa.int32(), "font_sfnt_size": pa.int64(),
         "text_zlib_len": pa.int32(),
+        "sqlite_page_size": pa.int32(), "sqlite_n_pages": pa.int32(),
+        "sqlite_encoding": pa.string(),
+        "sqlite_user_version": pa.int32(),
+        "sqlite_valid_size": pa.bool_(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

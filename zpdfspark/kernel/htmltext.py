@@ -390,6 +390,15 @@ def extract_any(raw: bytes, mode: str = "accuracy", _depth: int = 0):
             return parse_rtf(raw)["text"], "rtf", None
         except RtfError:
             return "", "rtf", None
+    if raw[:4] == b"%!PS":
+        # PostScript: text extraction needs an interpreter (honestly
+        # out of scope; the reference has none) — census-only posture
+        return "", "ps", None
+    from .sqlitedb import is_sqlite
+
+    if is_sqlite(raw):
+        # a database is data, not a document (the tar rule)
+        return "", "sqlite", None
     from .eml import EmlError, is_eml, is_mbox
 
     if is_eml(raw):

@@ -77,6 +77,12 @@ def sniff_kind(raw: bytes) -> str:
         return "mp3"
     if raw[:5] == b"{\\rtf":
         return "rtf"
+    if raw[:4] == b"%!PS":
+        return "ps"
+    from zpdfspark.kernel.sqlitedb import is_sqlite
+
+    if is_sqlite(raw):
+        return "sqlite"
     if raw[:2] == b"\x1f\x8b":
         return "gz"
     if raw[:3] == b"BZh" and raw[3:4].isdigit():
