@@ -3779,6 +3779,119 @@ def _q_kmeans_semdedup(spark: SparkSession, sf_dir: str,
     )
 
 
+PQ_M, PQ_SUB, PQ_K = 4, 16, 8  # 4 subspaces x 16 dims, 8 codes each
+
+
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Train the product-quantization codebooks: the shared Lloyd
+    trainer (_lloyd_train) runs once per 16-dim subspace. Returns
+    (frame e with v:array<double>, [codebook_s] each PQ_K x PQ_SUB)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    books = []
+    for s in range(PQ_M):
+        sub = e.select(
+            "vec_id", F.slice("v", s * PQ_SUB + 1, PQ_SUB).alias("v"))
+        cent, _ = _lloyd_train(sub, PQ_K, 2)
+        books.append(cent)
+    return e, books
+
+
+def _pq_sub_dists(s: int, book):
+    """Distance array (len PQ_K) from slice s of column v to each
+    codeword — a map-only sequential fold against broadcast literals
+    (the _lloyd_train determinism rules)."""
+    sub = F.slice("v", s * PQ_SUB + 1, PQ_SUB)
+
+    def dist_to(c_arr):
+        lit = F.array(*[F.lit(float(x)) for x in c_arr])
+        return F.aggregate(
+            F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    return F.array(*[dist_to(c) for c in book])
+
+
+def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (r5) — the memory side of IVF-PQ, the
+    index family trillion-vector ANN actually runs (Jégou et al.
+    2011): each 64-dim vector compresses to M=4 sub-codes (3 bits
+    each at K=8 — production uses M=8..64 x 8 bits; the plumbing is
+    identical), chosen per 16-dim subspace as the argmin against a
+    Lloyd-trained codebook. At 10^12 vectors the raw float corpus is
+    ~256 TB while PQ codes are a few TB that fit an executor fleet's
+    memory — the difference between an index and a full-scan.
+
+    Scale shape: training is M runs of the shared Lloyd trainer
+    (aggregation-shaped, k*dim cells shuffle, never vectors);
+    encoding is map-only against broadcast codebook literals —
+    zero joins, zero vector shuffles. Determinism: the _lloyd_train
+    rules (seed = vec_id 0..K-1 subvectors, rounded centroid updates,
+    sequential in-row folds, first-wins argmin ties). Oracle: DuckDB
+    replays the per-subspace Lloyd training AND the encoding with
+    1-based list lambdas (the kmeans_semdedup pattern, generated per
+    subspace)."""
+    e, books = _pq_train(spark, sf_dir)
+    code_cols = []
+    err_total = F.lit(0.0)
+    for s in range(PQ_M):
+        d = _pq_sub_dists(s, books[s])
+        code_cols.append(
+            (F.array_position(d, F.array_min(d)) - 1).cast("int")
+            .alias(f"code{s}"))
+        err_total = err_total + F.array_min(d)
+    return (
+        e.select("vec_id", *code_cols,
+                 F.round(err_total, 3).alias("err_r3"))
+        .withColumn(
+            "pq_code",
+            (F.col("code0") * (PQ_K ** 3) + F.col("code1") * (PQ_K ** 2)
+             + F.col("code2") * PQ_K + F.col("code3")).cast("int"))
+        .select("vec_id", "code0", "code1", "code2", "code3",
+                "pq_code", "err_r3")
+        .orderBy("vec_id")
+    )
+
+
+def _q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k (r5) — the search side of
+    IVF-PQ: the query stays a float vector, the corpus stays PQ codes,
+    and each distance is M table lookups instead of a 64-dim fold
+    (Jégou et al. 2011). The per-query distance tables (M x K floats —
+    bounded by the codebook, never the corpus) are computed once
+    driver-side from the query vector (vec_id 0, the ann_topk
+    convention) and broadcast as plan literals; the scan side
+    recomputes each vector's sub-codes map-only and sums the looked-up
+    table entries. Scores round to 3 dp BEFORE ranking with a vec_id
+    tie-break (the tfidf/bm25 cross-engine rule). Oracle: DuckDB
+    replays the codebook training, the encoding, the query tables and
+    the ranking."""
+    e, books = _pq_train(spark, sf_dir)
+    q = _emb(spark, sf_dir).where(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).collect()[0]["v"]
+    adc = F.lit(0.0)
+    for s in range(PQ_M):
+        qs = q[s * PQ_SUB:(s + 1) * PQ_SUB]
+        table = []
+        for c in books[s]:
+            t = 0.0
+            for a, b in zip(qs, c):
+                t += (a - b) * (a - b)
+            table.append(t)
+        tlit = F.array(*[F.lit(float(x)) for x in table])
+        d = _pq_sub_dists(s, books[s])
+        code = F.array_position(d, F.array_min(d))  # 1-based
+        adc = adc + F.element_at(tlit, code.cast("int"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .select("vec_id", F.round(adc, 3).alias("adc_r3"))
+        .orderBy("adc_r3", "vec_id")
+        .limit(10)
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH bucketing (sign bits of
     projections onto 4 deterministic pseudo-random directions derived
@@ -5954,6 +6067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_meta": _q_json_meta,
         "ps_meta": _q_ps_meta,
         "sqlite_meta": _q_sqlite_meta,
+        "pq_encode": _q_pq_encode,
+        "ann_pq_adc": _q_ann_pq_adc,
         "font_meta": _q_font_meta,
         "flac_meta": _q_flac_meta,
         "ogg_meta": _q_ogg_meta,
@@ -5964,6 +6079,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "encryption_stats": _q_encryption_stats,
     }
+
+
+def _pq_oracle_sql() -> str:
+    """SQL replay of _q_pq_encode: per-subspace 2-iteration Lloyd
+    (the kmeans_semdedup oracle pattern, generated per subspace) then
+    the same argmin encoding, packed code and rounded total error."""
+    ctes = ["e AS (SELECT vec_id, embedding AS v FROM embeddings)"]
+    for s in range(PQ_M):
+        lo = s * PQ_SUB + 1
+        hi = lo + PQ_SUB - 1
+        n1 = PQ_SUB + 1
+        ctes.append(
+            f"c0_{s} AS (SELECT vec_id AS cl, embedding[{lo}:{hi}] AS c "
+            f"FROM embeddings WHERE vec_id < {PQ_K})")
+        ctes.append(
+            f"d1_{s} AS (SELECT e.vec_id, c0_{s}.cl, "
+            f"list_sum(list_transform(range(1, {n1}), i -> "
+            f"(CAST(e.v[{lo} - 1 + i] AS DOUBLE) - "
+            f"CAST(c0_{s}.c[i] AS DOUBLE)) * "
+            f"(CAST(e.v[{lo} - 1 + i] AS DOUBLE) - "
+            f"CAST(c0_{s}.c[i] AS DOUBLE)))) AS dist "
+            f"FROM e CROSS JOIN c0_{s})")
+        ctes.append(
+            f"a1_{s} AS (SELECT vec_id, cl AS cluster FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist, cl) AS rn FROM d1_{s}) WHERE rn = 1)")
+        ctes.append(
+            f"u_{s} AS (SELECT cluster, i AS dim, "
+            f"round(avg(CAST(e.v[{lo} - 1 + i] AS DOUBLE)), 4) AS c "
+            f"FROM a1_{s} JOIN e USING (vec_id) "
+            f"CROSS JOIN range(1, {n1}) t(i) GROUP BY 1, 2)")
+        ctes.append(
+            f"c1_{s} AS (SELECT cluster AS cl, "
+            f"array_agg(c ORDER BY dim) AS c FROM u_{s} GROUP BY 1)")
+        ctes.append(
+            f"cc_{s} AS (SELECT c0_{s}.cl, COALESCE(c1_{s}.c, "
+            f"list_transform(c0_{s}.c, x -> CAST(x AS DOUBLE))) AS c "
+            f"FROM c0_{s} LEFT JOIN c1_{s} ON c0_{s}.cl = c1_{s}.cl)")
+        ctes.append(
+            f"d2_{s} AS (SELECT e.vec_id, cc_{s}.cl, "
+            f"list_sum(list_transform(range(1, {n1}), i -> "
+            f"(CAST(e.v[{lo} - 1 + i] AS DOUBLE) - cc_{s}.c[i]) * "
+            f"(CAST(e.v[{lo} - 1 + i] AS DOUBLE) - cc_{s}.c[i]))) "
+            f"AS dist FROM e CROSS JOIN cc_{s})")
+        ctes.append(
+            f"a2_{s} AS (SELECT vec_id, cl AS code, dist FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist, cl) AS rn FROM d2_{s}) WHERE rn = 1)")
+    joins = " ".join(
+        f"JOIN a2_{s} ON e.vec_id = a2_{s}.vec_id" for s in range(PQ_M))
+    codes = ", ".join(
+        f"CAST(a2_{s}.code AS INTEGER) AS code{s}" for s in range(PQ_M))
+    packed = " + ".join(
+        f"a2_{s}.code * {PQ_K ** (PQ_M - 1 - s)}" for s in range(PQ_M))
+    err = " + ".join(f"a2_{s}.dist" for s in range(PQ_M))
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT e.vec_id, {codes}, "
+        f"CAST({packed} AS INTEGER) AS pq_code, "
+        f"round({err}, 3) AS err_r3 FROM e {joins} ORDER BY e.vec_id"
+    )
+
+
+def _pq_adc_oracle_sql() -> str:
+    """SQL replay of _q_ann_pq_adc: the pq_encode replay plus the
+    per-subspace query distance tables (query = vec_id 0, sequential
+    list_sum folds — the same summation order as the driver-side
+    Python floats) and the rounded-then-ranked top-10."""
+    base = _pq_oracle_sql()
+    with_part = base[: base.rindex(" SELECT ")]
+    n1 = PQ_SUB + 1
+    extra = []
+    for s in range(PQ_M):
+        lo = s * PQ_SUB + 1
+        extra.append(
+            f"t_{s} AS (SELECT cc_{s}.cl, "
+            f"list_sum(list_transform(range(1, {n1}), i -> "
+            f"(CAST(q.v[{lo} - 1 + i] AS DOUBLE) - cc_{s}.c[i]) * "
+            f"(CAST(q.v[{lo} - 1 + i] AS DOUBLE) - cc_{s}.c[i]))) AS td "
+            f"FROM cc_{s} CROSS JOIN "
+            f"(SELECT embedding AS v FROM embeddings WHERE vec_id = 0) "
+            f"q)")
+    joins = " ".join(
+        f"JOIN a2_{s} ON e.vec_id = a2_{s}.vec_id "
+        f"JOIN t_{s} ON a2_{s}.code = t_{s}.cl" for s in range(PQ_M))
+    adc = " + ".join(f"t_{s}.td" for s in range(PQ_M))
+    return (
+        with_part + ", " + ", ".join(extra)
+        + f" SELECT e.vec_id, round({adc}, 3) AS adc_r3 "
+        f"FROM e {joins} WHERE e.vec_id != 0 "
+        f"ORDER BY adc_r3, e.vec_id LIMIT 10"
+    )
 
 
 def _lang_id_ngram_oracle() -> str:
@@ -6546,6 +6753,8 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(length(text) AS INTEGER) AS n_text_chars "
             f"FROM {corpus} WHERE media_kind = 'wiki' ORDER BY url"
         ),
+        "pq_encode": _pq_oracle_sql(),
+        "ann_pq_adc": _pq_adc_oracle_sql(),
         "ps_meta": (
             # TWO-ENGINE: identical regex set re-mined by DuckDB
             f"SELECT url, "

@@ -236,6 +236,24 @@ def test_curation_verdict_no_window_text_never_shuffles(spark, sf_dir):
         assert "text" not in keys, keys
 
 
+def test_pq_encode_map_only_after_training(spark, sf_dir):
+    """pq_encode / ann_pq_adc (r5): codebook training happens eagerly
+    at build time (aggregation-shaped, k*dim cells); the RETURNED plan
+    must be pure map against broadcast codebook literals — no joins,
+    no aggregates, no vector shuffles. ADC ranks via
+    TakeOrderedAndProject, never a global sort."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["pq_encode"](spark, sf_dir), spark)
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    plan = _formatted(E.queries()["ann_pq_adc"](spark, sf_dir), spark)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_script_mix_map_only(spark, sf_dir):
     """script_mix (r5): per-script char counts are scan projections —
     no Python, no join, no aggregate, no hash exchange."""
