@@ -25,7 +25,11 @@ from zpdfspark.kernel.htmltext import extract_any  # noqa: E402
 GENS = [fixtures.eml_doc, fixtures.mbox_archive, fixtures.srt_doc,
         fixtures.vtt_doc, fixtures.ipynb_doc, fixtures.csv_doc,
         fixtures.latex_doc, fixtures.bz2_doc, fixtures.xz_doc,
-        fixtures.gz_doc, fixtures.font_doc, fixtures.txt_doc]
+        fixtures.gz_doc, fixtures.font_doc, fixtures.txt_doc,
+        # closing-session kernels (wiki reduction, code/md through the
+        # txt fallback, json/jsonl, PostScript, sqlite header walk)
+        fixtures.wiki_doc, fixtures.code_doc, fixtures.md_doc,
+        fixtures.json_doc, fixtures.ps_doc, fixtures.sqlite_doc]
 
 WATCHDOG_S = 3
 
