@@ -3854,7 +3854,8 @@ def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_ann_pq_adc(spark: SparkSession, sf_dir: str,
+                  topn: int = 10) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k (r5) — the search side of
     IVF-PQ: the query stays a float vector, the corpus stays PQ codes,
     and each distance is M table lookups instead of a 64-dim fold
@@ -3888,7 +3889,7 @@ def _q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("vec_id") != 0)
         .select("vec_id", F.round(adc, 3).alias("adc_r3"))
         .orderBy("adc_r3", "vec_id")
-        .limit(10)
+        .limit(topn)
     )
 
 

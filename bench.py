@@ -498,17 +498,35 @@ def main() -> None:
         queries["ann_ivf_recall_at_10"] = round(
             len(exact_ids & ivf_ids) / len(exact_ids), 3)
 
-        # PQ/ADC recall vs the same exact baseline (r5): 64-dim floats
-        # compressed to 4x3-bit codes — recall@10 quantifies what the
-        # ~42x memory reduction costs on this corpus. Note the exact
-        # baseline ranks by cosine while ADC ranks by L2 on unnormalized
-        # embeddings, so this is a metric-mismatch lower bound.
-        pq_df = qs["ann_pq_adc"](spark, sf_dir)
+        # PQ/ADC recall (r5), measured the production way: ADC is a
+        # CANDIDATE GENERATOR — every IVF-PQ deployment re-ranks an
+        # ADC candidate list with exact distances. Baseline = exact L2
+        # (the metric ADC approximates; the cosine baseline above is a
+        # different ranking); candidates = ADC top-100 from the engine;
+        # re-rank = exact L2 over the candidates only. The synthetic
+        # embeddings are near-random (no manifold) — PQ's documented
+        # worst case — so the raw ADC-only top-10 recall is printed
+        # too as the floor.
+        import numpy as _np
+
+        emb = {r["vec_id"]: _np.array(r["embedding"], dtype=_np.float64)
+               for r in spark.read.parquet(
+                   os.path.join(sf_dir, "embeddings.parquet")).collect()}
+        qv = emb[0]
+        l2 = sorted(((float(((v - qv) ** 2).sum()), i)
+                     for i, v in emb.items() if i != 0))
+        l2_ids = {i for _, i in l2[:10]}
         t0 = time.perf_counter()
-        pq_ids = {r["vec_id"] for r in pq_df.collect()}
+        cand = [r["vec_id"] for r in
+                entry_mod._q_ann_pq_adc(spark, sf_dir, topn=100).collect()]
         queries["ann_pq_adc"] = round(time.perf_counter() - t0, 3)
-        queries["ann_pq_recall_at_10"] = round(
-            len(exact_ids & pq_ids) / len(exact_ids), 3)
+        pq_raw = set(cand[:10])
+        rerank = sorted(cand,
+                        key=lambda i: (float(((emb[i] - qv) ** 2).sum()), i))
+        queries["ann_pq_recall_at_10_raw"] = round(
+            len(l2_ids & pq_raw) / 10, 3)
+        queries["ann_pq_recall_at_10_rerank100"] = round(
+            len(l2_ids & set(rerank[:10])) / 10, 3)
 
         # adversarial-scale connected components (r3-verdict #6 bench
         # line): 10^5-node chain/star mix generated executor-side; the
