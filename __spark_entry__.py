@@ -3893,6 +3893,67 @@ def _q_ann_pq_adc(spark: SparkSession, sf_dir: str,
     )
 
 
+def _q_ann_ivfpq(spark: SparkSession, sf_dir: str, k: int = 8,
+                 iters: int = 2, nprobe: int = 2,
+                 topn: int = 10) -> DataFrame:
+    """IVF-PQ (r5) — the composite index trillion-vector ANN actually
+    deploys (FAISS IVFPQ; Jégou et al. 2011): the coarse quantizer
+    (the shared Lloyd trainer) prunes the corpus to the query's nprobe
+    nearest cells, and within them distances are PQ table lookups
+    (ADC) instead of 64-dim folds. This implementation quantizes RAW
+    vectors, not cell residuals — the documented non-residual
+    simplification (residual PQ re-centers each cell before encoding;
+    the pruning + lookup plumbing is identical).
+
+    Scale shape: both the cell filter and the ADC sum are map-only
+    expressions against broadcast literals (centroids k×dim, tables
+    M×K — bounded by the model, never the corpus); at 100 TB the
+    assignment lands partitioned by cell at index-build time so a
+    probe is a partition-pruned scan, and the 64→4-byte code
+    compression is what lets the scan side live in memory. Top-k via
+    TakeOrderedAndProject; determinism by the ann_ivf probe rules
+    (query-centroid distances rounded 1e-6, ties to the lower cell)
+    and the tfidf round-before-rank rule."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    cent, assign = _lloyd_train(e, k, iters)
+    qv = e.where(F.col("vec_id") == 0).collect()[0]["v"]
+
+    def seq_sqdist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    qd = [round(seq_sqdist(qv, c), 6) for c in cent]
+    probes = sorted(range(k), key=lambda c: (qd[c], c))[:nprobe]
+    _, cluster = assign(cent)
+
+    _, books = _pq_train(spark, sf_dir)
+    adc = F.lit(0.0)
+    for s in range(PQ_M):
+        qs = qv[s * PQ_SUB:(s + 1) * PQ_SUB]
+        table = []
+        for c in books[s]:
+            t = 0.0
+            for a, b in zip(qs, c):
+                t += (a - b) * (a - b)
+            table.append(t)
+        tlit = F.array(*[F.lit(float(x)) for x in table])
+        d = _pq_sub_dists(s, books[s])
+        code = F.array_position(d, F.array_min(d))
+        adc = adc + F.element_at(tlit, code.cast("int"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .where(cluster.cast("long").isin([int(p) for p in probes]))
+        .select("vec_id", cluster.cast("long").alias("cell"),
+                F.round(adc, 3).alias("adc_r3"))
+        .orderBy("adc_r3", "vec_id")
+        .limit(topn)
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH bucketing (sign bits of
     projections onto 4 deterministic pseudo-random directions derived
@@ -6070,6 +6131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sqlite_meta": _q_sqlite_meta,
         "pq_encode": _q_pq_encode,
         "ann_pq_adc": _q_ann_pq_adc,
+        "ann_ivfpq": _q_ann_ivfpq,
         "font_meta": _q_font_meta,
         "flac_meta": _q_flac_meta,
         "ogg_meta": _q_ogg_meta,
@@ -6170,6 +6232,60 @@ def _pq_adc_oracle_sql() -> str:
         with_part + ", " + ", ".join(extra)
         + f" SELECT e.vec_id, round({adc}, 3) AS adc_r3 "
         f"FROM e {joins} WHERE e.vec_id != 0 "
+        f"ORDER BY adc_r3, e.vec_id LIMIT 10"
+    )
+
+
+def _ivfpq_oracle_sql() -> str:
+    """SQL replay of _q_ann_ivfpq: the coarse-quantizer replay (the
+    ann_ivf oracle's Lloyd + probe CTEs, 'g'-suffixed) composed with
+    the per-subspace PQ replay and query tables, then the probed-cell
+    ADC ranking."""
+    base = _pq_adc_oracle_sql()
+    with_part = base[: base.rindex(" SELECT ")]
+    coarse = (
+        ", c0g AS (SELECT vec_id AS cl, embedding AS c FROM embeddings "
+        "WHERE vec_id < 8), "
+        "d1g AS (SELECT e.vec_id, e.v, c0g.cl, "
+        "list_sum(list_transform(range(1, 65), i -> "
+        "(CAST(e.v[i] AS DOUBLE) - CAST(c0g.c[i] AS DOUBLE)) * "
+        "(CAST(e.v[i] AS DOUBLE) - CAST(c0g.c[i] AS DOUBLE)))) AS dist "
+        "FROM e CROSS JOIN c0g), "
+        "a1g AS (SELECT vec_id, v, cl AS cluster FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY dist, cl) AS rn FROM d1g) WHERE rn = 1), "
+        "ug AS (SELECT cluster, i AS dim, "
+        "round(avg(CAST(v[i] AS DOUBLE)), 4) AS c "
+        "FROM a1g CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2), "
+        "c1g AS (SELECT cluster AS cl, "
+        "array_agg(c ORDER BY dim) AS c FROM ug GROUP BY 1), "
+        "ccg AS (SELECT c0g.cl, COALESCE(c1g.c, list_transform(c0g.c, "
+        "x -> CAST(x AS DOUBLE))) AS c FROM c0g LEFT JOIN c1g "
+        "ON c0g.cl = c1g.cl), "
+        "qg AS (SELECT list_transform(embedding, x -> "
+        "CAST(x AS DOUBLE)) AS qv FROM embeddings WHERE vec_id = 0), "
+        "qdg AS (SELECT ccg.cl, round(list_sum(list_transform("
+        "range(1, 65), i -> (qg.qv[i] - ccg.c[i]) * "
+        "(qg.qv[i] - ccg.c[i]))), 6) AS dist FROM ccg CROSS JOIN qg), "
+        "probesg AS (SELECT cl FROM (SELECT cl, row_number() OVER "
+        "(ORDER BY dist, cl) AS rn FROM qdg) WHERE rn <= 2), "
+        "d2g AS (SELECT e.vec_id, ccg.cl, "
+        "list_sum(list_transform(range(1, 65), i -> "
+        "(CAST(e.v[i] AS DOUBLE) - ccg.c[i]) * "
+        "(CAST(e.v[i] AS DOUBLE) - ccg.c[i]))) AS dist "
+        "FROM e CROSS JOIN ccg), "
+        "a2g AS (SELECT vec_id, cl AS cell FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY dist, cl) AS rn FROM d2g) WHERE rn = 1)")
+    joins = " ".join(
+        f"JOIN a2_{s} ON e.vec_id = a2_{s}.vec_id "
+        f"JOIN t_{s} ON a2_{s}.code = t_{s}.cl" for s in range(PQ_M))
+    adc = " + ".join(f"t_{s}.td" for s in range(PQ_M))
+    return (
+        with_part + coarse
+        + f" SELECT e.vec_id, a2g.cell, round({adc}, 3) AS adc_r3 "
+        f"FROM e JOIN a2g ON e.vec_id = a2g.vec_id {joins} "
+        f"WHERE e.vec_id != 0 AND a2g.cell IN (SELECT cl FROM probesg) "
         f"ORDER BY adc_r3, e.vec_id LIMIT 10"
     )
 
@@ -6756,6 +6872,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pq_encode": _pq_oracle_sql(),
         "ann_pq_adc": _pq_adc_oracle_sql(),
+        "ann_ivfpq": _ivfpq_oracle_sql(),
         "ps_meta": (
             # TWO-ENGINE: identical regex set re-mined by DuckDB
             f"SELECT url, "

@@ -252,6 +252,12 @@ def test_pq_encode_map_only_after_training(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+    # the IVF-PQ composite keeps the same shape: cell filter + ADC are
+    # both map-only against broadcast literals, ranking is TakeOrdered
+    plan = _formatted(E.queries()["ann_ivfpq"](spark, sf_dir), spark)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
 
 
 def test_script_mix_map_only(spark, sf_dir):
