@@ -3954,6 +3954,96 @@ def _q_ann_ivfpq(spark: SparkSession, sf_dir: str, k: int = 8,
     )
 
 
+def _q_ann_ivfpq_res(spark: SparkSession, sf_dir: str, k: int = 8,
+                     iters: int = 2, nprobe: int = 2,
+                     topn: int = 10) -> DataFrame:
+    """Residual IVF-PQ (r5) — the FAISS-default refinement of
+    ann_ivfpq: each vector is PQ-encoded as its RESIDUAL from the
+    coarse centroid of its cell (r = v - c_cell), which centers every
+    cell's distribution at the origin so one codebook set serves all
+    cells with far less quantization error; the query's ADC tables are
+    then PER PROBED CELL (q - c_cell differs per cell, M×K×nprobe
+    floats — still bounded by the model). Everything after training is
+    map-only against broadcast literals: the residual, the sub-codes
+    and the cell-routed table lookup are row expressions; top-k is
+    TakeOrderedAndProject. Determinism: the _lloyd_train rules apply
+    to BOTH quantizer levels (residual codebooks seed from the
+    residuals of vec_id 0..K-1); probe selection and rounding follow
+    the ann_ivf / tfidf rules. Oracle: DuckDB composes the coarse
+    replay, a residual-space per-subspace Lloyd replay, per-cell query
+    tables and the probed-cell ranking."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    cent, assign = _lloyd_train(e, k, iters)
+    qv = e.where(F.col("vec_id") == 0).collect()[0]["v"]
+
+    def seq_sqdist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    qd = [round(seq_sqdist(qv, c), 6) for c in cent]
+    probes = sorted(range(k), key=lambda c: (qd[c], c))[:nprobe]
+    _, cluster = assign(cent)
+    cl_long = cluster.cast("long")
+
+    cent_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cent])
+    my_cent = F.element_at(cent_lit, (cl_long + 1).cast("int"))
+    resid = F.zip_with("v", my_cent, lambda a, b: a - b)
+
+    # residual codebooks: per-subspace Lloyd over the residual frame
+    e_res = e.select("vec_id", resid.alias("v"))
+    books = []
+    for s in range(PQ_M):
+        sub = e_res.select(
+            "vec_id", F.slice("v", s * PQ_SUB + 1, PQ_SUB).alias("v"))
+        books.append(_lloyd_train(sub, PQ_K, 2)[0])
+
+    def res_sub_dists(s):
+        sub = F.slice(resid, s * PQ_SUB + 1, PQ_SUB)
+
+        def dist_to(c_arr):
+            lit = F.array(*[F.lit(float(x)) for x in c_arr])
+            return F.aggregate(
+                F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+
+        return F.array(*[dist_to(c) for c in books[s]])
+
+    # per-cell query tables: (q - c_cell) residual vs each codeword
+    adc_per_cell = {}
+    for p in probes:
+        qr = [qv[i] - cent[p][i] for i in range(len(qv))]
+        adc = F.lit(0.0)
+        for s in range(PQ_M):
+            qs = qr[s * PQ_SUB:(s + 1) * PQ_SUB]
+            table = []
+            for c in books[s]:
+                t = 0.0
+                for a, b in zip(qs, c):
+                    t += (a - b) * (a - b)
+                table.append(t)
+            tlit = F.array(*[F.lit(float(x)) for x in table])
+            d = res_sub_dists(s)
+            code = F.array_position(d, F.array_min(d))
+            adc = adc + F.element_at(tlit, code.cast("int"))
+        adc_per_cell[p] = adc
+    routed = F.when(cl_long == int(probes[0]), adc_per_cell[probes[0]])
+    for p in probes[1:]:
+        routed = routed.when(cl_long == int(p), adc_per_cell[p])
+    return (
+        e.where(F.col("vec_id") != 0)
+        .where(cl_long.isin([int(p) for p in probes]))
+        .select("vec_id", cl_long.alias("cell"),
+                F.round(routed, 3).alias("adc_r3"))
+        .orderBy("adc_r3", "vec_id")
+        .limit(topn)
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH bucketing (sign bits of
     projections onto 4 deterministic pseudo-random directions derived
@@ -6132,6 +6222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": _q_pq_encode,
         "ann_pq_adc": _q_ann_pq_adc,
         "ann_ivfpq": _q_ann_ivfpq,
+        "ann_ivfpq_res": _q_ann_ivfpq_res,
         "font_meta": _q_font_meta,
         "flac_meta": _q_flac_meta,
         "ogg_meta": _q_ogg_meta,
@@ -6236,14 +6327,11 @@ def _pq_adc_oracle_sql() -> str:
     )
 
 
-def _ivfpq_oracle_sql() -> str:
-    """SQL replay of _q_ann_ivfpq: the coarse-quantizer replay (the
-    ann_ivf oracle's Lloyd + probe CTEs, 'g'-suffixed) composed with
-    the per-subspace PQ replay and query tables, then the probed-cell
-    ADC ranking."""
-    base = _pq_adc_oracle_sql()
-    with_part = base[: base.rindex(" SELECT ")]
-    coarse = (
+def _coarse_cte_sql() -> str:
+    """The coarse-quantizer replay CTEs ('g'-suffixed: Lloyd training,
+    query-to-centroid probe selection, per-vector cell assignment) —
+    shared by the ann_ivfpq and ann_ivfpq_res oracles."""
+    return (
         ", c0g AS (SELECT vec_id AS cl, embedding AS c FROM embeddings "
         "WHERE vec_id < 8), "
         "d1g AS (SELECT e.vec_id, e.v, c0g.cl, "
@@ -6277,12 +6365,96 @@ def _ivfpq_oracle_sql() -> str:
         "a2g AS (SELECT vec_id, cl AS cell FROM "
         "(SELECT *, row_number() OVER (PARTITION BY vec_id "
         "ORDER BY dist, cl) AS rn FROM d2g) WHERE rn = 1)")
+
+
+def _ivfpq_oracle_sql() -> str:
+    """SQL replay of _q_ann_ivfpq: the coarse-quantizer replay
+    composed with the per-subspace PQ replay and query tables, then
+    the probed-cell ADC ranking."""
+    base = _pq_adc_oracle_sql()
+    with_part = base[: base.rindex(" SELECT ")]
     joins = " ".join(
         f"JOIN a2_{s} ON e.vec_id = a2_{s}.vec_id "
         f"JOIN t_{s} ON a2_{s}.code = t_{s}.cl" for s in range(PQ_M))
     adc = " + ".join(f"t_{s}.td" for s in range(PQ_M))
     return (
-        with_part + coarse
+        with_part + _coarse_cte_sql()
+        + f" SELECT e.vec_id, a2g.cell, round({adc}, 3) AS adc_r3 "
+        f"FROM e JOIN a2g ON e.vec_id = a2g.vec_id {joins} "
+        f"WHERE e.vec_id != 0 AND a2g.cell IN (SELECT cl FROM probesg) "
+        f"ORDER BY adc_r3, e.vec_id LIMIT 10"
+    )
+
+
+def _ivfpq_res_oracle_sql() -> str:
+    """SQL replay of _q_ann_ivfpq_res: the coarse replay, then the
+    residual frame (r = v - c_cell), a per-subspace Lloyd replay in
+    RESIDUAL space, per-probed-cell query tables
+    ((q - c_cell) - codeword, the same left-associated op order as the
+    driver-side Python floats) and the cell-routed ADC ranking."""
+    ctes = ["e AS (SELECT vec_id, embedding AS v FROM embeddings)"]
+    body = "WITH " + ", ".join(ctes) + _coarse_cte_sql()
+    extra = [
+        "rv AS (SELECT e.vec_id, a2g.cell, "
+        "list_transform(range(1, 65), i -> "
+        "CAST(e.v[i] AS DOUBLE) - ccg.c[i]) AS r "
+        "FROM e JOIN a2g ON e.vec_id = a2g.vec_id "
+        "JOIN ccg ON a2g.cell = ccg.cl)"]
+    n1 = PQ_SUB + 1
+    for s in range(PQ_M):
+        lo = s * PQ_SUB + 1
+        hi = lo + PQ_SUB - 1
+        extra.append(
+            f"c0r_{s} AS (SELECT vec_id AS cl, r[{lo}:{hi}] AS c "
+            f"FROM rv WHERE vec_id < {PQ_K})")
+        extra.append(
+            f"d1r_{s} AS (SELECT rv.vec_id, c0r_{s}.cl, "
+            f"list_sum(list_transform(range(1, {n1}), i -> "
+            f"(rv.r[{lo} - 1 + i] - c0r_{s}.c[i]) * "
+            f"(rv.r[{lo} - 1 + i] - c0r_{s}.c[i]))) AS dist "
+            f"FROM rv CROSS JOIN c0r_{s})")
+        extra.append(
+            f"a1r_{s} AS (SELECT vec_id, cl AS cluster FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist, cl) AS rn FROM d1r_{s}) WHERE rn = 1)")
+        extra.append(
+            f"ur_{s} AS (SELECT cluster, i AS dim, "
+            f"round(avg(rv.r[{lo} - 1 + i]), 4) AS c "
+            f"FROM a1r_{s} JOIN rv USING (vec_id) "
+            f"CROSS JOIN range(1, {n1}) t(i) GROUP BY 1, 2)")
+        extra.append(
+            f"c1r_{s} AS (SELECT cluster AS cl, "
+            f"array_agg(c ORDER BY dim) AS c FROM ur_{s} GROUP BY 1)")
+        extra.append(
+            f"ccr_{s} AS (SELECT c0r_{s}.cl, COALESCE(c1r_{s}.c, "
+            f"c0r_{s}.c) AS c FROM c0r_{s} LEFT JOIN c1r_{s} "
+            f"ON c0r_{s}.cl = c1r_{s}.cl)")
+        extra.append(
+            f"d2r_{s} AS (SELECT rv.vec_id, ccr_{s}.cl, "
+            f"list_sum(list_transform(range(1, {n1}), i -> "
+            f"(rv.r[{lo} - 1 + i] - ccr_{s}.c[i]) * "
+            f"(rv.r[{lo} - 1 + i] - ccr_{s}.c[i]))) AS dist "
+            f"FROM rv CROSS JOIN ccr_{s})")
+        extra.append(
+            f"a2r_{s} AS (SELECT vec_id, cl AS code FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist, cl) AS rn FROM d2r_{s}) WHERE rn = 1)")
+        extra.append(
+            f"tres_{s} AS (SELECT ccg.cl AS cell, ccr_{s}.cl AS code, "
+            f"list_sum(list_transform(range(1, {n1}), i -> "
+            f"(qg.qv[{lo} - 1 + i] - ccg.c[{lo} - 1 + i] "
+            f"- ccr_{s}.c[i]) * "
+            f"(qg.qv[{lo} - 1 + i] - ccg.c[{lo} - 1 + i] "
+            f"- ccr_{s}.c[i]))) AS td "
+            f"FROM ccg CROSS JOIN ccr_{s} CROSS JOIN qg "
+            f"WHERE ccg.cl IN (SELECT cl FROM probesg))")
+    joins = " ".join(
+        f"JOIN a2r_{s} ON e.vec_id = a2r_{s}.vec_id "
+        f"JOIN tres_{s} ON tres_{s}.cell = a2g.cell "
+        f"AND tres_{s}.code = a2r_{s}.code" for s in range(PQ_M))
+    adc = " + ".join(f"tres_{s}.td" for s in range(PQ_M))
+    return (
+        body + ", " + ", ".join(extra)
         + f" SELECT e.vec_id, a2g.cell, round({adc}, 3) AS adc_r3 "
         f"FROM e JOIN a2g ON e.vec_id = a2g.vec_id {joins} "
         f"WHERE e.vec_id != 0 AND a2g.cell IN (SELECT cl FROM probesg) "
@@ -6873,6 +7045,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": _pq_oracle_sql(),
         "ann_pq_adc": _pq_adc_oracle_sql(),
         "ann_ivfpq": _ivfpq_oracle_sql(),
+        "ann_ivfpq_res": _ivfpq_res_oracle_sql(),
         "ps_meta": (
             # TWO-ENGINE: identical regex set re-mined by DuckDB
             f"SELECT url, "

@@ -252,12 +252,14 @@ def test_pq_encode_map_only_after_training(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
-    # the IVF-PQ composite keeps the same shape: cell filter + ADC are
-    # both map-only against broadcast literals, ranking is TakeOrdered
-    plan = _formatted(E.queries()["ann_ivfpq"](spark, sf_dir), spark)
-    assert "TakeOrderedAndProject" in plan, plan
-    assert "Join" not in plan, plan
-    assert "EvalPython" not in plan, plan
+    # the IVF-PQ composites keep the same shape: cell filter + ADC
+    # (incl. the residual variant's cell-routed tables) are map-only
+    # against broadcast literals, ranking is TakeOrdered
+    for q in ("ann_ivfpq", "ann_ivfpq_res"):
+        plan = _formatted(E.queries()[q](spark, sf_dir), spark)
+        assert "TakeOrderedAndProject" in plan, (q, plan)
+        assert "Join" not in plan, (q, plan)
+        assert "EvalPython" not in plan, (q, plan)
 
 
 def test_script_mix_map_only(spark, sf_dir):
