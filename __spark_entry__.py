@@ -4204,6 +4204,42 @@ def _q_warc_http_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mime_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected MIME audit (r5) — exactly Common Crawl's
+    `mime` vs `mime-detected` column pair: servers lie about
+    Content-Type constantly (misconfigured headers, cloaking,
+    polyglots), so every crawl index records both and downstream
+    filters trust the magic bytes. The declared side comes from the
+    WARC response envelope (the warc_http_meta reader); the detected
+    side is the corpus's magic-byte kind; agreement is spec'd for the
+    two mime values the fixture emits (text/html -> the html-family
+    kinds incl. feeds/svg/wiki, application/pdf -> pdf). ONE url
+    equi-join (no skew by construction — urls are unique per side).
+    Oracle: generator truth joined the same way (the fixture authors
+    BOTH sides independently of the readers)."""
+    from zpdfspark.spark.warc_source import read_warc
+
+    glob, _ = _warc_paths(sf_dir)
+    declared = (
+        read_warc(spark, glob)
+        .where(F.col("parse_error").isNull() & F.col("url").isNotNull())
+        .select("url", F.col("http_content_type").alias("declared_mime")))
+    detected = _corpus(spark, sf_dir).select(
+        "url", F.col("media_kind").alias("detected_kind"))
+    html_family = ("html", "feed", "svg", "wiki")
+    agree = (
+        ((F.col("declared_mime") == "text/html")
+         & F.col("detected_kind").isin(*html_family))
+        | ((F.col("declared_mime") == "application/pdf")
+           & (F.col("detected_kind") == "pdf")))
+    return (
+        declared.join(detected, "url")
+        .select("url", "declared_mime", "detected_kind",
+                agree.alias("mime_agrees"))
+        .orderBy("url")
+    )
+
+
 def _q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio METADATA extraction for MP3 payloads (kernel/mp3.py
     frame-header walk): frames, rate, channels, duration, mean bitrate
@@ -6223,6 +6259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc": _q_ann_pq_adc,
         "ann_ivfpq": _q_ann_ivfpq,
         "ann_ivfpq_res": _q_ann_ivfpq_res,
+        "mime_audit": _q_mime_audit,
         "font_meta": _q_font_meta,
         "flac_meta": _q_flac_meta,
         "ogg_meta": _q_ogg_meta,
@@ -6647,6 +6684,18 @@ def oracle_sql() -> dict[str, str]:
             # generator-authored status/mime per capture
             f"SELECT url, http_status, mime "
             f"FROM read_parquet('{_warc_expected}') ORDER BY url"
+        ),
+        "mime_audit": (
+            # generator truth on BOTH sides: authored envelope mime
+            # joined to the magic-byte kind the generator wrote
+            f"SELECT w.url, w.mime AS declared_mime, "
+            f"c.media_kind AS detected_kind, "
+            f"((w.mime = 'text/html' AND c.media_kind IN "
+            f"('html', 'feed', 'svg', 'wiki')) OR "
+            f"(w.mime = 'application/pdf' AND c.media_kind = 'pdf')) "
+            f"AS mime_agrees "
+            f"FROM read_parquet('{_warc_expected}') w "
+            f"JOIN {corpus} c ON w.url = c.url ORDER BY w.url"
         ),
         "warc_cdx": (
             # independent fixtures-side gzip-member walk (offsets as
