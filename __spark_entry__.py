@@ -4240,6 +4240,48 @@ def _q_mime_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_djvu_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DjVu container census (r5) — the legacy scanned-book format
+    archive crawls still hit (kernel/djvu.py: IFF85 chunk walk with
+    even-padding, DIRM component count for multipage, INFO geometry
+    with the format's little-endian dpi quirk). Page-image decode is
+    IW44/JB2 — honestly out of scope (the PostScript rule): census
+    only. Map-only mapInPandas on the pruned (url, html) scan.
+    Oracle: corpus-carried columns from the INDEPENDENT fixtures-side
+    flat offset re-read (fixtures._djvu_expected)."""
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+
+    def batches(it):
+        from zpdfspark.kernel.djvu import DjvuError, is_djvu, parse_djvu
+
+        for b in it:
+            rows = {"url": [], "is_multi": [], "n_pages": [],
+                    "width": [], "height": [], "dpi": []}
+            for url, blob in zip(b["url"], b["html"]):
+                raw = bytes(blob) if blob is not None else b""
+                if not is_djvu(raw):
+                    continue
+                try:
+                    m = parse_djvu(raw)
+                except DjvuError:
+                    continue
+                rows["url"].append(url)
+                rows["is_multi"].append(m["is_multi"])
+                rows["n_pages"].append(m["n_pages"])
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["dpi"].append(m["dpi"])
+            yield pd.DataFrame(rows)
+
+    return corpus.select("url", "html").mapInPandas(
+        batches,
+        "url string, is_multi boolean, n_pages int, width int, "
+        "height int, dpi int"
+    ).orderBy("url")
+
+
 def _q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio METADATA extraction for MP3 payloads (kernel/mp3.py
     frame-header walk): frames, rate, channels, duration, mean bitrate
@@ -6260,6 +6302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": _q_ann_ivfpq,
         "ann_ivfpq_res": _q_ann_ivfpq_res,
         "mime_audit": _q_mime_audit,
+        "djvu_meta": _q_djvu_meta,
         "font_meta": _q_font_meta,
         "flac_meta": _q_flac_meta,
         "ogg_meta": _q_ogg_meta,
@@ -6684,6 +6727,14 @@ def oracle_sql() -> dict[str, str]:
             # generator-authored status/mime per capture
             f"SELECT url, http_status, mime "
             f"FROM read_parquet('{_warc_expected}') ORDER BY url"
+        ),
+        "djvu_meta": (
+            # carried facts from the independent fixtures-side flat
+            # offset re-read (_djvu_expected)
+            f"SELECT url, djvu_is_multi AS is_multi, "
+            f"djvu_n_pages AS n_pages, djvu_w AS width, "
+            f"djvu_h AS height, djvu_dpi AS dpi "
+            f"FROM {corpus} WHERE media_kind = 'djvu' ORDER BY url"
         ),
         "mime_audit": (
             # generator truth on BOTH sides: authored envelope mime

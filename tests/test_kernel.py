@@ -4024,6 +4024,20 @@ class TestWiki:
         assert not looks_like_wiki(html_page(0)[0])
         assert not looks_like_wiki(rss_feed(0)[0])
 
+    def test_bz2_dump_shape(self):
+        """Wikipedia dumps ship as .xml.bz2 — the bz2 re-dispatch must
+        route the decompressed export to the wiki kernel with
+        byte-identical reduced text (the real dump-mirror shape)."""
+        import bz2
+
+        from zpdfspark.fixtures import wiki_doc
+        from zpdfspark.kernel.htmltext import extract_any
+
+        for i in (0, 3, 7):
+            raw, exp = wiki_doc(i)
+            t, kind, _ = extract_any(bz2.compress(raw))
+            assert (t, kind) == (exp, "bz2+wiki"), i
+
     def test_fuzz_never_raises(self):
         import random
 
@@ -4256,6 +4270,55 @@ class TestPsSqlite:
                 except SqliteError:
                     pass
             extract_any(blob, "accuracy")
+
+
+class TestDjvu:
+    """DjVu container census (round 5 — the legacy scanned-book
+    format)."""
+
+    def test_roundtrip_vs_independent_reread(self):
+        from zpdfspark.fixtures import (_djvu_expected, _sniff_media_kind,
+                                        djvu_doc, djvu_plan)
+        from zpdfspark.kernel.djvu import parse_djvu
+        from zpdfspark.kernel.htmltext import extract_any
+
+        for i in range(16):
+            raw, _ = djvu_doc(i)
+            p = djvu_plan(i)
+            assert _sniff_media_kind(raw) == "djvu", i
+            t, kind, _ = extract_any(raw)
+            assert (t, kind) == ("", "djvu"), i
+            m = parse_djvu(raw)
+            exp = _djvu_expected(raw)
+            got = (m["is_multi"], m["n_pages"], m["width"],
+                   m["height"], m["dpi"])
+            assert got == exp, (i, got, exp)
+            assert got == (p["is_multi"], p["n_pages"], p["width"],
+                           p["height"], p["dpi"]), i
+
+    def test_hostile(self):
+        import random
+
+        from zpdfspark.fixtures import djvu_doc
+        from zpdfspark.kernel.djvu import DjvuError, is_djvu, parse_djvu
+        from zpdfspark.kernel.htmltext import extract_any
+
+        assert not is_djvu(b"AT&TFORMxxxx????")  # wrong form type
+        assert not is_djvu(b"AT&TFOR")
+        rng = random.Random(53)
+        base = djvu_doc(3)[0]
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            blob = bytes(b)
+            if is_djvu(blob):
+                try:
+                    parse_djvu(blob)
+                except DjvuError:
+                    pass
+            extract_any(blob, "accuracy")
+            extract_any(blob[:rng.randrange(1, len(blob))], "accuracy")
 
 
 class TestEmlRealProducers:

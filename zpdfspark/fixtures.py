@@ -3188,6 +3188,10 @@ def _register():
     def g_ps(i):
         return ps_doc(i)
 
+    @var("djvu")
+    def g_djvu(i):
+        return djvu_doc(i)
+
     @var("sqlite")
     def g_sqlite(i):
         return sqlite_doc(i)
@@ -3273,7 +3277,7 @@ MALFORMED: Dict[str, Callable[[], Tuple[bytes, Optional[str]]]] = {
 
 # bump whenever any generator's bytes or expected text change — every
 # /tmp corpus cache key must include it or stale oracles leak into runs
-CORPUS_VERSION = "v60"
+CORPUS_VERSION = "v61"
 
 # separate key for the WARC fixture layout (record mix / revisit
 # seeding), so bumping it regenerates /tmp warc caches without
@@ -3576,8 +3580,11 @@ def _sniff_media_kind(raw: bytes) -> str:
         return "rtf"
     if raw[:4] == b"%!PS":
         return "ps"
+    from .kernel.djvu import is_djvu
     from .kernel.sqlitedb import is_sqlite
 
+    if is_djvu(raw):
+        return "djvu"
     if is_sqlite(raw):
         return "sqlite"
     if raw[:2] == b"\x1f\x8b":
@@ -3731,6 +3738,7 @@ EXPECTED_COLUMNS = (
     "text_zlib_len",
     "sqlite_page_size", "sqlite_n_pages", "sqlite_encoding",
     "sqlite_user_version", "sqlite_valid_size",
+    "djvu_is_multi", "djvu_n_pages", "djvu_w", "djvu_h", "djvu_dpi",
 )
 
 
@@ -5155,6 +5163,74 @@ def _sqlite_expected(raw: bytes):
     return ps, n, enc, uv, ps * n == len(raw)
 
 
+def djvu_plan(i: int) -> dict:
+    multi = i % 2 == 1
+    return {
+        "is_multi": multi,
+        "n_pages": 2 + i % 4 if multi else 1,
+        "width": 600 + (i % 5) * 24,
+        "height": 800 + (i % 7) * 16,
+        "dpi": 600 if i % 3 == 0 else 300,
+    }
+
+
+def _djvu_info(w: int, h: int, dpi: int) -> bytes:
+    import struct as _s
+
+    return (b"INFO" + _s.pack(">I", 10)
+            + _s.pack(">HH", w, h) + bytes([24, 0])
+            + _s.pack("<H", dpi) + bytes([0x16, 0x01]))
+
+
+def djvu_doc(i: int = 0) -> Tuple[bytes, Optional[str]]:
+    """Deterministic DjVu container (v61 — the legacy scanned-book
+    format archive crawls still hit). IFF85 layout: single-page
+    FORM:DJVU with the INFO geometry chunk (dpi little-endian — the
+    format's documented quirk) plus an odd-length payload chunk to
+    exercise even-padding; multi-page FORM:DJVM with the DIRM
+    component count and nested FORM:DJVU components. Page-image
+    decode is IW44/JB2 — honestly out of scope (the PostScript rule):
+    census only, no text."""
+    import struct as _s
+
+    p = djvu_plan(i)
+    info = _djvu_info(p["width"], p["height"], p["dpi"])
+    if not p["is_multi"]:
+        odd = bytes((j * 3 + i) % 256 for j in range(13))
+        body = b"DJVU" + info + b"BG44" + _s.pack(">I", len(odd)) \
+            + odd + b"\x00"
+        return b"AT&TFORM" + _s.pack(">I", len(body)) + body, None
+    n = p["n_pages"]
+    dirm = bytes([0x81]) + _s.pack(">H", n) + bytes(4 * n)
+    comps = b""
+    for c in range(n):
+        cinfo = _djvu_info(p["width"] + c, p["height"], p["dpi"]) \
+            if c == 0 else _djvu_info(100 + c, 100, 72)
+        cbody = b"DJVU" + cinfo
+        comps += b"FORM" + _s.pack(">I", len(cbody)) + cbody
+    body = b"DJVM" + b"DIRM" + _s.pack(">I", len(dirm)) + dirm \
+        + (b"\x00" if len(dirm) & 1 else b"") + comps
+    return b"AT&TFORM" + _s.pack(">I", len(body)) + body, None
+
+
+def _djvu_expected(raw: bytes):
+    """INDEPENDENT ground truth for djvu_meta: a flat offset re-read
+    (generator layout), deliberately NOT kernel/djvu.py's chunk walk.
+    Returns (is_multi, n_pages, width, height, dpi)."""
+    import struct as _s
+
+    multi = raw[12:16] == b"DJVM"
+    if multi:
+        n = _s.unpack(">H", raw[25:27])[0]
+    else:
+        n = 1
+    ip = raw.find(b"INFO")
+    d = ip + 8
+    w, h = _s.unpack(">HH", raw[d:d + 4])
+    dpi = _s.unpack("<H", raw[d + 6:d + 8])[0]
+    return multi, n, w, h, dpi
+
+
 def _tar_expected(raw: bytes):
     """INDEPENDENT ground truth for the tar_meta oracle: STDLIB
     tarfile re-read — deliberately NOT kernel/tar.py. Returns
@@ -5860,6 +5936,13 @@ def expected_row(raw: bytes, text: Optional[str]) -> dict:
         row.update({"sqlite_page_size": None, "sqlite_n_pages": None,
                     "sqlite_encoding": None, "sqlite_user_version": None,
                     "sqlite_valid_size": None})
+    if row["media_kind"] == "djvu":
+        dm, dn, dw, dh, dd = _djvu_expected(raw)
+        row.update({"djvu_is_multi": dm, "djvu_n_pages": dn,
+                    "djvu_w": dw, "djvu_h": dh, "djvu_dpi": dd})
+    else:
+        row.update({"djvu_is_multi": None, "djvu_n_pages": None,
+                    "djvu_w": None, "djvu_h": None, "djvu_dpi": None})
     return row
 
 
@@ -6000,6 +6083,9 @@ def write_corpus_parquet(path: str, n_docs: int, seed: int = 42,
         "sqlite_encoding": pa.string(),
         "sqlite_user_version": pa.int32(),
         "sqlite_valid_size": pa.bool_(),
+        "djvu_is_multi": pa.bool_(), "djvu_n_pages": pa.int32(),
+        "djvu_w": pa.int32(), "djvu_h": pa.int32(),
+        "djvu_dpi": pa.int32(),
     }
     table = pa.table({k: pa.array(v, types[k]) for k, v in cols.items()})
     # Small row groups so a Spark scan can split the file across tasks —

@@ -394,6 +394,12 @@ def extract_any(raw: bytes, mode: str = "accuracy", _depth: int = 0):
         # PostScript: text extraction needs an interpreter (honestly
         # out of scope; the reference has none) — census-only posture
         return "", "ps", None
+    from .djvu import is_djvu
+
+    if is_djvu(raw):
+        # legacy scanned-document container: page decode is IW44/JB2
+        # (out of scope) — census-only posture
+        return "", "djvu", None
     from .sqlitedb import is_sqlite
 
     if is_sqlite(raw):

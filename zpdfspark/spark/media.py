@@ -79,8 +79,11 @@ def sniff_kind(raw: bytes) -> str:
         return "rtf"
     if raw[:4] == b"%!PS":
         return "ps"
+    from zpdfspark.kernel.djvu import is_djvu
     from zpdfspark.kernel.sqlitedb import is_sqlite
 
+    if is_djvu(raw):
+        return "djvu"
     if is_sqlite(raw):
         return "sqlite"
     if raw[:2] == b"\x1f\x8b":
