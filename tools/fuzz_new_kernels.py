@@ -29,7 +29,8 @@ GENS = [fixtures.eml_doc, fixtures.mbox_archive, fixtures.srt_doc,
         # closing-session kernels (wiki reduction, code/md through the
         # txt fallback, json/jsonl, PostScript, sqlite header walk)
         fixtures.wiki_doc, fixtures.code_doc, fixtures.md_doc,
-        fixtures.json_doc, fixtures.ps_doc, fixtures.sqlite_doc]
+        fixtures.json_doc, fixtures.ps_doc, fixtures.sqlite_doc,
+        fixtures.djvu_doc]
 
 WATCHDOG_S = 3
 
