@@ -1048,6 +1048,215 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style per-host TEMPLATE removal (boilerplate stripping
+    by document frequency, Wenzek et al. 2020 §3: lines repeated on
+    many pages of the same site are navigation chrome, cookie banners
+    and footers — not content). A line is a template for its host when
+    it appears in >= 50% of the host's documents (and the host has
+    >= 2 docs); per document we report line counts, the number of
+    template lines stripped, and an md5 of the surviving text so the
+    oracle pins content, not just counts.
+
+    Different op from line_dedup: that keeps ONE global occurrence of
+    each duplicated line; this drops EVERY occurrence of a line whose
+    per-host document frequency crosses a threshold (the CCNet rule),
+    so unique-but-sitewide chrome goes while legitimately repeated
+    content below the threshold stays.
+
+    Observability: the driver's synthetic documents are single-line,
+    so lines are synthesized deterministically — an injected host-wide
+    banner (df = 100%, always template), an injected promo line keyed
+    on doc_id % 3 (df ~ 33%, below threshold, must survive) and the
+    document's own fixed 10-word chunks (the make-the-op-observable
+    seeding repetition_signals/pii_scrub use).
+
+    Scale shape: line df = one groupBy(host, line) count-distinct
+    (map-side combining); host doc counts are a ~|hosts|-row aggregate
+    joined BROADCAST; the template set joins back to the exploded
+    lines via an EXPLICITLY SALTED equi-join (the agg-fed side again —
+    AQE's skew split cannot act on it, the measured r4 finding; a
+    banner shared by 10^9 pages of one host is exactly the hot key).
+    Only (host, line, idx) rows shuffle; blobs stay in the scan. No
+    window anywhere — the per-doc reassembly is an array_sort over
+    collect_list, bounded by lines-per-document."""
+    SALT = 8
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    host = F.concat(
+        F.lit("host"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(0))
+        .otherwise(F.col("doc_id") % 23).cast("string"),
+        F.lit(".example.com"))
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n_chunks = F.ceil(F.size(toks) / F.lit(10.0))
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)))
+    lines_arr = F.concat(
+        F.array(
+            F.concat(F.lit("cookie banner "), host, F.lit(" accept")),
+            F.concat(F.lit("promo offer "),
+                     (F.col("doc_id") % 3).cast("string")),
+            # df ~ 50%: sits exactly ON the >=-threshold boundary, so
+            # per-host parity decides each variant's fate — both
+            # boundary directions are exercised in the output
+            F.concat(F.lit("footer variant "),
+                     (F.col("doc_id") % 2).cast("string"))),
+        chunks)
+    base = d.where(F.size(toks) > 0).select(
+        "doc_id", host.alias("host"), lines_arr.alias("la"))
+    lines = base.select(
+        "doc_id", "host",
+        F.posexplode("la").alias("line_idx", "line"),
+    ).withColumn("salt", F.pmod(
+        F.abs(F.xxhash64("doc_id")) + F.col("line_idx"), SALT))
+    host_docs = base.groupBy("host").agg(
+        F.count("*").alias("n_host_docs"))
+    freq = lines.groupBy("host", "line").agg(
+        F.countDistinct("doc_id").alias("df"))
+    templates = (
+        freq.join(F.broadcast(host_docs), "host")
+        .where((F.col("df") * 2 >= F.col("n_host_docs"))
+               & (F.col("n_host_docs") >= 2))
+        .select("host", "line", F.lit(True).alias("is_template"))
+        .withColumn("salt", F.explode(
+            F.sequence(F.lit(0), F.lit(SALT - 1)).cast("array<bigint>")))
+    )
+    flagged = lines.join(templates, ["host", "line", "salt"], "left")
+    kept_struct = F.when(F.col("is_template").isNull(),
+                         F.struct("line_idx", "line"))
+    return (
+        flagged.groupBy("doc_id", "host")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("is_template").isNotNull().cast("long"))
+            .alias("n_template"),
+            F.md5(F.concat_ws("\n", F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["line"]))).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParaCrawl/CCMatrix-style BITEXT candidate mining by URL-pattern
+    alignment (Bañón et al. 2020 §3.2: multilingual sites publish
+    translations under language-marked URL paths — /en/ vs /fr/ of the
+    same page — so stripping the language segment and grouping on the
+    remainder yields translation-pair candidates, refined by a
+    document length-ratio filter before alignment).
+
+    URLs are synthesized deterministically from (doc_id, lang) —
+    https://h{doc_id%7}.example.org/{lang}/p{doc_id//35} — so each
+    (host, page) group holds up to 5 docs whose langs come from the
+    driver table; the op strips the language segment with a regex,
+    self-joins on the stripped key, keeps cross-language pairs
+    (lang_a < lang_b, each unordered pair once) and applies the
+    standard length-ratio <= 2.0 filter on whitespace word counts.
+
+    Scale shape: word counts are computed map-side BEFORE the join, so
+    document text never enters an exchange — only (key, doc_id, lang,
+    n_words) rows shuffle; the self-join key is (host, page), whose
+    per-key cardinality is bounded by the site's language count (<= a
+    few dozen on any real multilingual site), so there is no skewed
+    key by construction (the snapshot_delta argument) and no salt is
+    needed. No window, no cartesian: the pair filter rides the equi
+    join."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/"), F.col("lang"),
+        F.lit("/p"), F.floor(F.col("doc_id") / 35).cast("long")
+        .cast("string"))
+    side = d.select(
+        F.regexp_replace(url, "/(en|de|es|fr|zh)/", "/*/").alias("akey"),
+        "doc_id", "lang",
+        F.size(F.filter(F.split(F.col("text"), " "),
+                        lambda w: w != "")).alias("n_words"))
+    a = side.alias("a")
+    b = side.alias("b")
+    ratio = F.floor(
+        F.greatest(F.col("a.n_words"), F.col("b.n_words")) * 100
+        / F.least(F.col("a.n_words"), F.col("b.n_words")))
+    return (
+        a.join(b, F.col("a.akey") == F.col("b.akey"))
+        .where((F.col("a.lang") < F.col("b.lang"))
+               & (F.least(F.col("a.n_words"), F.col("b.n_words")) >= 1))
+        .select(
+            F.col("a.akey").alias("akey"),
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ratio.alias("len_ratio_x100"),
+        )
+        .where(F.col("len_ratio_x100") <= 200)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _q_host_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/Dolma-style PER-DOMAIN TOKEN BUDGET capping (domain
+    balancing: no host may contribute more than CAP tokens to the
+    training mix; docs are admitted in a deterministic hash-priority
+    order until the host's budget is exhausted). Per document:
+    priority-order cumulative tokens before it and the kept/cut
+    verdict.
+
+    Scale shape — the shard_assign two-level prefix sum, NOT one
+    window per host (a 10^9-page host would pin one unsplittable sort
+    partition): the priority hash's first hex digit buckets each host
+    16 ways, (host, bucket) token totals aggregate map-side into a
+    <= 16·|hosts|-row table whose exclusive prefix runs in a tiny
+    host-partitioned window; offsets return by BROADCAST join and the
+    per-doc exclusive running sum windows only within (host, bucket) —
+    1/16th of the host, and 1/B for any B. Because the bucket is a
+    PREFIX of the priority hash, (bucket, hash) order equals plain
+    hash order, which is what the single-window DuckDB oracle
+    replays."""
+    CAP = 600
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    from pyspark.sql import Window
+
+    host = F.concat(
+        F.lit("host"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(0))
+        .otherwise(F.col("doc_id") % 23).cast("string"),
+        F.lit(".example.com"))
+    ph = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cap"))),
+        1, 8)
+    base = d.select(
+        "doc_id", host.alias("host"),
+        F.size(F.filter(F.split(F.col("text"), " "),
+                        lambda w: w != "")).cast("long").alias("n_tokens"),
+        ph.alias("ph"), F.substring(ph, 1, 1).alias("bkt"))
+    btot = base.groupBy("host", "bkt").agg(
+        F.sum("n_tokens").alias("btok"))
+    w1 = (Window.partitionBy("host").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    boff = btot.select(
+        "host", "bkt",
+        F.coalesce(F.sum("btok").over(w1), F.lit(0).cast("long"))
+        .alias("bucket_offset"))
+    w2 = (Window.partitionBy("host", "bkt").orderBy("ph", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        base.join(F.broadcast(boff), ["host", "bkt"])
+        .withColumn("within", F.coalesce(
+            F.sum("n_tokens").over(w2), F.lit(0).cast("long")))
+        .select(
+            "doc_id", "host", "n_tokens",
+            (F.col("bucket_offset") + F.col("within"))
+            .alias("cum_before"),
+            ((F.col("bucket_offset") + F.col("within")
+              + F.col("n_tokens")) <= CAP).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"), re-expressed for
@@ -6210,11 +6419,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_meta": _q_docx_meta,
         "epub_meta": _q_epub_meta,
         "image_phash": _q_image_phash,
+        "host_template": _q_host_template,
+        "bitext_candidates": _q_bitext_candidates,
+        "host_token_budget": _q_host_token_budget,
+        # --- past the driver 50-row cap: driver-green in an earlier
+        # round with unchanged semantics, or sample-capped twins
+        # (date/eml/mbox_meta yielded their slots to the closing-wave
+        # curation ops above — their kernels' text still rides the
+        # in-gate extraction family through extract_any) ---
         "date_meta": _q_date_meta,
         "eml_meta": _q_eml_meta,
         "mbox_meta": _q_mbox_meta,
-        # --- past the driver 50-row cap: driver-green in an earlier
-        # round with unchanged semantics, or sample-capped twins ---
         "extract_metadata": _q_metadata,
         "extract_spans": _q_spans,
         "extract_search": _q_search,
@@ -7613,6 +7828,81 @@ def oracle_sql() -> dict[str, str]:
             f"md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, "
             f"chr(10) ORDER BY line_idx), '')) AS kept_md5 "
             f"FROM rn GROUP BY url ORDER BY url"
+        ),
+        "host_template": (
+            # identical host seeding, line synthesis (banner + promo +
+            # 10-word chunks) and the >=50%-of-host-docs template rule;
+            # md5 of the surviving lines pins content
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 "
+            "THEN 'host0.example.com' ELSE 'host' || "
+            "CAST(doc_id % 23 AS VARCHAR) || '.example.com' END AS host, "
+            "list_filter(string_split(text, ' '), w -> w <> '') AS ts "
+            "FROM documents WHERE text IS NOT NULL), "
+            "l0 AS (SELECT doc_id, host, list_concat("
+            "['cookie banner ' || host || ' accept', "
+            "'promo offer ' || CAST(doc_id % 3 AS VARCHAR), "
+            "'footer variant ' || CAST(doc_id % 2 AS VARCHAR)], "
+            "list_transform(range(0, CAST(ceil(len(ts) / 10.0) AS "
+            "BIGINT)), i -> array_to_string(ts[i*10+1:i*10+10], ' '))) "
+            "AS la FROM d WHERE len(ts) > 0), "
+            "lines AS (SELECT doc_id, host, unnest(la) AS line, "
+            "CAST(generate_subscripts(la, 1) AS BIGINT) - 1 AS line_idx "
+            "FROM l0), "
+            "hd AS (SELECT host, count(*) AS n_host_docs FROM l0 "
+            "GROUP BY host), "
+            "freq AS (SELECT host, line, count(DISTINCT doc_id) AS df "
+            "FROM lines GROUP BY host, line), "
+            "tmpl AS (SELECT f.host, f.line FROM freq f JOIN hd "
+            "USING (host) WHERE f.df * 2 >= hd.n_host_docs "
+            "AND hd.n_host_docs >= 2), "
+            "fl AS (SELECT l.doc_id, l.host, l.line, l.line_idx, "
+            "(t.line IS NOT NULL) AS is_t FROM lines l LEFT JOIN tmpl t "
+            "ON l.host = t.host AND l.line = t.line) "
+            "SELECT doc_id, host, count(*) AS n_lines, "
+            "CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_template, "
+            "md5(coalesce(string_agg(CASE WHEN NOT is_t THEN line END, "
+            "chr(10) ORDER BY line_idx), '')) AS kept_md5 "
+            "FROM fl GROUP BY doc_id, host ORDER BY doc_id"
+        ),
+        "bitext_candidates": (
+            # identical URL synthesis + language-segment strip + the
+            # cross-language pairing with the <=2.0 length-ratio gate
+            "WITH s AS (SELECT regexp_replace("
+            "'https://h' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'.example.org/' || lang || '/p' || "
+            "CAST(doc_id // 35 AS VARCHAR), "
+            "'/(en|de|es|fr|zh)/', '/*/') AS akey, doc_id, lang, "
+            "len(list_filter(string_split(text, ' '), w -> w <> '')) "
+            "AS n_words FROM documents WHERE text IS NOT NULL) "
+            "SELECT a.akey AS akey, a.lang AS lang_a, b.lang AS lang_b, "
+            "a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(floor(greatest(a.n_words, b.n_words) * 100 / "
+            "least(a.n_words, b.n_words)) AS BIGINT) AS len_ratio_x100 "
+            "FROM s a JOIN s b ON a.akey = b.akey "
+            "WHERE a.lang < b.lang AND least(a.n_words, b.n_words) >= 1 "
+            "AND floor(greatest(a.n_words, b.n_words) * 100 / "
+            "least(a.n_words, b.n_words)) <= 200 "
+            "ORDER BY doc_a, doc_b"
+        ),
+        "host_token_budget": (
+            # the two-level (bucket, hash) prefix equals one plain-hash
+            # window because the bucket is a prefix of the hash —
+            # single-window replay, identical seeding + CAP arithmetic
+            "WITH b AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 "
+            "THEN 'host0.example.com' ELSE 'host' || "
+            "CAST(doc_id % 23 AS VARCHAR) || '.example.com' END AS host, "
+            "CAST(len(list_filter(string_split(text, ' '), "
+            "w -> w <> '')) AS BIGINT) AS n_tokens, "
+            "substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 8) AS ph "
+            "FROM documents WHERE text IS NOT NULL), "
+            "c AS (SELECT doc_id, host, n_tokens, "
+            "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY host "
+            "ORDER BY ph, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS BIGINT) AS cum_before FROM b) "
+            "SELECT doc_id, host, n_tokens, cum_before, "
+            "(cum_before + n_tokens <= 600) AS kept FROM c "
+            "ORDER BY doc_id"
         ),
         "passage_chunks": (
             # identical W=64/S=48 chunk arithmetic; the md5 of each

@@ -1048,3 +1048,61 @@ def test_c4_filters_pure_jvm_map_only(spark, sf_dir):
     # pre-execution AQE plans do not print codegen ids; the Project-
     # over-Scan shape with no Python boundary IS the codegen claim
     assert re.search(r"\(\d+\) Project", plan), plan
+
+
+def test_host_template_salted_agg_join_no_window(spark, sf_dir):
+    """host_template (r5): the CCNet boilerplate rule must keep the
+    line_dedup scale skeleton — document frequency and host counts by
+    aggregation (host counts returning BROADCAST), the agg-fed
+    template set joining back via the salted equi-join, and NO window
+    anywhere (a 10^9-page host's banner is the hot key); no Python
+    boundary, no cartesian."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["host_template"](spark, sf_dir), spark)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bitext_candidates_text_never_shuffles(spark, sf_dir):
+    """bitext_candidates (r5): word counts are computed map-side, so
+    document text must never appear in any exchange partitioning —
+    only (key, doc_id, lang, n_words) rows shuffle into the self-join;
+    no window, no cartesian, no Python."""
+    import __spark_entry__ as E
+
+    plan = _formatted(E.queries()["bitext_candidates"](spark, sf_dir),
+                      spark)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text#" not in line, line
+
+
+def test_host_token_budget_two_level_prefix(spark, sf_dir):
+    """host_token_budget (r5): the per-host cumulative sum must keep
+    the shard_assign two-level shape — one tiny host-partitioned
+    window over the (host, bucket) aggregate plus one per-doc window
+    partitioned by (host, bucket), offsets returning by BROADCAST; a
+    single host-partitioned per-doc window (the 10^9-page-host
+    pinning shape) would show as a window spec partitioned by host
+    alone."""
+    import __spark_entry__ as E
+    import re as _re
+
+    plan = _formatted(E.queries()["host_token_budget"](spark, sf_dir),
+                      spark)
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(_re.findall(r"\(\d+\) Window", plan)) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the per-doc window must partition by (host, bucket), never host
+    # alone; the bucket-offset window (host-only) runs over the agg
+    specs = _re.findall(r"windowspecdefinition\(([^)]+?), ph", plan)
+    assert specs and all("bkt" in s for s in specs), plan

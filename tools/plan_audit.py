@@ -88,6 +88,9 @@ NOTES = {
     "feed_meta": "pure-JVM RSS/Atom mining inside WholeStageCodegen (cast + regexp_extract/regexp_count, zero Python); one range exchange for determinism only.",
     "warc_cdx": "CDX(J) index generation in the SAME file-per-task pass as ingestion: SURT/timestamp/digest/member-span computed in the scan task; only index rows cross the Arrow boundary; range exchange for the urlkey determinism orderBy (at CC scale this is the index's required sort, done once).",
     "line_dedup": "line-granularity keeper = min(struct) aggregation (map-side combine absorbs a 10^9-occurrence boilerplate line), join back SALTED (AQE cannot split an agg-fed join side — measured r4); only (line,url,idx) rows shuffle, blobs stay in the scan.",
+    "host_template": "CCNet per-host boilerplate stripping: line document-frequency and host doc counts by aggregation (map-side combine; host counts return BROADCAST), the agg-fed template set joins back SALTED (same measured-r4 rationale as line_dedup), per-doc reassembly is array_sort over collect_list — NO window, so a 10^9-page host's banner never pins a sort partition.",
+    "bitext_candidates": "URL-pattern bitext mining: the language-stripped key self-join shuffles only (key, doc_id, lang, n_words) rows — word counts are map-side, text never enters an exchange; per-key cardinality is bounded by a site's language count, so no skewed key exists by construction (plan-guarded).",
+    "host_token_budget": "per-domain token-budget capping via the shard_assign two-level prefix sum: (host, hash-prefix-bucket) totals aggregate map-side, a tiny host-partitioned window prefixes the 16 buckets, offsets return BROADCAST, and the per-doc running sum windows only within (host, bucket) — never one window per host (plan-guarded: both window specs include bkt or run over the aggregate).",
     "dsir_weights": "DSIR hashed-unigram importance: two B=128-row histograms (map-side combined), B-row smoothed log-ratio table BROADCAST to the per-doc-bucket fact side — the deliberately-skewed bucket key never hash-partitions the fact; per-doc weighted sum is one groupBy.",
     "quality_linear": "fastText-shape linear classifier where weight = f(hash bucket): the WHOLE model evaluates map-only in whole-stage codegen (transform/aggregate over the in-row token array) — no explode, no join, no model broadcast; zero exchanges beyond the determinism orderBy.",
     "host_pagerank": "K=3 damped power iterations, GraphX/Pregel shape in DataFrames: per iteration ONE map-side-combining groupBy(dst) exchange + rank-table join; localCheckpoint per iteration truncates lineage (plan shows only the FINAL iteration + degree joins); 1-row host count broadcast, no collect.",
