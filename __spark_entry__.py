@@ -41,8 +41,78 @@ def _corpus_path(sf_dir: str) -> str:
     return path
 
 
+# --- scan-parallelism guard (r6, guide §2.5 "input skew") ---------------
+# Parquet row groups are the scan's split atom: a file written as ONE row
+# group cannot parallelize its scan no matter how small
+# spark.sql.files.maxPartitionBytes is set, so every map-heavy query over
+# such an input runs its expensive stage on a single core. The driver's
+# sf-dir tables (documents/embeddings/events) and the small cached corpus
+# are exactly that shape. The fix the optimization guide prescribes for
+# unsplittable inputs is "repartition immediately after the read"; the
+# gate below makes it INPUT-DRIVEN, not config-driven: a production-scale
+# input (many files / many row groups / more bytes than cores x split
+# size) offers >= cores scan atoms and takes the untouched map-only path,
+# so nothing here is tuned to local[32].
+_SCAN_ATOMS_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _scan_atoms(path: str) -> tuple[int, int]:
+    """(scan units, total rows) a parquet input offers. Scan units =
+    min(total row groups, total byte-range splits at the session's 64 MB
+    split size), summed over at most 64 files (>= 64 files is already
+    parallel enough for any gate)."""
+    cached = _SCAN_ATOMS_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = ([path] if os.path.isfile(path)
+             else sorted(glob.glob(os.path.join(path, "*.parquet"))))
+    if len(files) >= 64 or not files:
+        res = (1 << 30, 1 << 60)
+    else:
+        row_groups = 0
+        nbytes = 0
+        rows = 0
+        try:
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                row_groups += md.num_row_groups
+                rows += md.num_rows
+                nbytes += os.path.getsize(f)
+            res = (min(row_groups, max(nbytes // (64 << 20), 1)), rows)
+        except Exception:
+            res = (1 << 30, 1 << 60)  # unreadable metadata: assume splittable
+    _SCAN_ATOMS_CACHE[path] = res
+    return res
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str,
+            min_rows: int = 256) -> DataFrame:
+    """Round-robin repartition AFTER the read when (and only when) the
+    input's layout cannot feed every core AND there is enough work to
+    amortize the extra exchange (guide §2.5). Round-robin (not a hash
+    key) so the spread is even regardless of key skew; Catalyst prunes
+    columns below the exchange, so only the columns a query uses are
+    shuffled, once, at input size. ``min_rows`` is the per-partition
+    work floor: below it the exchange + task-scheduling overhead beats
+    the parallelism win (measured r6: spreading a 200-row corpus to 32
+    partitions DOUBLED extract_fast's wall)."""
+    par = spark.sparkContext.defaultParallelism
+    atoms, rows = _scan_atoms(path)
+    target = min(par, int(rows // min_rows))
+    if atoms < target:
+        return df.repartition(target)
+    return df
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(_corpus_path(sf_dir))
+    # lower floor than the text tables: a PDF parse is ~100x the per-row
+    # cost of a text-expression map, so 128 docs is already ~1 s of task
+    p = _corpus_path(sf_dir)
+    return _spread(spark, spark.read.parquet(p), p, min_rows=128)
 
 
 def _warc_paths(sf_dir: str) -> tuple:
@@ -78,12 +148,21 @@ def _warc_paths(sf_dir: str) -> tuple:
     return os.path.join(d, "*.warc.gz"), expected
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+def _docs(spark: SparkSession, sf_dir: str,
+          spread: bool = True) -> DataFrame:
+    """``spread=False`` opts a query out of the scan-parallelism guard:
+    for maps as cheap as one md5 over the row (dedup_exact, the HLL
+    sketch) the extra exchange costs more than the single-core map —
+    measured r6 at sf1.0: dedup_exact 1.26 s unspread vs 1.72 s spread."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    df = spark.read.parquet(p)
+    return _spread(spark, df, p) if spread else df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # vector folds (k x dim flops/row) amortize the exchange at few rows
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    return _spread(spark, spark.read.parquet(p), p, min_rows=64)
 
 
 # =========================================================================
@@ -381,7 +460,8 @@ def _q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    p = os.path.join(sf_dir, "events.parquet")
+    return _spread(spark, spark.read.parquet(p), p)
 
 
 def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,7 +554,7 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("h").orderBy("doc_id")
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)  # md5-only map: see _docs
         .select("doc_id", F.md5(F.col("text")).alias("h"))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .withColumn("is_dup", (F.col("rnk") > 1).cast("int"))
@@ -484,7 +564,7 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).agg(
+    return _docs(spark, sf_dir, spread=False).agg(  # md5-only map
         F.count("*").alias("n_docs"),
         F.countDistinct(F.md5(F.col("text"))).alias("n_unique"),
     )
@@ -506,7 +586,7 @@ def _q_dedup_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction; no window anywhere in the plan (plan-guarded).
     """
     SALT = 8
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir, spread=False).select(  # md5-only map
         "doc_id", F.md5(F.col("text")).alias("h"))
     fact = d.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(SALT)))
     keepers = (
@@ -3524,7 +3604,7 @@ def _q_hll_host_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-6 get a ~971-page site (raw-estimate branch, E > 2.5m) — both
     correction regimes exercised and oracled."""
     M = 64  # registers (p=6); ALPHA below is the m=64 constant
-    urls = _docs(spark, sf_dir).select(
+    urls = _docs(spark, sf_dir, spread=False).select(  # md5-only map
         F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"))
         .alias("host"),
         F.concat(
