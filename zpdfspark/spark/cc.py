@@ -49,9 +49,22 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """For every node u: connect each STRICTLY LARGER neighbor to
     min(neighborhood(u) + {u}). Keeps the component connected while
-    pointing big nodes at small ones; never increases edge count."""
+    pointing big nodes at small ones; never increases edge count.
+
+    Output may contain duplicate (u, v) rows (bounded by the DIRECTED
+    edge count, so never more than 2x the canonical set): the r6
+    round-cost fix dropped the dedup shuffle here — _small_star's
+    groupBy collapses duplicates map-side and its final distinct
+    restores canonical form, so one large+small round pays one fewer
+    full exchange with an at-most-2x join fan inside small-star."""
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # one explicit repartition on the group/join key: the aggregation
+    # and the join probe side then share a SINGLE exchange (ReuseExchange
+    # dedupes the identical subtree — guide §2.4 "two operations keyed
+    # the same way can share one exchange"); before r6 the symmetric
+    # edge list was shuffled twice per large-star
+    sym = sym.repartition("u")
     mins = (sym.groupBy("u")
             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
     out = (
@@ -59,20 +72,35 @@ def _large_star(e: DataFrame) -> DataFrame:
         .join(mins, "u")
         .select(F.col("m").alias("u"), F.col("v"))
     )
-    return out.where(F.col("u") != F.col("v")).distinct()
+    # m = min(neighborhood(u) + {u}) <= u < v, so u < v is preserved
+    # without re-canonicalizing
+    return out.where(F.col("u") != F.col("v"))
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Orient edges (u > v); for every u: connect u and all its smaller
-    neighbors to min(neighbors + {u}) — flattens local trees to stars."""
+    neighbors to min(neighbors + {u}) — flattens local trees to stars.
+
+    ``mins`` is referenced ONCE (r6): the (m, u) self-link rows that
+    used to come from a second union branch (which re-ran the whole
+    aggregation subtree — Spark shares no un-materialized subplans) are
+    emitted from the join output itself via a 2-element inline explode;
+    the duplicates that introduces (one (m, u) per neighbor instead of
+    one per node) collapse in the final distinct that already existed."""
     oriented = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # shared exchange for the aggregation + join probe side, as in
+    # _large_star
+    oriented = oriented.repartition("u")
     # canonical edges already have u < v, so oriented has u > v and the
     # min over (neighbors + {u}) is simply min(v)
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     linked = (
         oriented.join(mins, "u")
-        .select(F.col("m").alias("u"), F.col("v"))
-        .unionByName(mins.select(F.col("m").alias("u"), F.col("u").alias("v")))
+        .select(F.explode(F.array(
+            F.struct(F.col("m").alias("u"), F.col("v").alias("v")),
+            F.struct(F.col("m").alias("u"), F.col("u").alias("v")),
+        )).alias("uv"))
+        .select("uv.u", "uv.v")
     )
     return (
         linked.where(F.col("u") != F.col("v"))
@@ -108,33 +136,93 @@ def connected_components(edges: DataFrame, src: str = "src",
     # practice for iterative graph algorithms on Spark (GraphFrames
     # ships the same advice); restored afterwards.
     _CP = "spark.sql.constraintPropagation.enabled"
+    _AQE = "spark.sql.adaptive.enabled"
+    _SP = "spark.sql.shuffle.partitions"
     old_cp = spark.conf.get(_CP, None)
+    old_aqe = spark.conf.get(_AQE, None)
+    old_sp = spark.conf.get(_SP, None)
     spark.conf.set(_CP, "false")
     try:
         e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
-        if e.isEmpty():
+        n_e = e.count()
+        if n_e == 0:
             return spark.createDataFrame(
                 [], "node long, rep long")
+        # Iterative-loop execution config (r6, guide §1.2 step 3 after
+        # the algorithm shape is right): AQE re-plans and re-schedules
+        # every query stage, which is pure overhead for the dozens of
+        # small bounded queries this loop runs (measured at 10^5
+        # edges: most of each round's wall was driver-side planning /
+        # stage bring-up, not compute); the loop sizes its shuffles
+        # DIRECTLY from the measured edge count instead: at least
+        # ~16k edges per reduce task so task scheduling is amortized,
+        # capped by the session's configured shuffle parallelism — so
+        # the setting is input-derived plus the same session knob every
+        # other query obeys, not a constant tuned to this host (the
+        # bench's 10^5-edge graph gets 7 partitions; a 10^12-edge graph
+        # saturates whatever parallelism the session configured).
+        # Edge counts never grow across rounds (neither star operator
+        # adds edges), so the round-1 size holds for the whole loop.
+        # Restored afterwards.
+        spark.conf.set(_AQE, "false")
+        sess_par = int(old_sp) if old_sp else 200
+        spark.conf.set(_SP, str(max(1, min(n_e // 16_384 + 1, sess_par))))
         converged = False
         rounds = 0
         for rounds in range(1, max_rounds + 1):
-            nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
-            # converged when the (canonical, distinct) edge set is
-            # unchanged: probe symmetric difference with early-exit
-            # limit(1) counts
+            # the large-star output is checkpointed before small-star
+            # consumes it: small-star references its input in two
+            # branches (the join side and the min aggregation), and
+            # without materialization Spark evaluates the entire
+            # large-star subtree once per reference (r6 plan audit:
+            # the LS aggregation exchange appeared 3x in one round's
+            # physical plan). The checkpoint is lazy: small-star's
+            # first aggregation stage materializes it; an eager
+            # checkpoint would spend a whole extra pass per round just
+            # to cache. (If the planner ever picks a sort-merge join
+            # inside small-star, its two exchanges may both compute a
+            # partition of `ls` before it is cached — duplicated work,
+            # never wrong results.)
+            ls = _large_star(e).localCheckpoint(eager=False)
+            nxt = _small_star(ls).localCheckpoint(eager=False)
+            # Convergence = the edge set is a union of stars, checked
+            # DIRECTLY on nxt (r6): with u < v canonical edges, e is a
+            # star union iff no node appears as both a parent and a
+            # child and no child has two parents — and every star
+            # union is a fixpoint of both operators (LS: children have
+            # no larger neighbors besides none, the root keeps its
+            # edges; SS: every child's min-neighbor IS its root), so
+            # stopping here returns the same labels the edge-set-
+            # stability probe did, one round earlier (the old probe
+            # needed an extra confirming round to see "no change") and
+            # in ONE map-side-combined aggregation job instead of the
+            # two exceptAll shuffles of both full sides this ran
+            # before r6. Connectivity is invariant under both
+            # operators (Kiveris et al.), so the star union reached is
+            # exactly the component structure of the input.
             changed = (
-                nxt.exceptAll(e).limit(1).count()
-                + e.exceptAll(nxt).limit(1).count()
+                nxt.select(F.explode(F.array(
+                    F.struct(F.col("u").alias("n"), F.lit(0).alias("c")),
+                    F.struct(F.col("v").alias("n"), F.lit(1).alias("c")),
+                )).alias("x"))
+                .groupBy("x.n")
+                .agg(F.sum("x.c").alias("as_child"),
+                     F.count(F.lit(1)).alias("tot"))
+                .where((F.col("as_child") > 1)
+                       | ((F.col("as_child") > 0)
+                          & (F.col("tot") > F.col("as_child"))))
+                .limit(1).count()
             )
             e = nxt
             if changed == 0:
                 converged = True
                 break
     finally:
-        if old_cp is None:
-            spark.conf.unset(_CP)
-        else:
-            spark.conf.set(_CP, old_cp)
+        for key, old in ((_CP, old_cp), (_AQE, old_aqe), (_SP, old_sp)):
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
     if _round_counter is not None:
         _round_counter.append(rounds)
     if not converged:
