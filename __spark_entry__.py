@@ -4000,8 +4000,13 @@ def _lloyd_train(e: DataFrame, k: int = 8, iters: int = 2):
     (1e-4) before re-use — cross-partition float-sum order is
     nondeterministic, so an unrounded centroid would make assignment
     depend on partitioning."""
+    # training scratch frame: one checkpointed materialization feeds the
+    # seed collect AND every update round (r6 — before this, each of the
+    # trainer's jobs re-scanned and re-spread the input); the checkpoint
+    # never appears in any returned plan (callers keep their own frame)
+    t = e.localCheckpoint(eager=False)
     cent = [r["v"] for r in
-            e.where(F.col("vec_id") < k).orderBy("vec_id").collect()]
+            t.where(F.col("vec_id") < k).orderBy("vec_id").collect()]
 
     def dist_to(c_arr):
         lit = F.array(*[F.lit(float(x)) for x in c_arr])
@@ -4017,7 +4022,7 @@ def _lloyd_train(e: DataFrame, k: int = 8, iters: int = 2):
     for _ in range(iters - 1):
         _, cluster = assign(cent)
         upd = (
-            e.select(cluster.alias("cluster"),
+            t.select(cluster.alias("cluster"),
                      F.posexplode("v").alias("dim", "val"))
             .groupBy("cluster", "dim")
             .agg(F.round(F.avg("val"), 4).alias("c"))
@@ -4072,19 +4077,65 @@ PQ_M, PQ_SUB, PQ_K = 4, 16, 8  # 4 subspaces x 16 dims, 8 codes each
 
 
 def _pq_train(spark: SparkSession, sf_dir: str):
-    """Train the product-quantization codebooks: the shared Lloyd
-    trainer (_lloyd_train) runs once per 16-dim subspace. Returns
-    (frame e with v:array<double>, [codebook_s] each PQ_K x PQ_SUB)."""
+    """Train the product-quantization codebooks. Returns
+    (frame e with v:array<double>, [codebook_s] each PQ_K x PQ_SUB).
+
+    r6 (guide §1.2: fewer passes): the previous shape ran the shared
+    Lloyd trainer once per subspace — 4 seed collects + 4 update
+    aggregations, each re-scanning and re-spreading the embedding
+    table. All four subspaces train from the SAME rows with the same
+    seed policy, so one checkpointed scan now feeds ONE seed collect
+    (full vectors, sliced driver-side) and ONE fused update job: the
+    per-subspace cluster assignments are computed side by side in a
+    single projection, the posexplode runs once over the full
+    dimension range (same exploded row count as the 4 sliced jobs
+    combined), and the (subspace, cluster, dim) averages — still
+    map-side combined, still bounded by M*K*dim cells — come back in
+    one 512-row collect. Per-cell values are the same multisets the
+    per-subspace jobs averaged, rounded 1e-4 exactly as before (the
+    _lloyd_train determinism rule), and empty clusters keep their
+    seed centroid exactly as _lloyd_train does. The returned frame is
+    the plain parquet-backed scan, so every RETURNED query plan is
+    unchanged (training is eager scratch work; the checkpoint never
+    appears in a returned plan)."""
     e = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    books = []
+    t = e.localCheckpoint(eager=False)
+    seeds = t.where(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    books = [[list(r["v"][s * PQ_SUB:(s + 1) * PQ_SUB]) for r in seeds]
+             for s in range(PQ_M)]
+
+    def dist_to(sub_col, c_arr):
+        lit = F.array(*[F.lit(float(x)) for x in c_arr])
+        return F.aggregate(
+            F.zip_with(sub_col, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    parts = None
     for s in range(PQ_M):
-        sub = e.select(
-            "vec_id", F.slice("v", s * PQ_SUB + 1, PQ_SUB).alias("v"))
-        cent, _ = _lloyd_train(sub, PQ_K, 2)
-        books.append(cent)
-    return e, books
+        sub = F.slice("v", s * PQ_SUB + 1, PQ_SUB)
+        d = F.array(*[dist_to(sub, c) for c in books[s]])
+        cl = (F.array_position(d, F.array_min(d)) - 1).alias("cluster")
+        # one branch per subspace, cluster expr and explode in the SAME
+        # projection (the per-input-row evaluation shape — an outer
+        # select referencing the cluster column gets inlined through
+        # the Generate and re-evaluates the whole assignment once per
+        # exploded row, measured 4x slower than the un-fused form);
+        # the union is narrow, so all four branches aggregate in one
+        # shuffle over the shared checkpointed scan
+        p = t.select(F.lit(s).alias("s"), cl,
+                     F.posexplode(sub).alias("d", "val"))
+        parts = p if parts is None else parts.unionByName(p)
+    upd = (
+        parts.groupBy("s", "cluster", "d")
+        .agg(F.round(F.avg("val"), 4).alias("c"))
+        .collect()
+    )
+    new_books = [[list(cw) for cw in book] for book in books]
+    for r in upd:
+        new_books[r["s"]][r["cluster"]][r["d"]] = r["c"]
+    return e, new_books
 
 
 def _pq_sub_dists(s: int, book):
