@@ -607,21 +607,29 @@ def _q_dedup_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_N = 5  # n-gram shingle width (the Gopher/RefinedWeb dedup recipe)
 
 
-def _shingles_col(text_col):
-    """SHINGLE_N-gram word shingles as a MAP-ONLY array expression: split
-    once, then one ``concat_ws`` per window position via
-    ``transform(sequence(...))`` — no explode, no shuffle. Texts shorter
-    than SHINGLE_N words yield one shingle (the whole text), so every doc
-    has a non-empty shingle set. Round-2 verdict fix: the minhash family
-    previously hashed unigram word sets; production near-dup (the recipe
-    gopher_quality itself references) shingles n-grams, which changes
-    both recall and precision (on this corpus: 67k spurious template
-    pairs -> ~25 true near-dup pairs at the same thresholds)."""
-    words = F.split(text_col, " ")
-    n_windows = F.greatest(F.size(words) - (SHINGLE_N - 1), F.lit(1))
+def _shingles_col(words_col):
+    """SHINGLE_N-gram word shingles as a MAP-ONLY array expression over
+    a PRE-PROJECTED words array: one ``concat_ws`` per window position
+    via ``transform(sequence(...))`` — no explode, no shuffle. Texts
+    shorter than SHINGLE_N words yield one shingle (the whole text), so
+    every doc has a non-empty shingle set. Round-2 verdict fix: the
+    minhash family previously hashed unigram word sets; production
+    near-dup (the recipe gopher_quality itself references) shingles
+    n-grams, which changes both recall and precision (on this corpus:
+    67k spurious template pairs -> ~25 true near-dup pairs at the same
+    thresholds).
+
+    r6: callers materialize ``split(text)`` as its own projection alias
+    and pass the COLUMN here. The previous text-column form embedded
+    the split twice (the sequence bound and the slice source), and the
+    transform lambda is interpreted — no codegen subexpression
+    elimination — so every row tokenized its text twice. A non-cheap
+    multi-referenced alias is kept materialized by CollapseProject, so
+    the split now runs exactly once per row."""
+    n_windows = F.greatest(F.size(words_col) - (SHINGLE_N - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), n_windows),
-        lambda i: F.concat_ws(" ", F.slice(words, i, SHINGLE_N)),
+        lambda i: F.concat_ws(" ", F.slice(words_col, i, SHINGLE_N)),
     )
 
 
@@ -651,7 +659,8 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (CollapseProject keeps both non-cheap aliases), then 4
     array_min slice passes."""
     d = _docs(spark, sf_dir)
-    base = d.select("doc_id", _shingles_col(F.col("text")).alias("sh"))
+    base = (d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+            .select("doc_id", _shingles_col(F.col("w")).alias("sh")))
     hashed = base.select(
         "doc_id", _hashed_shingles(F.col("sh"), 0).alias("g0"))
     return hashed.select(
@@ -694,7 +703,11 @@ def _q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars (the classic chars/4 BPE rule-of-thumb)."""
     d = _docs(spark, sf_dir)
     pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
-    toks = F.regexp_extract_all(F.col("text"), F.lit(pattern), 0)
+    # the token array materializes as its own alias (r6): referenced
+    # twice (size + the subword fold) from ONE projection it would run
+    # the regexp tokenizer twice per row — the interpreted-lambda
+    # no-CSE pitfall the minhash shingle fix documents
+    toks = F.col("toks")
     n_pieces = F.size(toks).cast("long")
     # each alpha run longer than 4 chars splits into ceil(len/4) subwords
     n_subwords = F.aggregate(
@@ -704,6 +717,9 @@ def _q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(1).cast("long")),
     )
     return d.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit(pattern), 0).alias("toks"),
+    ).select(
         "doc_id", n_pieces.alias("n_pieces"), n_subwords.alias("n_subwords"),
     ).orderBy("doc_id")
 
@@ -1369,16 +1385,23 @@ def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != "").alias("ts"))
+    # the window hash shuffles as a LONG (guide §2.3 "narrower types"):
+    # conv(hex16, 16, -10) reinterprets the same 64 md5 bits as a
+    # signed 64-bit integer — a bijection, so the collision structure
+    # (and therefore every count this query emits) is bit-identical to
+    # the 16-hex-char form the oracle replays, while the groupBy/join
+    # key drops from a 16-byte string to 8 fixed-width bytes (r6:
+    # smaller exchange, cheaper hash-aggregate probes)
     wins = (
         toks.select(
             "doc_id",
             F.posexplode(
                 F.when(F.size("ts") >= W, F.transform(
                     F.sequence(F.lit(0), F.size("ts") - W),
-                    lambda i: F.substring(
+                    lambda i: F.conv(F.substring(
                         F.md5(F.array_join(F.slice("ts", i + 1, W), " ")),
-                        1, 16)))
-                .otherwise(F.array().cast("array<string>"))
+                        1, 16), 16, -10).cast("long")))
+                .otherwise(F.array().cast("array<long>"))
             ).alias("i", "h"))
         .withColumn("salt", F.pmod(
             F.abs(F.xxhash64("doc_id")) + F.col("i"), F.lit(SALT)))
@@ -6265,7 +6288,8 @@ def _band_candidates(d: DataFrame):
     (plan-guarded)."""
     k_total = NGRAM_BANDS * NGRAM_ROWS
     n_groups = -(-k_total // 4)
-    base = d.select("doc_id", _shingles_col(F.col("text")).alias("sh"))
+    base = (d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+            .select("doc_id", _shingles_col(F.col("w")).alias("sh")))
     words = base.select(
         "doc_id", F.array_distinct(F.col("sh")).alias("ws"))
     hashed = base.select(

@@ -151,14 +151,17 @@ def test_minhash_signatures_map_only(spark, sf_dir):
     assert "HashAggregate" not in plan, plan
     assert "hashpartitioning" not in plan, plan
     assert "Generate explode" not in plan, plan
-    # single shingle evaluation + single md5 pass: the shingle array
-    # materializes in ONE projection (2 split occurrences inside it:
-    # the sequence bound and the slice), ONE md5-per-shingle transform
-    # feeds all four components (digest-chunk minwise hashing), and the
-    # K mins slice the materialized hash column — no re-split, no
-    # per-component re-hash (CollapseProject must not inline either
-    # non-cheap alias)
-    assert plan.count("split(text") == 2, plan
+    # single tokenization + single shingle evaluation + single md5
+    # pass: the words array materializes as its OWN projection alias
+    # (r6 — the transform lambdas are interpreted, so an inlined split
+    # would tokenize every row twice: once for the sequence bound,
+    # once for the slice source), the shingle array materializes in
+    # one projection over it, ONE md5-per-shingle transform feeds all
+    # four components (digest-chunk minwise hashing), and the K mins
+    # slice the materialized hash column — no re-split, no
+    # per-component re-hash (CollapseProject must not inline any of
+    # the non-cheap aliases)
+    assert plan.count("split(text") == 1, plan
     assert plan.count("md5(") == 1, plan
     assert plan.count("array_min(transform(g0#") == 4, plan
 
