@@ -6517,16 +6517,72 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str, k: int = 8,
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- registry ordering note (round 5, final) ---
+        # --- registry ordering note (round 6, optimization) ---
         # The driver correctness gate samples the FIRST 50 keys in
-        # dict order. Gate composition this round: the flagship
-        # extraction/text family (re-validates every payload kernel
-        # added this round through extract_any), every query whose
-        # code or corpus-facing behavior changed in round 5, and the
-        # queries that had never received a driver row in rounds 1-4
-        # (r4 verdict item #2). Long-stable driver-green queries sit
-        # past the cap; tools/check_oracles.py verifies all of them
-        # locally every round (type-audited, see tools/).
+        # dict order. Rotation per the r5 verdict's "Next round #3":
+        # the 53 queries that had never received a driver row through
+        # round 5 (the ann_pq family, the HLL/CMS sketches,
+        # image_neardup, and the *_meta format kernels) fill the first
+        # 50 slots. Three of the 53 stay past the cap — script_mix,
+        # mojibake_fix, unicode_normalize — chosen because the round-5
+        # judge independently replayed exactly those through the local
+        # oracle (VERDICT.md, 22-query sample, all green), so they
+        # carry third-party evidence the other 50 lack. Every
+        # previously driver-green query sits past the cap;
+        # tools/check_oracles.py verifies all 150 locally every round.
+        "date_meta": _q_date_meta,
+        "eml_meta": _q_eml_meta,
+        "mbox_meta": _q_mbox_meta,
+        "heic_meta": _q_heic_meta,
+        "anchor_text": _q_anchor_text,
+        "content_drift": _q_content_drift,
+        "badwords_filter": _q_badwords_filter,
+        "charset_report": _q_charset_report,
+        "fetch_schedule": _q_fetch_schedule,
+        "sentence_stats": _q_sentence_stats,
+        "snapshot_delta": _q_snapshot_delta,
+        "xlsx_meta": _q_xlsx_meta,
+        "pptx_meta": _q_pptx_meta,
+        "rtf_meta": _q_rtf_meta,
+        "odt_meta": _q_odt_meta,
+        "feed_meta": _q_feed_meta,
+        "structured_data": _q_structured_data,
+        "image_neardup": _q_image_neardup,
+        "ods_meta": _q_ods_meta,
+        "odp_meta": _q_odp_meta,
+        "ico_meta": _q_ico_meta,
+        "webm_meta": _q_webm_meta,
+        "tar_meta": _q_tar_meta,
+        "svg_meta": _q_svg_meta,
+        "subtitle_meta": _q_subtitle_meta,
+        "csv_meta": _q_csv_meta,
+        "tex_meta": _q_tex_meta,
+        "wiki_meta": _q_wiki_meta,
+        "code_meta": _q_code_meta,
+        "compressibility": _q_compressibility,
+        "curation_verdict": _q_curation_verdict,
+        "md_meta": _q_md_meta,
+        "json_meta": _q_json_meta,
+        "ps_meta": _q_ps_meta,
+        "sqlite_meta": _q_sqlite_meta,
+        "pq_encode": _q_pq_encode,
+        "ann_pq_adc": _q_ann_pq_adc,
+        "ann_ivfpq": _q_ann_ivfpq,
+        "ann_ivfpq_res": _q_ann_ivfpq_res,
+        "mime_audit": _q_mime_audit,
+        "djvu_meta": _q_djvu_meta,
+        "font_meta": _q_font_meta,
+        "flac_meta": _q_flac_meta,
+        "ogg_meta": _q_ogg_meta,
+        "tiff_meta": _q_tiff_meta,
+        "hll_host_distinct": _q_hll_host_distinct,
+        "cms_token_freq": _q_cms_token_freq,
+        "kl_host_shift": _q_kl_host_shift,
+        "length_quantiles": _q_length_quantiles,
+        "encryption_stats": _q_encryption_stats,
+        # --- past the driver 50-row cap: driver-green in an earlier
+        # round with unchanged semantics (rounds 1-5 CORRECTNESS
+        # files), plus the three judge-replayed queries noted above ---
         "extract_accuracy": _q_extract("accuracy"),
         "extract_parity": _q_extract_parity,
         "extract_fast": _q_extract("fast"),
@@ -6577,14 +6633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_template": _q_host_template,
         "bitext_candidates": _q_bitext_candidates,
         "host_token_budget": _q_host_token_budget,
-        # --- past the driver 50-row cap: driver-green in an earlier
-        # round with unchanged semantics, or sample-capped twins
-        # (date/eml/mbox_meta yielded their slots to the closing-wave
-        # curation ops above — their kernels' text still rides the
-        # in-gate extraction family through extract_any) ---
-        "date_meta": _q_date_meta,
-        "eml_meta": _q_eml_meta,
-        "mbox_meta": _q_mbox_meta,
+        "script_mix": _q_script_mix,
+        "mojibake_fix": _q_mojibake_fix,
+        "unicode_normalize": _q_unicode_normalize,
         "extract_metadata": _q_metadata,
         "extract_spans": _q_spans,
         "extract_search": _q_search,
@@ -6632,56 +6683,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": _q_audio_stats,
         "video_stats": _q_video_stats,
         "exif_meta": _q_exif_meta,
-        "heic_meta": _q_heic_meta,
-        "anchor_text": _q_anchor_text,
-        "content_drift": _q_content_drift,
-        "badwords_filter": _q_badwords_filter,
-        "charset_report": _q_charset_report,
-        "mojibake_fix": _q_mojibake_fix,
-        "unicode_normalize": _q_unicode_normalize,
-        "fetch_schedule": _q_fetch_schedule,
-        "sentence_stats": _q_sentence_stats,
-        "snapshot_delta": _q_snapshot_delta,
-        "xlsx_meta": _q_xlsx_meta,
-        "pptx_meta": _q_pptx_meta,
-        "rtf_meta": _q_rtf_meta,
-        "odt_meta": _q_odt_meta,
-        "feed_meta": _q_feed_meta,
-        "structured_data": _q_structured_data,
-        "image_neardup": _q_image_neardup,
-        "ods_meta": _q_ods_meta,
-        "odp_meta": _q_odp_meta,
-        "ico_meta": _q_ico_meta,
-        "webm_meta": _q_webm_meta,
-        "tar_meta": _q_tar_meta,
-        "svg_meta": _q_svg_meta,
-        "subtitle_meta": _q_subtitle_meta,
-        "csv_meta": _q_csv_meta,
-        "tex_meta": _q_tex_meta,
-        "wiki_meta": _q_wiki_meta,
-        "code_meta": _q_code_meta,
-        "compressibility": _q_compressibility,
-        "curation_verdict": _q_curation_verdict,
-        "script_mix": _q_script_mix,
-        "md_meta": _q_md_meta,
-        "json_meta": _q_json_meta,
-        "ps_meta": _q_ps_meta,
-        "sqlite_meta": _q_sqlite_meta,
-        "pq_encode": _q_pq_encode,
-        "ann_pq_adc": _q_ann_pq_adc,
-        "ann_ivfpq": _q_ann_ivfpq,
-        "ann_ivfpq_res": _q_ann_ivfpq_res,
-        "mime_audit": _q_mime_audit,
-        "djvu_meta": _q_djvu_meta,
-        "font_meta": _q_font_meta,
-        "flac_meta": _q_flac_meta,
-        "ogg_meta": _q_ogg_meta,
-        "tiff_meta": _q_tiff_meta,
-        "hll_host_distinct": _q_hll_host_distinct,
-        "cms_token_freq": _q_cms_token_freq,
-        "kl_host_shift": _q_kl_host_shift,
-        "length_quantiles": _q_length_quantiles,
-        "encryption_stats": _q_encryption_stats,
     }
 
 
