@@ -4003,7 +4003,8 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str,
     )
 
 
-def _lloyd_train(e: DataFrame, k: int = 8, iters: int = 2):
+def _lloyd_train(e: DataFrame, k: int = 8, iters: int = 2,
+                 scratch: DataFrame | None = None):
     """Shared deterministic Lloyd trainer over an embedding frame with
     columns (vec_id, v:array<double>) — the clustering core of
     kmeans_semdedup AND the centroid-training stage of the IVF index
@@ -4026,8 +4027,11 @@ def _lloyd_train(e: DataFrame, k: int = 8, iters: int = 2):
     # training scratch frame: one checkpointed materialization feeds the
     # seed collect AND every update round (r6 — before this, each of the
     # trainer's jobs re-scanned and re-spread the input); the checkpoint
-    # never appears in any returned plan (callers keep their own frame)
-    t = e.localCheckpoint(eager=False)
+    # never appears in any returned plan (callers keep their own frame).
+    # Callers that need the same rows for other eager work (query-vector
+    # collects, PQ training) pass their own checkpoint via ``scratch``
+    # so the input materializes exactly once per query build.
+    t = scratch if scratch is not None else e.localCheckpoint(eager=False)
     cent = [r["v"] for r in
             t.where(F.col("vec_id") < k).orderBy("vec_id").collect()]
 
@@ -4099,7 +4103,8 @@ def _q_kmeans_semdedup(spark: SparkSession, sf_dir: str,
 PQ_M, PQ_SUB, PQ_K = 4, 16, 8  # 4 subspaces x 16 dims, 8 codes each
 
 
-def _pq_train(spark: SparkSession, sf_dir: str):
+def _pq_train(spark: SparkSession, sf_dir: str,
+              scratch: DataFrame | None = None):
     """Train the product-quantization codebooks. Returns
     (frame e with v:array<double>, [codebook_s] each PQ_K x PQ_SUB).
 
@@ -4124,7 +4129,7 @@ def _pq_train(spark: SparkSession, sf_dir: str):
     e = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    t = e.localCheckpoint(eager=False)
+    t = scratch if scratch is not None else e.localCheckpoint(eager=False)
     seeds = t.where(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
     books = [[list(r["v"][s * PQ_SUB:(s + 1) * PQ_SUB]) for r in seeds]
              for s in range(PQ_M)]
@@ -4231,10 +4236,15 @@ def _q_ann_pq_adc(spark: SparkSession, sf_dir: str,
     tie-break (the tfidf/bm25 cross-engine rule). Oracle: DuckDB
     replays the codebook training, the encoding, the query tables and
     the ranking."""
-    e, books = _pq_train(spark, sf_dir)
-    q = _emb(spark, sf_dir).where(F.col("vec_id") == 0).select(
+    # one checkpointed materialization serves PQ training AND the
+    # query-vector collect (r6); the returned scan frame stays
+    # parquet-backed
+    scratch = _emb(spark, sf_dir).select(
+        "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    ).collect()[0]["v"]
+    ).localCheckpoint(eager=False)
+    e, books = _pq_train(spark, sf_dir, scratch=scratch)
+    q = scratch.where(F.col("vec_id") == 0).collect()[0]["v"]
     adc = F.lit(0.0)
     for s in range(PQ_M):
         qs = q[s * PQ_SUB:(s + 1) * PQ_SUB]
@@ -4280,8 +4290,11 @@ def _q_ann_ivfpq(spark: SparkSession, sf_dir: str, k: int = 8,
     e = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    cent, assign = _lloyd_train(e, k, iters)
-    qv = e.where(F.col("vec_id") == 0).collect()[0]["v"]
+    # shared scratch: coarse training, PQ training and the query-vector
+    # collect all read one checkpointed materialization (r6)
+    scratch = e.localCheckpoint(eager=False)
+    cent, assign = _lloyd_train(e, k, iters, scratch=scratch)
+    qv = scratch.where(F.col("vec_id") == 0).collect()[0]["v"]
 
     def seq_sqdist(a, b):
         acc = 0.0
@@ -4293,7 +4306,7 @@ def _q_ann_ivfpq(spark: SparkSession, sf_dir: str, k: int = 8,
     probes = sorted(range(k), key=lambda c: (qd[c], c))[:nprobe]
     _, cluster = assign(cent)
 
-    _, books = _pq_train(spark, sf_dir)
+    _, books = _pq_train(spark, sf_dir, scratch=scratch)
     adc = F.lit(0.0)
     for s in range(PQ_M):
         qs = qv[s * PQ_SUB:(s + 1) * PQ_SUB]
@@ -4338,8 +4351,10 @@ def _q_ann_ivfpq_res(spark: SparkSession, sf_dir: str, k: int = 8,
     e = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    cent, assign = _lloyd_train(e, k, iters)
-    qv = e.where(F.col("vec_id") == 0).collect()[0]["v"]
+    # shared scratch for coarse training + query-vector collect (r6)
+    scratch = e.localCheckpoint(eager=False)
+    cent, assign = _lloyd_train(e, k, iters, scratch=scratch)
+    qv = scratch.where(F.col("vec_id") == 0).collect()[0]["v"]
 
     def seq_sqdist(a, b):
         acc = 0.0
@@ -4357,8 +4372,13 @@ def _q_ann_ivfpq_res(spark: SparkSession, sf_dir: str, k: int = 8,
     my_cent = F.element_at(cent_lit, (cl_long + 1).cast("int"))
     resid = F.zip_with("v", my_cent, lambda a, b: a - b)
 
-    # residual codebooks: per-subspace Lloyd over the residual frame
-    e_res = e.select("vec_id", resid.alias("v"))
+    # residual codebooks: per-subspace Lloyd over the residual frame,
+    # which is checkpointed ONCE (r6) — the residual zip_with against
+    # the broadcast centroids used to re-execute inside every one of
+    # the 4 trainings' jobs; each training's own scratch is now a
+    # cheap slice over the cached rows
+    e_res = e.select("vec_id", resid.alias("v")).localCheckpoint(
+        eager=False)
     books = []
     for s in range(PQ_M):
         sub = e_res.select(
@@ -6485,8 +6505,10 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str, k: int = 8,
     e = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    cent, assign = _lloyd_train(e, k, iters)
-    qv = e.where(F.col("vec_id") == 0).collect()[0]["v"]
+    # shared scratch for training + query-vector collect (r6)
+    scratch = e.localCheckpoint(eager=False)
+    cent, assign = _lloyd_train(e, k, iters, scratch=scratch)
+    qv = scratch.where(F.col("vec_id") == 0).collect()[0]["v"]
 
     def seq_sqdist(a, b):
         acc = 0.0
